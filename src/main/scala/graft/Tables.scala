@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (see TESTDATA.md).
+  *
+  * The reference engine's "table" is an HDFS directory of K/V part files
+  * (reference: hadoop-common-project/hadoop-common/src/main/java/org/apache/hadoop/fs/FileSystem.java:89);
+  * here a table is a parquet path read through the columnar scan so filter
+  * pushdown and column pruning apply.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Cluster-wide total-order sort.
+  *
+  * Reference: the Sort example wires RandomSampler → TotalOrderPartitioner
+  * → identity M/R (examples/Sort.java:92-166,
+  * mapreduce/lib/partition/TotalOrderPartitioner.java:102-412,
+  * InputSampler.java:97-314). Spark's `RangePartitioner` already samples
+  * split points internally, so the idiomatic form is
+  * `repartitionByRange(n).sortWithinPartitions(...)`: partition i holds
+  * keys <= partition i+1's, each partition locally sorted — exactly the
+  * reference's output contract (globally ordered across part files),
+  * with NO single-node bottleneck at any scale.
+  */
+object TotalOrderSort {
+
+  def sorted(df: DataFrame, numPartitions: Int, keys: Column*): DataFrame =
+    df.repartitionByRange(numPartitions, keys: _*)
+      .sortWithinPartitions(keys: _*)
+
+  /** Totally-sorted rows with a 1-based global rank column.
+    *
+    * `zipWithIndex` after a range-partitioned local sort assigns
+    * contiguous, partition-ordered indices with one lightweight job to
+    * count partition sizes — no global single-partition window (which
+    * would be the naive `row_number() OVER (ORDER BY ...)` plan and a
+    * scale bottleneck). `keys` must be a total order (add tiebreakers)
+    * or ranks of ties are unspecified.
+    */
+  def withRank(df: DataFrame, numPartitions: Int, rankCol: String, keys: Column*): DataFrame = {
+    val s = sorted(df, numPartitions, keys: _*)
+    val schema = s.schema.add(rankCol, LongType, nullable = false)
+    val rdd = s.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+}

@@ -1,0 +1,296 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.{CompositeJoin, FieldSelection, SecondarySort, TotalOrderSort}
+
+/** Relational parity queries: aggregation, joins (inner/outer/override/
+  * semi/anti/broadcast), set ops, total-order sort, top-k, secondary sort,
+  * field selection. Each has a DuckDB oracle in [[oracleSql]].
+  *
+  * Numeric discipline for oracle parity: money is cast to DECIMAL per row
+  * before aggregation (exact, order-independent — float summation order
+  * would differ between engines), counts/sums are cast to explicit types
+  * on BOTH sides (DuckDB widens SUM(BIGINT) to HUGEINT and decimals
+  * differently than Spark).
+  */
+object CoreQueries extends QueryModule {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def one: Column = expr("CAST(1 AS DECIMAL(3,2))")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IntSumReducer/LongSumReducer + combiner (mapreduce/lib/reduce/
+    // IntSumReducer.java:30; combiner = Job.setCombinerClass:870).
+    // Spark's HashAggregate partial/final IS the combiner pattern.
+    "q1_agg" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Multi-way shuffle join + aggregation (the datajoin pattern at scale:
+    // hadoop-datajoin/.../DataJoinReducerBase.java:129-214). nation/region
+    // are broadcast — no shuffle for the small dims.
+    "q5_join_agg" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+            .cast(DecimalType(38, 4)).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // CompositeInputFormat `inner(...)` (mapreduce/lib/join/
+    // InnerJoinRecordReader.java:54): key in every source.
+    "join_inner" -> ((s, dir) => {
+      val n = Tables(s, dir, "nation")
+        .withColumnRenamed("n_nationkey", "nationkey")
+        .withColumnRenamed("n_regionkey", "regionkey")
+      val r = Tables(s, dir, "region").withColumnRenamed("r_regionkey", "regionkey")
+      val sup = Tables(s, dir, "supplier").withColumnRenamed("s_nationkey", "nationkey")
+      CompositeJoin.inner("nationkey", Seq(CompositeJoin.inner("regionkey", Seq(n, r)), sup))
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    }),
+
+    // CompositeInputFormat `outer(...)` (OuterJoinRecordReader.java:49):
+    // key in any source, unwritten TupleWritable slots -> NULL columns.
+    "join_outer" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      val o = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(
+          count(lit(1)).as("order_cnt"),
+          sum(dec2(col("o_totalprice"))).cast(DecimalType(38, 2)).as("spend"))
+      CompositeJoin.outer("custkey", Seq(c, o))
+    }),
+
+    // CompositeInputFormat `override(...)` (OverrideRecordReader.java:1-117):
+    // per key, value from the RIGHTMOST source holding it.
+    "join_override" -> ((s, dir) => {
+      def agg(df: DataFrame, key: String, bal: String) =
+        df.groupBy(col(key).as("nationkey"))
+          .agg(
+            sum(dec2(col(bal))).cast(DecimalType(38, 2)).as("acctbal"),
+            count(lit(1)).as("cnt"))
+      val sup = agg(Tables(s, dir, "supplier"), "s_nationkey", "s_acctbal")
+      val cust = agg(Tables(s, dir, "customer"), "c_nationkey", "c_acctbal")
+      CompositeJoin.overrideJoin("nationkey", Seq("acctbal", "cnt"), Seq(sup, cust))
+    }),
+
+    // Semi/anti joins: absent from the reference as named ops (SURVEY
+    // §2.4 note) — part of this engine's surface via Catalyst.
+    "join_semi" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+    "join_anti" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      // filter the probe side so the anti join is non-vacuous at every sf
+      val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // DistributedCache broadcast-join pattern (mapreduce/Job.java:1074-1085,
+    // filecache/DistributedCache.java:86-88): small side shipped to every
+    // task == Spark broadcast hash join, asserted via explicit hint.
+    "broadcast_join" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      val dim = broadcast(n.join(r, col("n_regionkey") === col("r_regionkey")))
+      c.join(dim, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("r_name")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(dec2(col("c_acctbal"))).cast(DecimalType(38, 2)).as("acctbal"))
+    }),
+
+    // §2.7 set operations (union via MultipleInputs; intersect/except are
+    // capability gaps in the reference — Spark built-ins).
+    "set_union" -> ((s, dir) => {
+      Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+    }),
+    "set_intersect" -> ((s, dir) => {
+      Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+    }),
+    "set_except" -> ((s, dir) => {
+      Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+    }),
+
+    // distinct == identity-reducer dedup (mapred/lib/IdentityReducer.java).
+    "distinct_rows" -> ((s, dir) => {
+      Tables(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+    }),
+
+    // Sort example: RandomSampler -> TotalOrderPartitioner -> identity M/R
+    // (examples/Sort.java:92-166). repartitionByRange samples internally;
+    // rank assigned per-partition via zipWithIndex, no global bottleneck.
+    "total_sort" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      TotalOrderSort.withRank(o, 32, "rnk", col("o_totalprice"), col("o_orderkey"))
+    }),
+
+    // Grep job 2's ordering stage, with the limit the reference lacks
+    // (examples/Grep.java:79-92 uses 1 reducer + decreasing comparator).
+    "topk" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("qty"))
+        .orderBy(col("qty").desc, col("l_partkey").asc)
+        .limit(20)
+    }),
+
+    // SecondarySort (examples/SecondarySort.java:51-239): group by key
+    // prefix, order by secondary key within group.
+    "secondary_sort" -> ((s, dir) => {
+      SecondarySort.withSequence(
+        Tables(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate"),
+        "seq",
+        part = Seq(col("l_orderkey")),
+        order = Seq(col("l_shipdate"), col("l_linenumber")))
+        .select("l_orderkey", "l_linenumber", "seq")
+    }),
+
+    // InverseMapper (mapreduce/lib/map/InverseMapper.java:30): (k,v)->(v,k).
+    "inverse_map" -> ((s, dir) => {
+      Tables(s, dir, "nation").select(col("n_name").as("k"), col("n_nationkey").as("v"))
+    }),
+
+    // FieldSelectionHelper spec "2,0:4-" over '|'-joined lines
+    // (mapreduce/lib/fieldsel/FieldSelectionHelper.java:25-60).
+    "fieldsel" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val line = concat_ws("|",
+        col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"),
+        col("l_returnflag"),
+        col("l_linestatus"),
+        col("l_partkey").cast("string"),
+        col("l_suppkey").cast("string"),
+        col("l_shipdate").cast("date").cast("string"))
+      FieldSelection(li, line, "2,0:4-", "|")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q5_join_agg" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name""".stripMargin,
+    "join_inner" ->
+      """SELECT s_suppkey, s_name, n_name, r_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "join_outer" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS custkey, c_name FROM customer WHERE c_custkey % 3 <> 0
+        |), o AS (
+        |  SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS order_cnt,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT COALESCE(c.custkey, o.custkey) AS custkey, c_name, order_cnt, spend
+        |FROM c FULL OUTER JOIN o ON c.custkey = o.custkey""".stripMargin,
+    "join_override" ->
+      """WITH s AS (
+        |  SELECT s_nationkey AS nationkey,
+        |         CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS acctbal,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM supplier GROUP BY s_nationkey
+        |), c AS (
+        |  SELECT c_nationkey AS nationkey,
+        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS acctbal,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM customer GROUP BY c_nationkey
+        |)
+        |SELECT COALESCE(s.nationkey, c.nationkey) AS nationkey,
+        |       COALESCE(c.acctbal, s.acctbal) AS acctbal,
+        |       COALESCE(c.cnt, s.cnt) AS cnt
+        |FROM s FULL OUTER JOIN c ON s.nationkey = c.nationkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+    "broadcast_join" ->
+      """SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "set_union" ->
+      "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier",
+    "set_intersect" ->
+      "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
+    "set_except" ->
+      "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier",
+    "distinct_rows" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "total_sort" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rnk
+        |FROM orders""".stripMargin,
+    "topk" ->
+      """SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY qty DESC, l_partkey ASC LIMIT 20""".stripMargin,
+    "secondary_sort" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS INTEGER) AS seq
+        |FROM lineitem""".stripMargin,
+    "inverse_map" ->
+      "SELECT n_name AS k, n_nationkey AS v FROM nation",
+    "fieldsel" ->
+      """WITH t AS (
+        |  SELECT concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |                   l_returnflag, l_linestatus, CAST(l_partkey AS VARCHAR),
+        |                   CAST(l_suppkey AS VARCHAR), CAST(CAST(l_shipdate AS DATE) AS VARCHAR)) AS line
+        |  FROM lineitem
+        |), p AS (SELECT string_split(line, '|') AS f FROM t)
+        |SELECT f[3] || '|' || f[1] AS sel_key,
+        |       array_to_string(list_slice(f, 5, len(f)), '|') AS sel_value
+        |FROM p""".stripMargin
+  )
+}
