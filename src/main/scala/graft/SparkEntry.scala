@@ -13,7 +13,8 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val modules: Seq[QueryModule] = Seq(CoreQueries)
+  private val modules: Seq[QueryModule] =
+    Seq(CoreQueries, TextQueries, EventQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

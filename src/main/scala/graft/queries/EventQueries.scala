@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.Aggregators
+
+/** Workloads over the `events` table: the reference's aggregate framework
+  * (ValueAggregator descriptors), ValueHistogram report, plus the
+  * incremental-processing shapes the reference lacks (tumbling windows,
+  * sessionization) expressed as batch queries; the streaming variants
+  * live in graft.streaming.
+  */
+object EventQueries extends QueryModule {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "events")
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The aggregate framework's descriptor set in ONE groupBy
+    // (mapreduce/lib/aggregate/: LongValueSum.java:33, LongValueMax/Min,
+    // StringValueMax/Min, UniqValueCount): the reference runs these as
+    // per-key plugin aggregators; Spark runs them as one codegen'd
+    // partial+final HashAggregate (the combiner pattern, Task.java:1563).
+    "agg_framework" -> ((s, dir) => {
+      ev(s, dir).groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast(DecimalType(38, 2)).as("val_sum"),
+        min(dec2(col("value"))).as("val_min"),
+        max(dec2(col("value"))).as("val_max"),
+        countDistinct(col("user_id")).as("uniq_users"),
+        min(col("props")).as("props_min"),
+        max(col("props")).as("props_max"))
+    }),
+
+    // UniqValueCount's cap (mapreduce/lib/aggregate/UniqValueCount.java:35-95):
+    // report = min(#distinct, cap), O(cap) state per group — via the
+    // custom Aggregator in graft.functions.Aggregators.
+    "uniq_cap" -> ((s, dir) => {
+      ev(s, dir).groupBy("event_type").agg(
+        Aggregators.cappedDistinct(col("user_id"), 50).as("capped_users"))
+    }),
+
+    // ValueHistogram report (mapreduce/lib/aggregate/ValueHistogram.java:38-120):
+    // per key, stats over the per-value frequency table. Two-level hash
+    // aggregation — both levels get map-side combine; doubles derived
+    // from exact integer sums (same expression in the oracle).
+    "value_histogram" -> ((s, dir) => {
+      val counts = ev(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("cnt"))
+      counts
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("uniq_vals"),
+          min(col("cnt")).as("min_cnt"),
+          max(col("cnt")).as("max_cnt"),
+          median(col("cnt")).as("median_cnt"),
+          sum(col("cnt")).as("s"),
+          sum(col("cnt") * col("cnt")).as("ss"))
+        .select(
+          col("event_type"), col("uniq_vals"), col("min_cnt"), col("max_cnt"), col("median_cnt"),
+          (col("s") / col("uniq_vals")).as("mean_cnt"),
+          sqrt((col("ss") - col("s") * col("s") / col("uniq_vals")) / col("uniq_vals"))
+            .as("stddev_cnt"))
+    }),
+
+    // Tumbling 1h window aggregation — capability gap in the reference
+    // (SURVEY §2.9: no windowing); batch form of the streaming op.
+    "window_agg" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast(DecimalType(38, 2)).as("val_sum"))
+    }),
+
+    // Sessionization: 30-minute inactivity gap splits a user's event
+    // stream into sessions — lag + running sum over a per-user window
+    // (one shuffle by user_id; scales as users, not events-per-window).
+    "sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val gapUs = 1800L * 1000000L
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("new_sess",
+          when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1L)
+            .when(lag(col("us"), 1).over(w).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"))
+    }),
+
+    // JSON field extraction from the props column (semi-structured scan).
+    "json_extract" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      ev(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(
+          sum(col("k")).as("k_sum"),
+          count(when(col("k") > 50, 1)).as("k_hi"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "agg_framework" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS val_sum,
+        |  MIN(CAST(value AS DECIMAL(18,2))) AS val_min,
+        |  MAX(CAST(value AS DECIMAL(18,2))) AS val_max,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users,
+        |  MIN(props) AS props_min, MAX(props) AS props_max
+        |FROM events GROUP BY event_type""".stripMargin,
+    "uniq_cap" ->
+      """SELECT event_type,
+        |  CAST(LEAST(COUNT(DISTINCT user_id), 50) AS BIGINT) AS capped_users
+        |FROM events GROUP BY event_type""".stripMargin,
+    "value_histogram" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY event_type, user_id
+        |), a AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS uniq_vals,
+        |         CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+        |         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+        |         median(cnt) AS median_cnt,
+        |         CAST(SUM(cnt) AS BIGINT) AS s,
+        |         CAST(SUM(cnt*cnt) AS BIGINT) AS ss
+        |  FROM c GROUP BY event_type
+        |)
+        |SELECT event_type, uniq_vals, min_cnt, max_cnt, median_cnt,
+        |       s / uniq_vals AS mean_cnt,
+        |       sqrt((ss - s * s / uniq_vals) / uniq_vals) AS stddev_cnt
+        |FROM a""".stripMargin,
+    "window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS val_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000 THEN 1
+        |         WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM e
+        |), sess AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM m
+        |)
+        |SELECT user_id, sess_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+    "json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS k_sum,
+        |  CAST(COUNT(CASE WHEN json_extract_string(props, '$.k')::BIGINT > 50 THEN 1 END) AS BIGINT) AS k_hi
+        |FROM events GROUP BY event_type""".stripMargin
+  )
+}

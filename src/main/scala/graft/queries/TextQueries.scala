@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text workloads over the `documents` table: the reference's canonical
+  * example jobs (WordCount, Grep, word statistics) plus the training-data
+  * text-analysis extensions (language ID, quality scoring, token counts).
+  *
+  * Tokenization is `\s+` split on both engines. Double-typed outputs are
+  * derived from EXACT integer aggregates with the identical expression
+  * tree on both sides (IEEE ops are deterministic given the same inputs
+  * in the same order) — never from float accumulation, whose order
+  * differs per engine/partitioning.
+  */
+object TextQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private def toks(c: Column): Column = filter(split(c, "\\s+"), w => w =!= "")
+
+  private def countIn(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, w => w.isin(words.map(lit(_)): _*))).cast("long")
+
+  private val stopEn = Seq("the", "a", "is", "of", "and")
+  private val stopDe = Seq("der", "die", "das", "und", "ein")
+  private val stopFr = Seq("le", "la", "les", "des", "une")
+  private val stopEs = Seq("el", "los", "las", "una", "y")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // WordCount (examples/WordCount.java:36-56): tokenize, count per token.
+    "wordcount" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(toks(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Grep job 1 (examples/Grep.java:55-92 via RegexMapper
+    // mapreduce/lib/map/RegexMapper.java:36): emit every regex match,
+    // count per match string.
+    "grep_count" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(regexp_extract_all(col("text"), lit("s[a-z]+"), lit(0))).as("m"))
+        .groupBy("m")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // WordMean/WordMedian/WordStandardDeviation (examples/WordMean.java:46-146,
+    // WordMedian.java:52-202, WordStandardDeviation.java): token-length
+    // stats. mean/stddev derived from exact integer sums; median is the
+    // exact interpolated percentile.
+    "word_stats" -> ((s, dir) => {
+      val lens = docs(s, dir)
+        .select(explode(toks(col("text"))).as("w"))
+        .select(length(col("w")).cast("long").as("len"))
+      lens
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("len")).as("sum_len"),
+          sum(col("len") * col("len")).as("sum_sq"),
+          median(col("len")).as("median_len"))
+        .select(
+          col("n_words"), col("sum_len"), col("median_len"),
+          (col("sum_len") / col("n_words")).as("mean_len"),
+          sqrt((col("sum_sq") - col("sum_len") * col("sum_len") / col("n_words")) / col("n_words"))
+            .as("stddev_len"))
+    }),
+
+    // Language ID by stopword voting — deterministic n-gram-free heuristic
+    // (scale extension; SURVEY §7.5). Ties resolve by fixed priority
+    // en > de > es > fr, same CASE cascade in the oracle.
+    "lang_id" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), toks(col("text")).as("t"))
+      t.select(
+        col("doc_id"),
+        countIn(col("t"), stopEn).as("s_en"),
+        countIn(col("t"), stopDe).as("s_de"),
+        countIn(col("t"), stopFr).as("s_fr"),
+        countIn(col("t"), stopEs).as("s_es"))
+        .withColumn("lang_pred",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+    }),
+
+    // Quality scoring (scale extension): length/stopword-ratio features
+    // combined with a fixed linear formula, identical on both engines.
+    "quality_score" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
+        .select(
+          col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          aggregate(transform(col("t"), w => length(w).cast("long")), lit(0L), (acc, x) => acc + x)
+            .as("sum_tok_len"),
+          countIn(col("t"), stopEn).as("n_stop"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_chars"),
+          (col("sum_tok_len") / col("n_tokens")).as("avg_tok_len"),
+          (col("n_stop") / col("n_tokens")).as("stop_ratio"))
+        .withColumn("quality",
+          lit(0.5) * col("stop_ratio") + lit(0.05) * col("avg_tok_len"))
+    }),
+
+    // Token counting (scale extension): whitespace tokens and a BPE-ish
+    // lexer regex (runs of letters, runs of digits, single punctuation).
+    "token_count" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_bpe"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "wordcount" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+    "grep_count" ->
+      """SELECT m, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(regexp_extract_all(text, 's[a-z]+')) AS m FROM documents)
+        |GROUP BY m""".stripMargin,
+    "word_stats" ->
+      """WITH lens AS (
+        |  SELECT len(w) AS l
+        |  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+        |  WHERE w <> ''
+        |), agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+        |         CAST(SUM(l) AS BIGINT) AS sum_len,
+        |         CAST(SUM(l*l) AS BIGINT) AS sum_sq,
+        |         median(l) AS median_len
+        |  FROM lens
+        |)
+        |SELECT n_words, sum_len, median_len,
+        |       sum_len / n_words AS mean_len,
+        |       sqrt((sum_sq - sum_len * sum_len / n_words) / n_words) AS stddev_len
+        |FROM agg""".stripMargin,
+    "lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(t, x -> x IN ('the','a','is','of','and'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ein'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(t, x -> x IN ('le','la','les','des','une'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(t, x -> x IN ('el','los','las','una','y'))) AS BIGINT) AS s_es
+        |  FROM t
+        |)
+        |SELECT doc_id, s_en, s_de, s_fr, s_es,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM s""".stripMargin,
+    "quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |         CAST(len(t) AS BIGINT) AS n_tokens,
+        |         CAST(len(text) AS BIGINT) AS n_chars,
+        |         CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS sum_tok_len,
+        |         CAST(len(list_filter(t, x -> x IN ('the','a','is','of','and'))) AS BIGINT) AS n_stop
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, n_chars,
+        |       sum_tok_len / n_tokens AS avg_tok_len,
+        |       n_stop / n_tokens AS stop_ratio,
+        |       0.5 * (n_stop / n_tokens) + 0.05 * (sum_tok_len / n_tokens) AS quality
+        |FROM f""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin
+  )
+}
