@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Document deduplication for training-data pipelines: exact, word-shingle
+  * Jaccard, and MinHash-LSH near-dup detection (scale extensions; SURVEY
+  * §7.5 — not reference parity, but first-class engine surface).
+  *
+  * Portability-by-construction: every hash is md5-as-hex-string so the
+  * DuckDB oracle can replay the exact pipeline; every similarity is an
+  * integer ratio. Scale design: shingling is one narrow projection
+  * (no shuffle); signatures are ONE hash aggregation with 16 codegen'd
+  * `min` columns (map-side partial agg, state O(1) per doc — never an
+  * exploded doc×perm shuffle); LSH banding turns the quadratic all-pairs
+  * problem into an equi-join on (band, bandHash).
+  */
+object Dedup {
+
+  def tokens(text: Column): Column = filter(split(text, "\\s+"), w => w =!= "")
+
+  /** Word k-gram shingles of a token array (empty when fewer than k). */
+  def wordShingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Exact dedup: group by content hash, keep the smallest id
+    * (the distinct/identity-reducer pattern, mapred/lib/IdentityReducer.java,
+    * upgraded with a content digest so only the 16-byte hash shuffles,
+    * not the document body).
+    */
+  def exact(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(md5(col(text)).as("h"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct (id, shingle) pairs. */
+  def shingleTable(df: DataFrame, id: String, text: String, k: Int): DataFrame =
+    df.select(col(id), explode(wordShingles(tokens(col(text)), k)).as("sh"))
+      .distinct()
+
+  /** Exact Jaccard-similar pairs >= threshold, candidate generation by
+    * shared shingle (correct, but candidate count grows with shingle
+    * frequency — use [[minhashCandidates]] at scale).
+    */
+  def jaccardPairs(shingles: DataFrame, id: String, threshold: Double): DataFrame = {
+    val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val a = shingles.select(col(id).as("doc_a"), col("sh").as("sh_a"))
+    val b = shingles.select(col(id).as("doc_b"), col("sh").as("sh_b"))
+    val inter = a.join(b, col("sh_a") === col("sh_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter").cast("double") /
+      (col("na") + col("nb") - col("n_inter"))
+    inter
+      .join(sizes.select(col(id).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col(id).as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature as `numPerm` min-aggregated hash columns s0..sN-1.
+    * Permutation i is the md5 of the shingle salted with i — portable,
+    * seedless, and aggregated in a single groupBy pass.
+    */
+  def minhashSignatures(shingles: DataFrame, id: String, numPerm: Int): DataFrame = {
+    val mins = (0 until numPerm).map { i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"s$i")
+    }
+    shingles.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: hash each run of `rowsPerBand` signature slots; docs
+    * colliding in any band become candidate pairs (equi-join, no
+    * quadratic blowup).
+    */
+  def minhashCandidates(shingles: DataFrame, id: String,
+                        numPerm: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignatures(shingles, id, numPerm)
+    val nBands = numPerm / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
+      struct(lit(b).as("band"), md5(concat(slots: _*)).as("bh"))
+    }
+    val bands = sig
+      .select(col(id), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(id), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val l = bands.select(col(id).as("doc_a"), col("band"), col("bh"))
+    val r = bands.select(col(id).as("doc_b"), col("band"), col("bh"))
+    l.join(r, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Full near-dup pipeline: LSH candidates verified by exact Jaccard. */
+  def nearDuplicates(df: DataFrame, id: String, text: String, k: Int,
+                     numPerm: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val sh = shingleTable(df, id, text, k)
+    val cand = minhashCandidates(sh, id, numPerm, rowsPerBand)
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col(id).as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col(id).as("doc_b"), col("sh").as("sh2")), "doc_b")
+      .filter(col("sh") === col("sh2"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter").cast("double") /
+      (col("na") + col("nb") - col("n_inter"))
+    inter
+      .join(sizes.select(col(id).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col(id).as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over the token multiset, as a '0'/'1' string.
+    * Bit j comes from hex nibble j/4 of each token's md5; the per-doc
+    * aggregation is 64 codegen'd conditional sums in one pass (map-side
+    * combinable), not a doc×64 explosion.
+    */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    val tok = df.select(col(id), explode(tokens(col(text))).as("w"))
+      .withColumn("nibbles", expr(
+        "transform(sequence(1, 16), p -> cast(conv(substring(md5(w), p, 1), 16, 10) as int))"))
+    val sums = (0 until 64).map { j =>
+      val bit = shiftright(element_at(col("nibbles"), j / 4 + 1), 3 - j % 4).bitwiseAND(lit(1))
+      sum(bit * 2 - 1).as(s"b$j")
+    }
+    val agg = tok.groupBy(col(id)).agg(sums.head, sums.tail: _*)
+    val bits = (0 until 64).map(j => when(col(s"b$j") > 0, "1").otherwise("0"))
+    agg.select(col(id), concat(bits: _*).as("simhash"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken style):
+    * per position, the minimum shingle hash in a sliding window of
+    * `window` shingles; distinct selected hashes identify the document.
+    * One shuffle by doc id; window frame is ROWS-bounded so state is O(w).
+    */
+  def fingerprints(df: DataFrame, id: String, text: String,
+                   k: Int, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = df
+      .select(col(id), posexplode(wordShingles(tokens(col(text)), k)).as(Seq("pos", "sh")))
+      .withColumn("h", md5(col("sh")))
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+      .rowsBetween(0, window - 1)
+    sh.select(col(id), min(col("h")).over(w).as("fp")).distinct()
+  }
+}

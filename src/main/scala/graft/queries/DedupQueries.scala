@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Dedup suite over `documents`: exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, winnowing fingerprints. The oracle SQL replays the identical
+  * md5-based pipelines in DuckDB (portable hashes — see Dedup scaladoc).
+  */
+object DedupQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  // Shared oracle CTE: distinct word-3-gram shingles per doc.
+  private val shingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t)-1), i -> array_to_string(list_slice(t, i, i+2), ' '))
+      |    ELSE [] END) AS sh
+      |  FROM toks
+      |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Dedup.shingleTable(docs(s, dir), "doc_id", "text", 3),
+        "doc_id", 0.5)),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.nearDuplicates(docs(s, dir), "doc_id", "text",
+        k = 3, numPerm = 16, rowsPerBand = 4, threshold = 0.5)),
+
+    "simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")),
+
+    "fingerprint" -> ((s, dir) =>
+      Dedup.fingerprints(docs(s, dir), "doc_id", "text", k = 3, window = 4))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_jaccard" -> (shingleCte +
+      """, sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS ni
+        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id
+        |)
+        |SELECT doc_a, doc_b, CAST(ni AS BIGINT) AS n_inter,
+        |       CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5""".stripMargin),
+    "dedup_minhash" -> (shingleCte +
+      """, m AS (
+        |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS s
+        |  FROM sh, (SELECT unnest(range(0, 16)) AS i)
+        |  GROUP BY doc_id, i
+        |), bands AS (
+        |  SELECT doc_id, i // 4 AS band, md5(string_agg(s, '' ORDER BY i)) AS bh
+        |  FROM m GROUP BY doc_id, i // 4
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+        |  FROM cand c
+        |  JOIN sh x ON x.doc_id = c.doc_a
+        |  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+        |  GROUP BY c.doc_a, c.doc_b
+        |)
+        |SELECT doc_a, doc_b, CAST(ni AS BIGINT) AS n_inter,
+        |       CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5""".stripMargin),
+    "simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, j,
+        |    SUM((((('0x' || substr(md5(w), j // 4 + 1, 1))::INT) >> (3 - j % 4)) & 1) * 2 - 1) AS s
+        |  FROM tok, (SELECT unnest(range(0, 64)) AS j)
+        |  GROUP BY doc_id, j
+        |)
+        |SELECT doc_id,
+        |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+        |FROM b GROUP BY doc_id""".stripMargin,
+    "fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t)-1),
+        |                        i -> {'pos': i, 'sh': array_to_string(list_slice(t, i, i+2), ' ')})
+        |    ELSE [] END) AS u
+        |  FROM toks
+        |), ph AS (
+        |  SELECT doc_id, u.pos AS pos, md5(u.sh) AS h FROM pos
+        |), wmin AS (
+        |  SELECT doc_id, MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM ph
+        |)
+        |SELECT DISTINCT doc_id, fp FROM wmin""".stripMargin
+  )
+}

@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** ANN over the `embeddings` table. Query set = every 50th vector; the
+  * oracle replays the identical double-precision sequential dot product
+  * (see Similarity scaladoc), so ranks agree exactly; only (q, n, rank)
+  * triples are emitted — similarity doubles stay internal.
+  */
+object SimilarityQueries extends QueryModule {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_cosine_topk" -> ((s, dir) => {
+      val base = emb(s, dir)
+      val queries = base.filter(col("vec_id") % 50 === 0)
+      Similarity.bruteForceTopK(base, queries, "vec_id", "embedding", k = 5)
+    }),
+    // IVF path: deterministic but approximate — rows-only driver check;
+    // recall vs brute force is asserted in the ScalaTest spec.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val base = emb(s, dir)
+      val queries = base.filter(col("vec_id") % 50 === 0)
+      Similarity.ivfTopK(base, queries, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 4)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0
+        |), b AS (
+        |  SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings
+        |), scored AS (
+        |  SELECT q_id, n_id,
+        |         list_inner_product(qv, nv) /
+        |           (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+        |  FROM b, q WHERE q_id <> n_id
+        |), ranked AS (
+        |  SELECT q_id, n_id,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rnk
+        |  FROM scored
+        |)
+        |SELECT q_id, n_id, rnk FROM ranked WHERE rnk <= 5""".stripMargin
+  )
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.functions.Aggregators
+
+/** Unit specs for the operator library (layer-1 of SURVEY §5's test
+  * strategy) on in-memory fixtures — the DuckDB oracle covers layer 3.
+  */
+class OperatorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("4")
+  import spark.implicits._
+
+  test("FieldSelection parses singles, ranges and open ranges") {
+    val (k, v) = FieldSelection.parseSpec("4,3,0,1:6,5,1-3,7-")
+    assert(k == Seq(FieldSelection.Single(4), FieldSelection.Single(3),
+      FieldSelection.Single(0), FieldSelection.Single(1)))
+    assert(v == Seq(FieldSelection.Single(6), FieldSelection.Single(5),
+      FieldSelection.Range(1, Some(3)), FieldSelection.Range(7, None)))
+  }
+
+  test("FieldSelection projects and skips missing fields") {
+    val df = Seq("a-b-c-d-e", "x-y").toDF("line")
+    val out = FieldSelection(df, col("line"), "1,0:2-", "-")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("b-a", "c-d-e"), ("y-x", "")))
+  }
+
+  test("CompositeJoin.overrideJoin takes the rightmost source per key") {
+    val s1 = Seq((1, "a1"), (2, "a2")).toDF("k", "v")
+    val s2 = Seq((2, "b2"), (3, "b3")).toDF("k", "v")
+    val s3 = Seq((3, "c3")).toDF("k", "v")
+    val out = CompositeJoin.overrideJoin("k", Seq("v"), Seq(s1, s2, s3))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((1, "a1"), (2, "b2"), (3, "c3")))
+  }
+
+  test("CompositeJoin inner requires all sources, outer keeps any") {
+    val s1 = Seq((1, "a"), (2, "a")).toDF("k", "v1")
+    val s2 = Seq((2, "b"), (3, "b")).toDF("k", "v2")
+    assert(CompositeJoin.inner("k", Seq(s1, s2)).select("k").as[Int].collect().toSet == Set(2))
+    assert(CompositeJoin.outer("k", Seq(s1, s2)).select("k").as[Int].collect().toSet == Set(1, 2, 3))
+  }
+
+  test("TotalOrderSort.withRank assigns contiguous global ranks") {
+    val df = spark.range(1000).select((col("id") * 37 % 1000).as("x"))
+    val ranked = TotalOrderSort.withRank(df, 8, "rnk", col("x"))
+    val rows = ranked.orderBy("rnk").collect()
+    assert(rows.map(_.getLong(1)).toSeq == (1L to 1000L))
+    val xs = rows.map(_.getLong(0))
+    assert(xs.zip(xs.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("SecondarySort.clustered groups contiguously in secondary order") {
+    val df = Seq((1, 3), (2, 1), (1, 1), (2, 2), (1, 2)).toDF("k", "v")
+    val parts = SecondarySort.clustered(df, 2, Seq(col("k")), Seq(col("v")))
+      .select("k", "v").as[(Int, Int)]
+      .mapPartitions(it => Iterator(it.toSeq)).collect()
+    for (p <- parts; grp <- p.groupBy(_._1).values) {
+      val vs = grp.map(_._2)
+      assert(vs == vs.sorted)
+    }
+    // each key appears in exactly one partition
+    val keysPerPart = parts.map(_.map(_._1).toSet)
+    assert(keysPerPart.flatten.length == keysPerPart.map(_.size).sum)
+  }
+
+  test("CappedDistinct reports min(distinct, cap)") {
+    val df = spark.range(100).select((col("id") % 30).as("v"), lit(1).as("g"))
+    val out = df.groupBy("g").agg(
+      Aggregators.cappedDistinct(col("v"), 10).as("c10"),
+      Aggregators.cappedDistinct(col("v"), 50).as("c50"))
+      .collect().head
+    assert(out.getLong(1) == 10L)
+    assert(out.getLong(2) == 30L)
+  }
+
+  test("Dedup.minhash candidates cover all high-jaccard pairs (recall)") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
+    val exact = Dedup.jaccardPairs(sh, "doc_id", 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cand = Dedup.minhashCandidates(sh, "doc_id", 16, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val recall = exact.intersect(cand).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low; missed ${exact.diff(cand)}")
+  }
+
+  test("Similarity.ivfTopK approximates brute-force top-k") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 16, 8)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall $recall unexpectedly low")
+  }
+
+  test("Dedup.simhash: near-dup pairs have small hamming distance") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val pairs = Dedup.jaccardPairs(
+      Dedup.shingleTable(docs, "doc_id", "text", 3), "doc_id", 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    for ((a, b) <- pairs) {
+      val ham = sig(a).zip(sig(b)).count { case (x, y) => x != y }
+      assert(ham <= 16, s"hamming($a,$b)=$ham for jaccard>=0.8 pair")
+    }
+  }
+}
