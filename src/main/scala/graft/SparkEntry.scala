@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] =
-    Seq(CoreQueries, TextQueries, EventQueries, DedupQueries, SimilarityQueries)
+    Seq(CoreQueries, TextQueries, EventQueries, DedupQueries,
+      SimilarityQueries, ToolQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+class ToolsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("4")
+  import spark.implicits._
+
+  test("KeyFieldSpec parses fields, char offsets and flags") {
+    val ks = KeyFieldSpec.parse("-k2,2nr -k1 -k3.2,4n")
+    assert(ks == Seq(
+      KeyFieldSpec.KeySpec(2, 1, Some(2), numeric = true, reverse = true),
+      KeyFieldSpec.KeySpec(1, 1, None, numeric = false, reverse = false),
+      KeyFieldSpec.KeySpec(3, 2, Some(4), numeric = true, reverse = false)))
+  }
+
+  test("KeyFieldSpec orders like unix sort -k") {
+    val df = Seq("b 2", "a 10", "a 2", "b 1").toDF("line")
+    val arr = split(col("line"), " ")
+    val sorted = df.orderBy(KeyFieldSpec.sortColumns(arr, "-k1,1 -k2,2nr", " "): _*)
+      .as[String].collect().toSeq
+    assert(sorted == Seq("a 10", "a 2", "b 2", "b 1"))
+  }
+
+  test("Pipe runs records through an external command per partition") {
+    val df = Seq(("k1", "v1"), ("k2", "v2")).toDF("k", "v")
+    val out = Pipe(df, Seq("cat"), col("k"), col("v")).as[String].collect().toSet
+    assert(out == Set("k1\tv1", "k2\tv2"))
+  }
+
+  test("MultiOutput routes records by column and by named predicate") {
+    val dir = Files.createTempDirectory("graft-mo").toString
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "tag")
+    MultiOutput.byColumn(df, "tag", s"$dir/bycol")
+    assert(spark.read.parquet(s"$dir/bycol").where(col("tag") === "a").count() == 2)
+    MultiOutput.named(df, Map("small" -> (col("id") < 3), "big" -> (col("id") >= 3)), s"$dir/named")
+    assert(spark.read.parquet(s"$dir/named/small").count() == 2)
+    assert(spark.read.parquet(s"$dir/named/big").count() == 1)
+  }
+
+  test("Counters.observe reports exactly-once metrics with the action") {
+    val df = spark.range(100).toDF("id")
+    val (observed, obs) = Counters.observe(df, "c", count(lit(1)).as("records"),
+      sum(col("id")).as("id_sum"))
+    observed.write.mode("overwrite").parquet(
+      Files.createTempDirectory("graft-ctr").toString + "/out")
+    assert(obs.get("records") == 100L)
+    assert(obs.get("id_sum") == 4950L)
+  }
+}
