@@ -1,0 +1,74 @@
+package graft.sources.sequencefile
+
+import org.apache.hadoop.io._
+import org.apache.hadoop.mapreduce.lib.output.{FileOutputFormat, SequenceFileOutputFormat}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** User-facing SequenceFile API: DataFrame in, DataFrame out.
+  *
+  * Write parity target: SequenceFileOutputFormat with compression
+  * NONE/RECORD/BLOCK (mapreduce/lib/output/SequenceFileOutputFormat.java:43;
+  * compression types SequenceFile.java:219-225). The write path reuses
+  * Hadoop's own OutputFormat + committer, so files are byte-compatible
+  * with every reference consumer, written one file per partition with
+  * the same atomic task-commit protocol the reference uses
+  * (FileOutputCommitter).
+  */
+object SequenceFileIO {
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(SequenceFileSource.FORMAT).load(path)
+
+  /** Write a two-column (key, value) DataFrame. `compression` is NONE,
+    * RECORD or BLOCK (deflate codec — pure-java, no native deps).
+    */
+  def write(df: DataFrame, path: String, compression: String = "NONE"): Unit = {
+    val schema = df.schema
+    require(schema.length == 2, s"sequencefile write needs (key, value), got $schema")
+    val kt = schema(0).dataType
+    val vt = schema(1).dataType
+    val rdd = df.rdd.map(r => (toWritable(r.get(0), kt), toWritable(r.get(1), vt)))
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    job.setOutputKeyClass(writableClass(kt))
+    job.setOutputValueClass(writableClass(vt))
+    if (compression != "NONE") {
+      FileOutputFormat.setCompressOutput(job, true)
+      SequenceFileOutputFormat.setOutputCompressionType(job,
+        SequenceFile.CompressionType.valueOf(compression))
+      FileOutputFormat.setOutputCompressorClass(job,
+        classOf[org.apache.hadoop.io.compress.DefaultCodec])
+    }
+    rdd.saveAsNewAPIHadoopFile(path, job.getOutputKeyClass, job.getOutputValueClass,
+      classOf[SequenceFileOutputFormat[Writable, Writable]], job.getConfiguration)
+  }
+
+  def writableClass(dt: DataType): Class[_ <: Writable] = dt match {
+    case NullType    => classOf[NullWritable]
+    case BooleanType => classOf[BooleanWritable]
+    case ByteType    => classOf[ByteWritable]
+    case ShortType   => classOf[ShortWritable]
+    case IntegerType => classOf[IntWritable]
+    case LongType    => classOf[LongWritable]
+    case FloatType   => classOf[FloatWritable]
+    case DoubleType  => classOf[DoubleWritable]
+    case StringType  => classOf[Text]
+    case BinaryType  => classOf[BytesWritable]
+    case other       => throw new IllegalArgumentException(s"unsupported type: $other")
+  }
+
+  def toWritable(v: Any, dt: DataType): Writable = dt match {
+    case NullType    => NullWritable.get()
+    case BooleanType => new BooleanWritable(v.asInstanceOf[Boolean])
+    case ByteType    => new ByteWritable(v.asInstanceOf[Byte])
+    case ShortType   => new ShortWritable(v.asInstanceOf[Short])
+    case IntegerType => new IntWritable(v.asInstanceOf[Int])
+    case LongType    => new LongWritable(v.asInstanceOf[Long])
+    case FloatType   => new FloatWritable(v.asInstanceOf[Float])
+    case DoubleType  => new DoubleWritable(v.asInstanceOf[Double])
+    case StringType  => new Text(v.asInstanceOf[String])
+    case BinaryType  => new BytesWritable(v.asInstanceOf[Array[Byte]])
+    case other       => throw new IllegalArgumentException(s"unsupported type: $other")
+  }
+}
