@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing queries: binary content fabricated from document
+  * text (no codecs in the container — see Multimodal scaladoc), decode
+  * stub + frame sampling over real binary columns. The oracle recomputes
+  * the deterministic features from octet_length.
+  */
+object MultimodalQueries extends QueryModule {
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.fabricate(Tables(s, dir, "documents"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_decode" -> ((s, dir) => Multimodal.decodeFeatures(media(s, dir))),
+    "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(media(s, dir), 4))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 31) % 343 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(i AS INTEGER) AS frame_idx,
+        |  CAST((i * octet_length(encode(text))) // 4 AS BIGINT) AS byte_offset
+        |FROM documents, (SELECT unnest(range(0, 4)) AS i)""".stripMargin
+  )
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming variants of the event operators.
+  *
+  * The reference is batch-only (SURVEY §2.9) — these are the engine's
+  * extension surface: the same logical ops as EventQueries, expressed
+  * over an unbounded source with watermarked state. Batch parity is the
+  * correctness oracle (see StreamingSpec): a stream processed to
+  * completion must agree with the batch query on the same data.
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling-window aggregation (readStream -> agg).
+    * State per (window, event_type) only; the watermark bounds it.
+    */
+  def windowedAgg(events: DataFrame, windowDur: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("val_sum"))
+
+  final case class Ev(user_id: Long, us: Long)
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Stateful sessionization with flatMapGroupsWithState: a session
+    * closes when a gap larger than `gapUs` appears in a user's stream.
+    * State is O(1) per user (the open session only). Closed sessions are
+    * appended as they are detected; the final open session stays in
+    * state (flush it by ending the stream or via timeout in production).
+    */
+  def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.us)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          for (e <- sorted) {
+            cur match {
+              case Some(s) if e.us - s.end > gapUs =>
+                closed += Session(userId, s.start, s.end, s.n)
+                cur = Some(SessionState(e.us, e.us, 1))
+              case Some(s) =>
+                cur = Some(SessionState(s.start, e.us, s.n + 1))
+              case None =>
+                cur = Some(SessionState(e.us, e.us, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}
