@@ -52,12 +52,21 @@ object KeyFieldSpec {
     if (k.numeric) raw.cast("double") else raw
   }
 
-  /** Sort columns for `df.orderBy`/`sortWithinPartitions`. */
+  /** Sort columns for `df.orderBy`/`sortWithinPartitions`.
+    *
+    * NOTE: these are computed expressions — for large sorts prefer
+    * [[keyColumns]] + `TotalOrderSort.withRankKeyed`, which materializes
+    * the keys once instead of re-evaluating the split per comparison.
+    */
   def sortColumns(arr: Column, spec: String, sep: String): Seq[Column] =
     parse(spec).map { k =>
       val v = keyValue(arr, k, sep)
       if (k.reverse) v.desc else v.asc
     }
+
+  /** (key expression, descending?) pairs for materialized-key sorting. */
+  def keyColumns(arr: Column, spec: String, sep: String): Seq[(Column, Boolean)] =
+    parse(spec).map(k => (keyValue(arr, k, sep), k.reverse))
 
   /** Partition expression (the KeyFieldBasedPartitioner subkey). */
   def partitionKey(arr: Column, spec: String, sep: String): Column =

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.LongType
 
 /** Cluster-wide total-order sort.
@@ -20,6 +21,26 @@ object TotalOrderSort {
   def sorted(df: DataFrame, numPartitions: Int, keys: Column*): DataFrame =
     df.repartitionByRange(numPartitions, keys: _*)
       .sortWithinPartitions(keys: _*)
+
+  /** Sort by computed key expressions, materializing them first.
+    *
+    * Spark's sort comparator re-evaluates non-attribute SortOrder
+    * expressions on EVERY comparison — a regex-split key turns an
+    * O(n log n) sort into O(n log n) regex evaluations (measured 4x+
+    * slowdown). Projecting keys into temp columns makes the comparator
+    * a plain attribute compare; the temp columns are dropped after.
+    * `keys` pairs a key expression with its descending flag.
+    */
+  def withRankKeyed(df: DataFrame, numPartitions: Int, rankCol: String,
+                    keys: Seq[(Column, Boolean)]): DataFrame = {
+    val named = keys.zipWithIndex.map { case ((c, _), i) => c.as(s"__sk$i") }
+    val sortCols = keys.zipWithIndex.map { case ((_, desc), i) =>
+      if (desc) col(s"__sk$i").desc else col(s"__sk$i").asc
+    }
+    val wide = df.select(col("*") +: named: _*)
+    withRank(wide, numPartitions, rankCol, sortCols: _*)
+      .drop(keys.indices.map(i => s"__sk$i"): _*)
+  }
 
   /** Totally-sorted rows with a 1-based global rank column.
     *

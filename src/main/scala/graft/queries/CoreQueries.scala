@@ -19,8 +19,14 @@ import graft.operators.{CompositeJoin, FieldSelection, SecondarySort, TotalOrder
   */
 object CoreQueries extends QueryModule {
 
-  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
-  private def one: Column = expr("CAST(1 AS DECIMAL(3,2))")
+  /** Fixed-point money: cents (or 1e-4 units for price*discount) as
+    * BIGINT. The decimal cast makes the per-row conversion exact, and the
+    * whole aggregation path stays in codegen'd longs — a BigDecimal-backed
+    * DECIMAL(38,_) sum measured ~3.7x slower at sf0.1. int64 headroom is
+    * ~9e16 cents per group; past that, switch the SUM to DECIMAL(38,0).
+    */
+  private def cents(c: Column): Column =
+    (c.cast(DecimalType(18, 2)) * 100).cast("long")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // IntSumReducer/LongSumReducer + combiner (mapreduce/lib/reduce/
@@ -30,10 +36,10 @@ object CoreQueries extends QueryModule {
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
-          sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
-            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_price_c"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("sum_disc_price_e4"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -52,8 +58,8 @@ object CoreQueries extends QueryModule {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-          sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
-            .cast(DecimalType(38, 4)).as("revenue"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("revenue_e4"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -79,7 +85,7 @@ object CoreQueries extends QueryModule {
         .groupBy(col("o_custkey").as("custkey"))
         .agg(
           count(lit(1)).as("order_cnt"),
-          sum(dec2(col("o_totalprice"))).cast(DecimalType(38, 2)).as("spend"))
+          sum(cents(col("o_totalprice"))).as("spend_c"))
       CompositeJoin.outer("custkey", Seq(c, o))
     }),
 
@@ -89,11 +95,11 @@ object CoreQueries extends QueryModule {
       def agg(df: DataFrame, key: String, bal: String) =
         df.groupBy(col(key).as("nationkey"))
           .agg(
-            sum(dec2(col(bal))).cast(DecimalType(38, 2)).as("acctbal"),
+            sum(cents(col(bal))).as("acctbal_c"),
             count(lit(1)).as("cnt"))
       val sup = agg(Tables(s, dir, "supplier"), "s_nationkey", "s_acctbal")
       val cust = agg(Tables(s, dir, "customer"), "c_nationkey", "c_acctbal")
-      CompositeJoin.overrideJoin("nationkey", Seq("acctbal", "cnt"), Seq(sup, cust))
+      CompositeJoin.overrideJoin("nationkey", Seq("acctbal_c", "cnt"), Seq(sup, cust))
     }),
 
     // Semi/anti joins: absent from the reference as named ops (SURVEY
@@ -124,7 +130,7 @@ object CoreQueries extends QueryModule {
         .groupBy("r_name")
         .agg(
           count(lit(1)).as("n_customers"),
-          sum(dec2(col("c_acctbal"))).cast(DecimalType(38, 2)).as("acctbal"))
+          sum(cents(col("c_acctbal"))).as("acctbal_c"))
     }),
 
     // §2.7 set operations (union via MultipleInputs; intersect/except are
@@ -161,8 +167,8 @@ object CoreQueries extends QueryModule {
     "topk" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .groupBy("l_partkey")
-        .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("qty"))
-        .orderBy(col("qty").desc, col("l_partkey").asc)
+        .agg(sum(cents(col("l_quantity"))).as("qty_c"))
+        .orderBy(col("qty_c").desc, col("l_partkey").asc)
         .limit(20)
     }),
 
@@ -201,14 +207,14 @@ object CoreQueries extends QueryModule {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
         |  CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q5_join_agg" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS revenue_e4,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -226,25 +232,25 @@ object CoreQueries extends QueryModule {
         |  SELECT c_custkey AS custkey, c_name FROM customer WHERE c_custkey % 3 <> 0
         |), o AS (
         |  SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS order_cnt,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS spend_c
         |  FROM orders GROUP BY o_custkey
         |)
-        |SELECT COALESCE(c.custkey, o.custkey) AS custkey, c_name, order_cnt, spend
+        |SELECT COALESCE(c.custkey, o.custkey) AS custkey, c_name, order_cnt, spend_c
         |FROM c FULL OUTER JOIN o ON c.custkey = o.custkey""".stripMargin,
     "join_override" ->
       """WITH s AS (
         |  SELECT s_nationkey AS nationkey,
-        |         CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS acctbal,
+        |         CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS acctbal_c,
         |         CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM supplier GROUP BY s_nationkey
         |), c AS (
         |  SELECT c_nationkey AS nationkey,
-        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS acctbal,
+        |         CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS acctbal_c,
         |         CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM customer GROUP BY c_nationkey
         |)
         |SELECT COALESCE(s.nationkey, c.nationkey) AS nationkey,
-        |       COALESCE(c.acctbal, s.acctbal) AS acctbal,
+        |       COALESCE(c.acctbal_c, s.acctbal_c) AS acctbal_c,
         |       COALESCE(c.cnt, s.cnt) AS cnt
         |FROM s FULL OUTER JOIN c ON s.nationkey = c.nationkey""".stripMargin,
     "join_semi" ->
@@ -255,7 +261,7 @@ object CoreQueries extends QueryModule {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
     "broadcast_join" ->
       """SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
-        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS acctbal
+        |       CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS acctbal_c
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -273,9 +279,9 @@ object CoreQueries extends QueryModule {
         |       CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rnk
         |FROM orders""".stripMargin,
     "topk" ->
-      """SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+      """SELECT l_partkey, CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS qty_c
         |FROM lineitem GROUP BY l_partkey
-        |ORDER BY qty DESC, l_partkey ASC LIMIT 20""".stripMargin,
+        |ORDER BY qty_c DESC, l_partkey ASC LIMIT 20""".stripMargin,
     "secondary_sort" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS INTEGER) AS seq

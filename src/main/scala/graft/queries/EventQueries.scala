@@ -18,6 +18,8 @@ object EventQueries extends QueryModule {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "events")
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  // fixed-point cents: exact and long-summed (see CoreQueries.cents)
+  private def cents(c: Column): Column = (dec2(c) * 100).cast("long")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The aggregate framework's descriptor set in ONE groupBy
@@ -28,7 +30,7 @@ object EventQueries extends QueryModule {
     "agg_framework" -> ((s, dir) => {
       ev(s, dir).groupBy("event_type").agg(
         count(lit(1)).as("n"),
-        sum(dec2(col("value"))).cast(DecimalType(38, 2)).as("val_sum"),
+        sum(cents(col("value"))).as("val_sum_c"),
         min(dec2(col("value"))).as("val_min"),
         max(dec2(col("value"))).as("val_max"),
         countDistinct(col("user_id")).as("uniq_users"),
@@ -77,7 +79,7 @@ object EventQueries extends QueryModule {
           col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          sum(dec2(col("value"))).cast(DecimalType(38, 2)).as("val_sum"))
+          sum(cents(col("value"))).as("val_sum_c"))
     }),
 
     // Sessionization: 30-minute inactivity gap splits a user's event
@@ -116,7 +118,7 @@ object EventQueries extends QueryModule {
   def oracleSql: Map[String, String] = Map(
     "agg_framework" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS val_sum,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS val_sum_c,
         |  MIN(CAST(value AS DECIMAL(18,2))) AS val_min,
         |  MAX(CAST(value AS DECIMAL(18,2))) AS val_max,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users,
@@ -146,7 +148,7 @@ object EventQueries extends QueryModule {
     "window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS val_sum
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS val_sum_c
         |FROM events GROUP BY 1, 2""".stripMargin,
     "sessionize" ->
       """WITH e AS (

@@ -27,8 +27,9 @@ object ToolQueries extends QueryModule {
       // -k2,2 last: lineitem contains duplicate (orderkey, linenumber)
       // pairs, so linestatus is needed for a total order (identical
       // full lines may still tie — harmless, the rows are equal).
-      val sortCols = KeyFieldSpec.sortColumns(arr, "-k1,1 -k3,3nr -k4,4n -k5,5n -k2,2", " ")
-      TotalOrderSort.withRank(df, 32, "rnk", sortCols: _*)
+      // Materialized keys: see TotalOrderSort.withRankKeyed scaladoc.
+      val keys = KeyFieldSpec.keyColumns(arr, "-k1,1 -k3,3nr -k4,4n -k5,5n -k2,2", " ")
+      TotalOrderSort.withRankKeyed(df, 32, "rnk", keys)
     }),
 
     // Hadoop Streaming (StreamJob.java:80): wordcount with the tokenizer
