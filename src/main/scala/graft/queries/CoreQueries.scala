@@ -149,6 +149,19 @@ object CoreQueries extends QueryModule {
         .except(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
     }),
 
+    // Grouping sets — absent from the reference (SURVEY §2.5 note: filled
+    // there by multi-job pipelines); first-class here via Catalyst.
+    "rollup_agg" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(cents(col("l_quantity"))).as("qty_c"), count(lit(1)).as("n"))
+    }),
+    "cube_agg" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(sum(cents(col("o_totalprice"))).as("total_c"), count(lit(1)).as("n"))
+    }),
+
     // distinct == identity-reducer dedup (mapred/lib/IdentityReducer.java).
     "distinct_rows" -> ((s, dir) => {
       Tables(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
@@ -274,6 +287,16 @@ object CoreQueries extends QueryModule {
       "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier",
     "distinct_rows" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS qty_c,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_c,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "total_sort" ->
       """SELECT o_orderkey, o_totalprice,
         |       CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rnk

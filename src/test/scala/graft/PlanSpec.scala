@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the properties that make these
+  * queries survive a 100x scale-up — filter pushdown to the parquet
+  * scan, column pruning, broadcast joins for small dims, and two-phase
+  * (partial+final) aggregation — verified against the executed plan, not
+  * assumed.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("4")
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("join_anti pushes the price filter into the parquet scan") {
+    val p = plan("join_anti")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(o_totalprice,400000.0)"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("q1_agg prunes to the 6 referenced lineitem columns") {
+    val p = plan("q1_agg")
+    assert(!p.contains("l_shipdate") && !p.contains("l_partkey"),
+      s"scan reads unreferenced columns:\n$p")
+    assert(p.contains("l_returnflag"))
+  }
+
+  test("q5_join_agg broadcasts the small dimensions") {
+    val p = plan("q5_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("broadcast_join uses a broadcast hash join, not a shuffle join") {
+    val p = plan("broadcast_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("q1_agg aggregates in two phases (map-side combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") || "HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation:\n$p")
+  }
+
+  test("q1_agg stays inside whole-stage codegen") {
+    // AQE renders the final (codegen'd) plan only after execution
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    df.collect()
+    // codegen'd operators render with a "*(stageId)" prefix
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"), s"no codegen spans:\n$p")
+  }
+
+  test("wordcount pre-aggregates before the shuffle") {
+    val p = plan("wordcount")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
+  }
+}
