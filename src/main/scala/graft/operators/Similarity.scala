@@ -44,6 +44,31 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"))
   }
 
+  /** Embedding-cosine near-dup pairs: all (a < b) pairs with cosine
+    * above `threshold` (or the global top-k most similar when the data
+    * has no near-dups). Brute-force pair enumeration — at scale, block
+    * first with [[ivfTopK]]-style cells and compare within cells.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b")
+  }
+
+  def topCosinePairs(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val a = df.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .orderBy(col("sim").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(k)
+      .select("vec_a", "vec_b")
+  }
+
   /** IVF-style ANN: assign every vector to its nearest of `nCells`
     * deterministic anchor vectors (anchors = the vectors whose id hashes
     * lowest — a seedless, reproducible "coarse codebook"), then search

@@ -29,6 +29,14 @@ object SimilarityQueries extends QueryModule {
       val queries = base.filter(col("vec_id") % 50 === 0)
       Similarity.ivfTopK(base, queries, "vec_id", "embedding",
         k = 5, nCells = 16, nProbe = 4)
+    }),
+    // Embedding-cosine near-dup (scale extension): the fixture has no
+    // planted vector dups, so the demo is top-20 most-similar pairs
+    // over a deterministic subset; thresholded pairs via
+    // Similarity.cosinePairs share the same code path.
+    "dedup_embedding" -> ((s, dir) => {
+      Similarity.topCosinePairs(
+        emb(s, dir).filter(col("vec_id") % 10 === 0), "vec_id", "embedding", 20)
     })
   )
 
@@ -48,6 +56,16 @@ object SimilarityQueries extends QueryModule {
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rnk
         |  FROM scored
         |)
-        |SELECT q_id, n_id, rnk FROM ranked WHERE rnk <= 5""".stripMargin
+        |SELECT q_id, n_id, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0
+        |), p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         list_inner_product(a.v, b.v) /
+        |           (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |)
+        |SELECT vec_a, vec_b FROM p ORDER BY sim DESC, vec_a, vec_b LIMIT 20""".stripMargin
   )
 }

@@ -45,6 +45,27 @@ class ToolsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/named/big").count() == 1)
   }
 
+  test("ScanFilters: regex keeps matches, digest sample is deterministic") {
+    val df = spark.range(1000).select(col("id"), concat(lit("k"), col("id")).as("key"))
+    val re = ScanFilters.regexFilter(df, col("key"), "^k1\\d$").count()
+    assert(re == 10)  // k10..k19
+    val s1 = ScanFilters.digestSample(df, col("id"), 10).select("id").as[Long].collect().toSet
+    val s2 = ScanFilters.digestSample(df.repartition(7), col("id"), 10)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 1000)
+  }
+
+  test("ScanFilters.skipBad drops and counts throwing records") {
+    val df = spark.range(100).select(col("id"))
+    val (ok, acc) = ScanFilters.skipBad(df, "bad") { r =>
+      val v = r.getLong(0)
+      if (v % 10 == 0) throw new IllegalStateException("boom")
+      v * 2
+    }
+    assert(ok.collect().length == 90)
+    assert(acc.value == 10)
+  }
+
   test("Counters.observe reports exactly-once metrics with the action") {
     val df = spark.range(100).toDF("id")
     val (observed, obs) = Counters.observe(df, "c", count(lit(1)).as("records"),
