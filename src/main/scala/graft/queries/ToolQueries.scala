@@ -32,6 +32,17 @@ object ToolQueries extends QueryModule {
       TotalOrderSort.withRankKeyed(df, 32, "rnk", keys)
     }),
 
+    // Logalyzer (hadoop-extras/.../Logalyzer.java:55-123): archive+grep+
+    // multi-column sort of logs — here: regex-filter documents, rank by
+    // (source asc, n_chars desc) with doc_id as tiebreak.
+    "logalyzer" -> ((s, dir) => {
+      val filtered = Tables(s, dir, "documents")
+        .filter(col("text").rlike("stream"))
+        .select("doc_id", "source", "n_chars")
+      TotalOrderSort.withRankKeyed(filtered, 32, "rnk",
+        Seq((col("source"), false), (col("n_chars"), true), (col("doc_id"), false)))
+    }),
+
     // Hadoop Streaming (StreamJob.java:80): wordcount with the tokenizer
     // as an external process (`tr ' ' '\n'`), the rest in Spark.
     "pipe_wordcount" -> ((s, dir) => {
@@ -54,6 +65,10 @@ object ToolQueries extends QueryModule {
         |SELECT line,
         |       CAST(ROW_NUMBER() OVER (ORDER BY f1 ASC, q DESC, ok ASC, ln ASC, f2 ASC) AS BIGINT) AS rnk
         |FROM t""".stripMargin,
+    "logalyzer" ->
+      """SELECT doc_id, source, n_chars,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY source ASC, n_chars DESC, doc_id ASC) AS BIGINT) AS rnk
+        |FROM documents WHERE regexp_matches(text, 'stream')""".stripMargin,
     "pipe_wordcount" ->
       """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)

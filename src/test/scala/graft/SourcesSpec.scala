@@ -76,6 +76,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(recs == Set("AAAA", "BBBB", "CCCC"))
   }
 
+  test("MapFileLike.get prunes via pushed filters and finds the row") {
+    val dir = tmp() + "/mapfile"
+    val df = spark.range(10000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    graft.sources.MapFileLike.write(df, "k", 8, dir)
+    val table = graft.sources.MapFileLike.open(spark, dir)
+    val hit = graft.sources.MapFileLike.get(table, "k", 4242L)
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(k,4242)"),
+      s"lookup filter not pushed:\n$plan")
+    assert(hit.as[(Long, String)].collect().toSeq == Seq((4242L, "v4242")))
+  }
+
   test("sniffFormat distinguishes sequencefile from text") {
     val dir = tmp()
     SequenceFileIO.write(
