@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.VectorExpressions
+
+/** Engine extensions, installed with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` (done by
+  * [[GraftSession]]): registers the codegen'd SQL functions so
+  * `spark.sql("SELECT dot_product(a, b) ...")` and the Column API both
+  * resolve them (SURVEY §7: SparkSessionExtensions is the sanctioned
+  * registration point — no private Spark APIs).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(VectorExpressions.dotProductFunction)
+  }
+}

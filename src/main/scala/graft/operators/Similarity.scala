@@ -12,8 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
+  /** Double-precision dot product: the codegen'd DotProduct expression
+    * (graft.functions.VectorExpressions) — bit-equal to [[dotFold]] and
+    * to the oracle's sequential DOUBLE[] inner product, but a primitive
+    * loop instead of a per-element lambda.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot_product(a, b)
+
+  /** Reference implementation via higher-order functions (interpreted;
+    * kept for environments without GraftExtensions registered).
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)

@@ -102,6 +102,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall unexpectedly low")
   }
 
+  test("DotProduct expression is bit-equal to the fold and SQL-callable") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val both = emb.limit(100).select(
+      Similarity.dot(col("embedding"), col("embedding")).as("fast"),
+      Similarity.dotFold(col("embedding"), col("embedding")).as("fold"))
+    assert(both.filter(col("fast") =!= col("fold")).count() == 0)
+    emb.createOrReplaceTempView("emb_v")
+    val sql = spark.sql(
+      "SELECT dot_product(embedding, embedding) AS d FROM emb_v LIMIT 5")
+    assert(sql.collect().forall(_.getDouble(0) > 0))
+  }
+
+  test("Skew.saltedJoin matches the plain join") {
+    val big = spark.range(10000)
+      .select((col("id") % 5).as("k"), col("id").as("v"))  // heavy skew: 5 keys
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e")).toDF("k", "tag")
+    val salted = Skew.saltedJoin(big, small, "k", 8)
+      .select("k", "v", "tag").as[(Long, Long, String)].collect().toSet
+    val plain = big.join(small, "k")
+      .select("k", "v", "tag").as[(Long, Long, String)].collect().toSet
+    assert(salted == plain)
+  }
+
   test("Dedup.simhash: near-dup pairs have small hamming distance") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val sig = Dedup.simhash(docs, "doc_id", "text")
