@@ -14,7 +14,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Queries must work under ANY caller-provided session (the driver may
+  // not build it through GraftSession): idempotently apply the session
+  // requirements — nanos-as-long for events.parquet and the dot_product
+  // function registration — the first time a session reaches us.
+  private val ensured =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[SparkSession]())
+
+  def ensure(spark: SparkSession): Unit =
+    if (ensured.add(spark)) {
+      scala.util.Try(
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+      scala.util.Try(
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "dot_product",
+          exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
+          "scala_udf"))
+    }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensure(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS): with
     // spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos;

@@ -60,4 +60,29 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("wordcount")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
   }
+
+  test("bucketed tables join without a shuffle (CompositeInputFormat analog)") {
+    // The reference's map-side join needs co-partitioned, sorted inputs
+    // (CompositeInputFormat.java:59-96); the Spark analog is bucketed
+    // tables, which sort-merge join with NO Exchange on either side.
+    import org.apache.spark.sql.functions._
+    // default warehouse (./spark-warehouse, gitignored): warehouse.dir
+    // is a static conf and the suite session already exists
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lines")
+    Tables(spark, dir, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lines")
+    val joined = spark.table("b_lines")
+      .join(spark.table("b_orders").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+  }
 }
