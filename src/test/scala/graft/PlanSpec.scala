@@ -67,9 +67,13 @@ class PlanSpec extends AnyFunSuite {
     // tables, which sort-merge join with NO Exchange on either side.
     import org.apache.spark.sql.functions._
     // default warehouse (./spark-warehouse, gitignored): warehouse.dir
-    // is a static conf and the suite session already exists
+    // is a static conf and the suite session already exists. The dir
+    // outlives the metastore (fresh per JVM), so clear both.
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lines")
+    for (t <- Seq("b_orders", "b_lines"))
+      org.apache.hadoop.fs.FileUtil.fullyDelete(
+        new java.io.File(s"spark-warehouse/$t"))
     Tables(spark, dir, "orders")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
