@@ -61,14 +61,23 @@ object Dedup {
   }
 
   /** MinHash signature as `numPerm` min-aggregated hash columns s0..sN-1.
-    * Permutation i is the md5 of the shingle salted with i — portable,
-    * seedless, and aggregated in a single groupBy pass.
+    *
+    * Carter-Wegman construction: ONE md5 per shingle yields two 60-bit
+    * values h1, h2 (hex halves); permutation i is (h1 + i*h2) mod p.
+    * 16x fewer digest computations than salting the shingle per
+    * permutation, still seedless/portable (the oracle replays the same
+    * arithmetic), aggregated in a single groupBy pass with numPerm
+    * codegen'd `min` columns.
     */
   def minhashSignatures(shingles: DataFrame, id: String, numPerm: Int): DataFrame = {
+    val p = 1000000007L
+    val withH = shingles
+      .withColumn("__h1", expr(s"cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint) % $p"))
+      .withColumn("__h2", expr(s"cast(conv(substring(md5(sh), 17, 15), 16, 10) as bigint) % $p"))
     val mins = (0 until numPerm).map { i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"s$i")
+      min((col("__h1") + lit(i.toLong) * col("__h2")) % p).as(s"s$i")
     }
-    shingles.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+    withH.groupBy(col(id)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: hash each run of `rowsPerBand` signature slots; docs
@@ -80,8 +89,9 @@ object Dedup {
     val sig = minhashSignatures(shingles, id, numPerm)
     val nBands = numPerm / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
-      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
-      struct(lit(b).as("band"), md5(concat(slots: _*)).as("bh"))
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"s$i").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", slots: _*)).as("bh"))
     }
     val bands = sig
       .select(col(id), explode(array(bandStructs: _*)).as("bb"))

@@ -64,12 +64,18 @@ object DedupQueries extends QueryModule {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5""".stripMargin),
     "dedup_minhash" -> (shingleCte +
-      """, m AS (
-        |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS s
-        |  FROM sh, (SELECT unnest(range(0, 16)) AS i)
+      """, hh AS (
+        |  SELECT doc_id, sh,
+        |         ('0x' || substring(md5(sh), 1, 15))::BIGINT % 1000000007 AS h1,
+        |         ('0x' || substring(md5(sh), 17, 15))::BIGINT % 1000000007 AS h2
+        |  FROM sh
+        |), m AS (
+        |  SELECT doc_id, i, min((h1 + i * h2) % 1000000007) AS s
+        |  FROM hh, (SELECT unnest(range(0, 16)) AS i)
         |  GROUP BY doc_id, i
         |), bands AS (
-        |  SELECT doc_id, i // 4 AS band, md5(string_agg(s, '' ORDER BY i)) AS bh
+        |  SELECT doc_id, i // 4 AS band,
+        |         md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS bh
         |  FROM m GROUP BY doc_id, i // 4
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
