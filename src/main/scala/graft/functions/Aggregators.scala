@@ -47,8 +47,46 @@ object Aggregators {
   /** ValueHistogram report (mapreduce/lib/aggregate/ValueHistogram.java:38-120):
     * per key, the frequency table of values summarized as
     * (uniqueCount, min, median, max, mean, stddev) of the per-value counts.
-    * Composed from two hash aggregations rather than one opaque UDAF so
-    * both levels get map-side partial aggregation and codegen; see
-    * EventQueries."value_histogram" for the query form.
+    *
+    * Two forms exist: EventQueries."value_histogram" composes two hash
+    * aggregations (preferred — both levels get map-side combine and
+    * codegen), and [[ValueHistogram]] below is the single-call Aggregator
+    * for callers that need the report as one column. State is the
+    * value→count map, so memory is O(#distinct values per group) — same
+    * bound as the reference's in-reducer TreeMap.
     */
+  final case class HistogramReport(uniqueCount: Long, minCount: Long,
+                                   medianCount: Double, maxCount: Long,
+                                   meanCount: Double, stddevCount: Double)
+
+  case class ValueHistogram[T]()
+      extends Aggregator[T, mutable.HashMap[T, Long], HistogramReport] {
+    def zero: mutable.HashMap[T, Long] = mutable.HashMap.empty
+    def reduce(b: mutable.HashMap[T, Long], a: T): mutable.HashMap[T, Long] = {
+      b.update(a, b.getOrElse(a, 0L) + 1L); b
+    }
+    def merge(a: mutable.HashMap[T, Long], b: mutable.HashMap[T, Long]): mutable.HashMap[T, Long] = {
+      b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
+      a
+    }
+    def finish(m: mutable.HashMap[T, Long]): HistogramReport = {
+      val counts = m.values.toArray.sorted
+      val n = counts.length
+      if (n == 0) return HistogramReport(0, 0, 0.0, 0, 0.0, 0.0)
+      val s = counts.sum
+      val ss = counts.map(c => c * c).sum
+      // interpolated median, matching SQL median()/percentile(0.5)
+      val median =
+        if (n % 2 == 1) counts(n / 2).toDouble
+        else (counts(n / 2 - 1) + counts(n / 2)) / 2.0
+      HistogramReport(n.toLong, counts.head, median, counts.last,
+        s.toDouble / n, math.sqrt((ss - s.toDouble * s / n) / n))
+    }
+    def bufferEncoder: Encoder[mutable.HashMap[T, Long]] = Encoders.kryo
+    def outputEncoder: Encoder[HistogramReport] = Encoders.product[HistogramReport]
+  }
+
+  /** Column form: histogram report over a long-valued column. */
+  def valueHistogram(c: Column): Column =
+    udaf(ValueHistogram[Long]()).apply(c)
 }

@@ -102,6 +102,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall unexpectedly low")
   }
 
+  test("ValueHistogram aggregator matches the composed two-level query") {
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+    val viaAgg = ev.groupBy("event_type")
+      .agg(Aggregators.valueHistogram(col("user_id")).as("h"))
+      .select(col("event_type"), col("h.uniqueCount"), col("h.minCount"),
+        col("h.medianCount"), col("h.maxCount"), col("h.meanCount"), col("h.stddevCount"))
+      .as[(String, Long, Long, Double, Long, Double, Double)].collect().toSet
+    val composed = SparkEntry.queries("value_histogram")(spark, "/root/testdata/sf0.001")
+      .select("event_type", "uniq_vals", "min_cnt", "median_cnt", "max_cnt",
+        "mean_cnt", "stddev_cnt")
+      .as[(String, Long, Long, Double, Long, Double, Double)].collect().toSet
+    assert(viaAgg == composed)
+  }
+
+  test("Groups.withReiterableGroups allows multiple passes (MarkableIterator)") {
+    val ds = Seq((1, 4), (1, 6), (2, 10)).toDF("k", "v").as[(Int, Int)]
+    // two passes over each group: mean on pass 1, deviations on pass 2
+    val out = Groups.withReiterableGroups(ds.groupByKey(_._1)) { (k, vs) =>
+      val mean = vs.map(_._2).sum.toDouble / vs.size
+      vs.map { case (_, v) => (k, v - mean) }
+    }.collect().toSet
+    assert(out == Set((1, -1.0), (1, 1.0), (2, 0.0)))
+  }
+
   test("DotProduct expression is bit-equal to the fold and SQL-callable") {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val both = emb.limit(100).select(
