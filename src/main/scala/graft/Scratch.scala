@@ -1,28 +1,23 @@
 package graft
 
-import graft.jobs.TeraSort
-
-/** Dev-only scratch main for plan inspection and micro-timing. */
+/** Dev-only scratch main: simulates the driver's smoke test — a BARE
+  * SparkSession (no GraftSession defaults) calling SparkEntry.entry.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.build("32")
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
-    time("terasort 10M cold") {
-      val sorted = TeraSort.teraSort(TeraSort.teraGen(spark, 10000000L, 32), 32)
-      TeraSort.teraValidate(sorted)
-    }
-    time("terasort 10M warm") {
-      val sorted = TeraSort.teraSort(TeraSort.teraGen(spark, 10000000L, 32), 32)
-      TeraSort.teraValidate(sorted)
-    }
-    time("teragen only") {
-      TeraSort.teraGen(spark, 10000000L, 32).write.format("noop").mode("overwrite").save()
-    }
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = SparkEntry.entry(spark).count()
+    println(s"[scratch] entry rows=$rows")
+    require(rows > 0)
+    // a query that needs the nanos conf + one that needs dot_product,
+    // both under the bare session (Tables.ensure must self-heal)
+    val s1 = SparkEntry.queries("sessionize")(spark, "/root/testdata/sf0.001").count()
+    val s2 = SparkEntry.queries("ann_cosine_topk")(spark, "/root/testdata/sf0.001").count()
+    println(s"[scratch] bare-session sessionize=$s1 ann=$s2")
     spark.stop()
   }
 }
