@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** JDBC source/sink — the reference's db package re-expressed on Spark.
+  *
+  * - [[readPartitioned]] ≙ DataDrivenDBInputFormat
+  *   (reference: hadoop-mapreduce-client-core/src/main/java/org/apache/hadoop/mapreduce/lib/db/DataDrivenDBInputFormat.java:167-225):
+  *   run the bounding-values query `SELECT MIN(col), MAX(col) FROM t` on
+  *   the driver, interpolate split points, and turn each interval into a
+  *   WHERE-clause predicate. Spark's predicate-array `read.jdbc` creates
+  *   exactly one InputPartition per predicate — the same parallel-scan
+  *   shape as one map task per DataDrivenDBInputSplit. At cluster scale
+  *   each executor opens its own connection to the (networked) DB; in
+  *   tests the DB is embedded Derby, which is single-JVM but exercises
+  *   the identical plan.
+  * - [[integerSplitPoints]] ≙ IntegerSplitter.split
+  *   (reference: .../lib/db/IntegerSplitter.java:86-131): open intervals
+  *   `[lo, hi)` with a closed last interval `[lo, max]`; date/timestamp
+  *   columns reduce to the same long arithmetic (DateSplitter.java:46-52).
+  * - [[write]] ≙ DBOutputFormat (reference: .../lib/db/DBOutputFormat.java):
+  *   batched prepared-statement INSERTs per partition with a commit on
+  *   task close — Spark's JdbcUtils.savePartition is the same protocol.
+  * - [[constructInsertQuery]] ≙ DBOutputFormat.constructQuery
+  *   (DBOutputFormat.java:135-160), kept for API parity.
+  */
+object Jdbc {
+
+  /** Embedded-Derby URL for a database directory (driver ships in
+    * /opt/spark/jars; Spark uses it for the Hive metastore).
+    */
+  def derbyUrl(dbDir: String): String = {
+    // keep Derby's lock/log chatter out of the repo working dir
+    if (sys.props.get("derby.system.home").isEmpty)
+      System.setProperty("derby.system.home",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    s"jdbc:derby:$dbDir;create=true"
+  }
+
+  val DerbyDriver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+  def connect(url: String): Connection = DriverManager.getConnection(url)
+
+  /** IntegerSplitter.split (IntegerSplitter.java:86-131): boundaries one
+    * longer than the split count; numSplits is a hint (uneven division
+    * may yield one more split).
+    */
+  def integerSplitPoints(numSplits: Int, minVal: Long, maxVal: Long): Seq[Long] = {
+    val n = math.max(numSplits, 1)
+    val splitSize = math.max((maxVal - minVal) / n, 1L)
+    val b = Seq.newBuilder[Long]
+    var cur = minVal
+    var count = 0
+    while (cur <= maxVal) { b += cur; cur += splitSize; count += 1 }
+    val pts = b.result()
+    if (pts.last != maxVal || pts.size == 1) pts :+ maxVal else pts
+  }
+
+  /** Split points → WHERE-clause predicates, formatted exactly as
+    * DataDrivenDBRecordReader.getSelectQuery composes the lower/upper
+    * clauses (DataDrivenDBRecordReader.java:89-92): `( lo ) AND ( hi )`,
+    * last interval closed (IntegerSplitter.java:97-110).
+    */
+  def integerSplitPredicates(col: String, numSplits: Int,
+                             minVal: Long, maxVal: Long): Seq[String] = {
+    val pts = integerSplitPoints(numSplits, minVal, maxVal)
+    pts.sliding(2).toSeq.zipWithIndex.map { case (Seq(lo, hi), i) =>
+      val last = i == pts.size - 2
+      val upper = if (last) s"$col <= $hi" else s"$col < $hi"
+      s"( $col >= $lo ) AND ( $upper )"
+    }
+  }
+
+  /** Bounding-values query (DataDrivenDBInputFormat.getBoundingValsQuery,
+    * DataDrivenDBInputFormat.java:238-262). Returns None when the table
+    * is empty or the column all-NULL (the reference emits an IS NULL
+    * split; we read unpartitioned in that case).
+    */
+  def boundingVals(url: String, table: String, splitCol: String,
+                   conditions: Option[String] = None): Option[(Long, Long)] = {
+    val conn = connect(url)
+    try {
+      val where = conditions.map(c => s" WHERE ( $c )").getOrElse("")
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT MIN($splitCol), MAX($splitCol) FROM $table$where")
+      rs.next()
+      val lo = rs.getLong(1); val loNull = rs.wasNull()
+      val hi = rs.getLong(2); val hiNull = rs.wasNull()
+      if (loNull || hiNull) None else Some((lo, hi))
+    } finally conn.close()
+  }
+
+  /** DataDrivenDBInputFormat analog: one Spark partition per generated
+    * split predicate; each partition's task issues
+    * `SELECT ... WHERE ( lo ) AND ( hi )` against the DB in parallel.
+    */
+  def readPartitioned(spark: SparkSession, url: String, table: String,
+                      splitCol: String, numSplits: Int,
+                      conditions: Option[String] = None): DataFrame = {
+    val props = new Properties()
+    val base = conditions.map(c => s"($c)")
+    boundingVals(url, table, splitCol, conditions) match {
+      case Some((lo, hi)) if numSplits > 1 =>
+        val preds = integerSplitPredicates(splitCol, numSplits, lo, hi)
+          .map(p => base.map(c => s"$c AND $p").getOrElse(p))
+        spark.read.jdbc(url, table, preds.toArray, props)
+      case _ =>
+        // single split: the reference's "1=1 AND 1=1" degenerate split
+        val df = spark.read.jdbc(url, table, props)
+        base.map(df.where).getOrElse(df)
+    }
+  }
+
+  /** DBOutputFormat analog: per-partition batched INSERTs, committed on
+    * task close. `columnTypes` overrides Spark's Derby default of CLOB
+    * for strings (CLOB columns reject GROUP BY/comparisons DB-side).
+    */
+  def write(df: DataFrame, url: String, table: String,
+            numPartitions: Int = 4,
+            columnTypes: Option[String] = None): Unit = {
+    val w = df.repartition(numPartitions).write.mode(SaveMode.Overwrite)
+    columnTypes.foreach(t => w.option("createTableColumnTypes", t))
+    w.jdbc(url, table, new Properties())
+  }
+
+  /** DBOutputFormat.constructQuery parity (DBOutputFormat.java:135-160). */
+  def constructInsertQuery(table: String, fieldNames: Array[String]): String = {
+    require(fieldNames != null, "Field names may not be null")
+    val cols =
+      if (fieldNames.nonEmpty && fieldNames(0) != null)
+        fieldNames.mkString(" (", ",", ")")
+      else ""
+    fieldNames.map(_ => "?").mkString(s"INSERT INTO $table$cols VALUES (", ",", ");")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Jdbc
+
+class JdbcSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("4")
+  import spark.implicits._
+
+  private def tmpDb(): String =
+    Files.createTempDirectory("graft-jdbc").toString + "/db"
+
+  test("IntegerSplitter split points: interval semantics match the reference") {
+    // splitSize = (5-0)/2 = 2 -> boundaries 0,2,4 then close at max
+    assert(Jdbc.integerSplitPoints(2, 0, 5) == Seq(0L, 2L, 4L, 5L))
+    // even division ends exactly on max
+    assert(Jdbc.integerSplitPoints(3, 0, 6) == Seq(0L, 2L, 4L, 6L))
+    // min == max degenerates to one closed interval
+    assert(Jdbc.integerSplitPoints(4, 7, 7) == Seq(7L, 7L))
+    // splitSize floors at 1
+    assert(Jdbc.integerSplitPoints(10, 0, 3) == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("split predicates: open intervals, closed last, reference clause format") {
+    val preds = Jdbc.integerSplitPredicates("id", 2, 0, 5)
+    assert(preds == Seq(
+      "( id >= 0 ) AND ( id < 2 )",
+      "( id >= 2 ) AND ( id < 4 )",
+      "( id >= 4 ) AND ( id <= 5 )"))
+  }
+
+  test("DBOutputFormat.constructQuery parity") {
+    assert(Jdbc.constructInsertQuery("pageview", Array("url", "pageview")) ==
+      "INSERT INTO pageview (url,pageview) VALUES (?,?);")
+    // unknown field names: array of nulls -> no column list
+    assert(Jdbc.constructInsertQuery("t", Array[String](null, null)) ==
+      "INSERT INTO t VALUES (?,?);")
+    intercept[IllegalArgumentException] {
+      Jdbc.constructInsertQuery("t", null)
+    }
+  }
+
+  test("Derby roundtrip: write, bounding query, partitioned read") {
+    val url = Jdbc.derbyUrl(tmpDb())
+    val df = spark.range(100).select(
+      col("id").as("ID"),
+      concat(lit("row"), col("id")).as("V"))
+    Jdbc.write(df, url, "T_ROUNDTRIP",
+      columnTypes = Some("V VARCHAR(32)"))
+
+    assert(Jdbc.boundingVals(url, "T_ROUNDTRIP", "ID") == Some((0L, 99L)))
+
+    val back = Jdbc.readPartitioned(spark, url, "T_ROUNDTRIP", "ID", numSplits = 3)
+    // one Spark partition per DataDrivenDBInputSplit predicate
+    assert(back.rdd.getNumPartitions == 3)
+    assert(back.select(col("ID"), col("V")).as[(Long, String)].collect().toSet ==
+      (0L until 100L).map(i => (i, s"row$i")).toSet)
+  }
+
+  test("partitioned read with conditions (getInputConditions analog)") {
+    val url = Jdbc.derbyUrl(tmpDb())
+    val df = spark.range(50).select(col("id").as("ID"), (col("id") % 5).as("K"))
+    Jdbc.write(df, url, "T_COND")
+    val filtered = Jdbc.readPartitioned(spark, url, "T_COND", "ID", 2, Some("K = 3"))
+    assert(filtered.count() == 10)
+    assert(filtered.select(max(col("K"))).as[Long].head() == 3L)
+  }
+
+  test("empty table degrades to a single unpartitioned read") {
+    val url = Jdbc.derbyUrl(tmpDb())
+    val df = spark.range(1).select(col("id").as("ID")).where(lit(false))
+    Jdbc.write(df, url, "T_EMPTY")
+    assert(Jdbc.boundingVals(url, "T_EMPTY", "ID").isEmpty)
+    assert(Jdbc.readPartitioned(spark, url, "T_EMPTY", "ID", 4).count() == 0)
+  }
+}
