@@ -25,10 +25,9 @@ object Formats {
     */
   def fixedLength(spark: SparkSession, path: String, recordLength: Int): DataFrame = {
     val rdd = spark.sparkContext.binaryRecords(path, recordLength)
-    spark.createDataFrame(rdd.map(org.apache.spark.sql.Row(_)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("record",
-          org.apache.spark.sql.types.BinaryType, nullable = false))))
+    // BINARY encoder: codegen'd serializer, no per-row Row/converter
+    // allocation (matters at 10M+ records/task)
+    spark.createDataset(rdd)(org.apache.spark.sql.Encoders.BINARY).toDF("record")
   }
 
   /** AutoInputFormat (hadoop-streaming/.../AutoInputFormat.java): sniff

@@ -30,6 +30,28 @@ class TeraSortSpec extends AnyFunSuite {
     assert(TeraSort.teraChecksum(sorted) == inputChecksum)
   }
 
+  test("Tera on-disk format roundtrip: gen -> write -> read -> sort -> write -> validate") {
+    import graft.sources.TeraIO
+    val base = java.nio.file.Files.createTempDirectory("graft-tera").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"
+
+    val gen = TeraSort.teraGen(spark, 10000, 4)
+    val genChecksum = TeraSort.teraChecksum(gen)
+    TeraIO.write(gen, inDir)
+    // raw 100-byte records: exactly rows * 100 bytes on disk, no framing
+    assert(TeraIO.dataBytes(spark, inDir) == 10000L * TeraIO.RecordLength)
+
+    val input = TeraIO.read(spark, inDir)
+    assert(input.count() == 10000)
+    assert(TeraSort.teraChecksum(input) == genChecksum, "write->read must be lossless")
+
+    TeraIO.write(TeraSort.teraSort(input, 4), outDir)
+    val back = TeraIO.read(spark, outDir)
+    val (ok, count) = TeraSort.teraValidate(back)
+    assert(ok && count == 10000)
+    assert(TeraSort.teraChecksum(back) == genChecksum)
+  }
+
   test("TeraValidate rejects an unsorted dataset") {
     val gen = TeraSort.teraGen(spark, 5000, 8)
     val (ok, _) = TeraSort.teraValidate(gen)
