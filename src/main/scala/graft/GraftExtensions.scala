@@ -14,5 +14,6 @@ import graft.functions.VectorExpressions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(VectorExpressions.dotProductFunction)
+    e.injectFunction(VectorExpressions.nearestCellsFunction)
   }
 }

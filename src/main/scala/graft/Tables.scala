@@ -30,6 +30,11 @@ object Tables {
           "dot_product",
           exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
           "scala_udf"))
+      scala.util.Try(
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "nearest_cells",
+          exprs => graft.functions.NearestCells(exprs(0), exprs(1), exprs(2)),
+          "scala_udf"))
     }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {

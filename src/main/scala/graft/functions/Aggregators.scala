@@ -89,4 +89,34 @@ object Aggregators {
   /** Column form: histogram report over a long-valued column. */
   def valueHistogram(c: Column): Column =
     udaf(ValueHistogram[Long]()).apply(c)
+
+  /** Bounded top-k by (score desc, id asc) — the scalable replacement
+    * for `row_number() OVER (PARTITION BY key ORDER BY score)`: the
+    * window plan lands a key's ENTIRE candidate list on one task, while
+    * this Aggregator's map-side partial keeps at most k rows per
+    * (partition, key) so the shuffle carries k·numPartitions candidates
+    * per key instead of the full |base|. State is O(k); the total order
+    * (-score, id) makes reduce/merge order-independent, so results are
+    * deterministic and tie-stable.
+    */
+  case class TopKByScore(k: Int)
+      extends Aggregator[(Double, Long), Vector[(Double, Long)], Seq[Long]] {
+    private def worse(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+    def zero: Vector[(Double, Long)] = Vector.empty
+    def reduce(b: Vector[(Double, Long)], a: (Double, Long)): Vector[(Double, Long)] =
+      if (b.length >= k && worse(a, b.last)) b       // O(1) reject path
+      else if (b.exists(_._2 == a._2)) b             // candidate ids stay unique
+      else (b :+ a).sortWith((x, y) => worse(y, x)).take(k)
+    def merge(a: Vector[(Double, Long)], b: Vector[(Double, Long)]): Vector[(Double, Long)] =
+      (a ++ b).sortWith((x, y) => worse(y, x)).distinctBy(_._2).take(k)
+    def finish(r: Vector[(Double, Long)]): Seq[Long] = r.map(_._2)
+    def bufferEncoder: Encoder[Vector[(Double, Long)]] = Encoders.kryo
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column form: ids of the top-k scores, best first. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    udaf(TopKByScore(k)).apply(score, id)
 }

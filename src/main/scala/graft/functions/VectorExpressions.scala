@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -77,6 +77,116 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Row-local nearest-codebook-cells assignment: the 0-based indices of
+  * the `n` codebook rows with the highest dot products against the input
+  * vector, best first (first-max-wins on score ties — lowest index). The
+  * codebook rides along as a reference object, so cell assignment is a
+  * pure projection: NO join, NO explode, NO shuffle between the scan and
+  * the assignment — the fix for the window-argmax anti-pattern (base ×
+  * nCells explode + full shuffle) that cannot survive a 100× scale-up.
+  * With L2-normalized codebook rows, dot-product order == cosine order.
+  */
+case class NearestCells(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, second.foldable, third.dataType, third.foldable) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(ArrayType(DoubleType, _), _), true, IntegerType, true) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_cells needs (float/double array, foldable array<array<double>> codebook, foldable int n), got $other")
+    }
+
+  /** The codebook, extracted once from the foldable literal — per-row
+    * evaluation touches only this primitive double[][]. */
+  private lazy val cells: Array[Array[Double]] = {
+    val arr = second.eval().asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray())
+  }
+
+  private lazy val topN: Int =
+    math.max(1, math.min(third.eval().asInstanceOf[Int], cells.length))
+
+  private def elemIsFloat: Boolean =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, u1: Any, u2: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val xf = elemIsFloat
+    val n = topN
+    val bs = new Array[Double](n)
+    val bi = new Array[Int](n)
+    var filled = 0
+    var c = 0
+    while (c < cells.length) {
+      val cell = cells(c)
+      val m = math.min(x.numElements(), cell.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+        acc += xi * cell(i)
+        i += 1
+      }
+      var p = filled
+      while (p > 0 && acc > bs(p - 1)) p -= 1
+      if (p < n) {
+        val end = math.min(filled, n - 1)
+        var j = end
+        while (j > p) { bs(j) = bs(j - 1); bi(j) = bi(j - 1); j -= 1 }
+        bs(p) = acc; bi(p) = c
+        if (filled < n) filled += 1
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(bi, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _, _) => {
+      val cb = ctx.addReferenceObj("cells", cells, "double[][]")
+      val n = topN
+      val bs = ctx.freshName("bs"); val bi = ctx.freshName("bi")
+      val filled = ctx.freshName("filled")
+      val c = ctx.freshName("c"); val cell = ctx.freshName("cell")
+      val m = ctx.freshName("m"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val p = ctx.freshName("p")
+      val end = ctx.freshName("end"); val j = ctx.freshName("j")
+      val getX = if (elemIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |double[] $bs = new double[$n];
+         |int[] $bi = new int[$n];
+         |int $filled = 0;
+         |for (int $c = 0; $c < $cb.length; $c++) {
+         |  double[] $cell = $cb[$c];
+         |  int $m = java.lang.Math.min($a.numElements(), $cell.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $acc += $getX * $cell[$i];
+         |  }
+         |  int $p = $filled;
+         |  while ($p > 0 && $acc > $bs[$p - 1]) $p--;
+         |  if ($p < $n) {
+         |    int $end = java.lang.Math.min($filled, $n - 1);
+         |    for (int $j = $end; $j > $p; $j--) { $bs[$j] = $bs[$j-1]; $bi[$j] = $bi[$j-1]; }
+         |    $bs[$p] = $acc; $bi[$p] = $c;
+         |    if ($filled < $n) $filled++;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(java.util.Arrays.copyOf($bi, $filled));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -87,7 +197,19 @@ object VectorExpressions {
     new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
     (children: Seq[Expression]) => DotProduct(children(0), children(1)))
 
+  val nearestCellsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nearest_cells"),
+    new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
+    (children: Seq[Expression]) => NearestCells(children(0), children(1), children(2)))
+
   /** Column form (resolved through the registered SQL function). */
   def dot_product(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("dot_product", a, b)
+
+  /** Column form: 0-based indices of the n nearest codebook rows, best
+    * first. */
+  def nearest_cells(vec: Column, codebook: Seq[Seq[Double]], n: Int): Column =
+    org.apache.spark.sql.functions.call_function("nearest_cells", vec,
+      org.apache.spark.sql.functions.typedLit(codebook),
+      org.apache.spark.sql.functions.lit(n))
 }

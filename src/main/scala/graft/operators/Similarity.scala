@@ -33,25 +33,34 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** (q_id, n_id, sim) -> (q_id, n_id, rnk): per-query top-k through the
+    * bounded [[graft.functions.Aggregators.TopKByScore]] aggregator. The
+    * map-side partial keeps ≤k candidates per (partition, query), so the
+    * one shuffle carries k·numPartitions rows per query — never a
+    * query's full candidate list on one task (the `row_number` window
+    * straggler this replaces).
+    */
+  private def topKRank(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("q_id")
+      .agg(graft.functions.Aggregators.topKByScore(
+        col("sim").cast("double"), col("n_id").cast("long"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "n_id")))
+      .select(col("q_id"), col("n_id"), (col("pos") + 1).cast("int").as("rnk"))
+
   /** Brute-force top-k cosine neighbors for each query vector.
     *
     * The query side is broadcast (it is the small side by construction),
-    * so the base table streams once with no shuffle; ranking shuffles
-    * only (q, n, sim) triples by query id. At 100 TB the base scan is
-    * embarrassingly parallel; for sublinear scans see [[ivfTopK]].
+    * so the base table streams once with no shuffle; the only shuffle is
+    * the bounded top-k merge. At 100 TB the base scan is embarrassingly
+    * parallel; for sublinear scans see [[ivfTopK]].
     */
   def bruteForceTopK(base: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
     val b = base.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
     val scored = b.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("sim", cosine(col("qv"), col("nv")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), col("rnk"))
+    topKRank(scored, k)
   }
 
   /** Embedding-cosine near-dup pairs: all (a < b) pairs with cosine
@@ -79,40 +88,161 @@ object Similarity {
       .select("vec_a", "vec_b")
   }
 
-  /** IVF-style ANN: assign every vector to its nearest of `nCells`
-    * deterministic anchor vectors (anchors = the vectors whose id hashes
-    * lowest — a seedless, reproducible "coarse codebook"), then search
-    * only the query's `nProbe` closest cells. Trades recall for a
-    * 1/(nCells/nProbe) scan reduction — the 100 TB path.
+  /** Deterministic coarse codebook: the `nCells` vectors whose id-hash
+    * is lowest (seedless, reproducible), L2-normalized and collected to
+    * the driver — O(nCells · dim) doubles, kilobytes, rides to executors
+    * as a reference object. Sorted by id so codebook index order == id
+    * order (stable tie-breaks). A production deployment would train this
+    * with k-means; the Spark-side plumbing is identical.
     */
-  def ivfTopK(base: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nCells: Int, nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val anchors = base
-      .select(col(idCol).as("a_id"), col(vecCol).as("av"))
+  def codebook(base: DataFrame, idCol: String, vecCol: String,
+               nCells: Int): Seq[(Long, Array[Double])] =
+    base.select(col(idCol).cast("long").as("a_id"), col(vecCol).as("av"))
       .withColumn("hk", md5(col("a_id").cast("string")))
       .orderBy("hk").limit(nCells)
-      .drop("hk")
-    val b = base.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
-    val assignW = Window.partitionBy("n_id").orderBy(col("asim").desc, col("a_id").asc)
-    val assigned = b.join(broadcast(anchors), col("n_id").isNotNull)
-      .withColumn("asim", cosine(col("nv"), col("av")))
-      .withColumn("ar", row_number().over(assignW))
-      .filter(col("ar") === 1)
-      .select(col("n_id"), col("nv"), col("a_id").as("cell"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
-    val probeW = Window.partitionBy("q_id").orderBy(col("asim").desc, col("a_id").asc)
-    val probes = q.join(broadcast(anchors), col("q_id").isNotNull)
-      .withColumn("asim", cosine(col("qv"), col("av")))
-      .withColumn("ar", row_number().over(probeW))
-      .filter(col("ar") <= nProbe)
-      .select(col("q_id"), col("qv"), col("a_id").as("cell"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
-    assigned.join(probes, "cell")
+      .select("a_id", "av").collect().toSeq
+      .map { r =>
+        val v = r.getSeq[Any](1).map {
+          case f: Float  => f.toDouble
+          case d: Double => d
+        }.toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (r.getLong(0), v.map(_ / n))
+      }.sortBy(_._1)
+
+  /** A few Lloyd iterations over the seed codebook — each iteration is
+    * one shuffle-free assignment pass + one partial-aggregated vector
+    * sum per cell (map-side combine; only nCells·dim doubles cross the
+    * shuffle per partition). Returned cell ids are the codebook indices
+    * 0..nCells-1. Centroids are L2-normalized (spherical k-means, the
+    * right variant for cosine).
+    */
+  def trainCodebook(base: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, iters: Int = 2): Seq[(Long, Array[Double])] = {
+    var cb: Seq[(Long, Array[Double])] =
+      codebook(base, idCol, vecCol, nCells).zipWithIndex
+        .map { case ((_, v), i) => (i.toLong, v) }
+    val dim = cb.head._2.length
+    val vecs = base.select(col(vecCol).cast("array<double>").as("v"))
+    for (_ <- 1 to iters) {
+      val assigned = vecs.withColumn("cell",
+        element_at(graft.functions.VectorExpressions.nearest_cells(
+          col("v"), cb.map(_._2.toSeq), 1), 1))
+      val sums = assigned.groupBy("cell")
+        .agg(udaf(VecSum(dim)).apply(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cb.toArray
+      sums.foreach { r =>
+        val cell = r.getInt(0)
+        val s = r.getSeq[Double](1)
+        val norm = math.sqrt(s.map(x => x * x).sum)
+        if (norm > 0) next(cell) = (cell.toLong, s.map(_ / norm).toArray)
+      }
+      cb = next.toSeq                       // empty cells keep their centroid
+    }
+    cb
+  }
+
+  private case class VecSum(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    def zero: Array[Double] = new Array[Double](dim)
+    def reduce(b: Array[Double], a: Seq[Double]): Array[Double] = {
+      var i = 0; while (i < dim && i < a.length) { b(i) += a(i); i += 1 }; b
+    }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0; while (i < dim) { a(i) += b(i); i += 1 }; a
+    }
+    def finish(r: Array[Double]): Seq[Double] = r.toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.Encoders.kryo
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Cell ids per row as a PURE PROJECTION: the codegen'd NearestCells
+    * expression computes the top-`rep` cells against the broadcast
+    * codebook row-locally — no join, no window, no shuffle between the
+    * scan and the assignment (vs. the base × nCells window-argmax
+    * anti-pattern, which shuffles nCells× the base table). `rep` > 1 is
+    * standard IVF replication: a vector is findable from its `rep`
+    * nearest cells, trading rep× candidate storage for recall.
+    */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                  cb: Seq[(Long, Array[Double])], rep: Int = 1): DataFrame = {
+    val ids = typedLit(cb.map(_._1))
+    val cellIdx = graft.functions.VectorExpressions.nearest_cells(
+      col(vecCol), cb.map(_._2.toSeq), rep)
+    if (rep == 1)
+      df.withColumn("cell", element_at(ids, element_at(cellIdx, 1) + 1))
+    else
+      df.withColumn("cell", explode(transform(cellIdx, i => element_at(ids, i + 1))))
+  }
+
+  private[graft] def autoCells(n: Long): Int =
+    math.max(16, math.min(256, math.round(math.sqrt(n / 64.0)).toInt))
+
+  /** IVF-style ANN: assign every vector to its nearest codebook cell,
+    * then search only each query's `nProbe` closest cells — a
+    * nProbe/nCells scan reduction, the 100 TB path.
+    *
+    * Plan shape: base-side cell assignment is shuffle-free (see
+    * [[assignCells]]); probe selection sorts a per-query score ARRAY
+    * (shuffle-free, |queries| × nProbe rows out); candidate matching is
+    * a broadcast equi-join on cell; the only shuffle in the whole plan
+    * is the bounded top-k merge. `nCells`/`nProbe` ≤ 0 → sized from the
+    * base row count (≈ sqrt(n/64) cells, nCells/4 probes).
+    */
+  def ivfTopK(base: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCells: Int = 0, nProbe: Int = 0, rep: Int = 3,
+              iters: Int = 3): DataFrame = {
+    val cellCount = if (nCells > 0) nCells else autoCells(base.count())
+    val probeCount = if (nProbe > 0) nProbe else math.max(2, cellCount / 4)
+    val cb = trainCodebook(base, idCol, vecCol, cellCount, iters)
+
+    val assigned = assignCells(
+      base.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("nv")),
+      "n_id", "nv", cb, rep)
+
+    val q = queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("qv"))
+    val cellScores = array(cb.map { case (id, av) =>
+      struct(dot(col("qv"), typedLit(av.toSeq)).as("s"), lit(id).as("cell"))
+    }: _*)
+    val byScoreDescCellAsc = (l: Column, r: Column) =>
+      when(l.getField("s") > r.getField("s"), -1)
+        .when(l.getField("s") < r.getField("s"), 1)
+        .when(l.getField("cell") < r.getField("cell"), -1)
+        .when(l.getField("cell") > r.getField("cell"), 1)
+        .otherwise(0)
+    val probes = q
+      .withColumn("pc", explode(slice(array_sort(cellScores, byScoreDescCellAsc), 1, probeCount)))
+      .select(col("q_id"), col("qv"), col("pc.cell").as("cell"))
+
+    val scored = assigned.join(broadcast(probes), "cell")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", cosine(col("qv"), col("nv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), col("rnk"))
+    topKRank(scored, k)
+  }
+
+  /** Near-dup pairs with IVF-cell blocking: only same-cell pairs are
+    * compared — the scale path for [[cosinePairs]]' all-pairs join
+    * (O(n²) -> O(Σ cell²)). Near-identical vectors share a nearest cell
+    * unless they straddle a cell boundary, so recall is high but not 1;
+    * the exact variant remains for oracle-checked workloads.
+    */
+  def cosinePairsBlocked(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nCells: Int = 0, rep: Int = 2,
+                         iters: Int = 2): DataFrame = {
+    val cellCount = if (nCells > 0) nCells else autoCells(df.count())
+    val cb = trainCodebook(df, idCol, vecCol, cellCount, iters)
+    val assigned = assignCells(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v", cb, rep)
+    val a = assigned.select(col("cell"), col("id").as("vec_a"), col("v").as("va"))
+    val b = assigned.select(col("cell"), col("id").as("vec_b"), col("v").as("vb"))
+    a.join(b, "cell")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b")
+      .distinct()                            // rep>1 can pair twice
   }
 }

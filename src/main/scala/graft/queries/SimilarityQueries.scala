@@ -27,8 +27,8 @@ object SimilarityQueries extends QueryModule {
     "ann_ivf_topk" -> ((s, dir) => {
       val base = emb(s, dir)
       val queries = base.filter(col("vec_id") % 50 === 0)
-      Similarity.ivfTopK(base, queries, "vec_id", "embedding",
-        k = 5, nCells = 16, nProbe = 4)
+      // nCells/nProbe auto-sized from the base row count (sqrt scaling)
+      Similarity.ivfTopK(base, queries, "vec_id", "embedding", k = 5)
     }),
     // Embedding-cosine near-dup (scale extension): the fixture has no
     // planted vector dups, so the demo is top-20 most-similar pairs

@@ -96,10 +96,31 @@ class OperatorSpec extends AnyFunSuite {
     val q = emb.filter(col("vec_id") % 50 === 0)
     val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
-    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 16, 8)
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 16, 4, rep = 4)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = bf.intersect(ivf).size.toDouble / bf.size
-    assert(recall >= 0.5, s"IVF recall $recall unexpectedly low")
+    assert(recall >= 0.9, s"IVF recall $recall too low at nProbe=4: " +
+      s"missed ${bf.diff(ivf)}")
+  }
+
+  test("Similarity.cosinePairsBlocked finds near-dup pairs without the all-pairs join") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    // the fixture has no planted vector dups: use the sim of the 40th
+    // most-similar pair as the "near-dup" threshold
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val thr = a.join(b, col("ia") < col("ib"))
+      .select(Similarity.cosine(col("va"), col("vb")).as("sim"))
+      .orderBy(desc("sim")).limit(40)
+      .agg(min(col("sim"))).head().getDouble(0)
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", thr)
+      .as[(Long, Long)].collect().toSet
+    val blocked = Similarity.cosinePairsBlocked(emb, "vec_id", "embedding", thr, 16)
+      .as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(exact), "blocking must not invent pairs")
+    assert(exact.size >= 40, "threshold must yield pairs for a meaningful test")
+    val recall = blocked.size.toDouble / exact.size
+    assert(recall >= 0.5, s"cell-blocked recall $recall too low (${exact.size} exact)")
   }
 
   test("ValueHistogram aggregator matches the composed two-level query") {

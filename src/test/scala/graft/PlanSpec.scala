@@ -61,6 +61,35 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
   }
 
+  test("IVF cell assignment is a pure projection — no exchange between scan and cells") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = Tables(spark, dir, "embeddings")
+    val cb = Similarity.codebook(emb, "vec_id", "embedding", 16)
+    for (rep <- Seq(1, 2)) {
+      val assigned = Similarity.assignCells(
+        emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", cb, rep)
+      assigned.collect()
+      val p = assigned.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"cell assignment (rep=$rep) shuffles:\n$p")
+      assert(!p.contains("Window"), s"window crept back in:\n$p")
+    }
+  }
+
+  test("ANN top-k ranks through the bounded aggregator, not a per-query window") {
+    val df = SparkEntry.queries("ann_cosine_topk")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"row_number window in ANN plan:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"no aggregator-based ranking:\n$p")
+    // partial + final: the map-side partial bounds what crosses the wire
+    assert("partial_topkbyscore".r.findAllIn(p.toLowerCase).nonEmpty ||
+      "ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation in top-k:\n$p")
+  }
+
   test("bucketed tables join without a shuffle (CompositeInputFormat analog)") {
     // The reference's map-side join needs co-partitioned, sorted inputs
     // (CompositeInputFormat.java:59-96); the Spark analog is bucketed
