@@ -42,13 +42,29 @@ object Dedup {
       .distinct()
 
   /** Exact Jaccard-similar pairs >= threshold, candidate generation by
-    * shared shingle (correct, but candidate count grows with shingle
-    * frequency — use [[minhashCandidates]] at scale).
+    * shared shingle. `maxDf` > 0 drops stop-shingles (document frequency
+    * above the cap) BEFORE the self-join: one hot shingle otherwise
+    * yields O(df²) candidate rows — "the quick brown" in 1M docs is
+    * 10¹² candidates — while contributing nothing to near-dup evidence.
+    * Jaccard is then computed over the capped shingle universe on both
+    * sides of the ratio (standard stop-shingle practice). The hot list
+    * is tiny by construction (few shingles exceed a real cap), so the
+    * filter is a broadcast anti-join — no extra shuffle of the table.
     */
-  def jaccardPairs(shingles: DataFrame, id: String, threshold: Double): DataFrame = {
-    val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    val a = shingles.select(col(id).as("doc_a"), col("sh").as("sh_a"))
-    val b = shingles.select(col(id).as("doc_b"), col("sh").as("sh_b"))
+  def jaccardPairs(shingles: DataFrame, id: String, threshold: Double,
+                   maxDf: Int = 0): DataFrame = {
+    val kept =
+      if (maxDf <= 0) shingles
+      else {
+        val hot = shingles.groupBy(col("sh"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+          .select("sh")
+        shingles.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    val sizes = kept.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val a = kept.select(col(id).as("doc_a"), col("sh").as("sh_a"))
+    val b = kept.select(col(id).as("doc_b"), col("sh").as("sh_b"))
     val inter = a.join(b, col("sh_a") === col("sh_b") && col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     val jac = col("n_inter").cast("double") /

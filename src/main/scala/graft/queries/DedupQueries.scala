@@ -30,9 +30,11 @@ object DedupQueries extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
 
+    // stop-shingles (document frequency > 100) are dropped before the
+    // candidate self-join — see Dedup.jaccardPairs
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Dedup.shingleTable(docs(s, dir), "doc_id", "text", 3),
-        "doc_id", 0.5)),
+        "doc_id", 0.5, maxDf = 100)),
 
     "dedup_minhash" -> ((s, dir) =>
       Dedup.nearDuplicates(docs(s, dir), "doc_id", "text",
@@ -50,11 +52,14 @@ object DedupQueries extends QueryModule {
         |       CAST(COUNT(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_jaccard" -> (shingleCte +
-      """, sizes AS (
-        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      """, kept AS (
+        |  SELECT s.* FROM sh s
+        |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100) ok USING (sh)
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id
         |), inter AS (
         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS ni
-        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  FROM kept x JOIN kept y ON x.sh = y.sh AND x.doc_id < y.doc_id
         |  GROUP BY x.doc_id, y.doc_id
         |)
         |SELECT doc_a, doc_b, CAST(ni AS BIGINT) AS n_inter,

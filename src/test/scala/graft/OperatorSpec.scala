@@ -79,6 +79,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.getLong(2) == 30L)
   }
 
+  test("Dedup.jaccardPairs stop-shingle cap bounds candidates on skewed data") {
+    // 200 docs all sharing one hot phrase (a boilerplate header) + one
+    // planted near-dup pair with distinctive content
+    val boiler = "terms of service apply to all users of this site"
+    val docs = ((0 until 200).map { i =>
+      (i.toLong, s"$boiler document number $i body ${"x" + i} ${"y" + i} ${"z" + i}")
+    } ++ Seq(
+      (900L, s"unique alpha beta gamma delta epsilon zeta eta theta"),
+      (901L, s"unique alpha beta gamma delta epsilon zeta eta iota")))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
+    // unbounded: every boilerplate shingle pairs all 200 docs
+    val unbounded = Dedup.jaccardPairs(sh, "doc_id", 0.0).count()
+    // capped: hot shingles (df > 20) never reach the self-join
+    val capped = Dedup.jaccardPairs(sh, "doc_id", 0.0, maxDf = 20)
+    assert(unbounded > 19000, s"skew fixture should explode unbounded: $unbounded")
+    assert(capped.count() < 100, s"cap failed to bound candidates: ${capped.count()}")
+    // the planted near-dup survives the cap with high jaccard
+    val dup = Dedup.jaccardPairs(sh, "doc_id", 0.5, maxDf = 20)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(dup.contains((900L, 901L)), s"planted dup lost: $dup")
+  }
+
   test("Dedup.minhash candidates cover all high-jaccard pairs (recall)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
