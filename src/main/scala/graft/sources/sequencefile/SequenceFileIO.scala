@@ -55,6 +55,14 @@ object SequenceFileIO {
     case DoubleType  => classOf[DoubleWritable]
     case StringType  => classOf[Text]
     case BinaryType  => classOf[BytesWritable]
+    // typed-array subclass idiom for strings; numeric arrays go through
+    // Hadoop's self-describing ArrayPrimitiveWritable
+    case ArrayType(StringType, _) => classOf[TextArrayWritable]
+    case ArrayType(BooleanType | ByteType | ShortType | IntegerType |
+                   LongType | FloatType | DoubleType, _) =>
+      classOf[ArrayPrimitiveWritable]
+    case _: MapType    => classOf[MapWritable]
+    case _: StructType => classOf[FullTupleWritable]
     case other       => throw new IllegalArgumentException(s"unsupported type: $other")
   }
 
@@ -69,6 +77,31 @@ object SequenceFileIO {
     case DoubleType  => new DoubleWritable(v.asInstanceOf[Double])
     case StringType  => new Text(v.asInstanceOf[String])
     case BinaryType  => new BytesWritable(v.asInstanceOf[Array[Byte]])
+    case ArrayType(StringType, _) =>
+      new TextArrayWritable(v.asInstanceOf[scala.collection.Seq[String]].toArray)
+    case ArrayType(et, _) =>
+      val s = v.asInstanceOf[scala.collection.Seq[Any]]
+      val arr: AnyRef = et match {
+        case BooleanType => s.map(_.asInstanceOf[Boolean]).toArray
+        case ByteType    => s.map(_.asInstanceOf[Byte]).toArray
+        case ShortType   => s.map(_.asInstanceOf[Short]).toArray
+        case IntegerType => s.map(_.asInstanceOf[Int]).toArray
+        case LongType    => s.map(_.asInstanceOf[Long]).toArray
+        case FloatType   => s.map(_.asInstanceOf[Float]).toArray
+        case DoubleType  => s.map(_.asInstanceOf[Double]).toArray
+        case other => throw new IllegalArgumentException(s"array of $other")
+      }
+      new ArrayPrimitiveWritable(arr)
+    case MapType(kt, vt, _) =>
+      val m = new MapWritable()
+      v.asInstanceOf[scala.collection.Map[Any, Any]].foreach { case (k, x) =>
+        m.put(toWritable(k, kt), toWritable(x, vt))
+      }
+      m
+    case st: StructType =>
+      val r = v.asInstanceOf[org.apache.spark.sql.Row]
+      new FullTupleWritable(
+        st.fields.zipWithIndex.map { case (f, i) => toWritable(r.get(i), f.dataType) })
     case other       => throw new IllegalArgumentException(s"unsupported type: $other")
   }
 }

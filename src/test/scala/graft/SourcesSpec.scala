@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Formats
-import graft.sources.sequencefile.SequenceFileIO
+import graft.sources.sequencefile.{SequenceFileIO, SequenceFileSource}
 
 class SourcesSpec extends AnyFunSuite {
 
@@ -27,6 +27,69 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == 100)
     assert(back.as[(Long, String)].collect().toSet ==
       (0L until 100L).map(i => (i, s"v$i")).toSet)
+  }
+
+  test("SequenceFile sync-marker splits: one large file fans out over >1 task") {
+    val dir = tmp() + "/split"
+    // one partition -> one file, big enough for many sync blocks
+    val df = spark.range(0, 50000, 1, 1).select(col("id").as("key"),
+      concat(lit("value-padding-padding-"), col("id")).as("value"))
+    SequenceFileIO.write(df, dir)
+    val back = spark.read.format(SequenceFileSource.FORMAT)
+      .option("split_bytes", 64 * 1024)   // force many byte-range splits
+      .load(dir)
+    assert(back.rdd.getNumPartitions > 4,
+      s"expected sync splits, got ${back.rdd.getNumPartitions} partition(s)")
+    // the split-ownership protocol must neither lose nor duplicate records
+    assert(back.count() == 50000)
+    assert(back.select(sum(col("key"))).head().getLong(0) == 49999L * 50000 / 2)
+  }
+
+  test("SequenceFile composite Writables: array, map and tuple roundtrip") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp() + "/composite"
+    val rows = (0 until 50).map { i =>
+      org.apache.spark.sql.Row(
+        i.toLong,
+        org.apache.spark.sql.Row(s"s$i", Seq(i.toLong, i * 2L), Map(s"k$i" -> i.toDouble)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("c0",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("c1",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)),
+          org.apache.spark.sql.types.StructField("c2",
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.DoubleType)))))))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    SequenceFileIO.write(df, dir)
+    // read through the stock TupleWritable/MapWritable/ArrayPrimitiveWritable
+    val back = SequenceFileIO.read(spark, dir)
+    assert(back.schema("value").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val got = back.collect().map { r =>
+      val v = r.getStruct(1)
+      (r.getLong(0), v.getString(0), v.getSeq[Long](1), v.getMap[String, Double](2))
+    }.toSet
+    val want = (0 until 50).map(i =>
+      (i.toLong, s"s$i", Seq(i.toLong, i * 2L), Map(s"k$i" -> i.toDouble))).toSet
+    assert(got.map(t => (t._1, t._2, t._3, t._4.toMap)) == want)
+  }
+
+  test("SequenceFile string-array roundtrip (TextArrayWritable subclass idiom)") {
+    val dir = tmp() + "/strarr"
+    val df = spark.range(20).select(col("id").as("key"),
+      array(concat(lit("a"), col("id")), concat(lit("b"), col("id"))).as("value"))
+    SequenceFileIO.write(df, dir)
+    val back = SequenceFileIO.read(spark, dir)
+    import spark.implicits._
+    assert(back.as[(Long, Seq[String])].collect().toSet ==
+      (0L until 20L).map(i => (i, Seq(s"a$i", s"b$i"))).toSet)
   }
 
   test("SequenceFile roundtrip (int, int) and BLOCK compression") {
