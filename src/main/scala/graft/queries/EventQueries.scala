@@ -22,20 +22,35 @@ object EventQueries extends QueryModule {
   private def cents(c: Column): Column = (dec2(c) * 100).cast("long")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // The aggregate framework's descriptor set in ONE groupBy
+    // The aggregate framework's descriptor-string surface
     // (mapreduce/lib/aggregate/: LongValueSum.java:33, LongValueMax/Min,
-    // StringValueMax/Min, UniqValueCount): the reference runs these as
-    // per-key plugin aggregators; Spark runs them as one codegen'd
-    // partial+final HashAggregate (the combiner pattern, Task.java:1563).
+    // StringValueMax/Min, UniqValueCount, dispatched by type name via
+    // ValueAggregatorBaseDescriptor.generateValueAggregator, plus
+    // user-class loading): the whole descriptor set runs as one
+    // codegen'd partial+final HashAggregate (the combiner pattern,
+    // Task.java:1563). Decimal min/max demonstrate the UserDefined path.
     "agg_framework" -> ((s, dir) => {
-      ev(s, dir).groupBy("event_type").agg(
-        count(lit(1)).as("n"),
-        sum(cents(col("value"))).as("val_sum_c"),
-        min(dec2(col("value"))).as("val_min"),
-        max(dec2(col("value"))).as("val_max"),
-        countDistinct(col("user_id")).as("uniq_users"),
-        min(col("props")).as("props_min"),
-        max(col("props")).as("props_max"))
+      import graft.functions.ValueAggregators
+      val df = ev(s, dir)
+        .withColumn("one", lit(1L))
+        .withColumn("val_c", cents(col("value")))
+      ValueAggregators.aggregate(df, "event_type", Seq(
+        "LongValueSum:one",
+        "LongValueSum:val_c",
+        "UserDefined,graft.functions.DecimalMinDescriptor:value",
+        "UserDefined,graft.functions.DecimalMaxDescriptor:value",
+        "UniqValueCount:user_id",
+        "StringValueMin:props",
+        "StringValueMax:props"))
+        .select(
+          col("event_type"),
+          col("LongValueSum_one").as("n"),
+          col("LongValueSum_val_c").as("val_sum_c"),
+          col("DecimalMin_value").as("val_min"),
+          col("DecimalMax_value").as("val_max"),
+          col("UniqValueCount_user_id").as("uniq_users"),
+          col("StringValueMin_props").as("props_min"),
+          col("StringValueMax_props").as("props_max"))
     }),
 
     // UniqValueCount's cap (mapreduce/lib/aggregate/UniqValueCount.java:35-95):

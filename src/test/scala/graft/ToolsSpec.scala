@@ -66,6 +66,43 @@ class ToolsSpec extends AnyFunSuite {
     assert(acc.value == 10)
   }
 
+  test("ValueAggregators registry dispatches by descriptor type string") {
+    import graft.functions.ValueAggregators
+    val df = Seq(("a", 1L, "x"), ("a", 2L, "y"), ("a", 2L, "y"), ("b", 5L, "z"))
+      .toDF("k", "v", "s")
+    val out = ValueAggregators.aggregate(df, "k", Seq(
+      "LongValueSum:v", "longvaluemax:v", "LongValueMin:v",
+      "StringValueMin:s", "StringValueMax:s",
+      "UniqValueCount:v", "UniqValueCount:v:1", "DoubleValueSum:v"))
+      .orderBy("k").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("LongValueSum_v") == 5L)
+    assert(a.getAs[Long]("longvaluemax_v") == 2L)   // case-insensitive dispatch
+    assert(a.getAs[Long]("LongValueMin_v") == 1L)
+    assert(a.getAs[String]("StringValueMin_s") == "x")
+    assert(a.getAs[String]("StringValueMax_s") == "y")
+    assert(a.getAs[Long]("UniqValueCount_v") == 2L)
+    assert(a.getAs[Long]("UniqValueCount_v_1") == 1L)   // capped variant
+    assert(a.getAs[Double]("DoubleValueSum_v") == 5.0)
+    intercept[IllegalArgumentException] {
+      ValueAggregators.parse("BogusType:v")
+    }
+  }
+
+  test("ValueAggregators loads UserDefined descriptor classes by name") {
+    import graft.functions.ValueAggregators
+    val df = Seq(("a", 1.25), ("a", 3.75), ("b", 2.0)).toDF("k", "v")
+    val out = ValueAggregators.aggregate(df, "k",
+      Seq("UserDefined,graft.functions.DecimalMinDescriptor:v",
+          "UserDefined,graft.functions.DecimalMaxDescriptor:v"))
+      .orderBy("k").collect()
+    assert(out(0).getDecimal(1).doubleValue() == 1.25)
+    assert(out(0).getDecimal(2).doubleValue() == 3.75)
+    intercept[ClassNotFoundException] {
+      ValueAggregators.parse("UserDefined,no.such.Klass:v")
+    }
+  }
+
   test("Counters.observe reports exactly-once metrics with the action") {
     val df = spark.range(100).toDF("id")
     val (observed, obs) = Counters.observe(df, "c", count(lit(1)).as("records"),
