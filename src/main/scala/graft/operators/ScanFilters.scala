@@ -35,8 +35,12 @@ object ScanFilters {
 
   /** SkipBadRecords: run `f` per row; rows that throw are dropped and
     * counted in the returned accumulator (the reference's skip-mode
-    * side output). The input Dataset survives task retries because the
-    * accumulator only counts successfully committed tasks' failures.
+    * side output). The DROP is exact and retry-safe; the COUNT is not:
+    * accumulators updated inside a transformation can double-count under
+    * task retry/speculation (exactly-once holds only for accumulator
+    * updates in actions). Treat the counter as diagnostic — for an
+    * exactly-once skip metric, `observe` a count on the output Dataset
+    * (Counters.scala) instead.
     */
   def skipBad[T](df: DataFrame, name: String)(f: Row => T)(
       implicit enc: org.apache.spark.sql.Encoder[T]): (org.apache.spark.sql.Dataset[T], LongAccumulator) = {

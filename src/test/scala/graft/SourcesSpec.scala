@@ -152,6 +152,74 @@ class SourcesSpec extends AnyFunSuite {
     assert(hit.as[(Long, String)].collect().toSeq == Seq((4242L, "v4242")))
   }
 
+  test("xmlRecords extracts begin/end-delimited subtrees (StreamXmlRecordReader)") {
+    val dir = tmp() + "/xml"
+    val doc = """<?xml version="1.0"?>
+      |<root>
+      |  <page><title>alpha</title><body>first page</body></page>
+      |  noise between records
+      |  <page><title>beta</title><body>second page</body></page>
+      |  <page><title>gamma</title></page>
+      |</root>""".stripMargin
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part.xml"), doc)
+    val recs = Formats.xmlRecords(spark, dir, "<page>", "</page>")
+      .as[String].collect().toSeq
+    assert(recs.size == 3)
+    assert(recs.forall(r => r.startsWith("<page>") && r.endsWith("</page>")))
+    assert(recs.exists(_.contains("<title>beta</title>")))
+    assert(!recs.exists(_.contains("noise")), "inter-record bytes must not leak")
+  }
+
+  test("nLine packs exactly n lines per partition (NLineInputFormat)") {
+    val dir = tmp() + "/nline"
+    spark.range(0, 103, 1, 1).select(concat(lit("line"), col("id")).as("value"))
+      .write.text(dir)
+    val df = Formats.nLine(spark, dir, 10)
+    assert(df.rdd.getNumPartitions == 11)  // ceil(103/10)
+    val sizes = df.rdd.mapPartitions(it => Iterator(it.size)).collect().toSeq
+    assert(sizes.count(_ == 10) == 10 && sizes.count(_ == 3) == 1, s"sizes=$sizes")
+    assert(df.count() == 103)
+  }
+
+  test("multipleInputs unions per-path readers with per-path mappers") {
+    val d1 = tmp() + "/mi1"; val d2 = tmp() + "/mi2"
+    spark.range(3).select(concat(lit("k"), col("id")), lit("fromtext"))
+      .toDF("k", "src").write.csv(d1)
+    spark.range(3, 6).select(
+      concat(lit("k"), col("id"), lit("\t"), lit("v"), col("id")).as("value"))
+      .write.text(d2)
+    val out = Formats.multipleInputs(Seq(
+      Formats.In(d1, p => spark.read.csv(p),
+        df => df.select(col("_c0").as("k"), col("_c1").as("src"))),
+      Formats.In(d2, p => Formats.keyValueText(spark, p),
+        df => df.select(col("key").as("k")))))
+    assert(out.count() == 6)
+    assert(out.columns.toSet == Set("k", "src"))
+    assert(out.filter(col("src").isNull).count() == 3)
+  }
+
+  test("BinaryPartition co-locates equal key sub-arrays (BinaryPartitioner)") {
+    import graft.operators.BinaryPartition
+    val df = spark.range(1000).select(
+      col("id"),
+      // 5-byte keys: 2 id bytes then 3 bytes repeating with period 7
+      concat(expr("unhex(lpad(hex(id), 4, '0'))"),
+        expr("unhex(lpad(hex(id % 7), 6, '0'))")).as("bin"))
+    val parted = BinaryPartition.repartitionBySlice(df, "bin", 5, left = 2, right = 4)
+    val placed = parted
+      .select(expr("hex(substring(bin, 3, 3))").as("slice"))
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+    // every distinct slice must map to exactly one partition
+    val spread = placed.groupBy("slice")
+      .agg(countDistinct(col("pid")).as("nparts"))
+      .agg(max(col("nparts"))).head().getLong(0)
+    assert(spread == 1L, "equal sub-arrays split across partitions")
+    // python-style negative offsets: [-3,-1] == [2,4] for 5-byte keys
+    val alt = BinaryPartition.sliceExpr(col("bin"), -3, -1)
+    assert(df.filter(expr("substring(bin, 3, 3)") =!= alt).count() == 0)
+  }
+
   test("sniffFormat distinguishes sequencefile from text") {
     val dir = tmp()
     SequenceFileIO.write(
