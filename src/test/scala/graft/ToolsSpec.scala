@@ -16,9 +16,49 @@ class ToolsSpec extends AnyFunSuite {
   test("KeyFieldSpec parses fields, char offsets and flags") {
     val ks = KeyFieldSpec.parse("-k2,2nr -k1 -k3.2,4n")
     assert(ks == Seq(
-      KeyFieldSpec.KeySpec(2, 1, Some(2), numeric = true, reverse = true),
-      KeyFieldSpec.KeySpec(1, 1, None, numeric = false, reverse = false),
-      KeyFieldSpec.KeySpec(3, 2, Some(4), numeric = true, reverse = false)))
+      KeyFieldSpec.KeySpec(2, 1, Some(2), 0, numeric = true, reverse = true),
+      KeyFieldSpec.KeySpec(1, 1, None, 0, numeric = false, reverse = false),
+      KeyFieldSpec.KeySpec(3, 2, Some(4), 0, numeric = true, reverse = false)))
+  }
+
+  test("KeyFieldSpec matches the reference TestKeyFieldHelper matrix") {
+    import KeyFieldSpec.{parse, KeySpec}
+    // end-char offsets parse on both positions
+    assert(parse("-k1.2,3.4") == Seq(KeySpec(1, 2, Some(3), 4, false, false)))
+    // two-token form "-k 1.2"
+    assert(parse("-k 1.2") == Seq(KeySpec(1, 2, None, 0, false, false)))
+    // global flags apply only to keys with none of their own
+    assert(parse("-nr -k1.2,3.4") == Seq(KeySpec(1, 2, Some(3), 4, true, true)))
+    assert(parse("-nr -k1.2,3.4n") == Seq(KeySpec(1, 2, Some(3), 4, true, false)))
+    assert(parse("-nr -k1.2,3.4r") == Seq(KeySpec(1, 2, Some(3), 4, false, true)))
+    assert(parse("-nr -k1.2,3.4 -k5.6,7.8n -k9.10,11.12r -k13.14,15.16nr") == Seq(
+      KeySpec(1, 2, Some(3), 4, true, true),
+      KeySpec(5, 6, Some(7), 8, true, false),
+      KeySpec(9, 10, Some(11), 12, false, true),
+      KeySpec(13, 14, Some(15), 16, true, true)))
+    // flags may sit after the begin pos
+    assert(parse("-k1.2n,3.4") == Seq(KeySpec(1, 2, Some(3), 4, true, false)))
+    assert(parse("-k1.2r,3.4") == Seq(KeySpec(1, 2, Some(3), 4, false, true)))
+    assert(parse("-k1.2nr,3.4") == Seq(KeySpec(1, 2, Some(3), 4, true, true)))
+    // ...or combine across both positions (union)
+    assert(parse("-k1.2n,3.4r") == Seq(KeySpec(1, 2, Some(3), 4, true, true)))
+  }
+
+  test("KeyFieldSpec end-char offsets select the right key bytes") {
+    val df = Seq("abc defg hij", "abz defa hij").toDF("line")
+    val arr = split(col("line"), " ")
+    // -k1.3,2.2: from char 3 of field 1 through char 2 of field 2
+    val k = KeyFieldSpec.parse("-k1.3,2.2").head
+    val vals = df.select(KeyFieldSpec.keyValue(arr, k, " ")).as[String].collect().toSeq
+    assert(vals == Seq("c de", "z de"))
+    // -k2: from field 2 through end of line (unix sort semantics)
+    val k2 = KeyFieldSpec.parse("-k2").head
+    val vals2 = df.select(KeyFieldSpec.keyValue(arr, k2, " ")).as[String].collect().toSeq
+    assert(vals2 == Seq("defg hij", "defa hij"))
+    // single-field with both char bounds: -k2.2,2.3
+    val k3 = KeyFieldSpec.parse("-k2.2,2.3").head
+    val vals3 = df.select(KeyFieldSpec.keyValue(arr, k3, " ")).as[String].collect().toSeq
+    assert(vals3 == Seq("ef", "ef"))
   }
 
   test("KeyFieldSpec orders like unix sort -k") {
