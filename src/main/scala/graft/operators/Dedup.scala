@@ -118,10 +118,19 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Full near-dup pipeline: LSH candidates verified by exact Jaccard. */
+  /** Full near-dup pipeline: LSH candidates verified by exact Jaccard.
+    * `materialize` persists the shingle table, which feeds four plan
+    * branches (signatures, sizes, both verify-join sides) — without it
+    * the explode+distinct runs once per branch. At scale this
+    * intermediate would be a checkpoint.
+    */
   def nearDuplicates(df: DataFrame, id: String, text: String, k: Int,
-                     numPerm: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val sh = shingleTable(df, id, text, k)
+                     numPerm: Int, rowsPerBand: Int, threshold: Double,
+                     materialize: Boolean = false): DataFrame = {
+    val sh0 = shingleTable(df, id, text, k)
+    val sh = if (materialize)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
     val cand = minhashCandidates(sh, id, numPerm, rowsPerBand)
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
     val inter = cand

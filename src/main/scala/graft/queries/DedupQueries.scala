@@ -31,14 +31,20 @@ object DedupQueries extends QueryModule {
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
 
     // stop-shingles (document frequency > 100) are dropped before the
-    // candidate self-join — see Dedup.jaccardPairs
-    "dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(Dedup.shingleTable(docs(s, dir), "doc_id", "text", 3),
-        "doc_id", 0.5, maxDf = 100)),
+    // candidate self-join — see Dedup.jaccardPairs. The shingle table
+    // feeds four plan branches (df cap, sizes, both join sides):
+    // persist it once instead of re-running explode+distinct per branch
+    // (at scale this intermediate would be a checkpoint).
+    "dedup_jaccard" -> ((s, dir) => {
+      val sh = Dedup.shingleTable(docs(s, dir), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.jaccardPairs(sh, "doc_id", 0.5, maxDf = 100)
+    }),
 
     "dedup_minhash" -> ((s, dir) =>
       Dedup.nearDuplicates(docs(s, dir), "doc_id", "text",
-        k = 3, numPerm = 16, rowsPerBand = 4, threshold = 0.5)),
+        k = 3, numPerm = 16, rowsPerBand = 4, threshold = 0.5,
+        materialize = true)),
 
     "simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")),
 
