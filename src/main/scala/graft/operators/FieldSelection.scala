@@ -40,15 +40,17 @@ object FieldSelection {
 
   /** Column of re-joined selected fields (NULL-safe: out-of-range indices
     * contribute nothing, matching the reference's silent skip).
+    * concat_ws flattens array arguments and skips NULLs natively and is
+    * whole-stage-codegen'd — no interpreted filter/flatten HOF chain.
     */
   def selectFields(arr: Column, parts: Seq[Part], sep: String): Column = {
     val pieces: Seq[Column] = parts.map {
-      case Single(i)            => array(try_element_at(arr, lit(i + 1)))
+      case Single(i)            => try_element_at(arr, lit(i + 1))
       case Range(a, Some(b))    => slice(arr, a + 1, math.max(b - a + 1, 0))
       case Range(a, None)       =>
         slice(arr, lit(a + 1), greatest(size(arr) - a, lit(0)))
     }
-    array_join(filter(flatten(array(pieces: _*)), x => x.isNotNull), sep)
+    concat_ws(sep, pieces: _*)
   }
 
   /** Apply spec to a line column: returns (sel_key, sel_value) strings. */
