@@ -17,6 +17,13 @@ class ExamplesSpec extends AnyFunSuite {
     assert(math.abs(pi - math.Pi) < 0.01, s"estimate $pi too far from pi")
   }
 
+  test("BBP extracts the known hex digits of pi, any start offset") {
+    // π = 3.243F6A8885A308D313198A2E03707344...
+    assert(graft.jobs.Bbp.hexDigits(spark, 0, 16, 4) == "243F6A8885A308D3")
+    // digit extraction is position-independent (the distributed property)
+    assert(graft.jobs.Bbp.hexDigits(spark, 16, 8, 3) == "13198A2E")
+  }
+
   test("randomTextLines is deterministic and partitioning-independent") {
     val a = Examples.randomTextLines(spark, 500, 20, 4)
     val b = Examples.randomTextLines(spark, 500, 20, 16)

@@ -69,6 +69,48 @@ class ToolsSpec extends AnyFunSuite {
     assert(sorted == Seq("a 10", "a 2", "b 2", "b 1"))
   }
 
+  test("TypedBytes codec writes the reference wire format") {
+    import java.io._
+    def enc(v: Any): Seq[Int] = {
+      val bos = new ByteArrayOutputStream()
+      TypedBytes.write(new DataOutputStream(bos), v)
+      bos.toByteArray.toSeq.map(_ & 0xff)
+    }
+    // Type.java codes: INT(3) big-endian, STRING(7) len+utf8, BOOL(2)...
+    assert(enc(42) == Seq(3, 0, 0, 0, 42))
+    assert(enc("hi") == Seq(7, 0, 0, 0, 2, 'h'.toInt, 'i'.toInt))
+    assert(enc(true) == Seq(2, 1))
+    assert(enc(7L) == Seq(4, 0, 0, 0, 0, 0, 0, 0, 7))
+    assert(enc(Array[Byte](1, 2)) == Seq(0, 0, 0, 0, 2, 1, 2))
+    assert(enc(Seq(1, "a")) == Seq(8, 0, 0, 0, 2) ++ enc(1) ++ enc("a"))
+    assert(enc(Map("k" -> 1)) == Seq(10, 0, 0, 0, 1) ++ enc("k") ++ enc(1))
+  }
+
+  test("TypedBytes roundtrips every type including nesting and LIST") {
+    import java.io._
+    val values: Seq[Any] = Seq(42, 7L, 1.5f, 2.5, true, "text",
+      Seq(1, 2, Seq("nested")), Map("a" -> 1L))
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    values.foreach(TypedBytes.write(out, _))
+    // a reference-style LIST (code 9, MARKER-terminated) must also parse
+    out.write(9); TypedBytes.write(out, 5); TypedBytes.write(out, "x"); out.write(255)
+    val in = new DataInputStream(new ByteArrayInputStream(bos.toByteArray))
+    values.foreach(v => assert(TypedBytes.read(in) == v))
+    assert(TypedBytes.read(in) == Seq(5, "x"))
+    intercept[EOFException](TypedBytes.read(in))
+  }
+
+  test("TypedBytes.pipe frames rows through a real child process") {
+    val df = spark.range(100).select(col("id").as("key"),
+      concat(lit("v"), col("id")).as("value"))
+    // cat: byte-exact passthrough — proves framing + parsing, not just codec
+    val back = TypedBytes.pipe(df, Seq("cat"),
+      org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.StringType)
+    assert(back.as[(Long, String)].collect().toSet ==
+      (0L until 100L).map(i => (i, s"v$i")).toSet)
+  }
+
   test("Pipe runs records through an external command per partition") {
     val df = Seq(("k1", "v1"), ("k2", "v2")).toDF("k", "v")
     val out = Pipe(df, Seq("cat"), col("k"), col("v")).as[String].collect().toSet
