@@ -170,6 +170,45 @@ object Dedup {
     * `window` shingles; distinct selected hashes identify the document.
     * One shuffle by doc id; window frame is ROWS-bounded so state is O(w).
     */
+  /** SimHash near-dup PAIRS by banding: any two signatures within
+    * hamming distance `maxDist` < nBands must agree exactly on at least
+    * one of the nBands bit-bands (pigeonhole), so candidates come from
+    * an equi-join on (band, bits) — never an all-pairs comparison — and
+    * are then verified by the exact hamming distance (xor + bit_count
+    * per 16-bit chunk, all codegen'd built-ins).
+    *
+    * Takes the signature table (from [[simhash]]) so callers can
+    * materialize it across the plan's branches.
+    */
+  def simhashPairs(sig: DataFrame, id: String, maxDist: Int = 3,
+                   nBands: Int = 4): DataFrame = {
+    require(maxDist < nBands, "banding is only complete for maxDist < nBands")
+    val width = 64 / nBands
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        substring(col("simhash"), 1 + width * b, width).as("bits"))
+    }
+    val banded = sig
+      .select(col(id), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(id), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val l = banded.select(col(id).as("doc_a"), col("simhash").as("sig_a"),
+      col("band"), col("bits"))
+    val r = banded.select(col(id).as("doc_b"), col("simhash").as("sig_b"),
+      col("band"), col("bits"))
+    val hamming = (0 until nBands).map { c =>
+      bit_count(
+        conv(substring(col("sig_a"), 1 + width * c, width), 2, 10).cast("long")
+          .bitwiseXOR(
+            conv(substring(col("sig_b"), 1 + width * c, width), 2, 10).cast("long")))
+    }.reduce(_ + _)
+    l.join(r, Seq("band", "bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   def fingerprints(df: DataFrame, id: String, text: String,
                    k: Int, window: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

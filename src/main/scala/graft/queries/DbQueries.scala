@@ -38,9 +38,16 @@ object DbQueries extends QueryModule {
       Jdbc.write(access, url, "ACCESS_LOG",
         columnTypes = Some("URL VARCHAR(64), REFERRER VARCHAR(64)"))
       // DataDrivenDBInputFormat path: parallel scan split on TIME_US
-      Jdbc.readPartitioned(s, url, "ACCESS_LOG", "TIME_US", numSplits = 8)
-        .groupBy(col("URL").as("url"))
-        .agg(count(lit(1)).as("pageview"))
+      val counts = Jdbc.readPartitioned(s, url, "ACCESS_LOG", "TIME_US", numSplits = 8)
+        .groupBy(col("URL"))
+        .agg(count(lit(1)).as("PAGEVIEW"))
+      // the reference reduces INTO the DB's pageview table
+      // (DBCountPageView.java:95-98); read it back as the result, so the
+      // oracle only matches if the second roundtrip is lossless too
+      Jdbc.write(counts, url, "PAGEVIEW",
+        columnTypes = Some("URL VARCHAR(64)"))
+      Jdbc.readPartitioned(s, url, "PAGEVIEW", "PAGEVIEW", numSplits = 4)
+        .select(col("URL").as("url"), col("PAGEVIEW").as("pageview"))
     })
   )
 

@@ -48,6 +48,15 @@ object DedupQueries extends QueryModule {
 
     "simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")),
 
+    // hamming-banded near-dup pairs over the signatures (the pairs side
+    // of SimHash dedup — candidates from a band equi-join, verified by
+    // exact xor+bit_count hamming)
+    "simhash_pairs" -> ((s, dir) => {
+      val sig = Dedup.simhash(docs(s, dir), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.simhashPairs(sig, "doc_id", maxDist = 3)
+    }),
+
     "fingerprint" -> ((s, dir) =>
       Dedup.fingerprints(docs(s, dir), "doc_id", "text", k = 3, window = 4))
   )
@@ -106,6 +115,32 @@ object DedupQueries extends QueryModule {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5""".stripMargin),
+    "simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+        |  FROM documents
+        |), bsum AS (
+        |  SELECT doc_id, j,
+        |    SUM((((('0x' || substr(md5(w), j // 4 + 1, 1))::INT) >> (3 - j % 4)) & 1) * 2 - 1) AS s
+        |  FROM tok, (SELECT unnest(range(0, 64)) AS j)
+        |  GROUP BY doc_id, j
+        |), sigs AS (
+        |  SELECT doc_id,
+        |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+        |  FROM bsum GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, simhash, b AS band, substring(simhash, 1 + 16*b, 16) AS bits
+        |  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                  x.simhash AS sig_a, y.simhash AS sig_b
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(xor(sig_a::BIT, sig_b::BIT)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(sig_a::BIT, sig_b::BIT)) <= 3""".stripMargin,
     "simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w

@@ -102,6 +102,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(dup.contains((900L, 901L)), s"planted dup lost: $dup")
   }
 
+  test("Dedup.simhashPairs banding finds every pair within maxDist (pigeonhole)") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+    val banded = Dedup.simhashPairs(sig, "doc_id", maxDist = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute force over all signature pairs
+    val sigs = sig.as[(Long, String)].collect()
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if sa.zip(sb).count { case (x, y) => x != y } <= 3
+    } yield (a, b)).toSet
+    assert(banded == brute, s"banding missed ${brute.diff(banded)} / invented ${banded.diff(brute)}")
+    assert(brute.nonEmpty, "fixture should contain simhash near-dups")
+  }
+
   test("Dedup.minhash candidates cover all high-jaccard pairs (recall)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
