@@ -45,6 +45,26 @@ object CompositeJoin {
     }
   }
 
+  /** MultiFilterRecordReader
+    * (mapreduce/lib/join/MultiFilterRecordReader.java:40-56): a composite
+    * join that emits ONE value per joined tuple through a user `emit`
+    * function (OverrideRecordReader is its stock subclass). Each source's
+    * non-key columns arrive as one struct argument, NULL when that
+    * source lacks the key (the unwritten-TupleWritable-slot contract);
+    * `emit` is an ordinary Column expression, so it stays in codegen.
+    */
+  def multiFilter(key: String, dfs: Seq[DataFrame],
+                  emit: Seq[Column] => Column): DataFrame = {
+    require(dfs.nonEmpty, "multiFilter needs at least one source")
+    val packed = dfs.zipWithIndex.map { case (df, i) =>
+      val vals = df.columns.filter(_ != key).map(col)
+      df.select(col(key), struct(vals.toIndexedSeq: _*).as(s"__t$i"))
+    }
+    val joined = packed.reduce((a, b) => a.join(b, Seq(key), "full_outer"))
+    joined.select(col(key),
+      emit(dfs.indices.map(i => col(s"__t$i"))).as("value"))
+  }
+
   /** The reference's reduce-side join (hadoop-datajoin): tag rows by
     * source, group by key, cross-product the tag groups
     * (DataJoinReducerBase.java:129-214). That IS a shuffle join; exposed

@@ -39,6 +39,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Set((1, "a1"), (2, "b2"), (3, "c3")))
   }
 
+  test("CompositeJoin.multiFilter emits one value per composite tuple") {
+    val s1 = Seq((1, "a1"), (2, "a2")).toDF("k", "v")
+    val s2 = Seq((2, "b2"), (3, "b3")).toDF("k", "v")
+    // OverrideRecordReader's emit — prefer the rightmost written slot
+    val out = CompositeJoin.multiFilter("k", Seq(s1, s2),
+      ts => coalesce(ts.reverse.map(_.getField("v")): _*))
+      .as[(Int, String)].collect().toSet
+    assert(out == Set((1, "a1"), (2, "b2"), (3, "b3")))
+    // a custom emit sees every slot (NULL where the source lacks the key)
+    val n = CompositeJoin.multiFilter("k", Seq(s1, s2),
+      ts => ts.map(t => when(t.isNull, 0).otherwise(1)).reduce(_ + _))
+      .as[(Int, Int)].collect().toMap
+    assert(n == Map(1 -> 1, 2 -> 2, 3 -> 1))
+  }
+
+  test("KeyFieldSpec.partitionKey co-locates rows with equal subkeys") {
+    val df = spark.range(2000).select(
+      concat(col("id").cast("string"), lit(" "),
+        (col("id") % 13).cast("string"), lit(" tail")).as("line"))
+    val arr = split(col("line"), " ")
+    val parted = df.repartition(7, KeyFieldSpec.partitionKey(arr, "-k2,2", " "))
+    val spread = parted
+      .select(element_at(split(col("line"), " "), 2).as("sub"),
+        org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .groupBy("sub").agg(countDistinct(col("pid")).as("nparts"))
+      .agg(max(col("nparts"))).head().getLong(0)
+    assert(spread == 1L, "equal subkeys landed in different partitions")
+  }
+
   test("CompositeJoin inner requires all sources, outer keeps any") {
     val s1 = Seq((1, "a"), (2, "a")).toDF("k", "v1")
     val s2 = Seq((2, "b"), (3, "b")).toDF("k", "v2")
