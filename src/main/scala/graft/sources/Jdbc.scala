@@ -126,6 +126,110 @@ object Jdbc {
     w.jdbc(url, table, new Properties())
   }
 
+  // ---- typed splitters beyond integers ------------------------------
+
+  private val OnePlace = new java.math.BigDecimal(65536)
+  private val MaxChars = 8   // TextSplitter.MAX_CHARS (rounding guard)
+
+  private def tryDivide(n: java.math.BigDecimal, d: java.math.BigDecimal): java.math.BigDecimal =
+    try n.divide(d)
+    catch { case _: ArithmeticException =>
+      n.divide(d, 20, java.math.RoundingMode.HALF_UP) }
+
+  /** BigDecimalSplitter.split (BigDecimalSplitter.java:110-160):
+    * boundaries one longer than the split count, same tail rule as the
+    * integer splitter, with a minimum increment guard.
+    */
+  def bigDecimalSplitPoints(numSplits: Int, minVal: java.math.BigDecimal,
+                            maxVal: java.math.BigDecimal): Seq[java.math.BigDecimal] = {
+    val n = new java.math.BigDecimal(math.max(numSplits, 1))
+    val minIncrement = new java.math.BigDecimal(10000 * java.lang.Double.MIN_VALUE)
+    var splitSize = tryDivide(maxVal.subtract(minVal), n)
+    if (splitSize.compareTo(minIncrement) < 0) splitSize = minIncrement
+    val b = Seq.newBuilder[java.math.BigDecimal]
+    var cur = minVal
+    while (cur.compareTo(maxVal) <= 0) { b += cur; cur = cur.add(splitSize) }
+    val pts = b.result()
+    if (pts.last.compareTo(maxVal) != 0 || pts.size == 1) pts :+ maxVal else pts
+  }
+
+  /** TextSplitter's order-preserving string↔decimal mapping
+    * (TextSplitter.java:160-220): a string is the base-65536 fraction
+    * 0.s₀s₁s₂…, truncated at 8 chars.
+    */
+  def stringToBigDecimal(s: String): java.math.BigDecimal = {
+    var result = java.math.BigDecimal.ZERO
+    var curPlace = OnePlace
+    var i = 0
+    val len = math.min(s.length, MaxChars)
+    while (i < len) {
+      result = result.add(tryDivide(new java.math.BigDecimal(s.codePointAt(i)), curPlace))
+      curPlace = curPlace.multiply(OnePlace)
+      i += 1
+    }
+    result
+  }
+
+  def bigDecimalToString(bd: java.math.BigDecimal): String = {
+    var cur = bd.stripTrailingZeros()
+    val sb = new StringBuilder
+    var i = 0
+    while (i < MaxChars && cur.compareTo(java.math.BigDecimal.ZERO) > 0) {
+      cur = cur.multiply(OnePlace)
+      val cp = cur.intValue()
+      if (cp > 0) { sb.appendAll(Character.toChars(cp)) }
+      cur = cur.subtract(new java.math.BigDecimal(cp))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** TextSplitter.split (TextSplitter.java:63-170): pull out the common
+    * prefix, interpolate split strings through the base-65536 mapping,
+    * force the user bounds onto the ends, and emit quoted-interval
+    * predicates (values must not contain quotes — same caveat as the
+    * reference, which interpolates them raw).
+    */
+  def textSplitPredicates(col: String, numSplits: Int,
+                          minString: String, maxString: String): Seq[String] = {
+    val shared = minString.zip(maxString).takeWhile { case (a, b) => a == b }.size
+    val prefix = minString.take(shared)
+    val lo = minString.drop(shared)
+    val hi = maxString.drop(shared)
+    var pts = bigDecimalSplitPoints(numSplits, stringToBigDecimal(lo), stringToBigDecimal(hi))
+      .map(bd => prefix + bigDecimalToString(bd))
+    if (pts.headOption != Some(minString)) pts = minString +: pts
+    if (pts.size == 1 || pts.last != maxString) pts = pts :+ maxString
+    pts.sliding(2).toSeq.zipWithIndex.collect {
+      case (Seq(a, b), i) if a != b || i == pts.size - 2 =>
+        val last = i == pts.size - 2
+        val upper = if (last) s"$col <= '$b'" else s"$col < '$b'"
+        s"( $col >= '$a' ) AND ( $upper )"
+    }
+  }
+
+  /** DataDrivenDBInputFormat with the TextSplitter: for tables whose
+    * only usable split column is textual (the reference warns, then
+    * splits anyway — TextSplitter.java:66-69).
+    */
+  def readPartitionedText(spark: SparkSession, url: String, table: String,
+                          splitCol: String, numSplits: Int): DataFrame = {
+    val conn = connect(url)
+    val bounds =
+      try {
+        val rs = conn.createStatement().executeQuery(
+          s"SELECT MIN($splitCol), MAX($splitCol) FROM $table")
+        rs.next()
+        (Option(rs.getString(1)), Option(rs.getString(2)))
+      } finally conn.close()
+    bounds match {
+      case (Some(lo), Some(hi)) if numSplits > 1 =>
+        val preds = textSplitPredicates(splitCol, numSplits, lo, hi)
+        spark.read.jdbc(url, table, preds.toArray, new Properties())
+      case _ => spark.read.jdbc(url, table, new Properties())
+    }
+  }
+
   /** DBOutputFormat.constructQuery parity (DBOutputFormat.java:135-160). */
   def constructInsertQuery(table: String, fieldNames: Array[String]): String = {
     require(fieldNames != null, "Field names may not be null")

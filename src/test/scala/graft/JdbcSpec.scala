@@ -63,6 +63,45 @@ class JdbcSpec extends AnyFunSuite {
       (0L until 100L).map(i => (i, s"row$i")).toSet)
   }
 
+  test("TextSplitter mapping is order-preserving and invertible on prefixes") {
+    val words = Seq("Ham", "Happy", "Haze", "alpha", "omega", "zebra")
+    val mapped = words.map(Jdbc.stringToBigDecimal)
+    assert(mapped == mapped.sorted, "base-65536 mapping must preserve order")
+    // roundtrip through the decimal space reproduces the string (<=8 chars)
+    words.foreach { w =>
+      assert(Jdbc.bigDecimalToString(Jdbc.stringToBigDecimal(w)) == w)
+    }
+  }
+
+  test("text split predicates cover the range with the user bounds pinned") {
+    val preds = Jdbc.textSplitPredicates("name", 3, "Ham", "Haze")
+    // shared prefix "Ha" stays on every interpolated bound
+    assert(preds.nonEmpty && preds.forall(_.contains("name >= 'Ha")))
+    assert(preds.head.contains("( name >= 'Ham' )"))
+    assert(preds.last.contains("name <= 'Haze'"))
+    assert(preds.init.forall(_.contains("<")), "interior intervals are half-open")
+  }
+
+  test("partitioned text read over Derby: complete and disjoint") {
+    val url = Jdbc.derbyUrl(tmpDb())
+    val df = spark.range(200).select(
+      concat(lit("name"), lpad(col("id").cast("string"), 3, "0")).as("NAME"),
+      col("id").as("ID"))
+    Jdbc.write(df, url, "T_TEXT", columnTypes = Some("NAME VARCHAR(16)"))
+    val back = Jdbc.readPartitionedText(spark, url, "T_TEXT", "NAME", 4)
+    assert(back.rdd.getNumPartitions >= 2, "text splits should fan out")
+    assert(back.count() == 200, "intervals must be disjoint (no duplicates)")
+    assert(back.select(col("ID")).as[Long].collect().toSet == (0L until 200L).toSet)
+  }
+
+  test("BigDecimal split points mirror the integer splitter's tail rule") {
+    def bd(i: Int) = new java.math.BigDecimal(i)
+    val pts = Jdbc.bigDecimalSplitPoints(2, bd(0), bd(5))
+    assert(pts.map(_.intValue()) == Seq(0, 2, 5) ||
+      pts.map(_.doubleValue()).last == 5.0)
+    assert(pts.head == bd(0) && pts.last.compareTo(bd(5)) == 0)
+  }
+
   test("partitioned read with conditions (getInputConditions analog)") {
     val url = Jdbc.derbyUrl(tmpDb())
     val df = spark.range(50).select(col("id").as("ID"), (col("id") % 5).as("K"))
