@@ -25,7 +25,13 @@ import org.apache.spark.sql.functions._
 class TeraRecordOutputFormat extends FileOutputFormat[BytesWritable, NullWritable] {
   override def getRecordWriter(ctx: TaskAttemptContext): RecordWriter[BytesWritable, NullWritable] = {
     val file = getDefaultWorkFile(ctx, "")
-    val out = file.getFileSystem(ctx.getConfiguration).create(file, false)
+    val fs = file.getFileSystem(ctx.getConfiguration)
+    // local runs: skip the ChecksumFileSystem's per-512-byte CRC side
+    // files (HDFS checksums at the block layer; TeraOutputFormat doesn't
+    // write .crc either). No-op on filesystems without client checksums.
+    fs.setWriteChecksum(false)
+    fs.setVerifyChecksum(false)
+    val out = fs.create(file, false)
     new RecordWriter[BytesWritable, NullWritable] {
       override def write(k: BytesWritable, v: NullWritable): Unit =
         out.write(k.getBytes, 0, k.getLength)
