@@ -41,6 +41,18 @@ object Dedup {
     df.select(col(id), explode(wordShingles(tokens(col(text)), k)).as("sh"))
       .distinct()
 
+  /** Shingles reduced to their Carter-Wegman hash halves: ONE md5 per
+    * (doc, shingle) yields h1/h2 (60-bit hex halves). Downstream
+    * self-joins and frequency counts key on `h1` — a long, not the
+    * shingle string — so the shuffle carries 8 bytes per shingle instead
+    * of the text. h2 feeds the minhash permutations. Identical-by-
+    * construction in the DuckDB oracle ('0x'||substr(md5(sh),...)).
+    */
+  def shingleHashes(shingles: DataFrame, id: String): DataFrame =
+    shingles.select(col(id),
+      expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)").as("h1"),
+      expr("cast(conv(substring(md5(sh), 17, 15), 16, 10) as bigint)").as("h2"))
+
   /** Exact Jaccard-similar pairs >= threshold, candidate generation by
     * shared shingle. `maxDf` > 0 drops stop-shingles (document frequency
     * above the cap) BEFORE the self-join: one hot shingle otherwise
@@ -85,15 +97,16 @@ object Dedup {
     * arithmetic), aggregated in a single groupBy pass with numPerm
     * codegen'd `min` columns.
     */
-  def minhashSignatures(shingles: DataFrame, id: String, numPerm: Int): DataFrame = {
+  def minhashSignatures(shingles: DataFrame, id: String, numPerm: Int): DataFrame =
+    minhashSignaturesFromHashes(shingleHashes(shingles, id), id, numPerm)
+
+  /** Signature aggregation over a pre-hashed shingle table (h1, h2). */
+  def minhashSignaturesFromHashes(hashes: DataFrame, id: String, numPerm: Int): DataFrame = {
     val p = 1000000007L
-    val withH = shingles
-      .withColumn("__h1", expr(s"cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint) % $p"))
-      .withColumn("__h2", expr(s"cast(conv(substring(md5(sh), 17, 15), 16, 10) as bigint) % $p"))
     val mins = (0 until numPerm).map { i =>
-      min((col("__h1") + lit(i.toLong) * col("__h2")) % p).as(s"s$i")
+      min((col("h1") % p + lit(i.toLong) * (col("h2") % p)) % p).as(s"s$i")
     }
-    withH.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+    hashes.groupBy(col(id)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: hash each run of `rowsPerBand` signature slots; docs
@@ -101,8 +114,13 @@ object Dedup {
     * quadratic blowup).
     */
   def minhashCandidates(shingles: DataFrame, id: String,
-                        numPerm: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minhashSignatures(shingles, id, numPerm)
+                        numPerm: Int, rowsPerBand: Int): DataFrame =
+    minhashCandidatesFromHashes(minhashSignatures(shingles, id, numPerm),
+      id, numPerm, rowsPerBand)
+
+  /** LSH banding over a precomputed signature table s0..sN-1. */
+  def minhashCandidatesFromHashes(sig: DataFrame, id: String,
+                                  numPerm: Int, rowsPerBand: Int): DataFrame = {
     val nBands = numPerm / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
@@ -127,16 +145,19 @@ object Dedup {
   def nearDuplicates(df: DataFrame, id: String, text: String, k: Int,
                      numPerm: Int, rowsPerBand: Int, threshold: Double,
                      materialize: Boolean = false): DataFrame = {
-    val sh0 = shingleTable(df, id, text, k)
-    val sh = if (materialize)
-      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else sh0
-    val cand = minhashCandidates(sh, id, numPerm, rowsPerBand)
-    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val hs0 = shingleHashes(shingleTable(df, id, text, k), id)
+    // the hashed table (id, h1, h2) feeds four branches; 8-byte keys
+    // cross every shuffle instead of shingle strings
+    val hs = if (materialize)
+      hs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else hs0
+    val cand = minhashCandidatesFromHashes(
+      minhashSignaturesFromHashes(hs, id, numPerm), id, numPerm, rowsPerBand)
+    val sizes = hs.groupBy(col(id)).agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(sh.select(col(id).as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col(id).as("doc_b"), col("sh").as("sh2")), "doc_b")
-      .filter(col("sh") === col("sh2"))
+      .join(hs.select(col(id).as("doc_a"), col("h1")), "doc_a")
+      .join(hs.select(col(id).as("doc_b"), col("h1").as("h1b")), "doc_b")
+      .filter(col("h1") === col("h1b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     val jac = col("n_inter").cast("double") /
       (col("na") + col("nb") - col("n_inter"))

@@ -31,12 +31,15 @@ object DedupQueries extends QueryModule {
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
 
     // stop-shingles (document frequency > 100) are dropped before the
-    // candidate self-join — see Dedup.jaccardPairs. The shingle table
-    // feeds four plan branches (df cap, sizes, both join sides):
-    // persist it once instead of re-running explode+distinct per branch
-    // (at scale this intermediate would be a checkpoint).
+    // candidate self-join — see Dedup.jaccardPairs. Shingles are reduced
+    // to 60-bit md5 hashes first (8-byte join keys, not strings), and
+    // the hashed table feeding four plan branches (df cap, sizes, both
+    // join sides) is persisted instead of re-running explode+distinct
+    // per branch (at scale this intermediate would be a checkpoint).
     "dedup_jaccard" -> ((s, dir) => {
-      val sh = Dedup.shingleTable(docs(s, dir), "doc_id", "text", 3)
+      val sh = Dedup.shingleHashes(
+        Dedup.shingleTable(docs(s, dir), "doc_id", "text", 3), "doc_id")
+        .select(col("doc_id"), col("h1").as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.jaccardPairs(sh, "doc_id", 0.5, maxDf = 100)
     }),
@@ -67,9 +70,11 @@ object DedupQueries extends QueryModule {
         |       CAST(COUNT(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_jaccard" -> (shingleCte +
-      """, kept AS (
-        |  SELECT s.* FROM sh s
-        |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100) ok USING (sh)
+      """, hsh AS (
+        |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS sh FROM sh
+        |), kept AS (
+        |  SELECT s.* FROM hsh s
+        |  JOIN (SELECT sh FROM hsh GROUP BY sh HAVING COUNT(*) <= 100) ok USING (sh)
         |), sizes AS (
         |  SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id
         |), inter AS (
@@ -85,12 +90,13 @@ object DedupQueries extends QueryModule {
         |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5""".stripMargin),
     "dedup_minhash" -> (shingleCte +
       """, hh AS (
-        |  SELECT doc_id, sh,
-        |         ('0x' || substring(md5(sh), 1, 15))::BIGINT % 1000000007 AS h1,
-        |         ('0x' || substring(md5(sh), 17, 15))::BIGINT % 1000000007 AS h2
+        |  SELECT doc_id,
+        |         ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h1,
+        |         ('0x' || substring(md5(sh), 17, 15))::BIGINT AS h2
         |  FROM sh
         |), m AS (
-        |  SELECT doc_id, i, min((h1 + i * h2) % 1000000007) AS s
+        |  SELECT doc_id, i,
+        |         min((h1 % 1000000007 + i * (h2 % 1000000007)) % 1000000007) AS s
         |  FROM hh, (SELECT unnest(range(0, 16)) AS i)
         |  GROUP BY doc_id, i
         |), bands AS (
@@ -101,12 +107,12 @@ object DedupQueries extends QueryModule {
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
         |), sizes AS (
-        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |  SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id
         |), inter AS (
         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
         |  FROM cand c
-        |  JOIN sh x ON x.doc_id = c.doc_a
-        |  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+        |  JOIN hh x ON x.doc_id = c.doc_a
+        |  JOIN hh y ON y.doc_id = c.doc_b AND y.h1 = x.h1
         |  GROUP BY c.doc_a, c.doc_b
         |)
         |SELECT doc_a, doc_b, CAST(ni AS BIGINT) AS n_inter,
