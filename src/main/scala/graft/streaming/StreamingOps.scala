@@ -26,6 +26,39 @@ object StreamingOps {
         count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("val_sum"))
 
+  /** Streaming exact dedup — the training-pipeline dedup op over an
+    * unbounded source: duplicates arriving within the watermark horizon
+    * are dropped, and state expires with the watermark (bounded, unlike
+    * a naive global dropDuplicates whose state only grows).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String], watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Watermarked stream-stream self-join: for every `firstType` event,
+    * the same user's `thenType` events within `within` (funnel
+    * correlation, e.g. view -> purchase). Both join states are bounded
+    * by watermark + interval — the range condition is what lets Spark
+    * evict, so it is load-bearing at scale, not an optimization.
+    */
+  def followWithin(events: DataFrame, firstType: String, thenType: String,
+                   within: String, watermark: String): DataFrame = {
+    val a = events.filter(col("event_type") === firstType)
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+        col("event_id").as("a_id"))
+    val b = events.filter(col("event_type") === thenType)
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("b_id"))
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $within"))
+      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"))
+  }
+
   final case class Ev(user_id: Long, us: Long)
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -65,4 +65,43 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == closed)
   }
+
+  test("streaming dedup keeps one event per user (bounded state)") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = StreamingOps.dedupStream(stream, Seq("user_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val batch = Tables(spark, "/root/testdata/sf0.001", "events")
+    // which duplicate survives is arrival-dependent; the dedup CONTRACT
+    // is one row per key and no invented keys
+    val got = spark.table("dedup").select("user_id").as[Long].collect().toSeq
+    assert(got.distinct.size == got.size, "duplicates survived")
+    assert(got.toSet == batch.select("user_id").distinct().as[Long].collect().toSet)
+  }
+
+  test("stream-stream interval self-join matches the batch join") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = StreamingOps.followWithin(stream, "view", "purchase", "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("funnel").select("a_id", "b_id")
+      .as[(Long, Long)].collect().toSet
+
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+    val a = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"), col("event_id").as("a_id"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("event_id").as("b_id"))
+    val want = a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 30 minutes"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture should contain view->purchase funnels")
+    assert(got == want)
+  }
 }
