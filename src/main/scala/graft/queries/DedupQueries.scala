@@ -37,11 +37,14 @@ object DedupQueries extends QueryModule {
     // join sides) is persisted instead of re-running explode+distinct
     // per branch (at scale this intermediate would be a checkpoint).
     "dedup_jaccard" -> ((s, dir) => {
-      val sh = Dedup.shingleHashes(
+      // persist the SAME (id, h1, h2) plan dedup_minhash materializes:
+      // the cache manager matches plans, so one session running both
+      // queries shingles the corpus once
+      val hs = Dedup.shingleHashes(
         Dedup.shingleTable(docs(s, dir), "doc_id", "text", 3), "doc_id")
-        .select(col("doc_id"), col("h1").as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Dedup.jaccardPairs(sh, "doc_id", 0.5, maxDf = 100)
+      Dedup.jaccardPairs(hs.select(col("doc_id"), col("h1").as("sh")),
+        "doc_id", 0.5, maxDf = 100)
     }),
 
     "dedup_minhash" -> ((s, dir) =>
