@@ -220,6 +220,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.filter(expr("substring(bin, 3, 3)") =!= alt).count() == 0)
   }
 
+  test("small files coalesce into few partitions (CombineFileInputFormat)") {
+    val dir = tmp() + "/many"
+    // 40 tiny files (one per partition)
+    spark.range(0, 400, 1, 40).select(col("id").cast("string").as("value"))
+      .write.text(dir)
+    val fine = spark.read.text(dir)
+    // Spark's file coalescing (maxPartitionBytes/openCostInBytes) is the
+    // built-in CombineFileInputFormat: far fewer partitions than files
+    assert(fine.rdd.getNumPartitions < 40,
+      s"expected coalesced splits, got ${fine.rdd.getNumPartitions}")
+    assert(fine.count() == 400)
+  }
+
+  test("TextOutputFormat roundtrip: key TAB value lines re-read as KV") {
+    val dir = tmp() + "/kvout"
+    val df = spark.range(50).select(
+      concat(lit("k"), col("id")).as("key"),
+      concat(lit("v"), col("id")).as("value"))
+    // TextOutputFormat's key \t value framing
+    df.select(concat_ws("\t", col("key"), col("value")).as("line"))
+      .write.text(dir)
+    val back = Formats.keyValueText(spark, dir)
+    import spark.implicits._
+    assert(back.as[(String, String)].collect().toSet ==
+      (0 until 50).map(i => (s"k$i", s"v$i")).toSet)
+  }
+
   test("sniffFormat distinguishes sequencefile from text") {
     val dir = tmp()
     SequenceFileIO.write(
