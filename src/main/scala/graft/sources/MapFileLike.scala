@@ -31,4 +31,64 @@ object MapFileLike {
   /** Point lookup — an equality filter the scan pushes down. */
   def get(table: DataFrame, key: String, value: Any): DataFrame =
     table.filter(col(key) === lit(value))
+
+  // ---- byte-compatible MapFile (reference consumers can read it) ----
+
+  /** Write a REAL Hadoop MapFile (data + index SequenceFiles) per
+    * partition, byte-compatible with MapFile.Reader
+    * (hadoop-common/.../io/MapFile.java:98 Writer, :342 Reader). Each
+    * partition must arrive sorted by key — the same precondition the
+    * reference's Writer enforces — so the caller range-partitions and
+    * sorts first (as done here). Returns the partition directories.
+    */
+  def writeMapFiles(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.io._
+    import graft.sources.sequencefile.SequenceFileIO
+    val schema = df.schema
+    require(schema.length == 2, s"mapfile write needs (key, value), got $schema")
+    val kt = schema(0).dataType
+    val vt = schema(1).dataType
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val sorted = df.repartitionByRange(col(schema(0).name))
+      .sortWithinPartitions(col(schema(0).name))
+    sorted.rdd.foreachPartition { it =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.get().partitionId()
+        val conf = confSer.value
+        val dir = new org.apache.hadoop.fs.Path(f"$path/part-$pid%05d")
+        val writer = new MapFile.Writer(conf, dir,
+          MapFile.Writer.keyClass(
+            SequenceFileIO.writableClass(kt).asSubclass(classOf[WritableComparable[_]])),
+          MapFile.Writer.valueClass(SequenceFileIO.writableClass(vt)))
+        try it.foreach { row =>
+          writer.append(
+            SequenceFileIO.toWritable(row.get(0), kt).asInstanceOf[WritableComparable[_]],
+            SequenceFileIO.toWritable(row.get(1), vt))
+        } finally writer.close()
+      }
+    }
+  }
+
+  /** MapFile.get through the reference's own Reader (index seek + one
+    * data-block read) across the partition directories — the
+    * MapFileOutputFormat.getEntry pattern
+    * (mapreduce/lib/output/MapFileOutputFormat.java:88-108, which hashes
+    * to ONE reader; here range partitioning means probing each range
+    * until hit, still O(partitions) index lookups, no scan).
+    */
+  def getFromMapFiles(spark: SparkSession, path: String, key: Long): Option[String] = {
+    import org.apache.hadoop.io._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+    val k = new LongWritable(key)
+    val v = new Text()
+    dirs.iterator.flatMap { d =>
+      val reader = new MapFile.Reader(d, conf)
+      try Option(reader.get(k, v)).map(_.toString)
+      finally reader.close()
+    }.nextOption()
+  }
 }

@@ -20,6 +20,17 @@ object SequenceFileIO {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format(SequenceFileSource.FORMAT).load(path)
 
+  /** SequenceFileAsTextInputFormat
+    * (mapreduce/lib/input/SequenceFileAsTextInputFormat.java:35): the
+    * same scan with both columns stringified via toString semantics.
+    */
+  def readAsText(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    read(spark, path).select(
+      col("key").cast("string").as("key"),
+      col("value").cast("string").as("value"))
+  }
+
   /** Write a two-column (key, value) DataFrame. `compression` is NONE,
     * RECORD or BLOCK (deflate codec — pure-java, no native deps).
     */

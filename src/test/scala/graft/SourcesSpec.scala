@@ -247,6 +247,30 @@ class SourcesSpec extends AnyFunSuite {
       (0 until 50).map(i => (s"k$i", s"v$i")).toSet)
   }
 
+  test("real MapFile roundtrip: Hadoop Reader.get finds keys via the index") {
+    import graft.sources.MapFileLike
+    val dir = tmp() + "/mapfile"
+    val df = spark.range(0, 1000).select(col("id").as("key"),
+      concat(lit("row-"), col("id")).as("value"))
+    MapFileLike.writeMapFiles(df, dir)
+    // byte-compatible: the stock MapFile.Reader seeks these files
+    assert(MapFileLike.getFromMapFiles(spark, dir, 421L) == Some("row-421"))
+    assert(MapFileLike.getFromMapFiles(spark, dir, 0L) == Some("row-0"))
+    assert(MapFileLike.getFromMapFiles(spark, dir, 999L) == Some("row-999"))
+    assert(MapFileLike.getFromMapFiles(spark, dir, 12345L).isEmpty)
+  }
+
+  test("SequenceFile AsText variant stringifies both columns") {
+    val dir = tmp() + "/astext"
+    val df = spark.range(10).select(col("id").as("key"), (col("id") * 2).as("value"))
+    SequenceFileIO.write(df, dir)
+    val back = SequenceFileIO.readAsText(spark, dir)
+    import spark.implicits._
+    assert(back.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(back.as[(String, String)].collect().toSet ==
+      (0 until 10).map(i => (s"$i", s"${i * 2}")).toSet)
+  }
+
   test("sniffFormat distinguishes sequencefile from text") {
     val dir = tmp()
     SequenceFileIO.write(
