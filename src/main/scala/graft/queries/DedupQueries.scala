@@ -52,7 +52,11 @@ object DedupQueries extends QueryModule {
         k = 3, numPerm = 16, rowsPerBand = 4, threshold = 0.5,
         materialize = true)),
 
-    "simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")),
+    // persisted: simhash_pairs persists the identical signature plan, so
+    // a session running both computes signatures once (cache-manager
+    // plan matching, as with the jaccard/minhash shingle table)
+    "simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
 
     // hamming-banded near-dup pairs over the signatures (the pairs side
     // of SimHash dedup — candidates from a band equi-join, verified by
