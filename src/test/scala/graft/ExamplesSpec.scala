@@ -17,6 +17,33 @@ class ExamplesSpec extends AnyFunSuite {
     assert(math.abs(pi - math.Pi) < 0.01, s"estimate $pi too far from pi")
   }
 
+  test("JobControl runs a diamond DAG in dependency order; failures cascade") {
+    import graft.jobs.JobControl
+    import JobControl.ControlledJob
+    val log = scala.collection.mutable.Buffer[String]()
+    def job(n: String, deps: String*) =
+      ControlledJob(n, deps.toSeq, () => { log += n; () })
+    val (st, order) = JobControl.run(Seq(
+      job("d", "b", "c"), job("b", "a"), job("c", "a"), job("a")))
+    assert(st.values.forall(_ == JobControl.Success))
+    assert(order.head == "a" && order.last == "d")
+    assert(log.indexOf("b") > log.indexOf("a") && log.indexOf("d") > log.indexOf("c"))
+
+    // a failing job: dependents get DEPENDENT_FAILED, independents run
+    val (st2, order2) = JobControl.run(Seq(
+      ControlledJob("boom", Seq.empty, () => sys.error("x")),
+      job("down", "boom"),
+      job("solo")))
+    assert(st2("boom") == JobControl.Failed)
+    assert(st2("down") == JobControl.DependentFailed)
+    assert(st2("solo") == JobControl.Success)
+    assert(!order2.contains("down"))
+
+    intercept[IllegalArgumentException] {
+      JobControl.run(Seq(job("x", "y"), job("y", "x")))
+    }
+  }
+
   test("BBP extracts the known hex digits of pi, any start offset") {
     // π = 3.243F6A8885A308D313198A2E03707344...
     assert(graft.jobs.Bbp.hexDigits(spark, 0, 16, 4) == "243F6A8885A308D3")
