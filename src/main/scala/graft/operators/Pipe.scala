@@ -26,4 +26,19 @@ object Pipe {
       .as[String].rdd.pipe(cmd)
     spark.createDataset(lines).toDF("line")
   }
+
+  /** The streaming key-field output configs
+    * (`stream.map.output.field.separator` +
+    * `stream.num.map.output.key.fields`, PipeMapRed.java:120-140): the
+    * child's stdout line splits at the numKeyFields-th separator into
+    * (key, value) — the frame the reference's shuffle then sorts on.
+    */
+  def keyed(df: DataFrame, cmd: Seq[String], sep: String,
+            numKeyFields: Int, cols: Column*): DataFrame = {
+    val arr = split(col("line"), java.util.regex.Pattern.quote(sep))
+    apply(df, cmd, cols: _*).select(
+      concat_ws(sep, slice(arr, 1, numKeyFields)).as("key"),
+      concat_ws(sep, slice(arr, lit(numKeyFields + 1),
+        greatest(size(arr) - numKeyFields, lit(0)))).as("value"))
+  }
 }

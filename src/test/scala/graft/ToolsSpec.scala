@@ -117,6 +117,20 @@ class ToolsSpec extends AnyFunSuite {
     assert(out == Set("k1\tv1", "k2\tv2"))
   }
 
+  test("Pipe.keyed reframes child output at the numKeyFields-th separator") {
+    val df = Seq(("a", "b", "c"), ("x", "y", "z")).toDF("c1", "c2", "c3")
+    // tr turns tabs into spaces; key = first 2 space-fields, value = rest
+    val out = Pipe.keyed(df, Seq("tr", "\t", " "), " ", 2,
+      col("c1"), col("c2"), col("c3"))
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("a b", "c"), ("x y", "z")))
+    // a line with no fields past the key: empty value (reference behavior)
+    val df2 = Seq(("k", "only")).toDF("c1", "c2")
+    val out2 = Pipe.keyed(df2, Seq("cat"), "\t", 2, col("c1"), col("c2"))
+      .as[(String, String)].collect().toSet
+    assert(out2 == Set(("k\tonly", "")))
+  }
+
   test("MultiOutput routes records by column and by named predicate") {
     val dir = Files.createTempDirectory("graft-mo").toString
     val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "tag")
