@@ -45,6 +45,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.select(sum(col("key"))).head().getLong(0) == 49999L * 50000 / 2)
   }
 
+  test("SequenceFile sync splits work on BLOCK-compressed files") {
+    val dir = tmp() + "/blksplit"
+    val df = spark.range(0, 30000, 1, 1).select(col("id").as("key"),
+      concat(lit("padding-value-"), col("id")).as("value"))
+    SequenceFileIO.write(df, dir, compression = "BLOCK")
+    val back = spark.read.format(SequenceFileSource.FORMAT)
+      .option("split_bytes", 16 * 1024)
+      .load(dir)
+    assert(back.rdd.getNumPartitions > 1)
+    assert(back.count() == 30000, "block-compressed splits lost/duplicated records")
+    assert(back.select(sum(col("key"))).head().getLong(0) == 29999L * 30000 / 2)
+  }
+
   test("SequenceFile composite Writables: array, map and tuple roundtrip") {
     import scala.jdk.CollectionConverters._
     val dir = tmp() + "/composite"
