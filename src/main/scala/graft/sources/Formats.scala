@@ -41,6 +41,11 @@ object Formats {
     * reader (Hadoop's LineRecordReader handles split-straddling records
     * exactly as the reference's seek-to-begin does), then each chunk is
     * trimmed to its first begin mark and the end mark restored.
+    *
+    * Known deviation: a malformed trailing fragment (a begin mark never
+    * closed before EOF) is emitted with the end mark appended, where the
+    * reference's reader drops it (StreamXmlRecordReader fast-match fails
+    * at EOF). Well-formed documents are unaffected.
     */
   def xmlRecords(spark: SparkSession, path: String,
                  begin: String, end: String): DataFrame = {
