@@ -1,27 +1,91 @@
 package graft
+
+/** Per-round benchmark harness. One JSON line to stdout.
+  *
+  * Methodology (the round-2 verdict's top item — single-shot timings
+  * moved 3-10× between identical runs):
+  *  - N passes over the whole suite round-robin (default 3,
+  *    SPARK_GRAFT_BENCH_ITERS): a query's N samples are separated in
+  *    time, so a disk-contention spike hits one sample, not all of them;
+  *    the reported per-query number is the MEDIAN, with min/max spread
+  *    alongside.
+  *  - `spark.catalog.clearCache()` before every measurement: no query's
+  *    persisted intermediates (dedup's shared shingle table) perturb a
+  *    later query's sample.
+  *  - An untimed warmup pass (JIT + codegen) precedes the loop.
+  *  - A query that throws reports -1 (NOT its elapsed time) and lands in
+  *    `failed` — a crash can't masquerade as a fast pass.
+  *  - noop sink computes every declared column (count() would let
+  *    Catalyst prune map-shaped work to nothing).
+  *
+  * Alongside the query suite, the reference's benchmark harnesses
+  * (BASELINE.md metrics): MRBench small-job latency and TestDFSIO
+  * sequential write/read MB/s (graft.jobs.LoadGen).
+  */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // bench contract is local[32] (the driver may or may not export CPUS)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val spark = GraftSession.build(cpus)
     // steady-state measurement: absorb JVM/codegen warmup outside the
     // timed loop (the first query otherwise pays ~4s of JIT)
     spark.range(0, 1000000, 1, 8)
       .selectExpr("sum(id)", "count(distinct id % 100)").collect()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.LinkedHashMap(
+      names.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    for (_ <- 1 to iters; (name, fn) <- names) {
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      // noop sink: every declared column is computed (count() would let
-      // Catalyst prune the projections of map-shaped queries to nothing).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      samples(name) = samples(name) :+ t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    spark.catalog.clearCache()
+
+    val med = samples.map { case (name, ts) =>
+      name -> (if (ts.exists(_ < 0)) -1.0 else median(ts))
+    }
+    val failed = med.collect { case (n, v) if v < 0 => n }.toSeq
+    val total = med.values.filter(_ >= 0).sum
+
+    // reference benchmark harnesses (MRBench.java:173-233 avg latency;
+    // TestDFSIO.java:88-103 sequential MB/s), sized small enough to not
+    // dominate the round but large enough to exceed fixed overhead
+    val benchDir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-bench-${ProcessHandle.current().pid()}"
+    val mrRuns = jobs.LoadGen.mrbench(spark, s"$benchDir/mrbench", inputLines = 1000, runs = 4)
+    val mrAvg = mrRuns.sum / mrRuns.length
+    val dfsioMb = sys.env.getOrElse("SPARK_GRAFT_DFSIO_MB", "256").toInt
+    val dfsioFiles = 8
+    val (_, wMbps) = jobs.LoadGen.dfsioWrite(spark, s"$benchDir/dfsio", dfsioFiles, dfsioMb / dfsioFiles)
+    val (_, rMbps) = jobs.LoadGen.dfsioRead(spark, s"$benchDir/dfsio")
+    sources.TeraIO.delete(spark, benchDir)
+
+    def jm(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jm(med.map { case (k, v) => k -> v.toString })
+    val spread = jm(samples.map { case (k, ts) =>
+      k -> ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    })
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","iterations":$iters,"samples":$spread,"failed":$failedJson""" +
+      f""","mrbench_avg_latency_sec":$mrAvg%.3f,"dfsio_write_mbps":$wMbps%.1f,"dfsio_read_mbps":$rMbps%.1f}""")
     spark.stop()
   }
 }

@@ -17,32 +17,42 @@ object Aggregators {
     * Reference: UniqValueCount (mapreduce/lib/aggregate/UniqValueCount.java:35-95)
     * stops inserting once the set reaches
     * `mapreduce.aggregate.max.num.unique.values`, so its report is
-    * min(#distinct, cap). The bounded buffer makes the aggregation safe on
-    * skewed keys at scale: state is O(cap) per group, never O(#distinct).
-    * merge() fills from the other set until the cap, which preserves
-    * size = min(cap, |A ∪ B|) — the reported count is deterministic even
-    * though the retained sample is partition-order dependent.
+    * min(#distinct, cap). The reference caps *arbitrary* values (its
+    * state is a TreeMap keyed by the value's string form), hence the type
+    * parameter — [[cappedDistinct]] is the long lane, [[cappedDistinctString]]
+    * the faithful string lane. The bounded buffer makes the aggregation
+    * safe on skewed keys at scale: state is O(cap) per group, never
+    * O(#distinct). merge() fills from the other set until the cap, which
+    * preserves size = min(cap, |A ∪ B|) — the reported count is
+    * deterministic even though the retained sample is partition-order
+    * dependent.
     */
-  case class CappedDistinct(cap: Int)
-      extends Aggregator[Long, mutable.HashSet[Long], Long] {
-    def zero: mutable.HashSet[Long] = mutable.HashSet.empty
-    def reduce(b: mutable.HashSet[Long], a: Long): mutable.HashSet[Long] = {
+  case class CappedDistinct[T](cap: Int)
+      extends Aggregator[T, mutable.HashSet[T], Long] {
+    def zero: mutable.HashSet[T] = mutable.HashSet.empty
+    def reduce(b: mutable.HashSet[T], a: T): mutable.HashSet[T] = {
       if (b.size < cap) b += a
       b
     }
-    def merge(a: mutable.HashSet[Long], b: mutable.HashSet[Long]): mutable.HashSet[Long] = {
+    def merge(a: mutable.HashSet[T], b: mutable.HashSet[T]): mutable.HashSet[T] = {
       val it = b.iterator
       while (a.size < cap && it.hasNext) a += it.next()
       a
     }
-    def finish(r: mutable.HashSet[Long]): Long = r.size.toLong
-    def bufferEncoder: Encoder[mutable.HashSet[Long]] = Encoders.kryo
+    def finish(r: mutable.HashSet[T]): Long = r.size.toLong
+    def bufferEncoder: Encoder[mutable.HashSet[T]] = Encoders.kryo
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
   /** Column form: capped distinct over a long column. */
   def cappedDistinct(c: Column, cap: Int): Column =
-    udaf(CappedDistinct(cap)).apply(c)
+    udaf(CappedDistinct[Long](cap), Encoders.scalaLong).apply(c)
+
+  /** Column form: capped distinct over a string column — the reference's
+    * common case (UniqValueCount stringifies every value).
+    */
+  def cappedDistinctString(c: Column, cap: Int): Column =
+    udaf(CappedDistinct[String](cap), Encoders.STRING).apply(c)
 
   /** ValueHistogram report (mapreduce/lib/aggregate/ValueHistogram.java:38-120):
     * per key, the frequency table of values summarized as
@@ -106,8 +116,15 @@ object Aggregators {
     def zero: Vector[(Double, Long)] = Vector.empty
     def reduce(b: Vector[(Double, Long)], a: (Double, Long)): Vector[(Double, Long)] =
       if (b.length >= k && worse(a, b.last)) b       // O(1) reject path
-      else if (b.exists(_._2 == a._2)) b             // candidate ids stay unique
-      else (b :+ a).sortWith((x, y) => worse(y, x)).take(k)
+      else {
+        // an id may recur (e.g. IVF rep>1): keep its BEST score, so the
+        // retained entry doesn't depend on encounter order (merge already
+        // does this via sort-then-distinctBy)
+        val i = b.indexWhere(_._2 == a._2)
+        if (i < 0) (b :+ a).sortWith((x, y) => worse(y, x)).take(k)
+        else if (worse(b(i), a)) b.updated(i, a).sortWith((x, y) => worse(y, x))
+        else b
+      }
     def merge(a: Vector[(Double, Long)], b: Vector[(Double, Long)]): Vector[(Double, Long)] =
       (a ++ b).sortWith((x, y) => worse(y, x)).distinctBy(_._2).take(k)
     def finish(r: Vector[(Double, Long)]): Seq[Long] = r.map(_._2)

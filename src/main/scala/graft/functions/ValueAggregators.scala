@@ -65,8 +65,12 @@ object ValueAggregators {
         case "stringvaluemax" => max(col(c).cast("string"))
         case "stringvaluemin" => min(col(c).cast("string"))
         case "uniqvaluecount" => parts.lift(2) match {
-          // optional cap ≙ mapreduce.aggregate.max.num.unique.values
-          case Some(cap) => Aggregators.cappedDistinct(col(c), cap.toInt)
+          // optional cap ≙ mapreduce.aggregate.max.num.unique.values;
+          // the capped lane stringifies the value like the reference
+          // (UniqValueCount.java:59 keys its TreeMap by val.toString()),
+          // so ANY column type caps faithfully
+          case Some(cap) =>
+            Aggregators.cappedDistinctString(col(c).cast("string"), cap.toInt)
           case None      => countDistinct(col(c))
         }
         case "valuehistogram" => Aggregators.valueHistogram(col(c))

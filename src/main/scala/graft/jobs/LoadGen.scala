@@ -1,0 +1,106 @@
+package graft.jobs
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.TeraIO
+
+/** The reference's benchmark / synthetic-load harness jobs, Spark-first.
+  *
+  * - [[mrbench]] ≙ MRBench (hadoop-mapreduce-client-jobclient
+  *   src/test/.../mapred/MRBench.java:41,173-233): N identical tiny
+  *   text → identity-map → sort → identity-reduce → text jobs, reporting
+  *   per-run wall time — the small-JOB-latency probe (scheduler + task
+  *   launch + commit overhead, not data throughput).
+  * - [[dfsioWrite]]/[[dfsioRead]] ≙ TestDFSIO
+  *   (src/test/.../fs/TestDFSIO.java:88-103): sequential write then read
+  *   of N files × M MB, reporting aggregate MB/s — the raw storage-path
+  *   throughput probe. Records go through TeraIO's 100-byte raw format
+  *   (no parquet encoding in the measurement).
+  * - [[sleepJob]] ≙ SleepJob (src/test/.../mapreduce/SleepJob.java):
+  *   configurable map/reduce task counts that do nothing but sleep —
+  *   exercises scheduling and shuffle machinery with zero data.
+  * - [[loadGen]] ≙ GenericMRLoadGenerator
+  *   (src/test/.../mapreduce/GenericMRLoadGenerator.java): configurable-
+  *   shape load over real input — map selectivity (keep.map.percent),
+  *   a full shuffle, reduce selectivity (keep.reduce.percent). The
+  *   reference keeps records by RNG; here acceptance is a deterministic
+  *   per-record hash test, so runs are reproducible.
+  */
+object LoadGen {
+
+  /** Returns per-run seconds; callers aggregate (MRBench prints avg). */
+  def mrbench(spark: SparkSession, workDir: String, inputLines: Long = 1,
+              runs: Int = 4): Seq[Double] = {
+    val in = s"$workDir/mr_input"
+    // MRBench.generateTextFile: zero-padded line numbers, one per line
+    val padding = inputLines.toString.length
+    spark.range(inputLines)
+      .select(format_string(s"%0${padding}d", col("id")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(in)
+    (1 to runs).map { i =>
+      val out = s"$workDir/mr_output/run_$i"
+      val t0 = System.nanoTime()
+      // map emits (line, "") and the sorted reduce writes it back — an
+      // identity job whose cost IS the framework overhead
+      spark.read.text(in).orderBy("value")
+        .write.mode("overwrite").text(out)
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  /** Write `nFiles` × `mbPerFile` MB of 100-byte records; returns
+    * (seconds, aggregate MB/s). One output file per task, like
+    * TestDFSIO's one-file-per-map.
+    */
+  def dfsioWrite(spark: SparkSession, path: String,
+                 nFiles: Int, mbPerFile: Int): (Double, Double) = {
+    val rows = nFiles.toLong * mbPerFile * 10000L     // 10k rows per MB
+    val df = TeraSort.teraGen(spark, rows, nFiles)
+    TeraIO.delete(spark, path)
+    val t0 = System.nanoTime()
+    TeraIO.write(df, path)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val mb = rows * TeraIO.RecordLength / 1e6
+    (sec, mb / sec)
+  }
+
+  /** Read the files back fully (every byte crosses the record reader);
+    * returns (seconds, aggregate MB/s).
+    */
+  def dfsioRead(spark: SparkSession, path: String): (Double, Double) = {
+    val t0 = System.nanoTime()
+    val bytes = TeraIO.read(spark, path)
+      .select(sum(length(col("key")) + length(col("value"))).cast("long"))
+      .head().getLong(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, bytes / 1e6 / sec)
+  }
+
+  /** `mapTasks` map partitions sleeping `mapMs` each, then (optionally)
+    * a shuffle into `redTasks` reduce partitions sleeping `redMs`.
+    * Returns total records passed through (== mapTasks).
+    */
+  def sleepJob(spark: SparkSession, mapTasks: Int, mapMs: Long,
+               redTasks: Int = 0, redMs: Long = 0): Long = {
+    val mapped = spark.range(0, mapTasks, 1, mapTasks).rdd
+      .mapPartitions { it => Thread.sleep(mapMs); it }
+    if (redTasks <= 0) mapped.count()
+    else mapped.map(id => (id, 1L))
+      .partitionBy(new HashPartitioner(redTasks))
+      .mapPartitions { it => Thread.sleep(redMs); it }
+      .count()
+  }
+
+  /** Map-selectivity → shuffle → reduce-selectivity over a real input:
+    * the GenericMRLoadGenerator shape with deterministic acceptance
+    * (xxhash64 of the key, salted per stage, mod 100 < pct).
+    */
+  def loadGen(df: DataFrame, keyCol: String,
+              keepMapPct: Int, keepRedPct: Int): DataFrame =
+    df.filter(pmod(xxhash64(col(keyCol), lit("map")), lit(100)) < keepMapPct)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(pmod(xxhash64(col(keyCol), lit("red")), lit(100)) < keepRedPct)
+}

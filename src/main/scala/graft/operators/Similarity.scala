@@ -94,11 +94,17 @@ object Similarity {
     * as a reference object. Sorted by id so codebook index order == id
     * order (stable tie-breaks). A production deployment would train this
     * with k-means; the Spark-side plumbing is identical.
+    *
+    * `salt` derives independent codebooks from the same table (the
+    * multi-table LSH of [[cosinePairsLsh]]); salt 0 hashes the bare id,
+    * keeping the historical codebook unchanged.
     */
   def codebook(base: DataFrame, idCol: String, vecCol: String,
-               nCells: Int): Seq[(Long, Array[Double])] =
+               nCells: Int, salt: Int = 0): Seq[(Long, Array[Double])] =
     base.select(col(idCol).cast("long").as("a_id"), col(vecCol).as("av"))
-      .withColumn("hk", md5(col("a_id").cast("string")))
+      .withColumn("hk", md5(
+        if (salt == 0) col("a_id").cast("string")
+        else concat(col("a_id").cast("string"), lit(s":$salt"))))
       .orderBy("hk").limit(nCells)
       .select("a_id", "av").collect().toSeq
       .map { r =>
@@ -181,6 +187,22 @@ object Similarity {
   private[graft] def autoCells(n: Long): Int =
     math.max(16, math.min(256, math.round(math.sqrt(n / 64.0)).toInt))
 
+  /** Row-count estimate WITHOUT running a job: catalog/plan statistics
+    * when available (CBO, cached plans), else the optimizer's sizeInBytes
+    * over the schema's estimated row width. Feeds [[autoCells]]'
+    * √(n/64) — clamped to [16,256], so a coarse estimate is plenty; the
+    * old `df.count()` here was a full extra pass over the base table
+    * before any real work (at 100 TB, a wasted scan).
+    */
+  private[graft] def estimateRows(df: DataFrame): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).getOrElse {
+      val width = math.max(1,
+        df.schema.map(_.dataType.defaultSize).sum)
+      math.max(1L, (stats.sizeInBytes / width).toLong)
+    }
+  }
+
   /** IVF-style ANN: assign every vector to its nearest codebook cell,
     * then search only each query's `nProbe` closest cells — a
     * nProbe/nCells scan reduction, the 100 TB path.
@@ -195,7 +217,7 @@ object Similarity {
   def ivfTopK(base: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nCells: Int = 0, nProbe: Int = 0, rep: Int = 3,
               iters: Int = 3): DataFrame = {
-    val cellCount = if (nCells > 0) nCells else autoCells(base.count())
+    val cellCount = if (nCells > 0) nCells else autoCells(estimateRows(base))
     val probeCount = if (nProbe > 0) nProbe else math.max(2, cellCount / 4)
     val cb = trainCodebook(base, idCol, vecCol, cellCount, iters)
 
@@ -232,7 +254,7 @@ object Similarity {
   def cosinePairsBlocked(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nCells: Int = 0, rep: Int = 2,
                          iters: Int = 2): DataFrame = {
-    val cellCount = if (nCells > 0) nCells else autoCells(df.count())
+    val cellCount = if (nCells > 0) nCells else autoCells(estimateRows(df))
     val cb = trainCodebook(df, idCol, vecCol, cellCount, iters)
     val assigned = assignCells(
       df.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v", cb, rep)
@@ -244,5 +266,40 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b")
       .distinct()                            // rep>1 can pair twice
+  }
+
+  /** Near-dup pairs via multi-table LSH blocking — `tables` independent
+    * seeded codebooks (salted id-hash seeds, NO training, so the whole
+    * blocking is deterministic and replayable by a SQL oracle), each
+    * vector in its top-`rep` cells per table, candidates from the
+    * per-table (table, cell) equi-join, verified by exact cosine.
+    *
+    * Union-of-tables recall: a pair is kept if the two vectors share a
+    * cell in ANY table — 1-(1-p)^L against a single codebook's p, the
+    * standard multi-hash-table ANN trade (candidate volume grows ~L×,
+    * recall approaches 1). Every join is an equi-join; nothing in the
+    * plan is quadratic in the table size.
+    */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, nCells: Int, rep: Int = 2,
+                     tables: Int = 6): DataFrame = {
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // salts 1..tables: uniformly salted, so a SQL oracle replays every
+    // table's seed ranking with ONE expression (md5(id || ':' || t))
+    val assigned = (1 to tables).map { t =>
+      val cb = codebook(df, idCol, vecCol, nCells, salt = t)
+      assignCells(e, "id", "v", cb, rep).withColumn("t", lit(t))
+    }.reduce(_.unionByName(_))
+    val a = assigned.select(col("t"), col("cell"),
+      col("id").as("vec_a"), col("v").as("va"))
+    val b = assigned.select(col("t"), col("cell"),
+      col("id").as("vec_b"), col("v").as("vb"))
+    a.join(b, Seq("t", "cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "va", "vb")
+      .distinct()                            // one cosine per candidate pair
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b")
   }
 }

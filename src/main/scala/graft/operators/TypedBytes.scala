@@ -27,6 +27,21 @@ object TypedBytes {
 
   private val MARKER = 255
 
+  /** TaskContext.setTaskContext is private[spark]; the stdin-writer
+    * thread needs the task's context because the upstream iterator's
+    * codegen reads the thread-local (NPE otherwise) — the exact
+    * propagation PipedRDD does for RDD.pipe's writer thread.
+    */
+  private lazy val setTcMethod = {
+    val cls = Class.forName("org.apache.spark.TaskContext$")
+    val m = cls.getDeclaredMethod("setTaskContext", classOf[org.apache.spark.TaskContext])
+    m.setAccessible(true)
+    (cls.getField("MODULE$").get(null), m)
+  }
+
+  private def setTaskContext(tc: org.apache.spark.TaskContext): Unit =
+    if (tc != null) { val (mod, m) = setTcMethod; m.invoke(mod, tc) }
+
   def write(out: DataOutput, v: Any): Unit = v match {
     case b: Array[Byte] => out.write(0); out.writeInt(b.length); out.write(b)
     case b: Byte        => out.write(1); out.writeByte(b.toInt)
@@ -88,19 +103,54 @@ object TypedBytes {
     val rdd = df.rdd.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
+        val tc = org.apache.spark.TaskContext.get()
         val proc = new ProcessBuilder(cmd.asJava).start()
         val toChild = new DataOutputStream(
           new BufferedOutputStream(proc.getOutputStream))
+        // a non-IO failure while COMPUTING the input rows must fail the
+        // task (not silently truncate the child's input into a smaller
+        // "successful" result) — surfaced at EOF below
+        val writerError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
         val writer = new Thread {
           override def run(): Unit = {
+            // the upstream iterator runs codegen that reads the
+            // thread-local TaskContext; propagate it like PipedRDD does
+            // (core/.../rdd/PipedRDD.scala stdin-writer thread)
+            setTaskContext(tc)
             try {
               it.foreach { row => write(toChild, row.get(0)); write(toChild, row.get(1)) }
               toChild.close()
-            } catch { case _: java.io.IOException => () /* child exited early */ }
+            } catch {
+              case _: java.io.IOException => () /* child exited early */
+              case t: Throwable =>
+                writerError.set(t)
+                try toChild.close() catch { case _: java.io.IOException => () }
+            }
           }
         }
         writer.setDaemon(true)
         writer.start()
+        // drain stderr continuously (a child filling the ~64KB OS pipe
+        // buffer would otherwise block mid-stream and deadlock the task)
+        // keeping the tail for diagnostics — PipeMapRed's stderr thread
+        val errTail = new java.util.concurrent.atomic.AtomicReference[String]("")
+        val errDrain = new Thread {
+          override def run(): Unit = {
+            val buf = new Array[Byte](4096)
+            val sb = new StringBuilder
+            try {
+              var n = proc.getErrorStream.read(buf)
+              while (n >= 0) {
+                sb.append(new String(buf, 0, n, UTF_8))
+                if (sb.length > 8192) sb.delete(0, sb.length - 8192)
+                n = proc.getErrorStream.read(buf)
+              }
+            } catch { case _: java.io.IOException => () }
+            errTail.set(sb.toString)
+          }
+        }
+        errDrain.setDaemon(true)
+        errDrain.start()
         val fromChild = new DataInputStream(
           new BufferedInputStream(proc.getInputStream))
         new Iterator[Row] {
@@ -112,7 +162,18 @@ object TypedBytes {
               Row(k, v)
             } catch {
               case _: EOFException =>
-                fromChild.close(); proc.waitFor(); null
+                fromChild.close()
+                val code = proc.waitFor()
+                writer.join(10000)
+                errDrain.join(10000)
+                if (writerError.get() != null) throw writerError.get()
+                // a crashed child must FAIL the task, not truncate its
+                // output into a "successful" partial result (RDD.pipe's
+                // contract, PipeMapRed.waitOutputThreads)
+                if (code != 0)
+                  throw new IllegalStateException(
+                    s"typedbytes child ${cmd.mkString(" ")} exited with $code: ${errTail.get}")
+                null
             }
           def hasNext: Boolean = nextRow != null
           def next(): Row = { val r = nextRow; nextRow = fetch(); r }

@@ -61,6 +61,19 @@ object EventQueries extends QueryModule {
         Aggregators.cappedDistinct(col("user_id"), 50).as("capped_users"))
     }),
 
+    // The reference's ACTUAL UniqValueCount shape: arbitrary (string)
+    // values capped — its TreeMap is keyed by val.toString()
+    // (UniqValueCount.java:59). Reached through the descriptor registry
+    // ("UniqValueCount:props:50"), which routes every column type
+    // through the string lane.
+    "uniq_cap_str" -> ((s, dir) => {
+      import graft.functions.ValueAggregators
+      ValueAggregators.aggregate(ev(s, dir), "event_type",
+        Seq("UniqValueCount:props:50"))
+        .select(col("event_type"),
+          col("UniqValueCount_props_50").as("capped_props"))
+    }),
+
     // ValueHistogram report (mapreduce/lib/aggregate/ValueHistogram.java:38-120):
     // per key, stats over the per-value frequency table. Two-level hash
     // aggregation — both levels get map-side combine; doubles derived
@@ -142,6 +155,10 @@ object EventQueries extends QueryModule {
     "uniq_cap" ->
       """SELECT event_type,
         |  CAST(LEAST(COUNT(DISTINCT user_id), 50) AS BIGINT) AS capped_users
+        |FROM events GROUP BY event_type""".stripMargin,
+    "uniq_cap_str" ->
+      """SELECT event_type,
+        |  CAST(LEAST(COUNT(DISTINCT props), 50) AS BIGINT) AS capped_props
         |FROM events GROUP BY event_type""".stripMargin,
     "value_histogram" ->
       """WITH c AS (

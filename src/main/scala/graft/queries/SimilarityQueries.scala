@@ -37,7 +37,16 @@ object SimilarityQueries extends QueryModule {
     "dedup_embedding" -> ((s, dir) => {
       Similarity.topCosinePairs(
         emb(s, dir).filter(col("vec_id") % 10 === 0), "vec_id", "embedding", 20)
-    })
+    }),
+    // The SCALE path, oracle-checked end-to-end: multi-table LSH cell
+    // blocking over the FULL table (6 salted seed codebooks, top-2 cells
+    // each — deterministic, so DuckDB replays the identical blocking).
+    // Every join is an equi-join on (table, cell); no all-pairs join
+    // anywhere in the plan (asserted in PlanSpec). Recall vs the exact
+    // all-pairs ground truth is spec'd >= 0.9 (OperatorSpec).
+    "dedup_embedding_blocked" -> ((s, dir) =>
+      Similarity.cosinePairsLsh(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.3, nCells = 32, rep = 2, tables = 6))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -66,6 +75,38 @@ object SimilarityQueries extends QueryModule {
         |           (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS sim
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
         |)
-        |SELECT vec_a, vec_b FROM p ORDER BY sim DESC, vec_a, vec_b LIMIT 20""".stripMargin
+        |SELECT vec_a, vec_b FROM p ORDER BY sim DESC, vec_a, vec_b LIMIT 20""".stripMargin,
+    "dedup_embedding_blocked" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), seeds AS (
+        |  SELECT t, vec_id AS cell, v,
+        |         row_number() OVER (PARTITION BY t
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR) || ':' || CAST(t AS VARCHAR))) AS rk
+        |  FROM e, (SELECT unnest(range(1, 7)) AS t)
+        |), cb AS (
+        |  SELECT t, cell,
+        |         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS cv
+        |  FROM seeds WHERE rk <= 32
+        |), scored AS (
+        |  SELECT e.vec_id, cb.t, cb.cell, list_inner_product(e.v, cb.cv) AS s
+        |  FROM e, cb
+        |), assigned AS (
+        |  SELECT vec_id, t, cell FROM (
+        |    SELECT vec_id, t, cell,
+        |           row_number() OVER (PARTITION BY vec_id, t ORDER BY s DESC, cell ASC) AS rnk
+        |    FROM scored)
+        |  WHERE rnk <= 2
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM assigned a JOIN assigned b
+        |    ON a.t = b.t AND a.cell = b.cell AND a.vec_id < b.vec_id
+        |)
+        |SELECT vec_a, vec_b
+        |FROM cand
+        |JOIN e ea ON ea.vec_id = vec_a
+        |JOIN e eb ON eb.vec_id = vec_b
+        |WHERE list_inner_product(ea.v, eb.v) /
+        |      (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) >= 0.3""".stripMargin
   )
 }

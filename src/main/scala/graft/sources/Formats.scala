@@ -60,22 +60,73 @@ object Formats {
   /** NLineInputFormat (mapreduce/lib/input/NLineInputFormat.java:81-110):
     * exactly `n` input lines per partition (the reference's lever for
     * map-task granularity when each line is an expensive work item).
-    * Contiguous line ranges map to partitions in order, like the
-    * reference's per-file line splits.
+    *
+    * Reference-faithful granularity: each FILE is chunked into n-line
+    * groups independently (getSplitsForFile numbers lines per file), so
+    * a group never straddles files, files map to contiguous partition
+    * ranges in lexicographic order, and WITHIN a group the original line
+    * order is preserved (repartitionAndSortWithinPartitions on the
+    * per-file line number — shuffle-block arrival order can't reorder).
+    *
+    * Two passes over the data: a count pass establishing each input
+    * split's starting line number (the reference instead reads every
+    * file on the DRIVER at planning time — getSplitsForFile opens the
+    * file; distributing that pass is the scale-correct form), then the
+    * partitioning pass.
     */
   def nLine(spark: SparkSession, path: String, n: Int): DataFrame = {
-    val lines = spark.read.text(path)
-    val indexed = lines.rdd.zipWithIndex()
-    val total = indexed.count()
-    val parts = math.max(1, math.ceil(total.toDouble / n).toInt)
-    val rows = indexed
-      .map { case (row, idx) => (idx / n, row) }
-      .partitionBy(new org.apache.spark.Partitioner {
-        def numPartitions: Int = parts
-        def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
-      })
-      .map(_._2)
-    spark.createDataFrame(rows, lines.schema)
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
+    val sc = spark.sparkContext
+    val raw = sc.newAPIHadoopFile(path, classOf[TextInputFormat],
+      classOf[LongWritable], classOf[Text], sc.hadoopConfiguration)
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+    // (file, byte-offset, line); offsets order lines within a file
+    val lines = raw.mapPartitionsWithInputSplit { (split, it) =>
+      val file = split.asInstanceOf[FileSplit].getPath.toString
+      it.map { case (off, text) => (file, off.get(), text.toString) }
+    }
+    // pass 1: (partition -> file, lines, first offset); each Hadoop
+    // split belongs to exactly one file
+    val splitInfo = lines.mapPartitionsWithIndex { (pid, it) =>
+      var file: String = null; var c = 0L; var first = Long.MaxValue
+      it.foreach { r => file = r._1; first = math.min(first, r._2); c += 1 }
+      if (c == 0) Iterator.empty else Iterator((pid, file, first, c))
+    }.collect()
+    // per file (lexicographic), splits in offset order -> starting line
+    // number of each split within its file + per-file group base
+    val byFile = splitInfo.groupBy(_._2).toSeq.sortBy(_._1)
+    val startLine = scala.collection.mutable.HashMap.empty[Int, Long]
+    val groupBase = scala.collection.mutable.HashMap.empty[String, Long]
+    var nextGroup = 0L
+    byFile.foreach { case (file, splits) =>
+      groupBase(file) = nextGroup
+      var ln = 0L
+      splits.sortBy(_._3).foreach { case (pid, _, _, c) =>
+        startLine(pid) = ln; ln += c
+      }
+      nextGroup += (ln + n - 1) / n
+    }
+    val totalGroups = math.max(1L, nextGroup).toInt
+    val startB = sc.broadcast((startLine.toMap, groupBase.toMap))
+    val keyed = lines.mapPartitionsWithIndex { (pid, it) =>
+      val (starts, bases) = startB.value
+      var ln = starts.getOrElse(pid, 0L)
+      it.map { case (file, _, line) =>
+        val grp = bases(file) + ln / n
+        val k = (grp, ln); ln += 1
+        (k, line)
+      }
+    }
+    val part = new org.apache.spark.Partitioner {
+      def numPartitions: Int = totalGroups
+      def getPartition(key: Any): Int = key.asInstanceOf[(Long, Long)]._1.toInt
+    }
+    val rows = keyed.repartitionAndSortWithinPartitions(part)
+      .map { case (_, line) => org.apache.spark.sql.Row(line) }
+    spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
   }
 
   /** MultipleInputs / DelegatingInputFormat

@@ -230,6 +230,78 @@ object Jdbc {
     }
   }
 
+  /** FloatSplitter.split (FloatSplitter.java:44-100): double intervals
+    * with Double.toString bounds, `[lo, hi)` except a closed last
+    * interval; MIN_INCREMENT guard against zero-width steps; a NULL
+    * split when an extremum is NULL (the reference's rs.getDouble
+    * reads NULL as 0.0 for the non-null end — reproduced via getOrElse).
+    */
+  def floatSplitPredicates(col: String, numSplits: Int,
+                           minVal: Option[Double], maxVal: Option[Double]): Seq[String] = {
+    val nullSplit = s"( $col IS NULL ) AND ( $col IS NULL )"
+    if (minVal.isEmpty && maxVal.isEmpty) return Seq(nullSplit)
+    val lo = minVal.getOrElse(0.0)
+    val hi = maxVal.getOrElse(0.0)
+    val minIncrement = 10000 * java.lang.Double.MIN_VALUE
+    var splitSize = (hi - lo) / math.max(numSplits, 1).toDouble
+    if (splitSize < minIncrement) splitSize = minIncrement
+    val b = Seq.newBuilder[String]
+    var size = 0
+    var curLower = lo
+    var curUpper = curLower + splitSize
+    while (curUpper < hi) {
+      b += s"( $col >= $curLower ) AND ( $col < $curUpper )"
+      size += 1
+      curLower = curUpper
+      curUpper += splitSize
+    }
+    if (curLower <= hi || size == 1)
+      b += s"( $col >= $curLower ) AND ( $col <= $hi )"
+    if (minVal.isEmpty || maxVal.isEmpty) b += nullSplit
+    b.result()
+  }
+
+  /** BooleanSplitter.split (BooleanSplitter.java:37-70): at most one
+    * split per truth value present in [min, max], plus a NULL split when
+    * an extremum is NULL.
+    */
+  def booleanSplitPredicates(col: String, minVal: Option[Boolean],
+                             maxVal: Option[Boolean]): Seq[String] = {
+    val nullSplit = s"( $col IS NULL ) AND ( $col IS NULL )"
+    if (minVal.isEmpty && maxVal.isEmpty) return Seq(nullSplit)
+    val lo = minVal.getOrElse(false)
+    val hi = maxVal.getOrElse(false)
+    val b = Seq.newBuilder[String]
+    if (!lo) b += s"( $col = FALSE ) AND ( $col = FALSE )"
+    if (hi) b += s"( $col = TRUE ) AND ( $col = TRUE )"
+    if (minVal.isEmpty || maxVal.isEmpty) b += nullSplit
+    b.result()
+  }
+
+  /** DataDrivenDBInputFormat over a floating-point split column — the
+    * FloatSplitter path (the reference warns about float imprecision
+    * and splits anyway; same here).
+    */
+  def readPartitionedFloat(spark: SparkSession, url: String, table: String,
+                           splitCol: String, numSplits: Int): DataFrame = {
+    val conn = connect(url)
+    val bounds =
+      try {
+        val rs = conn.createStatement().executeQuery(
+          s"SELECT MIN($splitCol), MAX($splitCol) FROM $table")
+        rs.next()
+        val lo = rs.getDouble(1); val loN = rs.wasNull()
+        val hi = rs.getDouble(2); val hiN = rs.wasNull()
+        (if (loN) None else Some(lo), if (hiN) None else Some(hi))
+      } finally conn.close()
+    bounds match {
+      case (Some(_), Some(_)) if numSplits > 1 =>
+        val preds = floatSplitPredicates(splitCol, numSplits, bounds._1, bounds._2)
+        spark.read.jdbc(url, table, preds.toArray, new Properties())
+      case _ => spark.read.jdbc(url, table, new Properties())
+    }
+  }
+
   /** DBOutputFormat.constructQuery parity (DBOutputFormat.java:135-160). */
   def constructInsertQuery(table: String, fieldNames: Array[String]): String = {
     require(fieldNames != null, "Field names may not be null")

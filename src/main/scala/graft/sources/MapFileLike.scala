@@ -39,7 +39,13 @@ object MapFileLike {
     * (hadoop-common/.../io/MapFile.java:98 Writer, :342 Reader). Each
     * partition must arrive sorted by key — the same precondition the
     * reference's Writer enforces — so the caller range-partitions and
-    * sorts first (as done here). Returns the partition directories.
+    * sorts first (as done here).
+    *
+    * Task commit: each attempt writes under `_temporary/` (attempt-id
+    * scoped) and renames into place only on success — the v1
+    * FileOutputCommitter protocol, so a retried or speculative attempt
+    * never leaves a partial `part-*` directory; first successful rename
+    * wins and later attempts discard their output.
     */
   def writeMapFiles(df: DataFrame, path: String): Unit = {
     import org.apache.hadoop.io._
@@ -54,20 +60,37 @@ object MapFileLike {
       .sortWithinPartitions(col(schema(0).name))
     sorted.rdd.foreachPartition { it =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.get().partitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val conf = confSer.value
-        val dir = new org.apache.hadoop.fs.Path(f"$path/part-$pid%05d")
-        val writer = new MapFile.Writer(conf, dir,
+        val dest = new org.apache.hadoop.fs.Path(f"$path/part-$pid%05d")
+        val attempt = new org.apache.hadoop.fs.Path(
+          f"$path/_temporary/part-$pid%05d-attempt-${tc.taskAttemptId()}")
+        val fs = dest.getFileSystem(conf)
+        val writer = new MapFile.Writer(conf, attempt,
           MapFile.Writer.keyClass(
             SequenceFileIO.writableClass(kt).asSubclass(classOf[WritableComparable[_]])),
           MapFile.Writer.valueClass(SequenceFileIO.writableClass(vt)))
-        try it.foreach { row =>
-          writer.append(
-            SequenceFileIO.toWritable(row.get(0), kt).asInstanceOf[WritableComparable[_]],
-            SequenceFileIO.toWritable(row.get(1), vt))
-        } finally writer.close()
+        try {
+          it.foreach { row =>
+            writer.append(
+              SequenceFileIO.toWritable(row.get(0), kt).asInstanceOf[WritableComparable[_]],
+              SequenceFileIO.toWritable(row.get(1), vt))
+          }
+          writer.close()
+          // commit: first attempt to rename wins; losers clean up
+          if (!fs.rename(attempt, dest)) fs.delete(attempt, true)
+        } catch {
+          case e: Throwable =>
+            try writer.close() catch { case _: Throwable => () }
+            fs.delete(attempt, true)
+            throw e
+        }
       }
     }
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_temporary")
+    val fs = tmp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   /** MapFile.get through the reference's own Reader (index seek + one

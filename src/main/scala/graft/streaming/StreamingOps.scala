@@ -67,7 +67,8 @@ object StreamingOps {
     * closes when a gap larger than `gapUs` appears in a user's stream.
     * State is O(1) per user (the open session only). Closed sessions are
     * appended as they are detected; the final open session stays in
-    * state (flush it by ending the stream or via timeout in production).
+    * state (use [[sessionizeWithTimeout]] to flush it when the watermark
+    * passes the gap).
     */
   def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -92,6 +93,55 @@ object StreamingOps {
           }
           cur.foreach(state.update)
           closed.result().iterator
+      }
+  }
+
+  final case class EvW(user_id: Long, us: Long, ts: java.sql.Timestamp)
+
+  /** [[sessionize]] plus EventTimeTimeout: when the stream's watermark
+    * passes a user's last event by more than the gap, the open session
+    * is flushed WITHOUT waiting for stream end — the production form
+    * (an idle user's final session must not be held hostage to their
+    * next visit). Timeout is re-armed to (session end + gap) after every
+    * batch; state stays O(1) per user and is removed on flush.
+    */
+  def sessionizeWithTimeout(events: Dataset[Ev], gapUs: Long,
+                            watermark: String = "0 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", watermark)
+      .as[EvW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[EvW], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.start, s.end, s.n))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.us)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              cur match {
+                case Some(s) if e.us - s.end > gapUs =>
+                  closed += Session(userId, s.start, s.end, s.n)
+                  cur = Some(SessionState(e.us, e.us, 1))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, e.us, s.n + 1))
+                case None =>
+                  cur = Some(SessionState(e.us, e.us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // flush once the watermark passes end-of-session + gap
+              state.setTimeoutTimestamp(s.end / 1000L + gapUs / 1000L)
+            }
+            closed.result().iterator
+          }
       }
   }
 }

@@ -77,4 +77,44 @@ class ExamplesSpec extends AnyFunSuite {
     val b = spark.read.parquet(s"$base/dst").agg(sum(col("id"))).head().getLong(0)
     assert(a == b)
   }
+
+  test("MRBench analog: repeated identity sort jobs report per-run latency") {
+    import graft.jobs.LoadGen
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mrbench").toString
+    val runs = LoadGen.mrbench(spark, dir, inputLines = 100, runs = 3)
+    assert(runs.length == 3 && runs.forall(_ > 0))
+    // the job is real: sorted output text matches the padded input
+    val out = spark.read.text(s"$dir/mr_output/run_3")
+      .as[String].collect().sorted.toSeq
+    assert(out == (0 until 100).map(i => f"$i%03d"))
+  }
+
+  test("TestDFSIO analog: sequential write then read through TeraIO") {
+    import graft.jobs.LoadGen
+    val dir = Files.createTempDirectory("graft-dfsio").toString + "/io"
+    val (wSec, wMbps) = LoadGen.dfsioWrite(spark, dir, nFiles = 2, mbPerFile = 2)
+    val (rSec, rMbps) = LoadGen.dfsioRead(spark, dir)
+    assert(wSec > 0 && rSec > 0 && wMbps > 0 && rMbps > 0)
+    // 2 files x 2 MB of 100-byte records on disk, every byte read back
+    assert(graft.sources.TeraIO.dataBytes(spark, dir) == 4L * 1000000L)
+  }
+
+  test("SleepJob analog schedules the requested map/reduce task counts") {
+    import graft.jobs.LoadGen
+    assert(LoadGen.sleepJob(spark, mapTasks = 4, mapMs = 1) == 4L)
+    assert(LoadGen.sleepJob(spark, 4, 1, redTasks = 2, redMs = 1) == 4L)
+  }
+
+  test("loadGen shapes map/reduce selectivity deterministically") {
+    import graft.jobs.LoadGen
+    val df = spark.range(1000).select(concat(lit("k"), col("id")).as("k"))
+    val full = LoadGen.loadGen(df, "k", 100, 100)
+    assert(full.count() == 1000)
+    val shaped = LoadGen.loadGen(df, "k", 50, 50)
+    val n = shaped.count()
+    // deterministic: identical on rerun; selectivity ~25% of keys
+    assert(n == LoadGen.loadGen(df, "k", 50, 50).count())
+    assert(n > 150 && n < 350, s"selectivity off: $n")
+  }
 }

@@ -102,6 +102,52 @@ class JdbcSpec extends AnyFunSuite {
     assert(pts.head == bd(0) && pts.last.compareTo(bd(5)) == 0)
   }
 
+  test("FloatSplitter predicates: interval semantics match the reference") {
+    // splitSize = (3-0)/3 = 1.0; half-open intervals, closed last
+    assert(Jdbc.floatSplitPredicates("v", 3, Some(0.0), Some(3.0)) == Seq(
+      "( v >= 0.0 ) AND ( v < 1.0 )",
+      "( v >= 1.0 ) AND ( v < 2.0 )",
+      "( v >= 2.0 ) AND ( v <= 3.0 )"))
+    // min == max: MIN_INCREMENT guard -> one closed interval
+    assert(Jdbc.floatSplitPredicates("v", 4, Some(1.5), Some(1.5)) ==
+      Seq("( v >= 1.5 ) AND ( v <= 1.5 )"))
+    // one NULL extremum: rs.getDouble reads the null end as 0.0 and a
+    // NULL split is appended (FloatSplitter.java:96-100)
+    val withNull = Jdbc.floatSplitPredicates("v", 2, None, Some(2.0))
+    assert(withNull.head.startsWith("( v >= 0.0 )"))
+    assert(withNull.last == "( v IS NULL ) AND ( v IS NULL )")
+    // both NULL: only the null split
+    assert(Jdbc.floatSplitPredicates("v", 2, None, None) ==
+      Seq("( v IS NULL ) AND ( v IS NULL )"))
+  }
+
+  test("BooleanSplitter: one split per truth value in [min,max], null handling") {
+    assert(Jdbc.booleanSplitPredicates("b", Some(false), Some(true)) == Seq(
+      "( b = FALSE ) AND ( b = FALSE )", "( b = TRUE ) AND ( b = TRUE )"))
+    assert(Jdbc.booleanSplitPredicates("b", Some(true), Some(true)) ==
+      Seq("( b = TRUE ) AND ( b = TRUE )"))
+    assert(Jdbc.booleanSplitPredicates("b", Some(false), Some(false)) ==
+      Seq("( b = FALSE ) AND ( b = FALSE )"))
+    assert(Jdbc.booleanSplitPredicates("b", None, None) ==
+      Seq("( b IS NULL ) AND ( b IS NULL )"))
+    // one NULL extremum: getBoolean reads it as false -> FALSE split,
+    // plus the NULL split (BooleanSplitter.java:63-67)
+    assert(Jdbc.booleanSplitPredicates("b", None, Some(true)) == Seq(
+      "( b = FALSE ) AND ( b = FALSE )", "( b = TRUE ) AND ( b = TRUE )",
+      "( b IS NULL ) AND ( b IS NULL )"))
+  }
+
+  test("partitioned float read over Derby: complete and disjoint") {
+    val url = Jdbc.derbyUrl(tmpDb())
+    val df = spark.range(100).select(
+      col("id").as("ID"), (col("id") / 10.0).as("V"))
+    Jdbc.write(df, url, "T_FLOAT")
+    val back = Jdbc.readPartitionedFloat(spark, url, "T_FLOAT", "V", 4)
+    assert(back.rdd.getNumPartitions >= 3, "float splits should fan out")
+    assert(back.select(col("ID")).as[Long].collect().toSet ==
+      (0L until 100L).toSet, "intervals must cover all rows exactly once")
+  }
+
   test("partitioned read with conditions (getInputConditions analog)") {
     val url = Jdbc.derbyUrl(tmpDb())
     val df = spark.range(50).select(col("id").as("ID"), (col("id") % 5).as("K"))

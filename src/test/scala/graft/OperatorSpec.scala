@@ -190,6 +190,81 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"cell-blocked recall $recall too low (${exact.size} exact)")
   }
 
+  test("Similarity.cosinePairsLsh: declared-query config has recall >= 0.9 vs exact") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.3)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.3,
+      nCells = 32, rep = 2, tables = 6)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "threshold must yield pairs for a meaningful test")
+    assert(lsh.subsetOf(exact), "blocking must not invent pairs")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH-blocked recall $recall too low (${exact.size} exact)")
+  }
+
+  test("Similarity.cosinePairsLsh blocks planted near-dups tightly") {
+    // true near-dups (cosine ~1, the production near-dup regime, which
+    // the driver fixture lacks): a light blocking config suffices —
+    // near-identical vectors land in the same top cell almost surely,
+    // so recall stays high at a small candidate fraction (unlike the
+    // sim~0.3 pairs above, which need the heavy multi-table union)
+    val base = (0L until 200L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Array.fill(64)(r.nextGaussian().toFloat))
+    }
+    val dups = base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x * 1.01f + 0.001f))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val expected = base.map { case (i, _) => (i, i + 1000L) }.toSet
+    val pairs = Similarity.cosinePairsLsh(df, "vec_id", "embedding", 0.99,
+      nCells = 16, rep = 1, tables = 2)
+      .as[(Long, Long)].collect().toSet
+    // 64-dim gaussians are near-orthogonal: nothing but the planted
+    // pairs can clear cosine 0.99
+    assert(pairs.subsetOf(expected), s"invented pairs: ${pairs.diff(expected)}")
+    val recall = pairs.size.toDouble / expected.size
+    assert(recall >= 0.95, s"planted-dup recall $recall too low")
+  }
+
+  test("Similarity.estimateRows sizes the codebook without running a job") {
+    // a plan whose EXECUTION would throw: if sizing ever regresses to
+    // an action (the old base.count()), this test fails loudly
+    val boom = udf((id: Long) => {
+      if (id > Long.MinValue) throw new IllegalStateException("estimateRows ran a job")
+      true
+    })
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(boom(col("vec_id")))
+    val n = Similarity.estimateRows(emb)
+    assert(n > 0, s"estimate must be positive, got $n")
+  }
+
+  test("CappedDistinct caps string values (UniqValueCount's actual shape)") {
+    val df = spark.range(120).select(
+      (col("id") % 2).as("k"), concat(lit("u"), col("id")).as("s"))
+    val out = df.groupBy("k")
+      .agg(Aggregators.cappedDistinctString(col("s"), 10).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 10L, 1L -> 10L), s"cap must bite: $out")
+    // below the cap the count is exact
+    val small = spark.range(6).select(
+      lit(0L).as("k"), concat(lit("u"), col("id") % 3).as("s"))
+    val o2 = small.groupBy("k")
+      .agg(Aggregators.cappedDistinctString(col("s"), 10).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(o2 == Map(0L -> 3L))
+  }
+
+  test("TopKByScore keeps the max score for a duplicate id") {
+    val agg = Aggregators.TopKByScore(2)
+    val b = Seq((0.1, 10L), (0.9, 10L), (0.5, 20L), (0.2, 30L))
+      .foldLeft(agg.zero)(agg.reduce)
+    // id 10 must rank by its BEST score (0.9), not its first-seen 0.1
+    assert(agg.finish(b) == Seq(10L, 20L))
+  }
+
   test("ValueHistogram aggregator matches the composed two-level query") {
     val ev = Tables(spark, "/root/testdata/sf0.001", "events")
     val viaAgg = ev.groupBy("event_type")

@@ -90,6 +90,15 @@ class PlanSpec extends AnyFunSuite {
       s"no partial aggregation in top-k:\n$p")
   }
 
+  test("dedup_embedding_blocked joins only on (table, cell) — no all-pairs join") {
+    val df = SparkEntry.queries("dedup_embedding_blocked")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"all-pairs join in blocked dedup:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in blocked dedup:\n$p")
+  }
+
   test("bucketed tables join without a shuffle (CompositeInputFormat analog)") {
     // The reference's map-side join needs co-partitioned, sorted inputs
     // (CompositeInputFormat.java:59-96); the Spark analog is bucketed

@@ -195,6 +195,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() == 103)
   }
 
+  test("nLine chunks per FILE, preserving line order across input splits") {
+    // two files, forced into multiple Hadoop input splits each: groups
+    // must never straddle files (getSplitsForFile numbers lines per
+    // file) and lines inside a group must keep file order even when the
+    // group's lines arrive from two different upstream splits
+    val dir = tmp() + "/nline2"
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+        lines.mkString("", "\n", "\n").getBytes)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val f1 = (0 until 23).map(i => f"alpha-$i%03d")
+    val f2 = (0 until 10).map(i => f"beta-$i%03d")
+    writeFile("part-a.txt", f1)
+    writeFile("part-b.txt", f2)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val old = Option(conf.get(key))
+    conf.setLong(key, 64)  // ~6 lines per split -> multi-split files
+    try {
+      val df = Formats.nLine(spark, dir, 5)
+      // ceil(23/5) + ceil(10/5) partitions, files in lexicographic order
+      assert(df.rdd.getNumPartitions == 7)
+      val parts = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+        Iterator((pid, it.map(_.getString(0)).toVector))
+      }.collect().sortBy(_._1).map(_._2).toVector
+      val expected = f1.grouped(5).toVector ++ f2.grouped(5).toVector
+      assert(parts == expected.map(_.toVector),
+        s"got=$parts\nwant=$expected")
+    } finally old match {
+      case Some(v) => conf.set(key, v)
+      case None    => conf.unset(key)
+    }
+  }
+
   test("multipleInputs unions per-path readers with per-path mappers") {
     val d1 = tmp() + "/mi1"; val d2 = tmp() + "/mi2"
     spark.range(3).select(concat(lit("k"), col("id")), lit("fromtext"))

@@ -81,6 +81,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == batch.select("user_id").distinct().as[Long].collect().toSet)
   }
 
+  test("sessionizeWithTimeout flushes the open session when the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.Ev]
+    val q = StreamingOps.sessionizeWithTimeout(mem.toDS(), gapUs = 1000000L)
+      .writeStream.format("memory").queryName("sess_timeout")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 0.5s apart -> ONE open session, nothing
+      // emitted (events start past t=0: ts <= the initial watermark 0
+      // would be dropped as late)
+      mem.addData(StreamingOps.Ev(1L, 10000000L), StreamingOps.Ev(1L, 10500000L))
+      q.processAllAvailable()
+      assert(spark.table("sess_timeout").isEmpty,
+        "open session must not emit before the watermark passes")
+      // a much later event advances the watermark far past 1's gap...
+      mem.addData(StreamingOps.Ev(2L, 100L * 1000000L))
+      q.processAllAvailable()
+      // ...and the next micro-batch fires the event-time timeout
+      mem.addData(StreamingOps.Ev(2L, 101L * 1000000L))
+      q.processAllAvailable()
+      val got = spark.table("sess_timeout")
+        .select("user_id", "start_us", "end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 10000000L, 10500000L, 2L)),
+        s"timed-out session must flush without stream end: $got")
+    } finally q.stop()
+  }
+
   test("stream-stream interval self-join matches the batch join") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)

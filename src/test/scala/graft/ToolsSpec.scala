@@ -111,6 +111,38 @@ class ToolsSpec extends AnyFunSuite {
       (0L until 100L).map(i => (i, s"v$i")).toSet)
   }
 
+  test("TypedBytes.pipe fails the task when the child exits nonzero") {
+    val df = spark.range(10).select(col("id").as("key"), col("id").as("value"))
+    val boom = intercept[Exception] {
+      TypedBytes.pipe(df, Seq("sh", "-c", "echo doomed >&2; exit 3"),
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType)
+        .collect()
+    }
+    // a crash must surface (with the child's stderr), never truncate
+    // into a "successful" partial result
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    val msgs = chain(boom).mkString("\n")
+    assert(msgs.contains("exited with 3") && msgs.contains("doomed"), msgs)
+  }
+
+  test("TypedBytes.pipe survives a child flooding stderr (no pipe deadlock)") {
+    val df = spark.range(5).coalesce(1)
+      .select(col("id").as("key"), col("id").as("value"))
+    // 256KB of stderr (>> the ~64KB OS pipe buffer) before any stdout:
+    // without a drain thread the child blocks on stderr and the task
+    // deadlocks waiting for stdout
+    val fut = java.util.concurrent.CompletableFuture.supplyAsync { () =>
+      TypedBytes.pipe(df,
+        Seq("sh", "-c", "head -c 262144 /dev/zero | tr '\\0' 'e' >&2; cat"),
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType)
+        .collect()
+    }
+    val rows = fut.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      (0L until 5L).map(i => (i, i)).toSet)
+  }
+
   test("Pipe runs records through an external command per partition") {
     val df = Seq(("k1", "v1"), ("k2", "v2")).toDF("k", "v")
     val out = Pipe(df, Seq("cat"), col("k"), col("v")).as[String].collect().toSet
@@ -183,6 +215,18 @@ class ToolsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ValueAggregators.parse("BogusType:v")
     }
+  }
+
+  test("UniqValueCount descriptor caps string columns through the registry") {
+    import graft.functions.ValueAggregators
+    // the reference's common case: arbitrary (string) values, capped
+    // via the stringifying lane (UniqValueCount.java:59)
+    val df = Seq(("a", "x1"), ("a", "x2"), ("a", "x3"), ("b", "x1"))
+      .toDF("k", "s")
+    val out = ValueAggregators.aggregate(df, "k", Seq("UniqValueCount:s:2"))
+      .orderBy("k").collect()
+    assert(out(0).getAs[Long]("UniqValueCount_s_2") == 2L)   // capped: 3 -> 2
+    assert(out(1).getAs[Long]("UniqValueCount_s_2") == 1L)   // exact below cap
   }
 
   test("ValueAggregators loads UserDefined descriptor classes by name") {
