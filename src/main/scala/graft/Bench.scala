@@ -63,6 +63,29 @@ object Bench {
     val failed = med.collect { case (n, v) if v < 0 => n }.toSeq
     val total = med.values.filter(_ >= 0).sum
 
+    // scale separation: one pass at the next-smaller sf (when present)
+    // so a query's fixed overhead (~0.2-0.3s planning/JVM floor) is
+    // separable from its data-dependent cost — the sandbox has no sf>0.1
+    // data, so the scaling signal comes from the sf0.01 -> sf0.1 step
+    val smallDir = sys.env.get("SPARK_GRAFT_SF_SMALL_DIR").orElse {
+      val guess = sfDir.replace("sf0.1", "sf0.01")
+      if (guess != sfDir && new java.io.File(guess).isDirectory) Some(guess)
+      else None
+    }
+    val small = smallDir.map { sd =>
+      names.map { case (name, fn) =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val t =
+          try {
+            fn(spark, sd).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => -1.0 }
+        name -> t
+      }
+    }
+    spark.catalog.clearCache()
+
     // reference benchmark harnesses (MRBench.java:173-233 avg latency;
     // TestDFSIO.java:88-103 sequential MB/s), sized small enough to not
     // dominate the round but large enough to exceed fixed overhead
@@ -82,9 +105,14 @@ object Bench {
       k -> ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     })
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val smallJson = (small, smallDir) match {
+      case (Some(sq), Some(sd)) =>
+        s""","sf_small":"$sd","queries_small":${jm(sq.map { case (k, v) => k -> f"$v%.3f" })}"""
+      case _ => ""
+    }
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","iterations":$iters,"samples":$spread,"failed":$failedJson""" +
+      s""","iterations":$iters,"samples":$spread,"failed":$failedJson""" + smallJson +
       f""","mrbench_avg_latency_sec":$mrAvg%.3f,"dfsio_write_mbps":$wMbps%.1f,"dfsio_read_mbps":$rMbps%.1f}""")
     spark.stop()
   }

@@ -278,6 +278,64 @@ object Jdbc {
     b.result()
   }
 
+  /** DateSplitter.split (DateSplitter.java:51-135): date/time/timestamp
+    * columns split through the INTEGER splitter on epoch millis, with
+    * boundary longs rendered back as quoted JDBC literals (the
+    * java.sql.Date/Time/Timestamp toString forms). The first boundary
+    * carries the actual lower bound's nanos and the last the actual
+    * upper bound's (DateSplitter.java:84-105); a NULL extremum maps to
+    * Long.MIN_VALUE (the reference's poorly-balanced-splits warning
+    * applies) and appends an IS NULL split; NULL-to-NULL degrades to
+    * the single IS NULL split.
+    */
+  def dateSplitPredicates(col: String, numSplits: Int,
+                          minVal: Option[java.sql.Timestamp],
+                          maxVal: Option[java.sql.Timestamp],
+                          sqlType: Int = java.sql.Types.TIMESTAMP): Seq[String] = {
+    val nullSplit = s"( $col IS NULL ) AND ( $col IS NULL )"
+    if (minVal.isEmpty && maxVal.isEmpty) return Seq(nullSplit)
+    def lit(ms: Long, nanos: Option[Int]): String = sqlType match {
+      case java.sql.Types.DATE => "'" + new java.sql.Date(ms).toString + "'"
+      case java.sql.Types.TIME => "'" + new java.sql.Time(ms).toString + "'"
+      case _ =>
+        val ts = new java.sql.Timestamp(ms)
+        nanos.foreach(ts.setNanos)
+        "'" + ts.toString + "'"
+    }
+    val lo = minVal.map(_.getTime).getOrElse(Long.MinValue)
+    val hi = maxVal.map(_.getTime).getOrElse(Long.MinValue)
+    val pts = integerSplitPoints(numSplits, lo, hi)
+    val b = Seq.newBuilder[String]
+    pts.sliding(2).toSeq.zipWithIndex.foreach { case (Seq(s, e), i) =>
+      val last = i == pts.size - 2
+      val loLit = lit(s, if (i == 0) minVal.map(_.getNanos) else None)
+      val hiLit = lit(e, if (last) maxVal.map(_.getNanos) else None)
+      b += (if (last) s"( $col >= $loLit ) AND ( $col <= $hiLit )"
+            else s"( $col >= $loLit ) AND ( $col < $hiLit )")
+    }
+    if (minVal.isEmpty || maxVal.isEmpty) b += nullSplit
+    b.result()
+  }
+
+  /** DataDrivenDBInputFormat over a date/timestamp split column. */
+  def readPartitionedDate(spark: SparkSession, url: String, table: String,
+                          splitCol: String, numSplits: Int): DataFrame = {
+    val conn = connect(url)
+    val bounds =
+      try {
+        val rs = conn.createStatement().executeQuery(
+          s"SELECT MIN($splitCol), MAX($splitCol) FROM $table")
+        rs.next()
+        (Option(rs.getTimestamp(1)), Option(rs.getTimestamp(2)))
+      } finally conn.close()
+    bounds match {
+      case (Some(_), Some(_)) if numSplits > 1 =>
+        val preds = dateSplitPredicates(splitCol, numSplits, bounds._1, bounds._2)
+        spark.read.jdbc(url, table, preds.toArray, new Properties())
+      case _ => spark.read.jdbc(url, table, new Properties())
+    }
+  }
+
   /** DataDrivenDBInputFormat over a floating-point split column — the
     * FloatSplitter path (the reference warns about float imprecision
     * and splits anyway; same here).

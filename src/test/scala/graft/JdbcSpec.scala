@@ -137,6 +137,42 @@ class JdbcSpec extends AnyFunSuite {
       "( b IS NULL ) AND ( b IS NULL )"))
   }
 
+  test("DateSplitter predicates: epoch-long intervals with quoted JDBC literals") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val preds = Jdbc.dateSplitPredicates("d", 2,
+      Some(ts("2020-01-01 00:00:00")), Some(ts("2020-01-01 00:00:04")))
+    assert(preds == Seq(
+      "( d >= '2020-01-01 00:00:00.0' ) AND ( d < '2020-01-01 00:00:02.0' )",
+      "( d >= '2020-01-01 00:00:02.0' ) AND ( d <= '2020-01-01 00:00:04.0' )"))
+    // bound nanos survive on the outermost literals (DateSplitter.java:84-105)
+    val lo = ts("2020-01-01 00:00:00"); lo.setNanos(123456789)
+    val hi = ts("2020-01-01 00:00:04"); hi.setNanos(987654321)
+    val np = Jdbc.dateSplitPredicates("d", 1, Some(lo), Some(hi))
+    assert(np == Seq(
+      "( d >= '2020-01-01 00:00:00.123456789' ) AND ( d <= '2020-01-01 00:00:04.987654321' )"))
+    // DATE type renders date-only literals
+    val dp = Jdbc.dateSplitPredicates("d", 1,
+      Some(ts("2020-01-01 00:00:00")), Some(ts("2020-01-03 00:00:00")),
+      java.sql.Types.DATE)
+    assert(dp == Seq("( d >= '2020-01-01' ) AND ( d <= '2020-01-03' )"))
+    // NULL-to-NULL: single IS NULL split
+    assert(Jdbc.dateSplitPredicates("d", 3, None, None) ==
+      Seq("( d IS NULL ) AND ( d IS NULL )"))
+  }
+
+  test("partitioned date read over Derby: complete and disjoint") {
+    val url = Jdbc.derbyUrl(tmpDb())
+    val df = spark.range(96).select(
+      col("id").as("ID"),
+      expr("timestampadd(HOUR, CAST(id AS INT), TIMESTAMP'2021-06-01 00:00:00')")
+        .as("TS"))
+    Jdbc.write(df, url, "T_DATE")
+    val back = Jdbc.readPartitionedDate(spark, url, "T_DATE", "TS", 4)
+    assert(back.rdd.getNumPartitions >= 3, "date splits should fan out")
+    assert(back.select(col("ID")).as[Long].collect().toSet ==
+      (0L until 96L).toSet, "intervals must cover all rows exactly once")
+  }
+
   test("partitioned float read over Derby: complete and disjoint") {
     val url = Jdbc.derbyUrl(tmpDb())
     val df = spark.range(100).select(
