@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Redact, Sampling}
+
+/** Dataset-shaping queries a large-scale training pipeline runs between
+  * ingestion and tokenization: deterministic stratified sampling,
+  * pattern redaction, and sequence packing. All three are pure
+  * functions of the data (hash-ranked / hash-sharded), so the DuckDB
+  * oracle replays them exactly.
+  */
+object PipelineQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // k lowest-hash docs per source: fixed-size per-stratum sample,
+    // reproducible on any cluster. Plan: bounded top-k aggregator, NO
+    // per-stratum window (PlanSpec).
+    "stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), "source", "doc_id", k = 5)),
+
+    // scrub-and-count: redact entity-ish terms, report per-doc
+    // redaction count + a content hash of the cleaned text (the hash
+    // keeps the verified payload small while pinning every byte)
+    "redact_terms" -> ((s, dir) => {
+      val pat = "\\b(customer|user)\\b"
+      docs(s, dir).select(
+        col("doc_id"),
+        Redact.matchCount(col("text"), pat).as("n_redacted"),
+        md5(Redact.redact(col("text"), pat, "<ENTITY>")).as("clean_hash"))
+    }),
+
+    // sequence packing: per (source, 2 hash-shards), docs in doc_id
+    // order accumulate into <=300-token packs; one row per pack
+    "pack_docs" -> ((s, dir) => {
+      val toks = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+      Sampling.packBySize(docs(s, dir), "source", "doc_id", toks,
+        budget = 300, shards = 2)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "stratified_sample" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS hk
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source ORDER BY hk ASC, doc_id ASC) AS rn
+        |  FROM h
+        |)
+        |SELECT source, doc_id FROM r WHERE rn <= 5""".stripMargin,
+    "redact_terms" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '\b(customer|user)\b')) AS BIGINT) AS n_redacted,
+        |       md5(regexp_replace(text, '\b(customer|user)\b', '<ENTITY>', 'g')) AS clean_hash
+        |FROM documents""".stripMargin,
+    "pack_docs" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks,
+        |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 2 AS shard
+        |  FROM documents
+        |), p AS (
+        |  SELECT source, shard, toks,
+        |         COALESCE(SUM(toks) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM d
+        |)
+        |SELECT source, CAST(shard AS BIGINT) AS shard,
+        |       CAST(FLOOR(prior / 300) AS BIGINT) AS pack_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(toks) AS BIGINT) AS tok_sum
+        |FROM p GROUP BY source, shard, FLOOR(prior / 300)""".stripMargin
+  )
+}

@@ -265,6 +265,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(agg.finish(b) == Seq(10L, 20L))
   }
 
+  test("Sampling.stratifiedSample is deterministic, fixed-size, and partition-independent") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val a = Sampling.stratifiedSample(docs, "source", "doc_id", 5)
+      .as[(String, Long)].collect().toSet
+    val b = Sampling.stratifiedSample(docs.repartition(13), "source", "doc_id", 5)
+      .as[(String, Long)].collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    val perStratum = a.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perStratum.values.forall(_ == 5), s"per-stratum sizes: $perStratum")
+  }
+
+  test("Sampling.packBySize: packs respect order, budget boundaries, and totals") {
+    val df = Seq.tabulate(20)(i => ("s", i.toLong, 100L))
+      .toDF("src", "id", "toks")
+    val packs = Sampling.packBySize(df, "src", "id", col("toks"),
+      budget = 300, shards = 1)
+      .select("pack_id", "n_docs", "tok_sum")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // 20 docs x 100 tokens, 300-token budget: packs of 3 (prior sums
+    // 0,100,200 -> pack 0; 300,400,500 -> pack 1; ...), 2 left over
+    assert(packs.map(_._2).toSeq == Seq.fill(6)(3L) :+ 2L, packs.mkString(","))
+    assert(packs.map(_._3).sum == 2000L, "no tokens lost")
+  }
+
   test("ValueHistogram aggregator matches the composed two-level query") {
     val ev = Tables(spark, "/root/testdata/sf0.001", "events")
     val viaAgg = ev.groupBy("event_type")

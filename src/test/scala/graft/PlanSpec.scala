@@ -99,6 +99,15 @@ class PlanSpec extends AnyFunSuite {
       s"non-equi join in blocked dedup:\n$p")
   }
 
+  test("stratified_sample ranks through the bounded aggregator, not a window") {
+    val df = SparkEntry.queries("stratified_sample")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"per-stratum window in sample plan:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"no aggregator-based ranking:\n$p")
+  }
+
   test("bucketed tables join without a shuffle (CompositeInputFormat analog)") {
     // The reference's map-side join needs co-partitioned, sorted inputs
     // (CompositeInputFormat.java:59-96); the Spark analog is bucketed
