@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming variants of the event operators.
@@ -94,6 +94,44 @@ object StreamingOps {
           cur.foreach(state.update)
           closed.result().iterator
       }
+  }
+
+  final case class KV(k: String, v: Long)
+  final case class AggState(n: Long, sum: Long)
+  final case class Running(k: String, n: Long, sum: Long)
+
+  /** The aggregate framework's LongValueSum as an UNBOUNDED running
+    * aggregate: per-key count+sum that survives across micro-batches
+    * (and restarts) in the transformWithState state store — Spark's
+    * arbitrary-stateful operator (RocksDB-backed), the modern
+    * replacement for flatMapGroupsWithState. Each batch that touches a
+    * key emits that key's updated running report (Update output mode).
+    */
+  class RunningSumProcessor extends StatefulProcessor[String, KV, Running] {
+    @transient private var st: ValueState[AggState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AggState]("agg",
+        Encoders.product[AggState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[KV],
+                                 tv: TimerValues): Iterator[Running] = {
+      val prev = if (st.exists()) st.get() else AggState(0L, 0L)
+      var n = prev.n
+      var s = prev.sum
+      rows.foreach { r => n += 1; s += r.v }
+      st.update(AggState(n, s))
+      Iterator(Running(key, n, s))
+    }
+  }
+
+  /** Streaming ValueAggregator (LongValueSum + count): requires the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  def runningAgg(events: Dataset[KV]): Dataset[Running] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.k)
+      .transformWithState(new RunningSumProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   final case class EvW(user_id: Long, us: Long, ts: java.sql.Timestamp)

@@ -110,6 +110,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState running aggregate accumulates across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[StreamingOps.KV]
+    val q = StreamingOps.runningAgg(mem.toDS())
+      .writeStream.format("memory").queryName("running_agg")
+      .outputMode("update").start()
+    try {
+      mem.addData(StreamingOps.KV("a", 1L), StreamingOps.KV("a", 2L),
+        StreamingOps.KV("b", 5L))
+      q.processAllAvailable()
+      mem.addData(StreamingOps.KV("a", 4L))
+      q.processAllAvailable()
+      val got = spark.table("running_agg")
+        .select("k", "n", "sum").as[(String, Long, Long)].collect().toSet
+      // batch 1 emits the first running reports; batch 2 emits a's
+      // UPDATED report — state carried across batches
+      assert(got == Set(("a", 2L, 3L), ("b", 1L, 5L), ("a", 3L, 7L)), got.toString)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval self-join matches the batch join") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
