@@ -201,6 +201,45 @@ object Dedup {
     * Takes the signature table (from [[simhash]]) so callers can
     * materialize it across the plan's branches.
     */
+  /** Connected components over a near-dup pair graph by min-label
+    * propagation: every node's label converges to the smallest id in
+    * its component — the clustering step that turns pairwise near-dup
+    * evidence into dedup groups (keep one representative per cluster).
+    *
+    * Each round is one join + one min-aggregation (all partial+final
+    * hash aggregates); `localCheckpoint` truncates the iterative plan's
+    * lineage so round N doesn't replay rounds 1..N-1. Rounds needed =
+    * graph diameter (near-dup clusters are shallow — a handful), with a
+    * convergence check so typical data stops after 2-3 rounds. The
+    * label result is iteration-order independent (min is idempotent/
+    * commutative), so any cluster, partitioning, or retry agrees.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      // each node adopts the min of its own and its neighbors' labels
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min("label").as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as(aCol), col("label").as("cluster_id"))
+  }
+
   def simhashPairs(sig: DataFrame, id: String, maxDist: Int = 3,
                    nBands: Int = 4): DataFrame = {
     require(maxDist < nBands, "banding is only complete for maxDist < nBands")

@@ -131,6 +131,24 @@ object EventQueries extends QueryModule {
           max(col("us")).as("end_us"))
     }),
 
+    // As-of join (engine addition — no temporal join in the reference,
+    // none native in Spark): each purchase matched to the user's latest
+    // at-or-before view via the union-sort-carry plan (ONE shuffle on
+    // user_id, no range explode). The oracle is DuckDB's NATIVE ASOF
+    // LEFT JOIN — an independent implementation agreeing bit-for-bit.
+    // Right rows collapse to one per (user, ts) (max event_id) so the
+    // equal-timestamp tie rule is well-defined on both engines.
+    "asof_join" -> ((s, dir) => {
+      import graft.operators.AsofJoin
+      val ev = this.ev(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .agg(max("event_id").as("view_id"))
+      AsofJoin.asof(purchases, views, "user_id", "ts_us", "ts_us", "view_id")
+    }),
+
     // JSON field extraction from the props column (semi-structured scan).
     "json_extract" -> ((s, dir) => {
       val k = get_json_object(col("props"), "$.k").cast("long")
@@ -160,6 +178,18 @@ object EventQueries extends QueryModule {
       """SELECT event_type,
         |  CAST(LEAST(COUNT(DISTINCT props), 50) AS BIGINT) AS capped_props
         |FROM events GROUP BY event_type""".stripMargin,
+    "asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY user_id, epoch_us(ts)
+        |)
+        |SELECT p.user_id, p.event_id, p.ts_us, v.view_id AS asof_view_id
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us""".stripMargin,
     "value_histogram" ->
       """WITH c AS (
         |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt

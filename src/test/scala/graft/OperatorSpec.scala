@@ -289,6 +289,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(packs.map(_._3).sum == 2000L, "no tokens lost")
   }
 
+  test("AsofJoin matches each left row to the latest at-or-before right row") {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, 10L, 7L), (1L, 15L, 8L), (2L, 9L, 9L))
+      .toDF("k", "ts", "rid")
+    val out = AsofJoin.asof(left, right, "k", "ts", "ts", "rid")
+      .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    // equal-ts right row IS visible (<=); the latest prior wins; a left
+    // row before any right row gets null
+    assert(out == Map(100L -> Some(7L), 101L -> Some(8L), 102L -> None))
+  }
+
+  test("Dedup.connectedComponents labels every node with its component minimum") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (7L, 8L), (10L, 9L)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+      9L -> 9L, 10L -> 9L))
+    // a path graph needs diameter-many propagation rounds to converge
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val c2 = Dedup.connectedComponents(chain, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(c2.keySet == (1L to 6L).toSet && c2.values.toSet == Set(1L), c2.toString)
+  }
+
   test("ValueHistogram aggregator matches the composed two-level query") {
     val ev = Tables(spark, "/root/testdata/sf0.001", "events")
     val viaAgg = ev.groupBy("event_type")
