@@ -42,6 +42,6 @@ object AsofJoin {
     unioned
       .withColumn(s"asof_$rightId", last(col("__rid"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select((leftCols.map(col) :+ col(s"asof_$rightId")): _*)
+      .select(leftCols.toIndexedSeq.map(col) :+ col(s"asof_$rightId"): _*)
   }
 }

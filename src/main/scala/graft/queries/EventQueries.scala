@@ -149,6 +149,23 @@ object EventQueries extends QueryModule {
       AsofJoin.asof(purchases, views, "user_id", "ts_us", "ts_us", "view_id")
     }),
 
+    // Range join (engine addition): every event matched to its
+    // containing session interval through the BINNED plan — intervals
+    // explode to covered 1h bins, the join is an equi-join on
+    // (user_id, bin) + exact containment filter. A naive BETWEEN join
+    // would plan as BroadcastNestedLoop (asserted away in PlanSpec);
+    // the oracle IS that naive inequality join, replayed in DuckDB.
+    "range_join_sessions" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      val points = ev(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      val sess = queries("sessionize")(s, dir)
+        .select(col("user_id"), col("sess_id"), col("start_us"), col("end_us"))
+      RangeJoin.pointInInterval(points, sess, "user_id",
+        "us", "start_us", "end_us", binSize = 3600L * 1000000L)
+        .select(col("event_id"), col("sess_id"))
+    }),
+
     // JSON field extraction from the props column (semi-structured scan).
     "json_extract" -> ((s, dir) => {
       val k = get_json_object(col("props"), "$.k").cast("long")
@@ -230,6 +247,31 @@ object EventQueries extends QueryModule {
         |SELECT user_id, sess_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |       CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us
         |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+    "range_join_sessions" ->
+      """WITH s AS (
+        |  WITH e AS (
+        |    SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |  ), m AS (
+        |    SELECT user_id, event_id, us,
+        |      CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000 THEN 1
+        |           WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL THEN 1
+        |           ELSE 0 END AS new_sess
+        |    FROM e
+        |  ), sess AS (
+        |    SELECT user_id, us,
+        |      CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |    FROM m
+        |  )
+        |  SELECT user_id, sess_id,
+        |         CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us
+        |  FROM sess GROUP BY user_id, sess_id
+        |), p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |)
+        |SELECT p.event_id, s.sess_id
+        |FROM p JOIN s
+        |  ON p.user_id = s.user_id AND p.us BETWEEN s.start_us AND s.end_us""".stripMargin,
     "json_extract" ->
       """SELECT event_type,
         |  CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS k_sum,

@@ -116,6 +116,25 @@ object TextQueries extends QueryModule {
         size(toks(col("text"))).cast("long").as("n_ws"),
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
           .cast("long").as("n_bpe"))
+    }),
+
+    // Corpus-frequency scoring: every token occurrence joined to its
+    // corpus DOCUMENT frequency (the vocabulary is small relative to
+    // the corpus, so the df table broadcasts — no shuffle of the token
+    // stream), then per-doc rarity stats. The quality-filter shape of
+    // a training pipeline: mean_df is a double derived from exact
+    // integer sums, division-last on both engines.
+    "rare_token_score" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      val df_ = tok.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+      tok.join(broadcast(df_), "w")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("df") <= 200, 1L).otherwise(0L)).as("n_rare"),
+          sum(col("df")).as("df_sum"))
+        .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+          (col("df_sum").cast("double") / col("n_tokens")).as("mean_df"))
     })
   )
 
@@ -183,6 +202,19 @@ object TextQueries extends QueryModule {
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "rare_token_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+        |  FROM documents
+        |), df AS (
+        |  SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY w
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN df <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |       CAST(SUM(df) AS DOUBLE) / COUNT(*) AS mean_df
+        |FROM tok JOIN df USING (w)
+        |GROUP BY doc_id""".stripMargin
   )
 }

@@ -301,6 +301,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Map(100L -> Some(7L), 101L -> Some(8L), 102L -> None))
   }
 
+  test("RangeJoin.pointInInterval: boundary containment, intervals spanning bins") {
+    val pts = Seq((1L, 5L, 100L), (1L, 10L, 101L), (1L, 25L, 102L), (2L, 7L, 103L))
+      .toDF("k", "p", "pid")
+    val iv = Seq((1L, 5L, 10L, 1000L), (1L, 20L, 40L, 1001L), (2L, 8L, 9L, 1002L))
+      .toDF("k", "lo", "hi", "iid")
+    val out = RangeJoin.pointInInterval(pts, iv, "k", "p", "lo", "hi", binSize = 4)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    // lo and hi boundaries are inclusive; the [20,40] interval spans
+    // multiple bins yet matches once; key 2's point is outside [8,9]
+    assert(out == Set((100L, 1000L), (101L, 1000L), (102L, 1001L)))
+  }
+
   test("Dedup.connectedComponents labels every node with its component minimum") {
     val pairs = Seq((2L, 1L), (2L, 3L), (7L, 8L), (10L, 9L)).toDF("doc_a", "doc_b")
     val out = Dedup.connectedComponents(pairs, "doc_a", "doc_b")

@@ -108,6 +108,21 @@ class PlanSpec extends AnyFunSuite {
       s"no aggregator-based ranking:\n$p")
   }
 
+  test("range_join_sessions plans as an equi-join on (key, bin), not a nested loop") {
+    val df = SparkEntry.queries("range_join_sessions")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"naive inequality join in range-join plan:\n$p")
+  }
+
+  test("rare_token_score broadcasts the vocabulary to the token stream") {
+    val df = SparkEntry.queries("rare_token_score")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"df join not broadcast:\n$p")
+  }
+
   test("bucketed tables join without a shuffle (CompositeInputFormat analog)") {
     // The reference's map-side join needs co-partitioned, sorted inputs
     // (CompositeInputFormat.java:59-96); the Spark analog is bucketed
