@@ -222,6 +222,12 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    // labels only ever DECREASE, so an unchanged label sum is an exact
+    // fixpoint test — one cheap aggregate per round instead of a
+    // join-and-compare (decimal sum: overflow-proof for 64-bit ids)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var curSum = labelSum(labels)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -232,8 +238,9 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(curSum) == 0
+      curSum = nextSum
       labels = next
       i += 1
     }
