@@ -166,6 +166,19 @@ object EventQueries extends QueryModule {
         .select(col("event_id"), col("sess_id"))
     }),
 
+    // Skew-safe join surfaced as a query: event_type is the textbook
+    // hot key (60k rows over 5 values); the salted plan scatters each
+    // hot key over `salt` buckets so no single task owns a key. Results
+    // are identical to the plain join — which is exactly the oracle.
+    "salted_join" -> ((s, dir) => {
+      import graft.operators.Skew
+      val events = ev(s, dir)
+      val dim = events.groupBy("event_type").agg(count(lit(1)).as("type_n"))
+      Skew.saltedJoin(events.select(col("event_id"), col("event_type")),
+        dim, "event_type", salt = 8)
+        .select(col("event_id"), col("event_type"), col("type_n"))
+    }),
+
     // JSON field extraction from the props column (semi-structured scan).
     "json_extract" -> ((s, dir) => {
       val k = get_json_object(col("props"), "$.k").cast("long")
@@ -272,6 +285,13 @@ object EventQueries extends QueryModule {
         |SELECT p.event_id, s.sess_id
         |FROM p JOIN s
         |  ON p.user_id = s.user_id AND p.us BETWEEN s.start_us AND s.end_us""".stripMargin,
+    "salted_join" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_n
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type, d.type_n
+        |FROM events e JOIN d USING (event_type)""".stripMargin,
     "json_extract" ->
       """SELECT event_type,
         |  CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS k_sum,
