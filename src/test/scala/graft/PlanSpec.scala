@@ -123,6 +123,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"df join not broadcast:\n$p")
   }
 
+  test("asof_join is union-sort-carry: no join operator, bounded exchanges") {
+    val df = SparkEntry.queries("asof_join")(spark, dir)
+    df.collect()
+    // AQE's toString prints final + initial plans; audit the final only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"asof must not plan a join operator:\n$p")
+    // one exchange for the right side's (key, ts) collapse + one for the
+    // per-key window — nothing proportional to candidate pairs
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"too many shuffles in asof plan:\n$p")
+  }
+
   test("bucketed tables join without a shuffle (CompositeInputFormat analog)") {
     // The reference's map-side join needs co-partitioned, sorted inputs
     // (CompositeInputFormat.java:59-96); the Spark analog is bucketed
