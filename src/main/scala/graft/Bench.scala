@@ -90,13 +90,20 @@ object Bench {
     // TestDFSIO.java:88-103 sequential MB/s), sized small enough to not
     // dominate the round but large enough to exceed fixed overhead
     val benchDir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-bench-${ProcessHandle.current().pid()}"
-    val mrRuns = jobs.LoadGen.mrbench(spark, s"$benchDir/mrbench", inputLines = 1000, runs = 4)
-    val mrAvg = mrRuns.sum / mrRuns.length
-    val dfsioMb = sys.env.getOrElse("SPARK_GRAFT_DFSIO_MB", "256").toInt
-    val dfsioFiles = 8
-    val (_, wMbps) = jobs.LoadGen.dfsioWrite(spark, s"$benchDir/dfsio", dfsioFiles, dfsioMb / dfsioFiles)
-    val (_, rMbps) = jobs.LoadGen.dfsioRead(spark, s"$benchDir/dfsio")
-    sources.TeraIO.delete(spark, benchDir)
+    // a harness failure reports -1, never swallows the whole JSON line
+    val (mrAvg, wMbps, rMbps) =
+      try {
+        val mrRuns = jobs.LoadGen.mrbench(spark, s"$benchDir/mrbench", inputLines = 1000, runs = 4)
+        val dfsioMb = sys.env.getOrElse("SPARK_GRAFT_DFSIO_MB", "256").toInt
+        val dfsioFiles = 8
+        val (_, w) = jobs.LoadGen.dfsioWrite(spark, s"$benchDir/dfsio", dfsioFiles, dfsioMb / dfsioFiles)
+        val (_, r) = jobs.LoadGen.dfsioRead(spark, s"$benchDir/dfsio")
+        (mrRuns.sum / mrRuns.length, w, r)
+      } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+      finally {
+        try sources.TeraIO.delete(spark, benchDir)
+        catch { case _: Throwable => () }
+      }
 
     def jm(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -84,6 +84,16 @@ object DedupQueries extends QueryModule {
       d.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).cast("long").as("cluster_id"))
+    }),
+
+    // ...and the APPLY step a pipeline actually ships: keep one
+    // representative per cluster (the min-id doc IS its own cluster
+    // label, so the filter is doc_id == cluster_id — no extra shuffle
+    // past the clustering itself)
+    "dedup_apply" -> ((s, dir) => {
+      val clustered = queries("dedup_clusters")(s, dir)
+      clustered.filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"))
     })
   )
 
@@ -217,6 +227,42 @@ object DedupQueries extends QueryModule {
         |       CAST(COALESCE(LEAST(MIN(reach.r), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
         |FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
         |GROUP BY d.doc_id""".stripMargin,
+    "dedup_apply" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+        |  FROM documents
+        |), bsum AS (
+        |  SELECT doc_id, j,
+        |    SUM((((('0x' || substr(md5(w), j // 4 + 1, 1))::INT) >> (3 - j % 4)) & 1) * 2 - 1) AS s
+        |  FROM tok, (SELECT unnest(range(0, 64)) AS j)
+        |  GROUP BY doc_id, j
+        |), sigs AS (
+        |  SELECT doc_id,
+        |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+        |  FROM bsum GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, simhash, b AS band, substring(simhash, 1 + 16*b, 16) AS bits
+        |  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
+        |), pairs AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.simhash::BIT, y.simhash::BIT)) <= 3
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+        |), clustered AS (
+        |  SELECT d.doc_id,
+        |         COALESCE(LEAST(MIN(reach.r), d.doc_id), d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
+        |  GROUP BY d.doc_id
+        |)
+        |SELECT doc_id FROM clustered WHERE doc_id = cluster_id""".stripMargin,
     "fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
