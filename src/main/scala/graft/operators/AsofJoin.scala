@@ -23,6 +23,8 @@ object AsofJoin {
   def asof(left: DataFrame, right: DataFrame, key: String,
            lts: String, rts: String, rightId: String): DataFrame = {
     val leftCols = left.columns
+    val reserved = Set("__side", "__ts", "__rid")
+    require(!leftCols.exists(reserved), s"left columns clash with $reserved")
     val l = left
       .withColumn("__side", lit(1))
       .withColumn("__ts", col(lts))

@@ -25,6 +25,8 @@ object RangeJoin {
                       ptCol: String, loCol: String, hiCol: String,
                       binSize: Long): DataFrame = {
     require(binSize > 0, "binSize must be positive")
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "column __bin is reserved")
     val binned = intervals.withColumn("__bin",
       explode(sequence(floor(col(loCol) / binSize), floor(col(hiCol) / binSize))))
     points.withColumn("__bin", floor(col(ptCol) / binSize))
