@@ -287,11 +287,22 @@ object Dedup {
   def fingerprints(df: DataFrame, id: String, text: String,
                    k: Int, window: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = df
-      .select(col(id), posexplode(wordShingles(tokens(col(text)), k)).as(Seq("pos", "sh")))
-      .withColumn("h", md5(col("sh")))
-    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
-      .rowsBetween(0, window - 1)
+    require(k >= 1, "shingle size must be >= 1")
+    // shingles via lead() over the SAME (id, pos) ordering the winnowing
+    // window needs anyway: the one shuffle is shared, and everything
+    // outside the two window nodes stays codegen'd (the per-doc
+    // wordShingles transform() lambda this replaces ran interpreted
+    // slice+array_join per position)
+    val tok = df.select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "w")))
+    val w0 = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val withLeads = (1 until k).foldLeft(tok) { (d, i) =>
+      d.withColumn(s"w$i", lead(col("w"), i).over(w0))
+    }
+    val complete =
+      if (k == 1) withLeads else withLeads.filter(col(s"w${k - 1}").isNotNull)
+    val sh = complete.withColumn("h",
+      md5(concat_ws(" ", col("w") +: (1 until k).map(i => col(s"w$i")): _*)))
+    val w = w0.rowsBetween(0, window - 1)
     sh.select(col(id), min(col("h")).over(w).as("fp")).distinct()
   }
 }
