@@ -30,6 +30,11 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  // locale-pinned decimal formatting: a comma-decimal default locale
+  // (de_DE) would make f"%.3f" emit '1,234' and break the JSON line
+  private def fmt(d: Double, places: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // bench contract is local[32] (the driver may or may not export CPUS)
@@ -109,18 +114,25 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jm(med.map { case (k, v) => k -> v.toString })
     val spread = jm(samples.map { case (k, ts) =>
-      k -> ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      k -> ts.map(t => fmt(t, 3)).mkString("[", ",", "]")
     })
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val smallJson = (small, smallDir) match {
       case (Some(sq), Some(sd)) =>
-        s""","sf_small":"$sd","queries_small":${jm(sq.map { case (k, v) => k -> f"$v%.3f" })}"""
+        s""","sf_small":"$sd","queries_small":${jm(sq.map { case (k, v) => k -> fmt(v, 3) })}"""
       case _ => ""
     }
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","iterations":$iters,"samples":$spread,"failed":$failedJson""" + smallJson +
-      f""","mrbench_avg_latency_sec":$mrAvg%.3f,"dfsio_write_mbps":$wMbps%.1f,"dfsio_read_mbps":$rMbps%.1f}""")
+      s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)}}"""
+    println(json)
+    // the driver's stdout tail capture has truncated this line before
+    // (BENCH_r03 "parsed": null) — a file copy keeps history lossless
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -109,27 +109,53 @@ object Dedup {
     hashes.groupBy(col(id)).agg(mins.head, mins.tail: _*)
   }
 
+  /** Band-bucket df cap: drops (band, bucket) groups whose membership
+    * exceeds `maxBucket` BEFORE the banding self-join. An exact-dup-heavy
+    * corpus (boilerplate repeated 100k× is the norm in web training data)
+    * puts identical signatures in one bucket, and the self-join emits
+    * O(dups²) candidate rows — the one quadratic escape hatch left in the
+    * LSH plan. Same shape as the `maxDf` stop-shingle guard: the hot list
+    * is tiny by construction, so it broadcasts; the join stays an
+    * equi-join. Docs dropped this way should be routed through [[exact]]
+    * first (identical docs don't need LSH evidence — their pairs are
+    * already known), which is the documented scale pipeline: exact-dedup
+    * → band only the representatives.
+    */
+  private def capBuckets(bands: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) bands
+    else {
+      val hot = bands.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxBucket)
+        .select(keys.map(col): _*)
+      bands.join(broadcast(hot), keys, "left_anti")
+    }
+
   /** LSH banding: hash each run of `rowsPerBand` signature slots; docs
     * colliding in any band become candidate pairs (equi-join, no
-    * quadratic blowup).
+    * quadratic blowup). `maxBucket` > 0 caps per-(band, hash) bucket
+    * membership (see [[capBuckets]]).
     */
   def minhashCandidates(shingles: DataFrame, id: String,
-                        numPerm: Int, rowsPerBand: Int): DataFrame =
+                        numPerm: Int, rowsPerBand: Int,
+                        maxBucket: Int = 0): DataFrame =
     minhashCandidatesFromHashes(minhashSignatures(shingles, id, numPerm),
-      id, numPerm, rowsPerBand)
+      id, numPerm, rowsPerBand, maxBucket)
 
   /** LSH banding over a precomputed signature table s0..sN-1. */
   def minhashCandidatesFromHashes(sig: DataFrame, id: String,
-                                  numPerm: Int, rowsPerBand: Int): DataFrame = {
+                                  numPerm: Int, rowsPerBand: Int,
+                                  maxBucket: Int = 0): DataFrame = {
     val nBands = numPerm / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => col(s"s$i").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", slots: _*)).as("bh"))
     }
-    val bands = sig
-      .select(col(id), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(id), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val bands = capBuckets(
+      sig.select(col(id), explode(array(bandStructs: _*)).as("bb"))
+        .select(col(id), col("bb.band").as("band"), col("bb.bh").as("bh")),
+      Seq("band", "bh"), maxBucket)
     val l = bands.select(col(id).as("doc_a"), col("band"), col("bh"))
     val r = bands.select(col(id).as("doc_b"), col("band"), col("bh"))
     l.join(r, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
@@ -144,7 +170,8 @@ object Dedup {
     */
   def nearDuplicates(df: DataFrame, id: String, text: String, k: Int,
                      numPerm: Int, rowsPerBand: Int, threshold: Double,
-                     materialize: Boolean = false): DataFrame = {
+                     materialize: Boolean = false,
+                     maxBucket: Int = 0): DataFrame = {
     val hs0 = shingleHashes(shingleTable(df, id, text, k), id)
     // the hashed table (id, h1, h2) feeds four branches; 8-byte keys
     // cross every shuffle instead of shingle strings
@@ -152,7 +179,8 @@ object Dedup {
       hs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else hs0
     val cand = minhashCandidatesFromHashes(
-      minhashSignaturesFromHashes(hs, id, numPerm), id, numPerm, rowsPerBand)
+      minhashSignaturesFromHashes(hs, id, numPerm), id, numPerm, rowsPerBand,
+      maxBucket)
     val sizes = hs.groupBy(col(id)).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(hs.select(col(id).as("doc_a"), col("h1")), "doc_a")
@@ -222,19 +250,37 @@ object Dedup {
     * label result is iteration-order independent (min is idempotent/
     * commutative), so any cluster, partitioning, or retry agrees.
     */
+  /** Lineage-truncation fault-tolerance trade: `localCheckpoint` (the
+    * default) stores blocks on executors — fast, but an executor loss
+    * mid-iteration loses blocks AND the truncated lineage, killing the
+    * job. For a 100 TB cluster run, pass `checkpointDir` (HDFS/S3):
+    * `df.checkpoint()` writes each round's frame to reliable storage so
+    * iteration survives executor failure.
+    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+                          maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty || !sc.getCheckpointDir.exists(_.contains(dir)))
+          sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+    val edges = ckpt(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+        .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     // labels only ever DECREASE, so an unchanged label sum is an exact
     // fixpoint test — one cheap aggregate per round instead of a
-    // join-and-compare (decimal sum: overflow-proof for 64-bit ids)
+    // join-and-compare (decimal sum: overflow-proof for 64-bit ids;
+    // sum over an EMPTY graph is SQL NULL → ZERO, so a corpus with no
+    // near-dup pairs converges on the first round instead of NPEing)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var curSum = labelSum(labels)
     var i = 0
     var converged = false
@@ -242,43 +288,55 @@ object Dedup {
       // each node adopts the min of its own and its neighbors' labels
       val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min("label").as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = ckpt(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label")))
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(curSum) == 0
       curSum = nextSum
       labels = next
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents: not converged after $maxIter rounds " +
+          "(component diameter exceeds maxIter); labels may be non-minimal")
     labels.select(col("id").as(aCol), col("label").as("cluster_id"))
   }
 
   def simhashPairs(sig: DataFrame, id: String, maxDist: Int = 3,
-                   nBands: Int = 4): DataFrame = {
+                   nBands: Int = 4, maxBucket: Int = 0): DataFrame = {
     require(maxDist < nBands, "banding is only complete for maxDist < nBands")
     val width = 64 / nBands
+    // each band's bits pre-parsed to a LONG once, before banding: the
+    // band join carries nBands longs per side instead of both 64-char
+    // signature strings (~4× fewer shuffled bytes), and the post-join
+    // hamming verify is pure xor+bit_count on those longs — no
+    // conv/substring work after the shuffle
+    val chunkCols = (0 until nBands).map(c =>
+      conv(substring(col("simhash"), 1 + width * c, width), 2, 10)
+        .cast("long").as(s"c$c"))
+    val chunked = sig.select(col(id) +: chunkCols: _*)
     val bandStructs = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        substring(col("simhash"), 1 + width * b, width).as("bits"))
+      struct(lit(b).as("band"), col(s"c$b").as("bits"))
     }
-    val banded = sig
-      .select(col(id), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(id), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
-    val l = banded.select(col(id).as("doc_a"), col("simhash").as("sig_a"),
-      col("band"), col("bits"))
-    val r = banded.select(col(id).as("doc_b"), col("simhash").as("sig_b"),
-      col("band"), col("bits"))
+    val chunks = (0 until nBands).map(c => col(s"c$c"))
+    val banded = capBuckets(
+      chunked.select(col(id) +: chunks :+ explode(array(bandStructs: _*)).as("bb"): _*)
+        .select(col(id) +: chunks :+ col("bb.band").as("band") :+ col("bb.bits").as("bits"): _*),
+      Seq("band", "bits"), maxBucket)
+    val l = banded.select(col(id).as("doc_a") +:
+      (0 until nBands).map(c => col(s"c$c").as(s"a$c")) :+ col("band") :+ col("bits"): _*)
+    val r = banded.select(col(id).as("doc_b") +:
+      (0 until nBands).map(c => col(s"c$c").as(s"b$c")) :+ col("band") :+ col("bits"): _*)
     val hamming = (0 until nBands).map { c =>
-      bit_count(
-        conv(substring(col("sig_a"), 1 + width * c, width), 2, 10).cast("long")
-          .bitwiseXOR(
-            conv(substring(col("sig_b"), 1 + width * c, width), 2, 10).cast("long")))
+      bit_count(col(s"a$c").bitwiseXOR(col(s"b$c")))
     }.reduce(_ + _)
     l.join(r, Seq("band", "bits"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .select(col("doc_a") +: col("doc_b") +:
+        (0 until nBands).flatMap(c => Seq(col(s"a$c"), col(s"b$c"))): _*)
+      .distinct()
       .withColumn("hamming", hamming.cast("long"))
       .filter(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")

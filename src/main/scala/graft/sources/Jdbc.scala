@@ -50,6 +50,12 @@ object Jdbc {
     */
   def integerSplitPoints(numSplits: Int, minVal: Long, maxVal: Long): Seq[Long] = {
     val n = math.max(numSplits, 1)
+    // an inverted range (reachable only through the defensive
+    // NULL-extremum → Long.MinValue mapping in dateSplitPredicates)
+    // degrades to one empty-interval split — the reference's documented
+    // "poorly balanced splits" contract — instead of pts.last throwing
+    // on an empty list
+    if (minVal > maxVal) return Seq(minVal, maxVal)
     val splitSize = math.max((maxVal - minVal) / n, 1L)
     val b = Seq.newBuilder[Long]
     var cur = minVal

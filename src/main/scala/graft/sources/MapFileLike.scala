@@ -78,8 +78,13 @@ object MapFileLike {
               SequenceFileIO.toWritable(row.get(1), vt))
           }
           writer.close()
-          // commit: first attempt to rename wins; losers clean up
-          if (!fs.rename(attempt, dest)) fs.delete(attempt, true)
+          // commit: first attempt wins. NOTE rename(src, existingDir)
+          // moves src INSIDE an existing destination instead of failing,
+          // so a bare rename would nest a loser's attempt dir under the
+          // committed part-* dir — check existence first and have losers
+          // (speculative/zombie attempts) discard their output.
+          if (fs.exists(dest) || !fs.rename(attempt, dest))
+            fs.delete(attempt, true)
         } catch {
           case e: Throwable =>
             try writer.close() catch { case _: Throwable => () }

@@ -158,6 +158,12 @@ class JdbcSpec extends AnyFunSuite {
     // NULL-to-NULL: single IS NULL split
     assert(Jdbc.dateSplitPredicates("d", 3, None, None) ==
       Seq("( d IS NULL ) AND ( d IS NULL )"))
+    // exactly ONE NULL extremum: degrades to a bounded (possibly empty)
+    // interval plus the IS NULL split — the reference's "poorly balanced
+    // splits" contract — instead of pts.last throwing on an empty list
+    val one = Jdbc.dateSplitPredicates("d", 3,
+      Some(ts("2020-01-01 00:00:00")), None)
+    assert(one.nonEmpty && one.last == "( d IS NULL ) AND ( d IS NULL )")
   }
 
   test("partitioned date read over Derby: complete and disjoint") {

@@ -158,6 +158,66 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall too low; missed ${exact.diff(cand)}")
   }
 
+  test("Dedup LSH band joins: maxBucket bounds candidates on an exact-dup-heavy corpus") {
+    // the web-corpus norm the cap guards against: one boilerplate page
+    // duplicated en masse puts identical signatures in one band bucket,
+    // and the band self-join would emit O(dups²) candidates
+    val boiler = (1 to 10000).map(i =>
+      (100000L + i, "the same boilerplate navigation footer page body repeated across mirrors"))
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "completely different text about another subject entirely unrelated here"))
+    val df = (boiler ++ planted).toDF("doc_id", "text")
+
+    // minhash lane: capped candidates exclude the boilerplate cross
+    // product but keep the planted near-dup pair
+    val sh = Dedup.shingleTable(df, "doc_id", "text", 3)
+    val capped = Dedup.minhashCandidates(sh, "doc_id", 16, 4, maxBucket = 100)
+      .as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)), s"planted near-dup lost under cap: $capped")
+    assert(capped.size < 100, s"cap failed to bound candidates: ${capped.size}")
+    assert(!capped.exists { case (a, b) => a > 100000L && b > 100000L },
+      "boilerplate dup pairs should be capped out (handled by exact dedup)")
+
+    // simhash lane: same bound (identical sigs share every band bucket)
+    val sig = Dedup.simhash(df, "doc_id", "text")
+    val sp = Dedup.simhashPairs(sig, "doc_id", maxDist = 3, maxBucket = 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(sp.size < 100, s"simhash cap failed to bound candidates: ${sp.size}")
+    assert(!sp.exists { case (a, b) => a > 100000L && b > 100000L },
+      "boilerplate dup pairs should be capped out of the simhash band join")
+
+    // contrast at a size where the uncapped join is still runnable:
+    // 500 copies -> the uncapped band join emits the full dup cross
+    // product (124,750 pairs), the capped one none of it
+    val small = ((1 to 500).map(i =>
+      (200000L + i, "another boilerplate body shared verbatim by many pages")) ++ planted)
+      .toDF("doc_id", "text")
+    val shS = Dedup.shingleTable(small, "doc_id", "text", 3)
+    val un = Dedup.minhashCandidates(shS, "doc_id", 16, 4).count()
+    val cp = Dedup.minhashCandidates(shS, "doc_id", 16, 4, maxBucket = 100).count()
+    assert(un > 124000L, s"uncapped join should emit the dup cross product: $un")
+    assert(cp < 100L, s"capped join should exclude it: $cp")
+  }
+
+  test("Dedup.connectedComponents on an empty pair graph returns empty (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").count() == 0L)
+  }
+
+  test("Dedup.connectedComponents with a reliable checkpoint dir agrees") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val out = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        checkpointDir = Some(dir)).as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("Similarity.ivfTopK approximates brute-force top-k") {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.filter(col("vec_id") % 50 === 0)
