@@ -268,6 +268,64 @@ object Similarity {
       .distinct()                            // rep>1 can pair twice
   }
 
+  /** All `salts.size` seed codebooks in ONE pass over the base: every
+    * row fans out to (salt, md5(id:salt), id, vec) and a bounded
+    * bottom-k aggregator keeps the `nCells` lowest-hash rows per salt —
+    * map-side partials carry ≤ nCells rows per (partition, salt), so
+    * the single scan replaces `salts.size` separate TakeOrdered jobs.
+    * Per-salt results match [[codebook]] exactly (same ranking key,
+    * same normalization, same id-sorted order).
+    */
+  def codebooks(base: DataFrame, idCol: String, vecCol: String, nCells: Int,
+                salts: Seq[Int]): Map[Int, Seq[(Long, Array[Double])]] = {
+    import org.apache.spark.sql.Row
+    val e = base.select(col(idCol).cast("long").as("a_id"),
+      col(vecCol).cast("array<double>").as("av"))
+    val salted = e.select(explode(array(salts.map(t =>
+        struct(lit(t).as("t"),
+          md5(concat(col("a_id").cast("string"), lit(s":$t"))).as("hk"),
+          col("a_id"), col("av"))): _*)).as("s"))
+      .select(col("s.t").as("t"), col("s.hk").as("hk"),
+        col("s.a_id").as("a_id"), col("s.av").as("av"))
+    salted.groupBy("t")
+      .agg(udaf(BottomKByKey(nCells)).apply(col("hk"), col("a_id"), col("av")).as("top"))
+      .collect()
+      .map { r =>
+        val top = r.getSeq[Row](1).map { s =>
+          val v = s.getSeq[Double](2).toArray
+          val n = math.sqrt(v.map(x => x * x).sum)
+          (s.getLong(1), v.map(_ / n))
+        }.sortBy(_._1)
+        r.getInt(0) -> top.toSeq
+      }.toMap
+  }
+
+  /** Bounded bottom-k by string key: keeps the k smallest (key, id, vec)
+    * rows, map-side combinable (the codebook-seed analog of
+    * Aggregators.TopKByScore).
+    */
+  private case class BottomKByKey(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Long, Seq[Double]),
+        Vector[(String, Long, Seq[Double])],
+        Seq[(String, Long, Seq[Double])]] {
+    private def lt(a: (String, Long, Seq[Double]), b: (String, Long, Seq[Double])): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    def zero: Vector[(String, Long, Seq[Double])] = Vector.empty
+    def reduce(b: Vector[(String, Long, Seq[Double])],
+               a: (String, Long, Seq[Double])): Vector[(String, Long, Seq[Double])] =
+      if (b.length >= k && lt(b.last, a)) b          // O(1) reject path
+      else (b :+ a).sortWith(lt).take(k)
+    def merge(a: Vector[(String, Long, Seq[Double])],
+              b: Vector[(String, Long, Seq[Double])]): Vector[(String, Long, Seq[Double])] =
+      (a ++ b).sortWith(lt).take(k)
+    def finish(r: Vector[(String, Long, Seq[Double])]): Seq[(String, Long, Seq[Double])] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Vector[(String, Long, Seq[Double])]] =
+      org.apache.spark.sql.Encoders.kryo
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(String, Long, Seq[Double])]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long, Seq[Double])]]()
+  }
+
   /** Near-dup pairs via multi-table LSH blocking — `tables` independent
     * seeded codebooks (salted id-hash seeds, NO training, so the whole
     * blocking is deterministic and replayable by a SQL oracle), each
@@ -279,6 +337,13 @@ object Similarity {
     * standard multi-hash-table ANN trade (candidate volume grows ~L×,
     * recall approaches 1). Every join is an equi-join; nothing in the
     * plan is quadratic in the table size.
+    *
+    * Scan discipline: the seed rankings for ALL tables come from one
+    * aggregation pass ([[codebooks]]), and cell assignment is ONE
+    * projection — each row scores itself against all `tables` broadcast
+    * codebooks and explodes its (t, cell) pairs — so the executed
+    * candidate plan scans the base once per join side (≤2 scans,
+    * plan-asserted), not once per table per side.
     */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, nCells: Int, rep: Int = 2,
@@ -286,10 +351,17 @@ object Similarity {
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // salts 1..tables: uniformly salted, so a SQL oracle replays every
     // table's seed ranking with ONE expression (md5(id || ':' || t))
-    val assigned = (1 to tables).map { t =>
-      val cb = codebook(df, idCol, vecCol, nCells, salt = t)
-      assignCells(e, "id", "v", cb, rep).withColumn("t", lit(t))
-    }.reduce(_.unionByName(_))
+    val cbs = codebooks(df, idCol, vecCol, nCells, 1 to tables)
+    val tcPairs = flatten(array((1 to tables).map { t =>
+      val cb = cbs(t)
+      val ids = typedLit(cb.map(_._1))
+      transform(
+        graft.functions.VectorExpressions.nearest_cells(
+          col("v"), cb.map(_._2.toSeq), rep),
+        i => struct(lit(t).as("t"), element_at(ids, i + 1).as("cell")))
+    }: _*))
+    val assigned = e.select(col("id"), col("v"), explode(tcPairs).as("tc"))
+      .select(col("tc.t").as("t"), col("tc.cell").as("cell"), col("id"), col("v"))
     val a = assigned.select(col("t"), col("cell"),
       col("id").as("vec_a"), col("v").as("va"))
     val b = assigned.select(col("t"), col("cell"),

@@ -97,6 +97,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"all-pairs join in blocked dedup:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in blocked dedup:\n$p")
+    // the fused single-pass assignment: one base scan per join side —
+    // not the 6-table union's scan-per-table-per-side (12 scans).
+    // (AQE's toString repeats the tree under "== Initial Plan ==" —
+    // count only the final section.)
+    val finalP = p.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(finalP).size
+    assert(scans <= 2, s"blocked dedup should scan embeddings at most twice, got $scans:\n$finalP")
   }
 
   test("stratified_sample ranks through the bounded aggregator, not a window") {
