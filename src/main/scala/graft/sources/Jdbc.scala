@@ -26,6 +26,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *   task close — Spark's JdbcUtils.savePartition is the same protocol.
   * - [[constructInsertQuery]] ≙ DBOutputFormat.constructQuery
   *   (DBOutputFormat.java:135-160), kept for API parity.
+  * - Vendor dialect lane ≙ OracleDataDrivenDBInputFormat.java /
+  *   OracleDateSplitter.java / OracleDBRecordReader.java /
+  *   MySQLDataDrivenDBRecordReader.java: the SQL-text behaviors
+  *   ([[oracleDateSplitPredicates]] TO_TIMESTAMP literals,
+  *   [[oracleSplitPredicates]] type routing, [[oracleRowRangeQuery]]
+  *   ROWNUM pagination) are reproduced; the connection-tier vendor
+  *   behaviors (Oracle session-timezone reflection, MySQL unbuffered
+  *   fetch) are out of scope — with Spark they are the
+  *   `sessionInitStatement` / `fetchsize` reader options.
   */
 object Jdbc {
 
@@ -298,8 +307,6 @@ object Jdbc {
                           minVal: Option[java.sql.Timestamp],
                           maxVal: Option[java.sql.Timestamp],
                           sqlType: Int = java.sql.Types.TIMESTAMP): Seq[String] = {
-    val nullSplit = s"( $col IS NULL ) AND ( $col IS NULL )"
-    if (minVal.isEmpty && maxVal.isEmpty) return Seq(nullSplit)
     def lit(ms: Long, nanos: Option[Int]): String = sqlType match {
       case java.sql.Types.DATE => "'" + new java.sql.Date(ms).toString + "'"
       case java.sql.Types.TIME => "'" + new java.sql.Time(ms).toString + "'"
@@ -308,6 +315,34 @@ object Jdbc {
         nanos.foreach(ts.setNanos)
         "'" + ts.toString + "'"
     }
+    dateSplitPredicatesWith(col, numSplits, minVal, maxVal, lit)
+  }
+
+  /** OracleDateSplitter.dateToString (OracleDateSplitter.java:35-41):
+    * identical interval arithmetic to [[dateSplitPredicates]], but every
+    * boundary renders as an Oracle `TO_TIMESTAMP(...)` literal — the
+    * reference notes "Oracle Date objects are always actually
+    * Timestamps", so DATE/TIME/TIMESTAMP all take the timestamp form.
+    * OracleDataDrivenDBInputFormat.getSplitter routes DATE/TIME/
+    * TIMESTAMP here and every other type to the portable splitters
+    * unchanged (OracleDataDrivenDBInputFormat.java:63-74) —
+    * [[oracleSplitPredicates]] reproduces that routing.
+    */
+  def oracleDateSplitPredicates(col: String, numSplits: Int,
+                                minVal: Option[java.sql.Timestamp],
+                                maxVal: Option[java.sql.Timestamp]): Seq[String] =
+    dateSplitPredicatesWith(col, numSplits, minVal, maxVal, { (ms, nanos) =>
+      val ts = new java.sql.Timestamp(ms)
+      nanos.foreach(ts.setNanos)
+      s"TO_TIMESTAMP('${ts.toString}', 'YYYY-MM-DD HH24:MI:SS.FF')"
+    })
+
+  private def dateSplitPredicatesWith(col: String, numSplits: Int,
+                                      minVal: Option[java.sql.Timestamp],
+                                      maxVal: Option[java.sql.Timestamp],
+                                      lit: (Long, Option[Int]) => String): Seq[String] = {
+    val nullSplit = s"( $col IS NULL ) AND ( $col IS NULL )"
+    if (minVal.isEmpty && maxVal.isEmpty) return Seq(nullSplit)
     val lo = minVal.map(_.getTime).getOrElse(Long.MinValue)
     val hi = maxVal.map(_.getTime).getOrElse(Long.MinValue)
     val pts = integerSplitPoints(numSplits, lo, hi)
@@ -322,6 +357,40 @@ object Jdbc {
     if (minVal.isEmpty || maxVal.isEmpty) b += nullSplit
     b.result()
   }
+
+  /** OracleDataDrivenDBInputFormat.getSplitter routing
+    * (OracleDataDrivenDBInputFormat.java:63-74): DATE/TIME/TIMESTAMP →
+    * the Oracle date splitter; everything else → the portable family.
+    * Split predicates for the non-date types are dialect-independent,
+    * so this only needs the timestamp bounds lane.
+    */
+  def oracleSplitPredicates(col: String, numSplits: Int, sqlType: Int,
+                            minVal: Option[java.sql.Timestamp],
+                            maxVal: Option[java.sql.Timestamp]): Seq[String] =
+    sqlType match {
+      case java.sql.Types.DATE | java.sql.Types.TIME | java.sql.Types.TIMESTAMP =>
+        oracleDateSplitPredicates(col, numSplits, minVal, maxVal)
+      case t => throw new IllegalArgumentException(
+        s"non-date sqlType $t takes the portable splitter family (dialect-independent)")
+    }
+
+  /** OracleDBRecordReader.getSelectQuery's ROWNUM pagination wrapper
+    * (OracleDBRecordReader.java:86-93): Oracle has no LIMIT/OFFSET, so a
+    * row-range split wraps the inner query in the classic double-nested
+    * ROWNUM form. Reproduced verbatim (including the literal
+    * `start + length` arithmetic left to the database). The companion
+    * connection-tier behaviors are intentionally NOT reproduced here:
+    * session-timezone setup (OracleDBRecordReader.setSessionTimeZone
+    * reflects into the vendor driver class) and MySQL's unbuffered
+    * row-at-a-time streaming (MySQLDataDrivenDBRecordReader.java:44-49
+    * sets fetchSize = Integer.MIN_VALUE on a TYPE_FORWARD_ONLY
+    * statement) belong to the vendor JDBC driver session; with Spark the
+    * equivalents are the `sessionInitStatement` and `fetchsize` reader
+    * options.
+    */
+  def oracleRowRangeQuery(query: String, start: Long, length: Long): String =
+    s"SELECT * FROM (SELECT a.*,ROWNUM dbif_rno FROM ( $query ) a " +
+      s"WHERE rownum <= $start + $length ) WHERE dbif_rno >= $start"
 
   /** DataDrivenDBInputFormat over a date/timestamp split column. */
   def readPartitionedDate(spark: SparkSession, url: String, table: String,

@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * Reference: MapFile — a sorted SequenceFile plus an index permitting
   * `get(key)` (hadoop-common/.../io/MapFile.java:342 Reader, :674 get);
   * the DistributedCache + MapFile.get pattern is the reference's
-  * broadcast-join building block.
+  * broadcast-join building block. The derived family is covered too:
+  * BloomMapFile (bloom-sidecar fast negative lookups,
+  * [[writeMapFiles]] `bloom = true` / [[getFromBloomMapFiles]]),
+  * SetFile ([[writeSetFile]]) and ArrayFile ([[writeArrayFile]]).
   *
   * Spark-first: the idiomatic replacement is parquet sorted WITHIN
   * key-hashed files. `sortWithinPartitions` before write gives per-file
@@ -47,7 +50,7 @@ object MapFileLike {
     * never leaves a partial `part-*` directory; first successful rename
     * wins and later attempts discard their output.
     */
-  def writeMapFiles(df: DataFrame, path: String): Unit = {
+  def writeMapFiles(df: DataFrame, path: String, bloom: Boolean = false): Unit = {
     import org.apache.hadoop.io._
     import graft.sources.sequencefile.SequenceFileIO
     val schema = df.schema
@@ -67,10 +70,15 @@ object MapFileLike {
         val attempt = new org.apache.hadoop.fs.Path(
           f"$path/_temporary/part-$pid%05d-attempt-${tc.taskAttemptId()}")
         val fs = dest.getFileSystem(conf)
-        val writer = new MapFile.Writer(conf, attempt,
-          MapFile.Writer.keyClass(
-            SequenceFileIO.writableClass(kt).asSubclass(classOf[WritableComparable[_]])),
-          MapFile.Writer.valueClass(SequenceFileIO.writableClass(vt)))
+        val keyOpt = MapFile.Writer.keyClass(
+          SequenceFileIO.writableClass(kt).asSubclass(classOf[WritableComparable[_]]))
+        val valOpt = MapFile.Writer.valueClass(SequenceFileIO.writableClass(vt))
+        // BloomMapFile.Writer extends MapFile.Writer: same append/commit
+        // path, plus a DynamicBloomFilter over the keys written to a
+        // `bloom` sidecar on close (HC/io/BloomMapFile.java:76,186-196)
+        val writer: MapFile.Writer =
+          if (bloom) new BloomMapFile.Writer(conf, attempt, keyOpt, valOpt)
+          else new MapFile.Writer(conf, attempt, keyOpt, valOpt)
         try {
           it.foreach { row =>
             writer.append(
@@ -119,4 +127,89 @@ object MapFileLike {
       finally reader.close()
     }.nextOption()
   }
+
+  /** BloomMapFile.get analog (HC/io/BloomMapFile.java:275-281): each
+    * partition's Reader consults its bloom sidecar FIRST —
+    * `probablyHasKey` false means get returns null before any index or
+    * data I/O, the sparse-lookup fast path the reference built the
+    * class for. Partitions whose filter rejects the key are skipped
+    * without opening a seek.
+    */
+  def getFromBloomMapFiles(spark: SparkSession, path: String, key: Long): Option[String] = {
+    import org.apache.hadoop.io._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+    val k = new LongWritable(key)
+    val v = new Text()
+    dirs.iterator.flatMap { d =>
+      val reader = new BloomMapFile.Reader(d, conf)
+      try Option(reader.get(k, v)).map(_.toString)
+      finally reader.close()
+    }.nextOption()
+  }
+
+  /** The bloom membership tests alone (one per partition directory) —
+    * exposes the data-scan-skip decision for specs: a key is only ever
+    * sought in partitions whose filter says "probably present".
+    */
+  def bloomProbes(spark: SparkSession, path: String, key: Long): Seq[Boolean] = {
+    import org.apache.hadoop.io._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+    val k = new LongWritable(key)
+    dirs.toSeq.map { d =>
+      val reader = new BloomMapFile.Reader(d, conf)
+      try reader.probablyHasKey(k)
+      finally reader.close()
+    }
+  }
+
+  /** SetFile analog (HC/io/SetFile.java): a MapFile whose values are
+    * all NullWritable — key membership only. Same files, same readers.
+    */
+  def writeSetFile(keys: DataFrame, path: String): Unit = {
+    require(keys.schema.length == 1, s"setfile write needs one key column, got ${keys.schema}")
+    writeMapFiles(keys.select(col(keys.schema(0).name),
+      lit(null).cast("void").as("value")), path)
+  }
+
+  /** SetFile.Reader.seek-as-membership (SetFile.java:92-105). */
+  def setFileContains(spark: SparkSession, path: String, key: Long): Boolean = {
+    import org.apache.hadoop.io._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+    val k = new LongWritable(key)
+    dirs.exists { d =>
+      val reader = new MapFile.Reader(d, conf)
+      try reader.get(k, NullWritable.get()) != null
+      finally reader.close()
+    }
+  }
+
+  /** ArrayFile analog (HC/io/ArrayFile.java): a MapFile keyed by the
+    * append index 0..n-1 (ArrayFile.Writer.append assigns count++ as
+    * the key); `get(n)` is then an index seek. The input's row order is
+    * the array order.
+    */
+  def writeArrayFile(values: DataFrame, path: String): Unit = {
+    require(values.schema.length == 1, s"arrayfile write needs one value column, got ${values.schema}")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val vf = values.schema(0)
+    val indexed = values.sparkSession.createDataFrame(
+      values.rdd.zipWithIndex().map { case (r, i) => Row(i, r.get(0)) },
+      StructType(Seq(StructField("key", LongType, nullable = false),
+        vf.copy(name = "value"))))
+    writeMapFiles(indexed, path)
+  }
+
+  /** ArrayFile.Reader.get(n) (ArrayFile.java:81-94). */
+  def arrayFileGet(spark: SparkSession, path: String, n: Long): Option[String] =
+    getFromMapFiles(spark, path, n)
 }

@@ -31,6 +31,26 @@ object SequenceFileIO {
       col("value").cast("string").as("value"))
   }
 
+  /** SequenceFile.Sorter analog (HC/io/SequenceFile.java:2653 sort,
+    * :3021 merge): sort — or k-way merge — SequenceFiles into a sorted
+    * SequenceFile. On Spark both operations collapse to one plan:
+    * read → range-repartition → in-partition sort → write (a k-way
+    * merge IS the read side of a sorted shuffle, and pre-sorted runs
+    * make that shuffle's sort cheap). Output part files are globally
+    * ordered by file index and sorted within each file — MapFile
+    * writer's precondition, as with the reference's Sorter. Key order
+    * is unsigned-byte order for Text keys (UTF8String binary compare ==
+    * Text byte compare) and numeric order for numeric keys.
+    */
+  def sortFiles(spark: SparkSession, inPaths: Seq[String], outPath: String,
+                partitions: Int = 1, compression: String = "NONE"): Unit = {
+    import org.apache.spark.sql.functions.col
+    val in = inPaths.map(read(spark, _)).reduce(_.unionByName(_))
+    val sorted = in.repartitionByRange(partitions, col("key"))
+      .sortWithinPartitions(col("key"))
+    write(sorted, outPath, compression)
+  }
+
   /** Write a two-column (key, value) DataFrame. `compression` is NONE,
     * RECORD or BLOCK (deflate codec — pure-java, no native deps).
     */

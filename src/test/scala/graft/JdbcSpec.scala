@@ -166,6 +166,31 @@ class JdbcSpec extends AnyFunSuite {
     assert(one.nonEmpty && one.last == "( d IS NULL ) AND ( d IS NULL )")
   }
 
+  test("Oracle dialect: TO_TIMESTAMP split literals and ROWNUM pagination") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // OracleDateSplitter renders every boundary as TO_TIMESTAMP(...)
+    // with the same interval arithmetic as the portable DateSplitter
+    val preds = Jdbc.oracleDateSplitPredicates("d", 2,
+      Some(ts("2020-01-01 00:00:00")), Some(ts("2020-01-01 00:00:04")))
+    assert(preds == Seq(
+      "( d >= TO_TIMESTAMP('2020-01-01 00:00:00.0', 'YYYY-MM-DD HH24:MI:SS.FF') ) AND " +
+        "( d < TO_TIMESTAMP('2020-01-01 00:00:02.0', 'YYYY-MM-DD HH24:MI:SS.FF') )",
+      "( d >= TO_TIMESTAMP('2020-01-01 00:00:02.0', 'YYYY-MM-DD HH24:MI:SS.FF') ) AND " +
+        "( d <= TO_TIMESTAMP('2020-01-01 00:00:04.0', 'YYYY-MM-DD HH24:MI:SS.FF') )"))
+    // getSplitter routing: date-ish types -> Oracle lane, others refuse
+    // (they take the dialect-independent portable splitters)
+    assert(Jdbc.oracleSplitPredicates("d", 1, java.sql.Types.DATE,
+      Some(ts("2020-01-01 00:00:00")), Some(ts("2020-01-02 00:00:00"))).size == 1)
+    intercept[IllegalArgumentException] {
+      Jdbc.oracleSplitPredicates("d", 1, java.sql.Types.INTEGER, None, None)
+    }
+    // OracleDBRecordReader.getSelectQuery's double-nested ROWNUM wrapper,
+    // byte-for-byte (OracleDBRecordReader.java:86-93)
+    assert(Jdbc.oracleRowRangeQuery("SELECT A, B FROM T WHERE C > 0", 10, 5) ==
+      "SELECT * FROM (SELECT a.*,ROWNUM dbif_rno FROM ( SELECT A, B FROM T WHERE C > 0 ) a " +
+        "WHERE rownum <= 10 + 5 ) WHERE dbif_rno >= 10")
+  }
+
   test("partitioned date read over Derby: complete and disjoint") {
     val url = Jdbc.derbyUrl(tmpDb())
     val df = spark.range(96).select(

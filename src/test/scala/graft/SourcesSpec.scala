@@ -307,6 +307,57 @@ class SourcesSpec extends AnyFunSuite {
     assert(MapFileLike.getFromMapFiles(spark, dir, 12345L).isEmpty)
   }
 
+  test("BloomMapFile: negative lookup is rejected by the filter before any data scan") {
+    import graft.sources.MapFileLike
+    val dir = tmp() + "/bloommapfile"
+    val df = spark.range(0, 1000).select(col("id").as("key"),
+      concat(lit("row-"), col("id")).as("value"))
+    MapFileLike.writeMapFiles(df, dir, bloom = true)
+    // present keys: bloom says probably-present somewhere, get finds them
+    assert(MapFileLike.getFromBloomMapFiles(spark, dir, 421L) == Some("row-421"))
+    assert(MapFileLike.getFromBloomMapFiles(spark, dir, 0L) == Some("row-0"))
+    assert(MapFileLike.bloomProbes(spark, dir, 421L).contains(true))
+    // absent keys: at 0.5% configured error rate, the overwhelming
+    // majority of probes reject WITHOUT touching index or data
+    // (BloomMapFile.java:275-281 returns before super.get) — count
+    // rejections across many misses rather than demand any single one
+    val missProbes = (100000L until 100100L).flatMap(k =>
+      MapFileLike.bloomProbes(spark, dir, k))
+    val rejected = missProbes.count(_ == false)
+    assert(rejected > missProbes.size * 9 / 10,
+      s"bloom filter rejected only $rejected/${missProbes.size} absent-key probes")
+    assert(MapFileLike.getFromBloomMapFiles(spark, dir, 100042L).isEmpty)
+  }
+
+  test("SequenceFile.Sorter analog: k-way merge of files into sorted output") {
+    val d1 = tmp() + "/sorter-in1"; val d2 = tmp() + "/sorter-in2"
+    val out = tmp() + "/sorter-out"
+    // two unsorted inputs with interleaved keys
+    SequenceFileIO.write(spark.range(100).select(
+      ((col("id") * 37) % 100).as("key"), concat(lit("a"), col("id")).as("value")), d1)
+    SequenceFileIO.write(spark.range(100).select(
+      ((col("id") * 53) % 100 + 100).as("key"), concat(lit("b"), col("id")).as("value")), d2)
+    SequenceFileIO.sortFiles(spark, Seq(d1, d2), out)
+    import spark.implicits._
+    val back = SequenceFileIO.read(spark, out).as[(Long, String)].collect()
+    assert(back.map(_._1).toSeq == back.map(_._1).toSeq.sorted, "output not sorted")
+    assert(back.length == 200)
+  }
+
+  test("SetFile membership and ArrayFile index-seek (MapFile family)") {
+    import graft.sources.MapFileLike
+    val sdir = tmp() + "/setfile"
+    MapFileLike.writeSetFile(spark.range(0, 100, 2).select(col("id").as("key")), sdir)
+    assert(MapFileLike.setFileContains(spark, sdir, 42L))
+    assert(!MapFileLike.setFileContains(spark, sdir, 43L))
+    val adir = tmp() + "/arrayfile"
+    val vals = spark.range(0, 50).select(concat(lit("v"), col("id") * 10).as("v"))
+    MapFileLike.writeArrayFile(vals, adir)
+    assert(MapFileLike.arrayFileGet(spark, adir, 7L) == Some("v70"))
+    assert(MapFileLike.arrayFileGet(spark, adir, 0L) == Some("v0"))
+    assert(MapFileLike.arrayFileGet(spark, adir, 50L).isEmpty)
+  }
+
   test("SequenceFile AsText variant stringifies both columns") {
     val dir = tmp() + "/astext"
     val df = spark.range(10).select(col("id").as("key"), (col("id") * 2).as("value"))
