@@ -196,6 +196,26 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The lossless form of the [[capBuckets]] guard for exact-dup-heavy
+    * corpora: collapse exact duplicates to their representative FIRST
+    * ([[exact]] — identical text means identical shingles, signatures
+    * and LSH evidence), then run near-dup detection over representatives
+    * only. The band join sees each distinct document once, so a page
+    * duplicated 100k× contributes ONE banded row instead of a 10¹⁰-pair
+    * bucket; pairs inside a duplicate group never needed LSH evidence
+    * (they're exact, already enumerated by [[exact]]'s keep_id/n_dups).
+    * Output is representative-granularity near-dup pairs.
+    */
+  def nearDuplicatesExactFirst(df: DataFrame, id: String, text: String, k: Int,
+                               numPerm: Int, rowsPerBand: Int, threshold: Double,
+                               materialize: Boolean = false,
+                               maxBucket: Int = 0): DataFrame = {
+    val reps = exact(df, id, text).select(col("keep_id").as(id))
+    val repDocs = df.join(reps, Seq(id), "left_semi")
+    nearDuplicates(repDocs, id, text, k, numPerm, rowsPerBand, threshold,
+      materialize, maxBucket)
+  }
+
   /** 64-bit SimHash over the token multiset, as a '0'/'1' string.
     * Bit j comes from hex nibble j/4 of each token's md5; the per-doc
     * aggregation is 64 codegen'd conditional sums in one pass (map-side

@@ -85,6 +85,15 @@ object DedupQueries extends QueryModule {
         k = 3, numPerm = 16, rowsPerBand = 4, threshold = 0.5,
         materialize = true, maxBucket = MaxBucket)),
 
+    // the lossless dup-skew guard as a first-class pipeline: exact-dedup
+    // to representatives, then near-dup detection over representatives
+    // only (see Dedup.nearDuplicatesExactFirst) — the documented shape
+    // for boilerplate-heavy web corpora
+    "dedup_minhash_rep" -> ((s, dir) =>
+      Dedup.nearDuplicatesExactFirst(docs(s, dir), "doc_id", "text",
+        k = 3, numPerm = 16, rowsPerBand = 4, threshold = 0.5,
+        materialize = true, maxBucket = MaxBucket)),
+
     // persisted: simhash_pairs persists the identical signature plan, so
     // a session running both computes signatures once (cache-manager
     // plan matching, as with the jaccard/minhash shingle table)
@@ -121,6 +130,53 @@ object DedupQueries extends QueryModule {
         .select(col("doc_id")))
   )
 
+  // the full minhash near-dup oracle (shared by the plain and the
+  // representative-first queries; the latter re-roots it on `repd`)
+  private val minhashSql: String = shingleCte +
+    """, hh AS (
+      |  SELECT doc_id,
+      |         ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h1,
+      |         ('0x' || substring(md5(sh), 17, 15))::BIGINT AS h2
+      |  FROM sh
+      |), m AS (
+      |  SELECT doc_id, i,
+      |         min((h1 % 1000000007 + i * (h2 % 1000000007)) % 1000000007) AS s
+      |  FROM hh, (SELECT unnest(range(0, 16)) AS i)
+      |  GROUP BY doc_id, i
+      |), bands AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |         md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS bh
+      |  FROM m GROUP BY doc_id, i // 4
+      |), bkept AS (
+      |  SELECT b.* FROM bands b
+      |  JOIN (SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= 1000) ok
+      |    USING (band, bh)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bkept a JOIN bkept b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+      |  FROM cand c
+      |  JOIN hh x ON x.doc_id = c.doc_a
+      |  JOIN hh y ON y.doc_id = c.doc_b AND y.h1 = x.h1
+      |  GROUP BY c.doc_a, c.doc_b
+      |)
+      |SELECT doc_a, doc_b, CAST(ni AS BIGINT) AS n_inter,
+      |       CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5""".stripMargin
+
+  private val repCte: String =
+    """WITH repd AS (
+      |  SELECT d.doc_id, d.text FROM documents d
+      |  JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) r
+      |    USING (doc_id)
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
@@ -145,43 +201,11 @@ object DedupQueries extends QueryModule {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5""".stripMargin),
-    "dedup_minhash" -> (shingleCte +
-      """, hh AS (
-        |  SELECT doc_id,
-        |         ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h1,
-        |         ('0x' || substring(md5(sh), 17, 15))::BIGINT AS h2
-        |  FROM sh
-        |), m AS (
-        |  SELECT doc_id, i,
-        |         min((h1 % 1000000007 + i * (h2 % 1000000007)) % 1000000007) AS s
-        |  FROM hh, (SELECT unnest(range(0, 16)) AS i)
-        |  GROUP BY doc_id, i
-        |), bands AS (
-        |  SELECT doc_id, i // 4 AS band,
-        |         md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS bh
-        |  FROM m GROUP BY doc_id, i // 4
-        |), bkept AS (
-        |  SELECT b.* FROM bands b
-        |  JOIN (SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= 1000) ok
-        |    USING (band, bh)
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bkept a JOIN bkept b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-        |), sizes AS (
-        |  SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id
-        |), inter AS (
-        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
-        |  FROM cand c
-        |  JOIN hh x ON x.doc_id = c.doc_a
-        |  JOIN hh y ON y.doc_id = c.doc_b AND y.h1 = x.h1
-        |  GROUP BY c.doc_a, c.doc_b
-        |)
-        |SELECT doc_a, doc_b, CAST(ni AS BIGINT) AS n_inter,
-        |       CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = doc_a
-        |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5""".stripMargin),
+    "dedup_minhash" -> minhashSql,
+    // representatives first (exact-dup groups collapse to MIN(doc_id)),
+    // then the identical minhash pipeline over the representative docs
+    "dedup_minhash_rep" -> (repCte + ", " +
+      minhashSql.stripPrefix("WITH ").replace("FROM documents", "FROM repd")),
     "simhash_pairs" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w

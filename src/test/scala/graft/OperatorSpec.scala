@@ -201,6 +201,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(cp < 100L, s"capped join should exclude it: $cp")
   }
 
+  test("Dedup.nearDuplicatesExactFirst collapses dup groups before banding (lossless guard)") {
+    val boiler = (1 to 500).map(i =>
+      (200000L + i, "another boilerplate body shared verbatim by many pages"))
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "completely different text about another subject entirely unrelated here"))
+    val df = (boiler ++ planted).toDF("doc_id", "text")
+    val out = Dedup.nearDuplicatesExactFirst(df, "doc_id", "text",
+      k = 3, numPerm = 16, rowsPerBand = 4, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the 500-copy group contributes ONE representative, so no dup-group
+    // pairs ride the band join; the planted near-dup pair survives
+    assert(out == Set((1L, 2L)), s"expected only the planted pair: $out")
+    // the dup group's own pairs are exact's business: keep_id + n_dups
+    val groups = Dedup.exact(df, "doc_id", "text")
+      .filter(col("n_dups") > 1).select("keep_id", "n_dups")
+      .as[(Long, Long)].collect().toSeq
+    assert(groups == Seq((200001L, 500L)))
+  }
+
   test("Dedup.connectedComponents on an empty pair graph returns empty (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").count() == 0L)
