@@ -196,6 +196,32 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Eval-set decontamination: per-document count of word n-grams that
+    * appear anywhere in an evaluation corpus — the membership test a
+    * training pipeline runs before shipping data (contaminated docs are
+    * dropped or flagged). The eval side reduces to DISTINCT 60-bit
+    * n-gram hashes and is BROADCAST (eval suites are tiny next to the
+    * training corpus); the corpus side is the one [[shingleHashes]]
+    * projection, so the test is a broadcast semi-join — the corpus is
+    * never shuffled, the quality-filter shape at 100 TB. Callers with
+    * both branches hot should persist the hashed shingle table (it
+    * feeds the total-count and the hit-count branches).
+    */
+  def evalOverlap(docs: DataFrame, eval: DataFrame, id: String, text: String,
+                  n: Int, threshold: Double): DataFrame = {
+    val d = shingleHashes(shingleTable(docs, id, text, n), id)
+    val e = shingleHashes(shingleTable(eval, id, text, n), id)
+      .select(col("h1")).distinct()
+    val tot = d.groupBy(col(id)).agg(count(lit(1)).as("n_grams"))
+    val hit = d.join(broadcast(e), Seq("h1"), "left_semi")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, Seq(id), "left")
+      .select(col(id), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contam_ratio", col("n_hit").cast("double") / col("n_grams"))
+      .withColumn("contaminated", col("contam_ratio") >= threshold)
+  }
+
   /** The lossless form of the [[capBuckets]] guard for exact-dup-heavy
     * corpora: collapse exact duplicates to their representative FIRST
     * ([[exact]] — identical text means identical shingles, signatures

@@ -63,4 +63,29 @@ object Sampling {
       .groupBy(col(strataCol), col("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tok_sum"))
   }
+
+  /** Token-window chunking — the slicing complement of [[packBySize]]:
+    * each document's token stream splits into training-window chunks of
+    * at most `maxTokens` tokens, consecutive chunks sharing `overlap`
+    * tokens (long-document context-window slicing). Chunk starts are
+    * 1, 1+s, 1+2s, ... with stride s = maxTokens - overlap, and no
+    * chunk starts inside the final `overlap` tokens, so a trailing
+    * chunk fully contained in its predecessor is never emitted. One
+    * narrow projection + explode — map-only, no shuffle, at any scale.
+    */
+  def chunkDocs(df: DataFrame, id: String, text: String,
+                maxTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && maxTokens > overlap, "need maxTokens > overlap >= 0")
+    val stride = maxTokens - overlap
+    df.select(col(id), graft.operators.Dedup.tokens(col(text)).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+      .select(col(id), col("t"), col("n"),
+        explode(sequence(lit(1), greatest(col("n") - overlap, lit(1)),
+          lit(stride))).as("start"))
+      .select(col(id),
+        ((col("start") - 1) / stride).cast("long").as("chunk_id"),
+        array_join(slice(col("t"), col("start"), lit(maxTokens)), " ").as("chunk_text"),
+        least(lit(maxTokens), col("n") - col("start") + 1).cast("long").as("n_tokens"))
+  }
 }

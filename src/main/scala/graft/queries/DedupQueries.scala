@@ -112,6 +112,15 @@ object DedupQueries extends QueryModule {
     "fingerprint" -> ((s, dir) =>
       Dedup.fingerprints(docs(s, dir), "doc_id", "text", k = 3, window = 4)),
 
+    // eval-set decontamination: 3-gram overlap of every doc against a
+    // deterministic mock eval slice (doc_id % 97), eval hashes
+    // broadcast — the corpus is never shuffled (see Dedup.evalOverlap)
+    "decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.evalOverlap(d, d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3, threshold = 0.8)
+    }),
+
     // pairwise near-dup evidence -> dedup GROUPS: connected components
     // over the simhash pair graph by min-label propagation (each doc's
     // cluster = smallest doc_id transitively reachable); docs in no
@@ -206,6 +215,21 @@ object DedupQueries extends QueryModule {
     // then the identical minhash pipeline over the representative docs
     "dedup_minhash_rep" -> (repCte + ", " +
       minhashSql.stripPrefix("WITH ").replace("FROM documents", "FROM repd")),
+    "decontaminate" -> (shingleCte +
+      """, hsh AS (
+        |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h1 FROM sh
+        |), ev AS (
+        |  SELECT DISTINCT h1 FROM hsh WHERE doc_id % 97 = 0
+        |), tot AS (
+        |  SELECT doc_id, COUNT(*) AS n_grams FROM hsh GROUP BY doc_id
+        |), hit AS (
+        |  SELECT doc_id, COUNT(*) AS n_hit FROM hsh JOIN ev USING (h1) GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+        |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams AS contam_ratio,
+        |       (CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams) >= 0.8 AS contaminated
+        |FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id""".stripMargin),
     "simhash_pairs" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w

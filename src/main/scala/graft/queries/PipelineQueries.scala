@@ -41,7 +41,13 @@ object PipelineQueries extends QueryModule {
       val toks = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
       Sampling.packBySize(docs(s, dir), "source", "doc_id", toks,
         budget = 300, shards = 2)
-    })
+    }),
+
+    // context-window chunking: 64-token chunks with 16 shared tokens
+    // between consecutive chunks — map-only, no shuffle
+    "chunk_docs" -> ((s, dir) =>
+      Sampling.chunkDocs(docs(s, dir), "doc_id", "text",
+        maxTokens = 64, overlap = 16))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -77,6 +83,20 @@ object PipelineQueries extends QueryModule {
         |       CAST(FLOOR(prior / 300) AS BIGINT) AS pack_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(toks) AS BIGINT) AS tok_sum
-        |FROM p GROUP BY source, shard, FLOOR(prior / 300)""".stripMargin
+        |FROM p GROUP BY source, shard, FLOOR(prior / 300)""".stripMargin,
+    "chunk_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), nn AS (
+        |  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+        |), st AS (
+        |  SELECT doc_id, t, n, unnest(range(1, greatest(n - 16, 1) + 1, 48)) AS s
+        |  FROM nn
+        |)
+        |SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+        |       array_to_string(list_slice(t, s, s + 63), ' ') AS chunk_text,
+        |       CAST(least(64, n - s + 1) AS BIGINT) AS n_tokens
+        |FROM st""".stripMargin
   )
 }

@@ -222,6 +222,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(groups == Seq((200001L, 500L)))
   }
 
+  test("Sampling.chunkDocs slices token windows with overlap, no covered trailing chunk") {
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),   // 10 tokens
+      (2L, "a b c"),                              // shorter than one window
+      (3L, "   ")                                 // tokenless -> dropped
+    ).toDF("doc_id", "text")
+    val out = Sampling.chunkDocs(df, "doc_id", "text", maxTokens = 8, overlap = 2)
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, "t1 t2 t3 t4 t5 t6 t7 t8", 8L),
+      (1L, 1L, "t7 t8 t9 t10", 4L),
+      (2L, 0L, "a b c", 3L)))
+    // an exact-window doc emits ONE chunk (no fully-covered trailer)
+    val one = Sampling.chunkDocs(
+      Seq((9L, "x1 x2 x3 x4 x5 x6 x7 x8")).toDF("doc_id", "text"),
+      "doc_id", "text", 8, 2).count()
+    assert(one == 1L)
+  }
+
+  test("Dedup.evalOverlap counts eval-set n-gram hits per document") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),     // in eval -> ratio 1.0
+      (2L, "alpha beta gamma zeta eta theta"),    // shares 1 of 4 shingles
+      (3L, "totally unrelated words only here")   // no overlap
+    ).toDF("doc_id", "text")
+    val eval = docs.filter(col("doc_id") === 1L)
+    val out = Dedup.evalOverlap(docs, eval, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("doc_id", "n_grams", "n_hit", "contaminated")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 3L, true)))
+    assert(out(2L) == ((4L, 1L, false)))
+    assert(out(3L) == ((3L, 0L, false)))
+  }
+
   test("Dedup.connectedComponents on an empty pair graph returns empty (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").count() == 0L)
