@@ -64,6 +64,35 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tok_sum"))
   }
 
+  /** Deterministic mixture sampling — the data-mixing step of a
+    * training run: each stratum (source/domain/language) gets a
+    * sampling RATE; rate < 1 downsamples by hash threshold, rate ≥ 1
+    * emits floor(rate) copies of every row plus one more for the
+    * hash-selected fraction (fractional epoch weighting, e.g. 2.5×
+    * wiki). Pure projection + filter + explode: no shuffle, no RNG
+    * state — the kept multiset is a function of the data, identical on
+    * any cluster or retry, and a SQL oracle replays it. Output adds
+    * `copy_id` (0-based replica index).
+    */
+  def mixtureSample(df: DataFrame, strataCol: String, idCol: String,
+                    rates: Map[String, Double],
+                    defaultRate: Double = 1.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    // hk uniform on [0, 2^52); hk < frac·2^52 keeps the frac-fraction.
+    // Both sides of the comparison are exact doubles (hk ≤ 2^52), so
+    // the decision replays bit-identically in SQL.
+    val twoTo52 = 4503599627370496.0
+    val nCopies = (floor(rate).cast("long") +
+      when(hashKey(col(idCol)).cast("double") < (rate - floor(rate)) * twoTo52, 1L)
+        .otherwise(0L)).as("n_copies")
+    df.withColumn("n_copies", nCopies)
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_id", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
+  }
+
   /** Token-window chunking — the slicing complement of [[packBySize]]:
     * each document's token stream splits into training-window chunks of
     * at most `maxTokens` tokens, consecutive chunks sharing `overlap`

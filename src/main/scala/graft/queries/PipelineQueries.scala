@@ -47,7 +47,35 @@ object PipelineQueries extends QueryModule {
     // between consecutive chunks — map-only, no shuffle
     "chunk_docs" -> ((s, dir) =>
       Sampling.chunkDocs(docs(s, dir), "doc_id", "text",
-        maxTokens = 64, overlap = 16))
+        maxTokens = 64, overlap = 16)),
+
+    // training-mixture weighting: 2.5x src0 (epoch upsampling with a
+    // hash-selected half-epoch), half of src1, drop src2, keep the rest
+    // — deterministic, shuffle-free, SQL-replayable
+    "mixture_sample" -> ((s, dir) =>
+      Sampling.mixtureSample(docs(s, dir).select(col("doc_id"), col("source")),
+        "source", "doc_id",
+        rates = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0))),
+
+    // the corpus "data card": per (source, lang) doc counts and token
+    // distribution moments from exact integer sums (mean/stddev derived
+    // identically on both engines, word_stats-style)
+    "corpus_stats" -> ((s, dir) => {
+      val toks = size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long")
+      docs(s, dir).select(col("source"), col("lang"), toks.as("toks"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("total_tokens"),
+          sum(col("toks") * col("toks")).as("sum_sq"),
+          median(col("toks")).as("median_tokens"),
+          min(col("toks")).as("min_tokens"),
+          max(col("toks")).as("max_tokens"))
+        .select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
+          col("median_tokens"), col("min_tokens"), col("max_tokens"),
+          (col("total_tokens") / col("n_docs")).as("mean_tokens"),
+          sqrt((col("sum_sq") - col("total_tokens") * col("total_tokens") / col("n_docs"))
+            / col("n_docs")).as("stddev_tokens"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -97,6 +125,41 @@ object PipelineQueries extends QueryModule {
         |SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
         |       array_to_string(list_slice(t, s, s + 63), ' ') AS chunk_text,
         |       CAST(least(64, n - s + 1) AS BIGINT) AS n_tokens
-        |FROM st""".stripMargin
+        |FROM st""".stripMargin,
+    "mixture_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+        |                     WHEN 'src2' THEN 0.0 ELSE 1.0 END AS rate,
+        |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS hk
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source,
+        |         CAST(FLOOR(rate) AS BIGINT) +
+        |           (CASE WHEN CAST(hk AS DOUBLE) < (rate - FLOOR(rate)) * 4503599627370496.0
+        |                 THEN 1 ELSE 0 END) AS n_copies
+        |  FROM r
+        |)
+        |SELECT doc_id, source, unnest(range(0, n_copies)) AS copy_id
+        |FROM c WHERE n_copies > 0""".stripMargin,
+    "corpus_stats" ->
+      """WITH d AS (
+        |  SELECT source, lang,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks
+        |  FROM documents
+        |), agg AS (
+        |  SELECT source, lang,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(toks) AS BIGINT) AS total_tokens,
+        |         CAST(SUM(toks*toks) AS BIGINT) AS sum_sq,
+        |         median(toks) AS median_tokens,
+        |         CAST(MIN(toks) AS BIGINT) AS min_tokens,
+        |         CAST(MAX(toks) AS BIGINT) AS max_tokens
+        |  FROM d GROUP BY source, lang
+        |)
+        |SELECT source, lang, n_docs, total_tokens, median_tokens, min_tokens, max_tokens,
+        |       total_tokens / n_docs AS mean_tokens,
+        |       sqrt((sum_sq - total_tokens * total_tokens / n_docs) / n_docs) AS stddev_tokens
+        |FROM agg""".stripMargin
   )
 }

@@ -241,6 +241,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(one == 1L)
   }
 
+  test("Sampling.mixtureSample applies per-stratum rates deterministically") {
+    val df = spark.range(0, 1000).select(col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 4).cast("string")).as("source"))
+    val out = Sampling.mixtureSample(df, "source", "doc_id",
+      rates = Map("s0" -> 2.0, "s1" -> 0.5, "s2" -> 0.0))
+      .groupBy("source").agg(
+        countDistinct(col("doc_id")).as("docs"),
+        count(lit(1)).as("rows"),
+        max(col("copy_id")).as("max_copy"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("s0") == ((250L, 500L, 1L)), s"rate 2.0 should double every row: $out")
+    assert(!out.contains("s2"), "rate 0.0 should drop the stratum")
+    assert(out("s3") == ((250L, 250L, 0L)), "default rate keeps rows exactly once")
+    val (s1docs, s1rows, _) = out("s1")
+    assert(s1docs == s1rows && s1docs > 75 && s1docs < 175,
+      s"rate 0.5 should keep roughly half, once each: $out")
+    // determinism: a second run yields the identical multiset
+    val again = Sampling.mixtureSample(df, "source", "doc_id",
+      rates = Map("s0" -> 2.0, "s1" -> 0.5, "s2" -> 0.0))
+      .as[(Long, String, Long)].collect().toSet
+    val first = Sampling.mixtureSample(df, "source", "doc_id",
+      rates = Map("s0" -> 2.0, "s1" -> 0.5, "s2" -> 0.0))
+      .as[(Long, String, Long)].collect().toSet
+    assert(again == first)
+  }
+
   test("Dedup.evalOverlap counts eval-set n-gram hits per document") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),     // in eval -> ratio 1.0
