@@ -123,6 +123,23 @@ class PlanSpec extends AnyFunSuite {
       s"naive inequality join in range-join plan:\n$p")
   }
 
+  test("chunk_docs and mixture_sample are map-only: zero shuffles") {
+    for (name <- Seq("chunk_docs", "mixture_sample")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!p.contains("Exchange"), s"$name should not shuffle:\n$p")
+    }
+  }
+
+  test("decontaminate broadcasts the eval hashes; the corpus side never shuffles pre-agg") {
+    val df = SparkEntry.queries("decontaminate")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"eval side should broadcast:\n$p")
+  }
+
   test("rare_token_score broadcasts the vocabulary to the token stream") {
     val df = SparkEntry.queries("rare_token_score")(spark, dir)
     df.collect()
