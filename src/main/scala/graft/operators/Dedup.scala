@@ -53,6 +53,38 @@ object Dedup {
       expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)").as("h1"),
       expr("cast(conv(substring(md5(sh), 17, 15), 16, 10) as bigint)").as("h2"))
 
+  /** [[shingleTable]]∘[[shingleHashes]] optimized for the hot path the
+    * dedup/decontamination queries share. Two changes, same multiset:
+    *
+    *  - shingles come from `lead()` over (id, pos) — the [[fingerprints]]
+    *    pattern — so construction is codegen'd concat_ws instead of the
+    *    interpreted per-position transform/slice/array_join lambda
+    *    (HigherOrderFunction eval was ~3-4× the query's cost at sf0.1);
+    *  - the distinct dedups AFTER hashing, so its shuffle carries
+    *    24-byte (id, h1, h2) rows, never shingle strings.
+    *
+    * distinct-on-string == distinct-on-(h1,h2) up to 120-bit md5
+    * collisions; downstream joins key on the hash either way. Cost
+    * shape: ONE extra shuffle of the token stream (the window's
+    * partition-by-doc) buys fully-codegen'd shingling — at 100 TB
+    * prefer this when CPU-bound (measured ~2× here); [[shingleTable]]
+    * remains the zero-shuffle form.
+    */
+  def shingleHashTable(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "shingle size must be >= 1")
+    val tok = df.select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "w")))
+    val w0 = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val withLeads = (1 until k).foldLeft(tok) { (d, i) =>
+      d.withColumn(s"w$i", lead(col("w"), i).over(w0))
+    }
+    val complete =
+      if (k == 1) withLeads else withLeads.filter(col(s"w${k - 1}").isNotNull)
+    val sh = complete.select(col(id),
+      concat_ws(" ", col("w") +: (1 until k).map(i => col(s"w$i")): _*).as("sh"))
+    shingleHashes(sh, id).distinct()
+  }
+
   /** Exact Jaccard-similar pairs >= threshold, candidate generation by
     * shared shingle. `maxDf` > 0 drops stop-shingles (document frequency
     * above the cap) BEFORE the self-join: one hot shingle otherwise
@@ -172,7 +204,7 @@ object Dedup {
                      numPerm: Int, rowsPerBand: Int, threshold: Double,
                      materialize: Boolean = false,
                      maxBucket: Int = 0): DataFrame = {
-    val hs0 = shingleHashes(shingleTable(df, id, text, k), id)
+    val hs0 = shingleHashTable(df, id, text, k)
     // the hashed table (id, h1, h2) feeds four branches; 8-byte keys
     // cross every shuffle instead of shingle strings
     val hs = if (materialize)
@@ -208,12 +240,22 @@ object Dedup {
     * feeds the total-count and the hit-count branches).
     */
   def evalOverlap(docs: DataFrame, eval: DataFrame, id: String, text: String,
-                  n: Int, threshold: Double): DataFrame = {
-    val d = shingleHashes(shingleTable(docs, id, text, n), id)
-    val e = shingleHashes(shingleTable(eval, id, text, n), id)
-      .select(col("h1")).distinct()
-    val tot = d.groupBy(col(id)).agg(count(lit(1)).as("n_grams"))
-    val hit = d.join(broadcast(e), Seq("h1"), "left_semi")
+                  n: Int, threshold: Double): DataFrame =
+    evalOverlapFromHashes(
+      shingleHashes(shingleTable(docs, id, text, n), id),
+      shingleHashes(shingleTable(eval, id, text, n), id).select(col("h1")),
+      id, threshold)
+
+  /** The hash-level form: when the eval set IS a slice of the corpus,
+    * derive `evalHashes` by filtering the (persisted) corpus hash table
+    * instead of re-shingling from a second scan — the corpus is read
+    * once for the whole test.
+    */
+  def evalOverlapFromHashes(hashes: DataFrame, evalHashes: DataFrame,
+                            id: String, threshold: Double): DataFrame = {
+    val e = evalHashes.select(col("h1")).distinct()
+    val tot = hashes.groupBy(col(id)).agg(count(lit(1)).as("n_grams"))
+    val hit = hashes.join(broadcast(e), Seq("h1"), "left_semi")
       .groupBy(col(id)).agg(count(lit(1)).as("n_hit"))
     tot.join(hit, Seq(id), "left")
       .select(col(id), col("n_grams"),

@@ -73,8 +73,7 @@ object DedupQueries extends QueryModule {
       // persist the SAME (id, h1, h2) plan dedup_minhash materializes:
       // the cache manager matches plans, so one session running both
       // queries shingles the corpus once
-      val hs = Dedup.shingleHashes(
-        Dedup.shingleTable(docs(s, dir), "doc_id", "text", 3), "doc_id")
+      val hs = Dedup.shingleHashTable(docs(s, dir), "doc_id", "text", 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.jaccardPairs(hs.select(col("doc_id"), col("h1").as("sh")),
         "doc_id", 0.5, maxDf = 100)
@@ -113,12 +112,16 @@ object DedupQueries extends QueryModule {
       Dedup.fingerprints(docs(s, dir), "doc_id", "text", k = 3, window = 4)),
 
     // eval-set decontamination: 3-gram overlap of every doc against a
-    // deterministic mock eval slice (doc_id % 97), eval hashes
-    // broadcast — the corpus is never shuffled (see Dedup.evalOverlap)
+    // deterministic mock eval slice (doc_id % 97). The eval hashes are
+    // a FILTER of the corpus hash table (same persisted plan the other
+    // dedup queries share) — one corpus scan for the whole test, eval
+    // side broadcast, corpus never shuffled (see Dedup.evalOverlap)
     "decontaminate" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.evalOverlap(d, d.filter(col("doc_id") % 97 === 0),
-        "doc_id", "text", n = 3, threshold = 0.8)
+      val hs = Dedup.shingleHashTable(docs(s, dir), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.evalOverlapFromHashes(hs,
+        hs.filter(col("doc_id") % 97 === 0).select(col("h1")),
+        "doc_id", threshold = 0.8)
     }),
 
     // pairwise near-dup evidence -> dedup GROUPS: connected components
