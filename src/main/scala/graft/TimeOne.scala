@@ -18,7 +18,8 @@ object TimeOne {
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    println(f"[timeone] $name ${ts.sorted.apply(1)}%.3f s samples=${ts.map(t => f"$t%.3f").mkString(",")}")
+    def f3(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    println(s"[timeone] $name ${f3(ts.sorted.apply(1))} s samples=${ts.map(f3).mkString(",")}")
     spark.stop()
   }
 }

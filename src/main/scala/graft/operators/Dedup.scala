@@ -70,7 +70,15 @@ object Dedup {
     * prefer this when CPU-bound (measured ~2× here); [[shingleTable]]
     * remains the zero-shuffle form.
     */
-  def shingleHashTable(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
+  def shingleHashTable(df: DataFrame, id: String, text: String, k: Int): DataFrame =
+    shingleHashes(leadShingles(df, id, text, k).select(col(id), col("sh")), id)
+      .distinct()
+
+  /** (id, pos, sh): the word k-gram at each token position, built with
+    * `lead()` over the (id, pos) window so construction is codegen'd
+    * concat_ws — shared by [[shingleHashTable]] and [[fingerprints]].
+    */
+  private def leadShingles(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "shingle size must be >= 1")
     val tok = df.select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "w")))
@@ -80,9 +88,8 @@ object Dedup {
     }
     val complete =
       if (k == 1) withLeads else withLeads.filter(col(s"w${k - 1}").isNotNull)
-    val sh = complete.select(col(id),
+    complete.select(col(id), col("pos"),
       concat_ws(" ", col("w") +: (1 until k).map(i => col(s"w$i")): _*).as("sh"))
-    shingleHashes(sh, id).distinct()
   }
 
   /** Exact Jaccard-similar pairs >= threshold, candidate generation by
@@ -343,16 +350,24 @@ object Dedup {
     * mid-iteration loses blocks AND the truncated lineage, killing the
     * job. For a 100 TB cluster run, pass `checkpointDir` (HDFS/S3):
     * `df.checkpoint()` writes each round's frame to reliable storage so
-    * iteration survives executor failure.
+    * iteration survives executor failure. Sets the session checkpoint
+    * dir to `dir` (once per invocation). Superseded rounds'
+    * files stay on disk for the app lifetime unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (or the
+    * dir is cleaned post-job) — enable it for long-running clusters.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
+    // set the session dir exactly once per invocation (getCheckpointDir
+    // returns a scheme-qualified `dir`/<UUID> path, so string-matching
+    // it against `dir` is unreliable — a bare contains() would also
+    // claim sibling dirs like "/ckpt2" for "/ckpt")
+    var ckptDirSet = false
     def ckpt(df: DataFrame): DataFrame = checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty || !sc.getCheckpointDir.exists(_.contains(dir)))
-          sc.setCheckpointDir(dir)
+        if (!ckptDirSet) { sc.setCheckpointDir(dir); ckptDirSet = true }
         df.checkpoint()
       case None => df.localCheckpoint()
     }
@@ -433,22 +448,12 @@ object Dedup {
   def fingerprints(df: DataFrame, id: String, text: String,
                    k: Int, window: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(k >= 1, "shingle size must be >= 1")
     // shingles via lead() over the SAME (id, pos) ordering the winnowing
-    // window needs anyway: the one shuffle is shared, and everything
-    // outside the two window nodes stays codegen'd (the per-doc
-    // wordShingles transform() lambda this replaces ran interpreted
-    // slice+array_join per position)
-    val tok = df.select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "w")))
-    val w0 = Window.partitionBy(col(id)).orderBy(col("pos"))
-    val withLeads = (1 until k).foldLeft(tok) { (d, i) =>
-      d.withColumn(s"w$i", lead(col("w"), i).over(w0))
-    }
-    val complete =
-      if (k == 1) withLeads else withLeads.filter(col(s"w${k - 1}").isNotNull)
-    val sh = complete.withColumn("h",
-      md5(concat_ws(" ", col("w") +: (1 until k).map(i => col(s"w$i")): _*)))
-    val w = w0.rowsBetween(0, window - 1)
+    // window needs anyway ([[leadShingles]]): the one shuffle is shared,
+    // and everything outside the two window nodes stays codegen'd
+    val sh = leadShingles(df, id, text, k).withColumn("h", md5(col("sh")))
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+      .rowsBetween(0, window - 1)
     sh.select(col(id), min(col("h")).over(w).as("fp")).distinct()
   }
 }

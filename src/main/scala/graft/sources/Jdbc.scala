@@ -59,12 +59,15 @@ object Jdbc {
     */
   def integerSplitPoints(numSplits: Int, minVal: Long, maxVal: Long): Seq[Long] = {
     val n = math.max(numSplits, 1)
-    // an inverted range (reachable only through the defensive
-    // NULL-extremum → Long.MinValue mapping in dateSplitPredicates)
+    // an inverted range (defensive: no in-repo caller produces one)
     // degrades to one empty-interval split — the reference's documented
     // "poorly balanced splits" contract — instead of pts.last throwing
     // on an empty list
     if (minVal > maxVal) return Seq(minVal, maxVal)
+    // a range wider than Long.MaxValue (possible only with sentinel
+    // extrema) overflows the subtraction; degrade to one split rather
+    // than letting splitSize clamp to 1 and the loop run ~2^63 times
+    if (maxVal - minVal < 0) return Seq(minVal, maxVal)
     val splitSize = math.max((maxVal - minVal) / n, 1L)
     val b = Seq.newBuilder[Long]
     var cur = minVal
@@ -298,10 +301,11 @@ object Jdbc {
     * boundary longs rendered back as quoted JDBC literals (the
     * java.sql.Date/Time/Timestamp toString forms). The first boundary
     * carries the actual lower bound's nanos and the last the actual
-    * upper bound's (DateSplitter.java:84-105); a NULL extremum maps to
-    * Long.MIN_VALUE (the reference's poorly-balanced-splits warning
-    * applies) and appends an IS NULL split; NULL-to-NULL degrades to
-    * the single IS NULL split.
+    * upper bound's (DateSplitter.java:84-105); ONE NULL extremum yields
+    * a single one-sided interval plus an IS NULL split (deviating from
+    * the reference's Long.MIN_VALUE sentinel, which overflows the
+    * splitter arithmetic and renders an unparseable literal);
+    * NULL-to-NULL degrades to the single IS NULL split.
     */
   def dateSplitPredicates(col: String, numSplits: Int,
                           minVal: Option[java.sql.Timestamp],
@@ -343,6 +347,20 @@ object Jdbc {
                                       lit: (Long, Option[Int]) => String): Seq[String] = {
     val nullSplit = s"( $col IS NULL ) AND ( $col IS NULL )"
     if (minVal.isEmpty && maxVal.isEmpty) return Seq(nullSplit)
+    // exactly ONE bound present (unreachable from SQL MIN/MAX, which
+    // are null together, but part of the API surface): a one-sided
+    // interval — complete, no Long.MinValue sentinel arithmetic (which
+    // both overflows the splitter and renders a year-292278994
+    // timestamp literal no dialect can parse)
+    (minVal, maxVal) match {
+      case (Some(lo), None) =>
+        val l = lit(lo.getTime, Some(lo.getNanos))
+        return Seq(s"( $col >= $l ) AND ( $col >= $l )", nullSplit)
+      case (None, Some(hi)) =>
+        val h = lit(hi.getTime, Some(hi.getNanos))
+        return Seq(s"( $col <= $h ) AND ( $col <= $h )", nullSplit)
+      case _ => ()
+    }
     val lo = minVal.map(_.getTime).getOrElse(Long.MinValue)
     val hi = maxVal.map(_.getTime).getOrElse(Long.MinValue)
     val pts = integerSplitPoints(numSplits, lo, hi)

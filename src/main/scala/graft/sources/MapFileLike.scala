@@ -90,9 +90,18 @@ object MapFileLike {
           // moves src INSIDE an existing destination instead of failing,
           // so a bare rename would nest a loser's attempt dir under the
           // committed part-* dir — check existence first and have losers
-          // (speculative/zombie attempts) discard their output.
+          // (speculative/zombie attempts) discard their output. The
+          // exists/rename pair is not atomic; if two attempts raced
+          // through the check, the loser's rename nests under dest and
+          // still "succeeds" — detect that and self-heal by deleting
+          // the nested dir (a MapFile dir never contains a child named
+          // like an attempt dir).
           if (fs.exists(dest) || !fs.rename(attempt, dest))
             fs.delete(attempt, true)
+          else {
+            val nested = new org.apache.hadoop.fs.Path(dest, attempt.getName)
+            if (fs.exists(nested)) fs.delete(nested, true)
+          }
         } catch {
           case e: Throwable =>
             try writer.close() catch { case _: Throwable => () }
@@ -113,19 +122,34 @@ object MapFileLike {
     * to ONE reader; here range partitioning means probing each range
     * until hit, still O(partitions) index lookups, no scan).
     */
-  def getFromMapFiles(spark: SparkSession, path: String, key: Long): Option[String] = {
-    import org.apache.hadoop.io._
+  /** The partition directories of a MapFile-family output, in name
+    * order — shared by every probing reader below so directory-listing
+    * fixes (junk filtering, ordering) happen in one place.
+    */
+  private def partDirs(spark: SparkSession, path: String): Seq[org.apache.hadoop.fs.Path] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath).sortBy(_.getName).toSeq
+  }
+
+  /** Open `mk` on each partition dir in turn, close it after `probe`. */
+  private def probePartitions[R, T](spark: SparkSession, path: String)(
+      mk: org.apache.hadoop.fs.Path => R)(close: R => Unit)(
+      probe: R => Option[T]): Iterator[Option[T]] =
+    partDirs(spark, path).iterator.map { d =>
+      val reader = mk(d)
+      try probe(reader) finally close(reader)
+    }
+
+  def getFromMapFiles(spark: SparkSession, path: String, key: Long): Option[String] = {
+    import org.apache.hadoop.io._
+    val conf = spark.sparkContext.hadoopConfiguration
     val k = new LongWritable(key)
     val v = new Text()
-    dirs.iterator.flatMap { d =>
-      val reader = new MapFile.Reader(d, conf)
-      try Option(reader.get(k, v)).map(_.toString)
-      finally reader.close()
-    }.nextOption()
+    probePartitions(spark, path)(d => new MapFile.Reader(d, conf))(_.close()) {
+      r => Option(r.get(k, v)).map(_.toString)
+    }.flatten.nextOption()
   }
 
   /** BloomMapFile.get analog (HC/io/BloomMapFile.java:275-281): each
@@ -138,16 +162,11 @@ object MapFileLike {
   def getFromBloomMapFiles(spark: SparkSession, path: String, key: Long): Option[String] = {
     import org.apache.hadoop.io._
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
-    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
     val k = new LongWritable(key)
     val v = new Text()
-    dirs.iterator.flatMap { d =>
-      val reader = new BloomMapFile.Reader(d, conf)
-      try Option(reader.get(k, v)).map(_.toString)
-      finally reader.close()
-    }.nextOption()
+    probePartitions(spark, path)(d => new BloomMapFile.Reader(d, conf))(_.close()) {
+      r => Option(r.get(k, v)).map(_.toString)
+    }.flatten.nextOption()
   }
 
   /** The bloom membership tests alone (one per partition directory) —
@@ -157,15 +176,10 @@ object MapFileLike {
   def bloomProbes(spark: SparkSession, path: String, key: Long): Seq[Boolean] = {
     import org.apache.hadoop.io._
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
-    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
     val k = new LongWritable(key)
-    dirs.toSeq.map { d =>
-      val reader = new BloomMapFile.Reader(d, conf)
-      try reader.probablyHasKey(k)
-      finally reader.close()
-    }
+    probePartitions(spark, path)(d => new BloomMapFile.Reader(d, conf))(_.close()) {
+      r => Some(r.probablyHasKey(k))
+    }.flatten.toSeq
   }
 
   /** SetFile analog (HC/io/SetFile.java): a MapFile whose values are
@@ -181,15 +195,10 @@ object MapFileLike {
   def setFileContains(spark: SparkSession, path: String, key: Long): Boolean = {
     import org.apache.hadoop.io._
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
-    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
     val k = new LongWritable(key)
-    dirs.exists { d =>
-      val reader = new MapFile.Reader(d, conf)
-      try reader.get(k, NullWritable.get()) != null
-      finally reader.close()
-    }
+    probePartitions(spark, path)(d => new MapFile.Reader(d, conf))(_.close()) {
+      r => if (r.get(k, NullWritable.get()) != null) Some(true) else None
+    }.flatten.nextOption().isDefined
   }
 
   /** ArrayFile analog (HC/io/ArrayFile.java): a MapFile keyed by the

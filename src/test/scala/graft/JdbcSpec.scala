@@ -158,12 +158,18 @@ class JdbcSpec extends AnyFunSuite {
     // NULL-to-NULL: single IS NULL split
     assert(Jdbc.dateSplitPredicates("d", 3, None, None) ==
       Seq("( d IS NULL ) AND ( d IS NULL )"))
-    // exactly ONE NULL extremum: degrades to a bounded (possibly empty)
-    // interval plus the IS NULL split — the reference's "poorly balanced
-    // splits" contract — instead of pts.last throwing on an empty list
-    val one = Jdbc.dateSplitPredicates("d", 3,
-      Some(ts("2020-01-01 00:00:00")), None)
-    assert(one.nonEmpty && one.last == "( d IS NULL ) AND ( d IS NULL )")
+    // exactly ONE NULL extremum: a one-sided interval + the IS NULL
+    // split — complete coverage with no Long.MinValue sentinel (which
+    // used to overflow the splitter into a ~2^63-iteration loop for the
+    // NULL-minimum direction and render a year-292278994 literal)
+    assert(Jdbc.dateSplitPredicates("d", 3, Some(ts("2020-01-01 00:00:00")), None) ==
+      Seq("( d >= '2020-01-01 00:00:00.0' ) AND ( d >= '2020-01-01 00:00:00.0' )",
+        "( d IS NULL ) AND ( d IS NULL )"))
+    assert(Jdbc.dateSplitPredicates("d", 3, None, Some(ts("2020-01-01 00:00:00"))) ==
+      Seq("( d <= '2020-01-01 00:00:00.0' ) AND ( d <= '2020-01-01 00:00:00.0' )",
+        "( d IS NULL ) AND ( d IS NULL )"))
+    // direct splitter calls with sentinel-wide ranges still terminate
+    assert(Jdbc.integerSplitPoints(3, Long.MinValue, 0L) == Seq(Long.MinValue, 0L))
   }
 
   test("Oracle dialect: TO_TIMESTAMP split literals and ROWNUM pagination") {
