@@ -374,27 +374,33 @@ object Dedup {
     val edges = ckpt(
       pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
         .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
-    var labels = ckpt(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
     // labels only ever DECREASE, so an unchanged label sum is an exact
-    // fixpoint test — one cheap aggregate per round instead of a
-    // join-and-compare (decimal sum: overflow-proof for 64-bit ids;
-    // sum over an EMPTY graph is SQL NULL → ZERO, so a corpus with no
-    // near-dup pairs converges on the first round instead of NPEing)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+    // fixpoint test. The sum rides the checkpoint job itself as an
+    // `observe` metric — ONE job per round, not a materialization plus
+    // a separate aggregate action (at cluster scale each saved action
+    // is a full scheduler barrier). Decimal sum: overflow-proof for
+    // 64-bit ids; sum over an EMPTY graph is SQL NULL → ZERO, so a
+    // corpus with no near-dup pairs converges on the first round.
+    val sumExpr = sum(col("label").cast("decimal(38,0)")).as("s")
+    def observedSum(o: org.apache.spark.sql.Observation): java.math.BigDecimal =
+      Option(o.get("s").asInstanceOf[java.math.BigDecimal])
         .getOrElse(java.math.BigDecimal.ZERO)
-    var curSum = labelSum(labels)
+    val obs0 = org.apache.spark.sql.Observation()
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).observe(obs0, sumExpr))
+    var curSum = observedSum(obs0)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
       // each node adopts the min of its own and its neighbors' labels
       val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min("label").as("nbr"))
+      val obsI = org.apache.spark.sql.Observation()
       val next = ckpt(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label")))
-      val nextSum = labelSum(next)
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .observe(obsI, sumExpr))
+      val nextSum = observedSum(obsI)
       converged = nextSum.compareTo(curSum) == 0
       curSum = nextSum
       labels = next
