@@ -268,6 +268,23 @@ object Similarity {
       .distinct()                            // rep>1 can pair twice
   }
 
+  /** Symmetric per-vector int8 quantization — the standard 4× embedding
+    * storage/serving reduction: scale = max|v_i| / 127, q_i =
+    * round(v_i / scale) ∈ [-127, 127]; reconstruction v̂_i = q_i·scale
+    * has per-element error ≤ scale/2. A pure row-local projection
+    * (shuffle-free at any size); the all-zero vector quantizes to zeros
+    * with scale 0. Deterministic and SQL-replayable (same double
+    * arithmetic, round-half-away-from-zero on both engines).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .select(col(idCol), col("scale"),
+        when(col("scale") === 0.0,
+          transform(col("v"), _ => lit(0)))
+          .otherwise(transform(col("v"), x => round(x / col("scale")).cast("int")))
+          .as("qvec"))
+
   /** All `salts.size` seed codebooks in ONE pass over the base: every
     * row fans out to (salt, md5(id:salt), id, vec) and a bounded
     * bottom-k aggregator keeps the `nCells` lowest-hash rows per salt —

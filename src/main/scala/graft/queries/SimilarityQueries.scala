@@ -46,7 +46,16 @@ object SimilarityQueries extends QueryModule {
     // all-pairs ground truth is spec'd >= 0.9 (OperatorSpec).
     "dedup_embedding_blocked" -> ((s, dir) =>
       Similarity.cosinePairsLsh(emb(s, dir), "vec_id", "embedding",
-        threshold = 0.3, nCells = 32, rep = 2, tables = 6))
+        threshold = 0.3, nCells = 32, rep = 2, tables = 6)),
+
+    // storage quantization: per-vector symmetric int8 (scale + codes) —
+    // row-local, shuffle-free (see Similarity.quantizeInt8). The codes
+    // array rides the compare harness as a joined string (the driver's
+    // hasher can't digest array cells).
+    "quantize_embeddings" -> ((s, dir) =>
+      Similarity.quantizeInt8(emb(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          concat_ws(",", col("qvec")).as("qcodes")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -107,6 +116,19 @@ object SimilarityQueries extends QueryModule {
         |JOIN e ea ON ea.vec_id = vec_a
         |JOIN e eb ON eb.vec_id = vec_b
         |WHERE list_inner_product(ea.v, eb.v) /
-        |      (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) >= 0.3""".stripMargin
+        |      (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) >= 0.3""".stripMargin,
+    "quantize_embeddings" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e
+        |)
+        |SELECT vec_id, scale,
+        |       array_to_string(CASE WHEN scale = 0
+        |            THEN list_transform(v, x -> 0)
+        |            ELSE list_transform(v, x -> CAST(round(x / scale) AS INT)) END, ',') AS qcodes
+        |FROM s""".stripMargin
   )
 }

@@ -300,6 +300,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("Similarity.quantizeInt8: codes in [-127,127], reconstruction within scale/2") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val joined = q.join(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), "vec_id")
+    val bad = joined.select(
+      exists(col("qvec"), c => abs(c) > 127).as("oob"),
+      exists(zip_with(col("v"), col("qvec"),
+        (x, c) => abs(x - c * col("scale")) > col("scale") / 2 + 1e-12), b => b).as("err"))
+      .filter(col("oob") || col("err")).count()
+    assert(bad == 0L, "quantization out of bounds or reconstruction error > scale/2")
+    // all-zero vector: scale 0, all-zero codes
+    val z = Similarity.quantizeInt8(
+      Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .select("scale", "qvec").as[(Double, Seq[Int])].head()
+    assert(z == ((0.0, Seq(0, 0, 0))))
+  }
+
   test("Similarity.ivfTopK approximates brute-force top-k") {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.filter(col("vec_id") % 50 === 0)
