@@ -276,7 +276,9 @@ object Similarity {
     * with scale 0. Deterministic and SQL-replayable (same double
     * arithmetic, round-half-away-from-zero on both engines).
     */
-  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    require(!Set("v", "scale", "qvec").contains(idCol),
+      s"id column '$idCol' collides with a quantizeInt8 working column")
     df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / 127.0)
       .select(col(idCol), col("scale"),
@@ -284,6 +286,7 @@ object Similarity {
           transform(col("v"), _ => lit(0)))
           .otherwise(transform(col("v"), x => round(x / col("scale")).cast("int")))
           .as("qvec"))
+  }
 
   /** All `salts.size` seed codebooks in ONE pass over the base: every
     * row fans out to (salt, md5(id:salt), id, vec) and a bounded

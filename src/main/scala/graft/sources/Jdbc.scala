@@ -71,8 +71,11 @@ object Jdbc {
     val splitSize = math.max((maxVal - minVal) / n, 1L)
     val b = Seq.newBuilder[Long]
     var cur = minVal
-    var count = 0
-    while (cur <= maxVal) { b += cur; cur += splitSize; count += 1 }
+    var prev = minVal
+    // `cur >= prev` stops the walk when `cur += splitSize` wraps past
+    // Long.MaxValue (maxVal within splitSize of the top would otherwise
+    // loop forever — every long satisfies cur <= Long.MaxValue)
+    while (cur <= maxVal && cur >= prev) { b += cur; prev = cur; cur += splitSize }
     val pts = b.result()
     if (pts.last != maxVal || pts.size == 1) pts :+ maxVal else pts
   }
@@ -359,20 +362,18 @@ object Jdbc {
       case (None, Some(hi)) =>
         val h = lit(hi.getTime, Some(hi.getNanos))
         return Seq(s"( $col <= $h ) AND ( $col <= $h )", nullSplit)
-      case _ => ()
+      case _ => ()                            // both bounds present below
     }
-    val lo = minVal.map(_.getTime).getOrElse(Long.MinValue)
-    val hi = maxVal.map(_.getTime).getOrElse(Long.MinValue)
-    val pts = integerSplitPoints(numSplits, lo, hi)
+    val (loTs, hiTs) = (minVal.get, maxVal.get)
+    val pts = integerSplitPoints(numSplits, loTs.getTime, hiTs.getTime)
     val b = Seq.newBuilder[String]
     pts.sliding(2).toSeq.zipWithIndex.foreach { case (Seq(s, e), i) =>
       val last = i == pts.size - 2
-      val loLit = lit(s, if (i == 0) minVal.map(_.getNanos) else None)
-      val hiLit = lit(e, if (last) maxVal.map(_.getNanos) else None)
+      val loLit = lit(s, if (i == 0) Some(loTs.getNanos) else None)
+      val hiLit = lit(e, if (last) Some(hiTs.getNanos) else None)
       b += (if (last) s"( $col >= $loLit ) AND ( $col <= $hiLit )"
             else s"( $col >= $loLit ) AND ( $col < $hiLit )")
     }
-    if (minVal.isEmpty || maxVal.isEmpty) b += nullSplit
     b.result()
   }
 

@@ -94,8 +94,12 @@ object MapFileLike {
           // exists/rename pair is not atomic; if two attempts raced
           // through the check, the loser's rename nests under dest and
           // still "succeeds" — detect that and self-heal by deleting
-          // the nested dir (a MapFile dir never contains a child named
-          // like an attempt dir).
+          // the nested dir. Residual window: a zombie that dies between
+          // nesting and healing leaves a stale subdir — harmless to
+          // every reader here (MapFile.Reader opens only the named
+          // data/index files; partDirs lists only top-level part-*),
+          // but external consumers doing recursive copies should sweep
+          // `*-attempt-*` children first.
           if (fs.exists(dest) || !fs.rename(attempt, dest))
             fs.delete(attempt, true)
           else {
@@ -130,7 +134,11 @@ object MapFileLike {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    fs.listStatus(root).filter(_.isDirectory).map(_.getPath).sortBy(_.getName).toSeq
+    // only committed part dirs: a leftover `_temporary` from a crashed
+    // writer (or one running concurrently) must not be probed
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath).sortBy(_.getName).toSeq
   }
 
   /** Open `mk` on each partition dir in turn, close it after `probe`. */

@@ -170,6 +170,10 @@ class JdbcSpec extends AnyFunSuite {
         "( d IS NULL ) AND ( d IS NULL )"))
     // direct splitter calls with sentinel-wide ranges still terminate
     assert(Jdbc.integerSplitPoints(3, Long.MinValue, 0L) == Seq(Long.MinValue, 0L))
+    // ...and near Long.MaxValue the loop counter must not wrap forever
+    val top = Jdbc.integerSplitPoints(2, Long.MaxValue - 3, Long.MaxValue - 1)
+    assert(top.head == Long.MaxValue - 3 && top.last == Long.MaxValue - 1 &&
+      top.size <= 4, s"wrapped walk: $top")
   }
 
   test("Oracle dialect: TO_TIMESTAMP split literals and ROWNUM pagination") {
