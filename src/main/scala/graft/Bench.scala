@@ -91,6 +91,39 @@ object Bench {
     }
     spark.catalog.clearCache()
 
+    // dedup-family scale probe above the largest fixture: the linear
+    // stages (simhash signatures, winnowing fingerprints, exact dedup)
+    // timed on the corpus and a 3× self-replication (ids shifted so
+    // keys stay distinct). The banding/pair stages are excluded — a
+    // replicated corpus is near-dup-dense by construction, which would
+    // measure output explosion, not scan scaling. exponent =
+    // ln(t3/t1)/ln 3 → 1.0 is perfect linear scaling; < 1 means the
+    // fixed per-job floor still amortizes at this corpus size (t = f +
+    // c·n), > 1 would flag a superlinear stage.
+    val dedupScale =
+      try {
+        import org.apache.spark.sql.functions._
+        val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val d3 = (0 until 3).map(i =>
+          d1.select((col("doc_id") + lit(i * 100000000L)).as("doc_id"), col("text")))
+          .reduce(_.unionByName(_))
+        def run(df: org.apache.spark.sql.DataFrame): Double = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          operators.Dedup.simhash(df, "doc_id", "text")
+            .write.format("noop").mode("overwrite").save()
+          operators.Dedup.fingerprints(df, "doc_id", "text", 3, 4)
+            .write.format("noop").mode("overwrite").save()
+          operators.Dedup.exact(df, "doc_id", "text")
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        run(d1) // untimed warmup of the probe's codegen
+        val t1 = run(d1); val t3 = run(d3)
+        Some((t1, t3, math.log(t3 / t1) / math.log(3.0)))
+      } catch { case _: Throwable => None }
+
     // reference benchmark harnesses (MRBench.java:173-233 avg latency;
     // TestDFSIO.java:88-103 sequential MB/s), sized small enough to not
     // dominate the round but large enough to exceed fixed overhead
@@ -122,9 +155,12 @@ object Bench {
         s""","sf_small":"$sd","queries_small":${jm(sq.map { case (k, v) => k -> fmt(v, 3) })}"""
       case _ => ""
     }
+    val scaleJson = dedupScale.map { case (t1, t3, e) =>
+      s""","dedup_scale":{"t1x":${fmt(t1, 3)},"t3x":${fmt(t3, 3)},"exponent":${fmt(e, 3)}}"""
+    }.getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","iterations":$iters,"samples":$spread,"failed":$failedJson""" + smallJson +
+      s""","iterations":$iters,"samples":$spread,"failed":$failedJson""" + smallJson + scaleJson +
       s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)}}"""
     println(json)
     // the driver's stdout tail capture has truncated this line before
