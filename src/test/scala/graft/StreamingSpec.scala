@@ -141,6 +141,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sampling is stream-transparent: same kept multiset as batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // stateless hash-threshold sampling runs unchanged under
+    // micro-batching — no state, no watermark, per-row decision
+    val mem = MemoryStream[(Long, String)]
+    val rates = Map("s0" -> 2.0, "s1" -> 0.5)
+    val q = graft.operators.Sampling.mixtureSample(
+      mem.toDS().toDF("doc_id", "source"), "source", "doc_id", rates)
+      .writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append").start()
+    val rows = (0L until 200L).map(i => (i, s"s${i % 2}"))
+    try {
+      mem.addData(rows.take(100): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(100): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mix_stream")
+        .as[(Long, String, Long)].collect().toSeq.sorted
+      val batch = graft.operators.Sampling.mixtureSample(
+        rows.toDF("doc_id", "source"), "source", "doc_id", rates)
+        .as[(Long, String, Long)].collect().toSeq.sorted
+      assert(streamed == batch, "stream/batch mixture multisets diverge")
+    } finally q.stop()
+  }
+
   test("stream-stream interval self-join matches the batch join") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
