@@ -1,0 +1,101 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Sampling}
+
+/** The end-to-end training-data preparation pipeline, assembled from the
+  * library's verified stages — the workload this engine exists for, and
+  * the integration proof that the operators compose:
+  *
+  *   corpus → language/quality filter → exact dedup (representatives)
+  *   → near-dup clustering (SimHash + connected components) → apply
+  *   → eval-set decontamination → mixture weighting → context-window
+  *   chunking → sequence packing
+  *
+  * Every stage is the same operator the oracle-checked queries run;
+  * intermediate frames that feed multiple stages are persisted once.
+  * Shuffle budget at scale: filters and chunking are map-only; exact
+  * dedup shuffles 16-byte digests; clustering shuffles the tiny pair
+  * graph; decontamination broadcasts the eval hash set; packing windows
+  * within (source, shard). Nothing materializes document text through a
+  * shuffle except the final chunk emission.
+  *
+  * Returns the packed output and a per-stage row accounting Report —
+  * the numbers a pipeline dashboard would publish.
+  */
+object TrainingPipeline {
+
+  case class Report(input: Long, afterFilter: Long, afterExact: Long,
+                    afterNearDup: Long, afterDecontam: Long,
+                    mixtureRows: Long, chunks: Long, packs: Long)
+
+  def run(spark: SparkSession, dir: String,
+          lang: String = "en", minTokens: Int = 10,
+          rates: Map[String, Double] = Map.empty,
+          contamThreshold: Double = 0.8): (DataFrame, Report) = {
+    val docs = Tables(spark, dir, "documents")
+    val input = docs.count()
+
+    // 1. language + quality gate (map-only)
+    val filtered = docs
+      .withColumn("n_toks", size(Dedup.tokens(col("text"))))
+      .filter(col("lang") === lang && col("n_toks") >= minTokens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val afterFilter = filtered.count()
+
+    // 2. exact dedup to representatives (16-byte digests shuffle)
+    val reps = Dedup.exact(filtered, "doc_id", "text").select(col("keep_id").as("doc_id"))
+    val exactKept = filtered.join(reps, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val afterExact = exactKept.count()
+
+    // 3. near-dup clusters over the survivors; keep cluster representatives
+    val pairs = Dedup.simhashPairs(
+      Dedup.simhash(exactKept, "doc_id", "text"), "doc_id",
+      maxDist = 3, maxBucket = 1000)
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("doc_a", "doc_id")
+    val nearKept = exactKept.join(cc, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .drop("cluster_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val afterNearDup = nearKept.count()
+
+    // 4. eval-set decontamination (mock eval slice; eval hashes broadcast)
+    val hs = Dedup.shingleHashTable(nearKept, "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val overlap = Dedup.evalOverlapFromHashes(hs,
+      hs.filter(col("doc_id") % 97 === 0).select(col("h1")),
+      "doc_id", contamThreshold)
+    val clean = nearKept.join(
+      overlap.filter(col("contaminated")).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val afterDecontam = clean.count()
+
+    // 5. mixture weighting (map-only, deterministic)
+    val mixed =
+      if (rates.isEmpty) clean.withColumn("copy_id", lit(0L))
+      else Sampling.mixtureSample(clean, "source", "doc_id", rates)
+    val mixtureRows = mixed.count()
+
+    // 6. context-window chunking (map-only) — replicas chunk identically,
+    // so chunk on distinct docs and rejoin the copy multiplicity
+    val chunked = Sampling.chunkDocs(
+      mixed.select(col("doc_id"), col("text")).distinct(), "doc_id", "text", 64, 16)
+      .join(mixed.select(col("doc_id"), col("copy_id"), col("source")), Seq("doc_id"))
+    val chunks = chunked.count()
+
+    // 7. sequence packing per (source, shard) into 256-token packs
+    val packed = Sampling.packBySize(
+      chunked.withColumn("unit",
+        concat_ws("#", col("doc_id"), col("copy_id"), col("chunk_id"))),
+      "source", "unit", col("n_tokens"), budget = 256, shards = 2)
+    val packs = packed.count()
+
+    (packed, Report(input, afterFilter, afterExact, afterNearDup,
+      afterDecontam, mixtureRows, chunks, packs))
+  }
+}

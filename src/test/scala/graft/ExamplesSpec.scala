@@ -117,4 +117,27 @@ class ExamplesSpec extends AnyFunSuite {
     assert(n == LoadGen.loadGen(df, "k", 50, 50).count())
     assert(n > 150 && n < 350, s"selectivity off: $n")
   }
+
+  test("TrainingPipeline composes the verified stages end-to-end") {
+    import graft.jobs.TrainingPipeline
+    val (packed, r) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      lang = "en", minTokens = 5, rates = Map("src0" -> 2.0, "src1" -> 0.5))
+    // row accounting: each cleaning stage is monotone non-increasing
+    assert(r.input >= r.afterFilter && r.afterFilter >= r.afterExact &&
+      r.afterExact >= r.afterNearDup && r.afterNearDup >= r.afterDecontam,
+      s"cleaning stages must shrink: $r")
+    assert(r.afterFilter > 0 && r.packs > 0, s"pipeline emptied out: $r")
+    // decontamination removed the mock eval slice members (ratio 1.0)
+    assert(r.afterDecontam < r.afterNearDup, s"eval slice not removed: $r")
+    // chunks cover at least one window per surviving mixture row
+    assert(r.chunks >= r.mixtureRows, s"chunking lost rows: $r")
+    // pack budgets hold: every pack's token sum <= budget + one unit's
+    // max tokens (a pack closes only when the budget is crossed)
+    val overBudget = packed.filter(col("tok_sum") > 256 + 64).count()
+    assert(overBudget == 0, "pack exceeded budget by more than one unit")
+    // determinism: the full pipeline replays to identical accounting
+    val (_, r2) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      lang = "en", minTokens = 5, rates = Map("src0" -> 2.0, "src1" -> 0.5))
+    assert(r == r2, s"pipeline not deterministic: $r vs $r2")
+  }
 }
