@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Dedup, Sampling, TextOps}
 
 /** The end-to-end training-data preparation pipeline, assembled from the
   * library's verified stages — the workload this engine exists for, and
@@ -39,10 +39,12 @@ object TrainingPipeline {
     val docs = Tables(spark, dir, "documents")
     val input = docs.count()
 
-    // 1. language + quality gate (map-only)
+    // 1. language + length gate (map-only) — the DETECTED language, not
+    // the table's label column: the pipeline must work on unlabeled text
     val filtered = docs
-      .withColumn("n_toks", size(Dedup.tokens(col("text"))))
-      .filter(col("lang") === lang && col("n_toks") >= minTokens)
+      .withColumn("t", Dedup.tokens(col("text")))
+      .filter(TextOps.langPred(col("t")) === lang && size(col("t")) >= minTokens)
+      .drop("t")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterFilter = filtered.count()
 

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators as COLUMN functions (scale extensions;
+  * SURVEY §7.5): language ID by stopword voting and linear quality
+  * scoring. Column-level so they compose into any projection — the
+  * declared lang_id / quality_score queries and the TrainingPipeline
+  * filter are the same expressions. All deterministic, all replayable
+  * in SQL (fixed stopword lists, fixed tie order, division-last).
+  */
+object TextOps {
+
+  val stopEn = Seq("the", "a", "is", "of", "and")
+  val stopDe = Seq("der", "die", "das", "und", "ein")
+  val stopFr = Seq("le", "la", "les", "des", "une")
+  val stopEs = Seq("el", "los", "las", "una", "y")
+
+  /** Count of tokens drawn from a fixed word list. */
+  def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, w => w.isin(words.map(lit(_)): _*))).cast("long")
+
+  /** Stopword-vote language prediction over a token array; ties resolve
+    * by fixed priority en > de > es > fr (the oracle's CASE cascade).
+    */
+  def langPred(toks: Column): Column = {
+    val (en, de, fr, es) = (countIn(toks, stopEn), countIn(toks, stopDe),
+      countIn(toks, stopFr), countIn(toks, stopEs))
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Linear quality score: 0.5·stop_ratio + 0.05·avg_token_length.
+    * Higher ≈ natural running text; boilerplate/code-ish content scores
+    * low on stopword density.
+    */
+  def quality(toks: Column): Column = {
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    lit(0.5) * (countIn(toks, stopEn) / n) + lit(0.05) * (sumLen / n)
+  }
+}

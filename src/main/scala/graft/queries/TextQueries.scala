@@ -22,13 +22,9 @@ object TextQueries extends QueryModule {
 
   private def toks(c: Column): Column = filter(split(c, "\\s+"), w => w =!= "")
 
-  private def countIn(tokens: Column, words: Seq[String]): Column =
-    size(filter(tokens, w => w.isin(words.map(lit(_)): _*))).cast("long")
-
-  private val stopEn = Seq("the", "a", "is", "of", "and")
-  private val stopDe = Seq("der", "die", "das", "und", "ein")
-  private val stopFr = Seq("le", "la", "les", "des", "une")
-  private val stopEs = Seq("el", "los", "las", "una", "y")
+  // the reusable operator forms live in operators/TextOps; the queries
+  // below are those expressions applied to the documents table
+  import graft.operators.TextOps.{countIn, stopEn, stopDe, stopFr, stopEs}
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // WordCount (examples/WordCount.java:36-56): tokenize, count per token.
@@ -85,7 +81,7 @@ object TextQueries extends QueryModule {
           when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
             .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
             .when(col("s_es") >= col("s_fr"), "es")
-            .otherwise("fr"))
+            .otherwise("fr"))          // == TextOps.langPred over t
     }),
 
     // Quality scoring (scale extension): length/stopword-ratio features
