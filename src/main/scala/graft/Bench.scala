@@ -105,8 +105,11 @@ object Bench {
         import org.apache.spark.sql.functions._
         val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"), col("text"))
+        // shift replicas past the actual id range — a fixed offset would
+        // silently collide (and de-dup) on fixtures with larger ids
+        val shift = d1.agg(max(col("doc_id"))).head().getLong(0) + 1L
         val d3 = (0 until 3).map(i =>
-          d1.select((col("doc_id") + lit(i * 100000000L)).as("doc_id"), col("text")))
+          d1.select((col("doc_id") + lit(i * shift)).as("doc_id"), col("text")))
           .reduce(_.unionByName(_))
         def run(df: org.apache.spark.sql.DataFrame): Double = {
           spark.catalog.clearCache()

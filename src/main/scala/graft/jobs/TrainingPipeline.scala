@@ -32,9 +32,15 @@ object TrainingPipeline {
                     afterNearDup: Long, afterDecontam: Long,
                     mixtureRows: Long, chunks: Long, packs: Long)
 
+  /** `evalDocs`: the held-out evaluation corpus to decontaminate
+    * against — (id, text)-shaped. None skips the decontamination stage
+    * (a real pipeline should always pass its eval suites; the spec
+    * passes a slice of the corpus as a stand-in).
+    */
   def run(spark: SparkSession, dir: String,
           lang: String = "en", minTokens: Int = 10,
           rates: Map[String, Double] = Map.empty,
+          evalDocs: Option[DataFrame] = None,
           contamThreshold: Double = 0.8): (DataFrame, Report) = {
     val docs = Tables(spark, dir, "documents")
     val input = docs.count()
@@ -66,15 +72,25 @@ object TrainingPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterNearDup = nearKept.count()
 
-    // 4. eval-set decontamination (mock eval slice; eval hashes broadcast)
-    val hs = Dedup.shingleHashTable(nearKept, "doc_id", "text", 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val overlap = Dedup.evalOverlapFromHashes(hs,
-      hs.filter(col("doc_id") % 97 === 0).select(col("h1")),
-      "doc_id", contamThreshold)
-    val clean = nearKept.join(
-      overlap.filter(col("contaminated")).select(col("doc_id")),
-      Seq("doc_id"), "left_anti")
+    // 4. eval-set decontamination (eval hashes broadcast; the corpus
+    // hash table is computed once and feeds both count branches);
+    // skipped when no eval corpus is supplied
+    var hs: Option[DataFrame] = None
+    val clean = evalDocs match {
+      case Some(ev) =>
+        require(ev.columns.contains("doc_id") && ev.columns.contains("text"),
+          "evalDocs needs (doc_id, text) columns")
+        val h = Dedup.shingleHashTable(nearKept, "doc_id", "text", 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        hs = Some(h)
+        val overlap = Dedup.evalOverlapFromHashes(h,
+          Dedup.shingleHashTable(ev, "doc_id", "text", 3).select(col("h1")),
+          "doc_id", contamThreshold)
+        nearKept.join(
+          overlap.filter(col("contaminated")).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      case None => nearKept
+    }
     val afterDecontam = clean.count()
 
     // 5. mixture weighting (map-only, deterministic)
@@ -95,9 +111,14 @@ object TrainingPipeline {
       chunked.withColumn("unit",
         concat_ws("#", col("doc_id"), col("copy_id"), col("chunk_id"))),
       "source", "unit", col("n_tokens"), budget = 256, shards = 2)
-    val packs = packed.count()
+    // the pack summary is small: pin it, then release the corpus-sized
+    // intermediates (repeated runs in one session would otherwise pin
+    // four full-corpus frames each, forever)
+    val packedOut = packed.localCheckpoint()
+    val packs = packedOut.count()
+    (Seq(filtered, exactKept, nearKept) ++ hs).foreach(_.unpersist(false))
 
-    (packed, Report(input, afterFilter, afterExact, afterNearDup,
+    (packedOut, Report(input, afterFilter, afterExact, afterNearDup,
       afterDecontam, mixtureRows, chunks, packs))
   }
 }

@@ -77,6 +77,9 @@ object Sampling {
   def mixtureSample(df: DataFrame, strataCol: String, idCol: String,
                     rates: Map[String, Double],
                     defaultRate: Double = 1.0): DataFrame = {
+    require(!df.columns.contains("n_copies") && !df.columns.contains("copy_id"),
+      "mixtureSample reserves working columns n_copies/copy_id " +
+        "(re-weighting a previous mixture output would silently clobber them)")
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
@@ -105,6 +108,8 @@ object Sampling {
   def chunkDocs(df: DataFrame, id: String, text: String,
                 maxTokens: Int, overlap: Int): DataFrame = {
     require(overlap >= 0 && maxTokens > overlap, "need maxTokens > overlap >= 0")
+    require(!Set("t", "n", "start", "chunk_id", "chunk_text", "n_tokens").contains(id),
+      s"id column '$id' collides with a chunkDocs working/output column")
     val stride = maxTokens - overlap
     df.select(col(id), graft.operators.Dedup.tokens(col(text)).as("t"))
       .withColumn("n", size(col("t")))

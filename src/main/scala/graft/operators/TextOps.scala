@@ -35,12 +35,14 @@ object TextOps {
 
   /** Linear quality score: 0.5·stop_ratio + 0.05·avg_token_length.
     * Higher ≈ natural running text; boilerplate/code-ish content scores
-    * low on stopword density.
+    * low on stopword density. NULL for a tokenless document (rather
+    * than a divide-by-zero error under ANSI mode).
     */
   def quality(toks: Column): Column = {
     val n = size(toks).cast("long")
     val sumLen = aggregate(transform(toks, w => length(w).cast("long")),
       lit(0L), (acc, x) => acc + x)
-    lit(0.5) * (countIn(toks, stopEn) / n) + lit(0.05) * (sumLen / n)
+    when(n === 0L, lit(null).cast("double"))
+      .otherwise(lit(0.5) * (countIn(toks, stopEn) / n) + lit(0.05) * (sumLen / n))
   }
 }

@@ -44,7 +44,12 @@ object DedupQueries extends QueryModule {
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).cast("long").as("cluster_id"))
       .localCheckpoint()
-    ccMemo((s, dir)) = out
+    // release the superseded map's blocks eagerly (best-effort — the
+    // ContextCleaner would also reclaim them once unreferenced)
+    ccMemo.put((s, dir), out).foreach { old =>
+      try old.queryExecution.toRdd.unpersist(false)
+      catch { case _: Throwable => () }
+    }
     out
   }
 
@@ -145,7 +150,7 @@ object DedupQueries extends QueryModule {
   // the full minhash near-dup oracle (shared by the plain and the
   // representative-first queries; the latter re-roots it on `repd`)
   private val minhashSql: String = shingleCte +
-    """, hh AS (
+    s""", hh AS (
       |  SELECT doc_id,
       |         ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h1,
       |         ('0x' || substring(md5(sh), 17, 15))::BIGINT AS h2
@@ -161,7 +166,7 @@ object DedupQueries extends QueryModule {
       |  FROM m GROUP BY doc_id, i // 4
       |), bkept AS (
       |  SELECT b.* FROM bands b
-      |  JOIN (SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= 1000) ok
+      |  JOIN (SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= $MaxBucket) ok
       |    USING (band, bh)
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -234,7 +239,7 @@ object DedupQueries extends QueryModule {
         |       (CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams) >= 0.8 AS contaminated
         |FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id""".stripMargin),
     "simhash_pairs" ->
-      """WITH tok AS (
+      raw"""WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
         |  FROM documents
         |), bsum AS (
@@ -251,7 +256,7 @@ object DedupQueries extends QueryModule {
         |  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
         |), bkept AS (
         |  SELECT x.* FROM banded x
-        |  JOIN (SELECT band, bits FROM banded GROUP BY band, bits HAVING COUNT(*) <= 1000) ok
+        |  JOIN (SELECT band, bits FROM banded GROUP BY band, bits HAVING COUNT(*) <= $MaxBucket) ok
         |    USING (band, bits)
         |), cand AS (
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
@@ -277,7 +282,7 @@ object DedupQueries extends QueryModule {
         |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
         |FROM b GROUP BY doc_id""".stripMargin,
     "dedup_clusters" ->
-      """WITH RECURSIVE tok AS (
+      raw"""WITH RECURSIVE tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
         |  FROM documents
         |), bsum AS (
@@ -294,7 +299,7 @@ object DedupQueries extends QueryModule {
         |  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
         |), bkept AS (
         |  SELECT x.* FROM banded x
-        |  JOIN (SELECT band, bits FROM banded GROUP BY band, bits HAVING COUNT(*) <= 1000) ok
+        |  JOIN (SELECT band, bits FROM banded GROUP BY band, bits HAVING COUNT(*) <= $MaxBucket) ok
         |    USING (band, bits)
         |), pairs AS (
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -315,7 +320,7 @@ object DedupQueries extends QueryModule {
         |FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
         |GROUP BY d.doc_id""".stripMargin,
     "dedup_apply" ->
-      """WITH RECURSIVE tok AS (
+      raw"""WITH RECURSIVE tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
         |  FROM documents
         |), bsum AS (
@@ -332,7 +337,7 @@ object DedupQueries extends QueryModule {
         |  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
         |), bkept AS (
         |  SELECT x.* FROM banded x
-        |  JOIN (SELECT band, bits FROM banded GROUP BY band, bits HAVING COUNT(*) <= 1000) ok
+        |  JOIN (SELECT band, bits FROM banded GROUP BY band, bits HAVING COUNT(*) <= $MaxBucket) ok
         |    USING (band, bits)
         |), pairs AS (
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

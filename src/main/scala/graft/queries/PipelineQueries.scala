@@ -59,21 +59,29 @@ object PipelineQueries extends QueryModule {
 
     // the corpus "data card": per (source, lang) doc counts and token
     // distribution moments from exact integer sums (mean/stddev derived
-    // identically on both engines, word_stats-style)
+    // identically on both engines, word_stats-style). Overflow
+    // discipline for 100 TB groups: the squared-sum accumulates in
+    // decimal(38,0) (Spark) / HUGEINT (DuckDB) — both exact — and both
+    // engines convert the SAME exact integer to double at the same
+    // point, so the derived stddev stays bit-equal; total² is computed
+    // in doubles on both sides (a long multiply would overflow past
+    // ~3e9 total tokens per group)
     "corpus_stats" -> ((s, dir) => {
       val toks = size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long")
       docs(s, dir).select(col("source"), col("lang"), toks.as("toks"))
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("toks")).as("total_tokens"),
-          sum(col("toks") * col("toks")).as("sum_sq"),
+          sum((col("toks") * col("toks")).cast("decimal(38,0)"))
+            .cast("double").as("sum_sq"),
           median(col("toks")).as("median_tokens"),
           min(col("toks")).as("min_tokens"),
           max(col("toks")).as("max_tokens"))
         .select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
           col("median_tokens"), col("min_tokens"), col("max_tokens"),
           (col("total_tokens") / col("n_docs")).as("mean_tokens"),
-          sqrt((col("sum_sq") - col("total_tokens") * col("total_tokens") / col("n_docs"))
+          sqrt((col("sum_sq") -
+            col("total_tokens").cast("double") * col("total_tokens") / col("n_docs"))
             / col("n_docs")).as("stddev_tokens"))
     })
   )
@@ -151,7 +159,7 @@ object PipelineQueries extends QueryModule {
         |  SELECT source, lang,
         |         CAST(COUNT(*) AS BIGINT) AS n_docs,
         |         CAST(SUM(toks) AS BIGINT) AS total_tokens,
-        |         CAST(SUM(toks*toks) AS BIGINT) AS sum_sq,
+        |         CAST(SUM(toks*toks) AS DOUBLE) AS sum_sq,
         |         median(toks) AS median_tokens,
         |         CAST(MIN(toks) AS BIGINT) AS min_tokens,
         |         CAST(MAX(toks) AS BIGINT) AS max_tokens
@@ -159,7 +167,7 @@ object PipelineQueries extends QueryModule {
         |)
         |SELECT source, lang, n_docs, total_tokens, median_tokens, min_tokens, max_tokens,
         |       total_tokens / n_docs AS mean_tokens,
-        |       sqrt((sum_sq - total_tokens * total_tokens / n_docs) / n_docs) AS stddev_tokens
+        |       sqrt((sum_sq - CAST(total_tokens AS DOUBLE) * total_tokens / n_docs) / n_docs) AS stddev_tokens
         |FROM agg""".stripMargin
   )
 }

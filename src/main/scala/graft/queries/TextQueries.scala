@@ -72,16 +72,13 @@ object TextQueries extends QueryModule {
     "lang_id" -> ((s, dir) => {
       val t = docs(s, dir).select(col("doc_id"), toks(col("text")).as("t"))
       t.select(
-        col("doc_id"),
+        col("doc_id"), col("t"),
         countIn(col("t"), stopEn).as("s_en"),
         countIn(col("t"), stopDe).as("s_de"),
         countIn(col("t"), stopFr).as("s_fr"),
         countIn(col("t"), stopEs).as("s_es"))
-        .withColumn("lang_pred",
-          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
-            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
-            .when(col("s_es") >= col("s_fr"), "es")
-            .otherwise("fr"))          // == TextOps.langPred over t
+        .withColumn("lang_pred", graft.operators.TextOps.langPred(col("t")))
+        .drop("t")
     }),
 
     // Quality scoring (scale extension): length/stopword-ratio features
@@ -90,7 +87,7 @@ object TextQueries extends QueryModule {
       docs(s, dir)
         .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
         .select(
-          col("doc_id"),
+          col("doc_id"), col("t"),
           size(col("t")).cast("long").as("n_tokens"),
           length(col("text")).cast("long").as("n_chars"),
           aggregate(transform(col("t"), w => length(w).cast("long")), lit(0L), (acc, x) => acc + x)
@@ -99,9 +96,8 @@ object TextQueries extends QueryModule {
         .select(
           col("doc_id"), col("n_tokens"), col("n_chars"),
           (col("sum_tok_len") / col("n_tokens")).as("avg_tok_len"),
-          (col("n_stop") / col("n_tokens")).as("stop_ratio"))
-        .withColumn("quality",
-          lit(0.5) * col("stop_ratio") + lit(0.05) * col("avg_tok_len"))
+          (col("n_stop") / col("n_tokens")).as("stop_ratio"),
+          graft.operators.TextOps.quality(col("t")).as("quality"))
     }),
 
     // Token counting (scale extension): whitespace tokens and a BPE-ish

@@ -190,6 +190,37 @@ object MapFileLike {
     }.flatten.toSeq
   }
 
+  /** Amortized point-lookup handle: ONE open reader per partition,
+    * reused across gets — the reference's long-lived-reader pattern
+    * (mapreduce/lib/output/MapFileOutputFormat.java:65 getReaders). The
+    * one-shot getFrom* helpers above re-open every index (and bloom
+    * sidecar) per call, so the bloom filter's fast-negative win drowns
+    * in reader construction on lookup LOOPS; this handle pays the opens
+    * once.
+    */
+  final class BloomLookup private[MapFileLike] (
+      readers: Seq[org.apache.hadoop.io.BloomMapFile.Reader]) extends AutoCloseable {
+    import org.apache.hadoop.io._
+    private val v = new Text()
+    def get(key: Long): Option[String] = {
+      val k = new LongWritable(key)
+      readers.iterator.flatMap(r => Option(r.get(k, v)).map(_.toString)).nextOption()
+    }
+    /** The per-partition bloom decisions for a key (true = must seek). */
+    def probes(key: Long): Seq[Boolean] = {
+      val k = new LongWritable(key)
+      readers.map(_.probablyHasKey(k))
+    }
+    def close(): Unit =
+      readers.foreach(r => try r.close() catch { case _: Throwable => () })
+  }
+
+  def openBloomLookup(spark: SparkSession, path: String): BloomLookup = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    new BloomLookup(partDirs(spark, path)
+      .map(d => new org.apache.hadoop.io.BloomMapFile.Reader(d, conf)))
+  }
+
   /** SetFile analog (HC/io/SetFile.java): a MapFile whose values are
     * all NullWritable — key membership only. Same files, same readers.
     */

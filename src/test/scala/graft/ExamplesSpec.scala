@@ -120,8 +120,12 @@ class ExamplesSpec extends AnyFunSuite {
 
   test("TrainingPipeline composes the verified stages end-to-end") {
     import graft.jobs.TrainingPipeline
+    // stand-in eval corpus: a fixed slice of the documents table
+    val evalSet = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") % 97 === 0).select(col("doc_id"), col("text"))
     val (packed, r) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
-      lang = "en", minTokens = 5, rates = Map("src0" -> 2.0, "src1" -> 0.5))
+      lang = "en", minTokens = 5, rates = Map("src0" -> 2.0, "src1" -> 0.5),
+      evalDocs = Some(evalSet))
     // row accounting: each cleaning stage is monotone non-increasing
     assert(r.input >= r.afterFilter && r.afterFilter >= r.afterExact &&
       r.afterExact >= r.afterNearDup && r.afterNearDup >= r.afterDecontam,
@@ -137,7 +141,12 @@ class ExamplesSpec extends AnyFunSuite {
     assert(overBudget == 0, "pack exceeded budget by more than one unit")
     // determinism: the full pipeline replays to identical accounting
     val (_, r2) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
-      lang = "en", minTokens = 5, rates = Map("src0" -> 2.0, "src1" -> 0.5))
+      lang = "en", minTokens = 5, rates = Map("src0" -> 2.0, "src1" -> 0.5),
+      evalDocs = Some(evalSet))
     assert(r == r2, s"pipeline not deterministic: $r vs $r2")
+    // no eval corpus -> decontamination is a pass-through
+    val (_, r3) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      lang = "en", minTokens = 5)
+    assert(r3.afterDecontam == r3.afterNearDup, s"skip path filtered rows: $r3")
   }
 }

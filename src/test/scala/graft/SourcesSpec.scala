@@ -320,12 +320,18 @@ class SourcesSpec extends AnyFunSuite {
     // absent keys: at 0.5% configured error rate, the overwhelming
     // majority of probes reject WITHOUT touching index or data
     // (BloomMapFile.java:275-281 returns before super.get) — count
-    // rejections across many misses rather than demand any single one
-    val missProbes = (100000L until 100100L).flatMap(k =>
-      MapFileLike.bloomProbes(spark, dir, k))
-    val rejected = missProbes.count(_ == false)
-    assert(rejected > missProbes.size * 9 / 10,
-      s"bloom filter rejected only $rejected/${missProbes.size} absent-key probes")
+    // rejections across many misses rather than demand any single one.
+    // The lookup LOOP runs through the amortized handle: readers (and
+    // bloom sidecars) open once, not once per key.
+    val lookup = MapFileLike.openBloomLookup(spark, dir)
+    try {
+      val missProbes = (100000L until 100100L).flatMap(k => lookup.probes(k))
+      val rejected = missProbes.count(_ == false)
+      assert(rejected > missProbes.size * 9 / 10,
+        s"bloom filter rejected only $rejected/${missProbes.size} absent-key probes")
+      assert(lookup.get(100042L).isEmpty)
+      assert(lookup.get(421L) == Some("row-421"))
+    } finally lookup.close()
     assert(MapFileLike.getFromBloomMapFiles(spark, dir, 100042L).isEmpty)
   }
 
