@@ -15,6 +15,17 @@ class OperatorSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.build("4")
   import spark.implicits._
 
+  test("SparkEntry contract: every oracle key names a declared query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"stale oracle keys (typo'd key silently " +
+      s"downgrades its query to rows-only): ${o.diff(q)}")
+    // the intentional no-oracle rows — terasort self-validates, IVF is
+    // approximate by definition — and ONLY those
+    assert(q.diff(o) == Set("terasort", "ann_ivf_topk"),
+      s"rows-only query set drifted: ${q.diff(o)}")
+  }
+
   test("FieldSelection parses singles, ranges and open ranges") {
     val (k, v) = FieldSelection.parseSpec("4,3,0,1:6,5,1-3,7-")
     assert(k == Seq(FieldSelection.Single(4), FieldSelection.Single(3),
