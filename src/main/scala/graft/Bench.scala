@@ -125,7 +125,11 @@ object Bench {
         run(d1) // untimed warmup of the probe's codegen
         val t1 = run(d1); val t3 = run(d3)
         Some((t1, t3, math.log(t3 / t1) / math.log(3.0)))
-      } catch { case _: Throwable => None }
+      } catch { case e: Throwable =>
+        // a missing probe must read as a failure, not silent absence
+        System.err.println(s"[bench] dedup_scale probe failed: $e")
+        None
+      }
 
     // reference benchmark harnesses (MRBench.java:173-233 avg latency;
     // TestDFSIO.java:88-103 sequential MB/s), sized small enough to not

@@ -271,6 +271,22 @@ object Dedup {
       .withColumn("contaminated", col("contam_ratio") >= threshold)
   }
 
+  /** Per-row contamination ratio against a broadcast eval hash set —
+    * the row-local form of [[evalOverlap]]: |h1(shingles) ∩ eval| /
+    * |h1(shingles)|, NULL for a doc with no shingles. No aggregation,
+    * so it drops straight into a STREAMING filter (each document
+    * arrives whole; the eval set rides as a literal array). For batch
+    * corpora prefer [[evalOverlapFromHashes]], which shares the
+    * persisted corpus hash table; eval sets here should be ≤ a few
+    * hundred thousand hashes (literal-array sized).
+    */
+  def contamRatio(text: Column, k: Int, evalH1: Seq[Long]): Column = {
+    val u = array_distinct(transform(wordShingles(tokens(text), k),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+    when(size(u) === 0, lit(null).cast("double"))
+      .otherwise(size(array_intersect(u, typedLit(evalH1))).cast("double") / size(u))
+  }
+
   /** The lossless form of the [[capBuckets]] guard for exact-dup-heavy
     * corpora: collapse exact duplicates to their representative FIRST
     * ([[exact]] — identical text means identical shingles, signatures

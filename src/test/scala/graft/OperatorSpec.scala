@@ -294,6 +294,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 0L, false)))
   }
 
+  test("Dedup.contamRatio (row-local) agrees with evalOverlap (aggregated)") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val evalSet = docs.filter(col("doc_id") % 7 === 0)
+    val evalH1 = Dedup.shingleHashTable(evalSet, "doc_id", "text", 3)
+      .select("h1").distinct().as[Long].collect().toSeq
+    val rowLocal = docs.select(col("doc_id"),
+      Dedup.contamRatio(col("text"), 3, evalH1).as("r"))
+      .as[(Long, Double)].collect().toMap
+    val agg = Dedup.evalOverlap(docs, evalSet, "doc_id", "text", 3, 0.8)
+      .select(col("doc_id"), col("contam_ratio")).as[(Long, Double)].collect().toMap
+    assert(agg.nonEmpty && agg.keySet == rowLocal.keySet)
+    agg.foreach { case (id, r) =>
+      assert(math.abs(rowLocal(id) - r) < 1e-12, s"doc $id: ${rowLocal(id)} vs $r")
+    }
+    // eval members self-overlap fully
+    assert(rowLocal.filter(_._1 % 7 == 0).values.forall(_ == 1.0))
+  }
+
   test("Dedup.connectedComponents on an empty pair graph returns empty (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").count() == 0L)

@@ -167,6 +167,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("row-local decontamination gates a stream like the batch filter") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evalDoc = "alpha beta gamma delta epsilon zeta"
+    val evalH1 = graft.operators.Dedup.shingleHashTable(
+      Seq((0L, evalDoc)).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .select("h1").as[Long].collect().toSeq
+    val docs = Seq(
+      (1L, evalDoc),                                            // fully contaminated
+      (2L, "alpha beta gamma delta other words here entirely"), // partial
+      (3L, "completely unrelated text with different tokens"))  // clean
+    val mem = MemoryStream[(Long, String)]
+    val gate = graft.operators.Dedup.contamRatio(col("text"), 3, evalH1) < 0.8
+    val q = mem.toDS().toDF("doc_id", "text").filter(gate)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("decontam_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("decontam_stream").as[Long].collect().toSet
+      val batch = docs.toDF("doc_id", "text").filter(gate)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch && !streamed.contains(1L) && streamed.contains(3L),
+        s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("stream-stream interval self-join matches the batch join") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
