@@ -39,17 +39,22 @@ object TrainingPipeline {
     */
   def run(spark: SparkSession, dir: String,
           lang: String = "en", minTokens: Int = 10,
+          minQuality: Option[Double] = None,
           rates: Map[String, Double] = Map.empty,
           evalDocs: Option[DataFrame] = None,
           contamThreshold: Double = 0.8): (DataFrame, Report) = {
     val docs = Tables(spark, dir, "documents")
     val input = docs.count()
 
-    // 1. language + length gate (map-only) — the DETECTED language, not
-    // the table's label column: the pipeline must work on unlabeled text
+    // 1. language + length (+ optional quality) gate (map-only) — the
+    // DETECTED language, not the table's label column: the pipeline
+    // must work on unlabeled text
+    val qualGate = minQuality
+      .map(q => TextOps.quality(col("t")) >= q).getOrElse(lit(true))
     val filtered = docs
       .withColumn("t", Dedup.tokens(col("text")))
-      .filter(TextOps.langPred(col("t")) === lang && size(col("t")) >= minTokens)
+      .filter(TextOps.langPred(col("t")) === lang &&
+        size(col("t")) >= minTokens && qualGate)
       .drop("t")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterFilter = filtered.count()
