@@ -13,7 +13,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val modules: Seq[QueryModule] =
+  private[graft] val modules: Seq[QueryModule] =
     Seq(CoreQueries, TextQueries, EventQueries, DedupQueries,
       SimilarityQueries, ToolQueries, MultimodalQueries, JobQueries,
       DbQueries, PipelineQueries)

@@ -49,8 +49,9 @@ object TrainingPipeline {
     // 1. language + length (+ optional quality) gate (map-only) — the
     // DETECTED language, not the table's label column: the pipeline
     // must work on unlabeled text
+    val stops = TextOps.stopsFor.getOrElse(lang, TextOps.stopEn)
     val qualGate = minQuality
-      .map(q => TextOps.quality(col("t")) >= q).getOrElse(lit(true))
+      .map(q => TextOps.quality(col("t"), stops) >= q).getOrElse(lit(true))
     val filtered = docs
       .withColumn("t", Dedup.tokens(col("text")))
       .filter(TextOps.langPred(col("t")) === lang &&

@@ -48,10 +48,17 @@ object Dedup {
     * of the text. h2 feeds the minhash permutations. Identical-by-
     * construction in the DuckDB oracle ('0x'||substr(md5(sh),...)).
     */
+  /** The 60-bit hash halves of a shingle — THE hash recipe every
+    * consumer (shingleHashes, contamRatio, the DuckDB oracles) must
+    * share; a divergent copy would silently empty every intersection.
+    */
+  def h1(sh: Column): Column =
+    conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
+  def h2(sh: Column): Column =
+    conv(substring(md5(sh), 17, 15), 16, 10).cast("long")
+
   def shingleHashes(shingles: DataFrame, id: String): DataFrame =
-    shingles.select(col(id),
-      expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)").as("h1"),
-      expr("cast(conv(substring(md5(sh), 17, 15), 16, 10) as bigint)").as("h2"))
+    shingles.select(col(id), h1(col("sh")).as("h1"), h2(col("sh")).as("h2"))
 
   /** [[shingleTable]]∘[[shingleHashes]] optimized for the hot path the
     * dedup/decontamination queries share. Two changes, same multiset:
@@ -271,20 +278,28 @@ object Dedup {
       .withColumn("contaminated", col("contam_ratio") >= threshold)
   }
 
-  /** Per-row contamination ratio against a broadcast eval hash set —
-    * the row-local form of [[evalOverlap]]: |h1(shingles) ∩ eval| /
-    * |h1(shingles)|, NULL for a doc with no shingles. No aggregation,
-    * so it drops straight into a STREAMING filter (each document
-    * arrives whole; the eval set rides as a literal array). For batch
-    * corpora prefer [[evalOverlapFromHashes]], which shares the
-    * persisted corpus hash table; eval sets here should be ≤ a few
-    * hundred thousand hashes (literal-array sized).
+  /** Per-row contamination ratio against an eval hash set — the
+    * row-local form of [[evalOverlap]]: |h1(shingles) ∩ eval| /
+    * |h1(shingles)|, and 0.0 for a doc too short to shingle (no
+    * n-grams = no contamination evidence = clean, matching the batch
+    * path, which never flags such docs). No aggregation, so it drops
+    * straight into a STREAMING filter. Membership tests run against ONE
+    * shared Set in the task closure — O(doc shingles) per row with O(1)
+    * lookups, independent of eval-set size (an array-intersect literal
+    * would rebuild an |eval|-sized set per row). For batch corpora
+    * prefer [[evalOverlapFromHashes]], which shares the persisted
+    * corpus hash table.
     */
   def contamRatio(text: Column, k: Int, evalH1: Seq[Long]): Column = {
-    val u = array_distinct(transform(wordShingles(tokens(text), k),
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
-    when(size(u) === 0, lit(null).cast("double"))
-      .otherwise(size(array_intersect(u, typedLit(evalH1))).cast("double") / size(u))
+    val eval = evalH1.toSet
+    val score = udf { shingles: Seq[Long] =>
+      if (shingles == null || shingles.isEmpty) 0.0
+      else {
+        val u = shingles.distinct
+        u.count(eval.contains).toDouble / u.size
+      }
+    }
+    score(transform(wordShingles(tokens(text), k), s => h1(s)))
   }
 
   /** The lossless form of the [[capBuckets]] guard for exact-dup-heavy

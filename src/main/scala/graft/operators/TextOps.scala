@@ -17,6 +17,13 @@ object TextOps {
   val stopFr = Seq("le", "la", "les", "des", "une")
   val stopEs = Seq("el", "los", "las", "una", "y")
 
+  /** Stopword list per language code (quality scoring must use the
+    * TARGET language's stopwords — the English list would make every
+    * non-English corpus score near zero on stop density).
+    */
+  val stopsFor: Map[String, Seq[String]] =
+    Map("en" -> stopEn, "de" -> stopDe, "fr" -> stopFr, "es" -> stopEs)
+
   /** Count of tokens drawn from a fixed word list. */
   def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, w => w.isin(words.map(lit(_)): _*))).cast("long")
@@ -38,11 +45,11 @@ object TextOps {
     * low on stopword density. NULL for a tokenless document (rather
     * than a divide-by-zero error under ANSI mode).
     */
-  def quality(toks: Column): Column = {
+  def quality(toks: Column, stops: Seq[String] = stopEn): Column = {
     val n = size(toks).cast("long")
     val sumLen = aggregate(transform(toks, w => length(w).cast("long")),
       lit(0L), (acc, x) => acc + x)
     when(n === 0L, lit(null).cast("double"))
-      .otherwise(lit(0.5) * (countIn(toks, stopEn) / n) + lit(0.05) * (sumLen / n))
+      .otherwise(lit(0.5) * (countIn(toks, stops) / n) + lit(0.05) * (sumLen / n))
   }
 }

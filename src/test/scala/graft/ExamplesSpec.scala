@@ -148,5 +148,14 @@ class ExamplesSpec extends AnyFunSuite {
     val (_, r3) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
       lang = "en", minTokens = 5)
     assert(r3.afterDecontam == r3.afterNearDup, s"skip path filtered rows: $r3")
+    // the quality gate tightens the filter monotonically: a modest
+    // threshold keeps some docs, an absurd one keeps none
+    val (_, rq) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      lang = "en", minTokens = 5, minQuality = Some(0.2))
+    assert(rq.afterFilter <= r3.afterFilter && rq.afterFilter > 0,
+      s"quality gate broken: ${rq.afterFilter} vs ${r3.afterFilter}")
+    val (_, rMax) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      lang = "en", minTokens = 5, minQuality = Some(100.0))
+    assert(rMax.afterFilter == 0, s"inverted quality gate: ${rMax.afterFilter}")
   }
 }

@@ -24,6 +24,14 @@ class OperatorSpec extends AnyFunSuite {
     // approximate by definition — and ONLY those
     assert(q.diff(o) == Set("terasort", "ann_ivf_topk"),
       s"rows-only query set drifted: ${q.diff(o)}")
+    // no duplicate keys across modules (flatMap(...).toMap is
+    // last-wins: a name collision would silently shadow a query)
+    val allQ = SparkEntry.modules.flatMap(_.queries.keys)
+    val allO = SparkEntry.modules.flatMap(_.oracleSql.keys)
+    assert(allQ.size == q.size,
+      s"duplicate query keys: ${allQ.groupBy(identity).collect { case (k, v) if v.size > 1 => k }}")
+    assert(allO.size == o.size,
+      s"duplicate oracle keys: ${allO.groupBy(identity).collect { case (k, v) if v.size > 1 => k }}")
   }
 
   test("FieldSelection parses singles, ranges and open ranges") {
@@ -304,12 +312,20 @@ class OperatorSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     val agg = Dedup.evalOverlap(docs, evalSet, "doc_id", "text", 3, 0.8)
       .select(col("doc_id"), col("contam_ratio")).as[(Long, Double)].collect().toMap
-    assert(agg.nonEmpty && agg.keySet == rowLocal.keySet)
+    assert(agg.nonEmpty)
+    // the aggregated path omits shingle-less docs; every doc it DOES
+    // score must agree bit-for-bit with the row-local form
     agg.foreach { case (id, r) =>
       assert(math.abs(rowLocal(id) - r) < 1e-12, s"doc $id: ${rowLocal(id)} vs $r")
     }
     // eval members self-overlap fully
     assert(rowLocal.filter(_._1 % 7 == 0).values.forall(_ == 1.0))
+    // a doc too short to shingle scores 0.0 (clean — no n-gram
+    // evidence), so a `< threshold` stream gate KEEPS it, matching the
+    // batch path, which never flags such docs
+    val short = Seq((99L, "hi there")).toDF("doc_id", "text")
+      .select(Dedup.contamRatio(col("text"), 3, evalH1)).head().getDouble(0)
+    assert(short == 0.0)
   }
 
   test("Dedup.connectedComponents on an empty pair graph returns empty (no NPE)") {
