@@ -132,6 +132,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("scans prune to the projected columns (chunk_docs reads 2 of 5)") {
+    val df = SparkEntry.queries("chunk_docs")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the documents table has (doc_id, text, lang, source, n_chars);
+    // a 2-column projection must reach the parquet ReadSchema
+    val schemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
+    assert(schemas.nonEmpty && schemas.forall(s =>
+      s.contains("doc_id") && s.contains("text") &&
+        !s.contains("lang") && !s.contains("n_chars")),
+      s"scan not pruned to the projection:\n${schemas.mkString("\n")}")
+  }
+
   test("decontaminate broadcasts the eval hashes; the corpus side never shuffles pre-agg") {
     val df = SparkEntry.queries("decontaminate")(spark, dir)
     df.collect()
