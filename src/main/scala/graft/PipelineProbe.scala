@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev-only: run the TrainingPipeline at an sf dir and print the
+  * per-stage Report (spec coverage runs at sf0.001; this probes bigger
+  * fixtures by hand).
+  */
+object PipelineProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+    val evalSet = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 97 === 0).select(col("doc_id"), col("text"))
+    val t0 = System.nanoTime()
+    val (packed, r) = jobs.TrainingPipeline.run(spark, dir,
+      lang = "en", minTokens = 10, minQuality = Some(0.15),
+      rates = Map("src0" -> 2.0, "src1" -> 0.5),
+      evalDocs = Some(evalSet))
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"[pipeline] $r in $dt%.1f s; sample packs:")
+    packed.orderBy(desc("tok_sum")).show(5, false)
+    spark.stop()
+  }
+}
