@@ -20,8 +20,9 @@ import graft.operators.{Dedup, Sampling, TextOps}
   * Shuffle budget at scale: filters and chunking are map-only; exact
   * dedup shuffles 16-byte digests; clustering shuffles the tiny pair
   * graph; decontamination broadcasts the eval hash set; packing windows
-  * within (source, shard). Nothing materializes document text through a
-  * shuffle except the final chunk emission.
+  * within (source, shard) over (unit, token-count) rows only. Document
+  * text never rides a shuffle: mixture weighting computes copy counts
+  * map-side and replicas explode only after chunking.
   *
   * Returns the packed output and a per-stage row accounting Report —
   * the numbers a pipeline dashboard would publish.
@@ -99,17 +100,23 @@ object TrainingPipeline {
     }
     val afterDecontam = clean.count()
 
-    // 5. mixture weighting (map-only, deterministic)
-    val mixed =
-      if (rates.isEmpty) clean.withColumn("copy_id", lit(0L))
-      else Sampling.mixtureSample(clean, "source", "doc_id", rates)
-    val mixtureRows = mixed.count()
+    // 5. mixture weighting (map-only, deterministic) — copy COUNTS
+    // only; the replica explosion is deferred until after chunking, so
+    // each unique doc chunks once and the replication happens on the
+    // narrow chunk rows (no distinct, no rejoin, no text shuffle)
+    val weighted =
+      if (rates.isEmpty) clean.withColumn("n_copies", lit(1L))
+      else Sampling.mixtureWeights(clean, "source", "doc_id", rates)
+    val mixtureRows =
+      weighted.agg(coalesce(sum(col("n_copies")), lit(0L))).head.getLong(0)
 
-    // 6. context-window chunking (map-only) — replicas chunk identically,
-    // so chunk on distinct docs and rejoin the copy multiplicity
+    // 6. context-window chunking (map-only; doc_ids are unique in
+    // `clean` by construction), carrying (source, n_copies) through to
+    // emit copy_id per chunk row
     val chunked = Sampling.chunkDocs(
-      mixed.select(col("doc_id"), col("text")).distinct(), "doc_id", "text", 64, 16)
-      .join(mixed.select(col("doc_id"), col("copy_id"), col("source")), Seq("doc_id"))
+        weighted, "doc_id", "text", 64, 16, carry = Seq("source", "n_copies"))
+      .withColumn("copy_id", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
     val chunks = chunked.count()
 
     // 7. sequence packing per (source, shard) into 256-token packs

@@ -447,6 +447,9 @@ object Dedup {
   def simhashPairs(sig: DataFrame, id: String, maxDist: Int = 3,
                    nBands: Int = 4, maxBucket: Int = 0): DataFrame = {
     require(maxDist < nBands, "banding is only complete for maxDist < nBands")
+    require(nBands >= 2 && 64 % nBands == 0,
+      "need nBands >= 2 dividing 64: a band must be <= 32 bits, because " +
+        "conv(bits,2,10).cast(long) corrupts a 64-bit chunk whose top bit is set")
     val width = 64 / nBands
     // each band's bits pre-parsed to a LONG once, before banding: the
     // band join carries nBands longs per side instead of both 64-char

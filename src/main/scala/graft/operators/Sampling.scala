@@ -76,9 +76,25 @@ object Sampling {
     */
   def mixtureSample(df: DataFrame, strataCol: String, idCol: String,
                     rates: Map[String, Double],
-                    defaultRate: Double = 1.0): DataFrame = {
+                    defaultRate: Double = 1.0): DataFrame =
+    mixtureWeights(df, strataCol, idCol, rates, defaultRate)
+      .withColumn("copy_id", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
+
+  /** The copy-multiplicity half of [[mixtureSample]]: adds `n_copies`
+    * and drops rows weighted to zero, WITHOUT exploding replicas. Lets
+    * a pipeline defer the explosion past cheaper-per-row stages — e.g.
+    * chunk each unique doc once, then replicate the (narrow) chunk
+    * rows — the kept multiset is identical either way.
+    */
+  def mixtureWeights(df: DataFrame, strataCol: String, idCol: String,
+                     rates: Map[String, Double],
+                     defaultRate: Double = 1.0): DataFrame = {
+    require(rates.values.forall(_ >= 0) && defaultRate >= 0,
+      "mixture rates must be >= 0 — a negative rate drops its stratum " +
+        "exactly like 0.0, which is more likely a caller bug; say 0.0")
     require(!df.columns.contains("n_copies") && !df.columns.contains("copy_id"),
-      "mixtureSample reserves working columns n_copies/copy_id " +
+      "mixture weighting reserves working columns n_copies/copy_id " +
         "(re-weighting a previous mixture output would silently clobber them)")
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit(v)).otherwise(acc)
@@ -90,10 +106,7 @@ object Sampling {
     val nCopies = (floor(rate).cast("long") +
       when(hashKey(col(idCol)).cast("double") < (rate - floor(rate)) * twoTo52, 1L)
         .otherwise(0L)).as("n_copies")
-    df.withColumn("n_copies", nCopies)
-      .filter(col("n_copies") > 0)
-      .withColumn("copy_id", explode(sequence(lit(0L), col("n_copies") - 1)))
-      .drop("n_copies")
+    df.withColumn("n_copies", nCopies).filter(col("n_copies") > 0)
   }
 
   /** Token-window chunking — the slicing complement of [[packBySize]]:
@@ -102,24 +115,28 @@ object Sampling {
     * tokens (long-document context-window slicing). Chunk starts are
     * 1, 1+s, 1+2s, ... with stride s = maxTokens - overlap, and no
     * chunk starts inside the final `overlap` tokens, so a trailing
-    * chunk fully contained in its predecessor is never emitted. One
+    * chunk fully contained in its predecessor is never emitted.
+    * `carry` columns pass through unchanged onto every chunk row. One
     * narrow projection + explode — map-only, no shuffle, at any scale.
     */
   def chunkDocs(df: DataFrame, id: String, text: String,
-                maxTokens: Int, overlap: Int): DataFrame = {
+                maxTokens: Int, overlap: Int,
+                carry: Seq[String] = Nil): DataFrame = {
     require(overlap >= 0 && maxTokens > overlap, "need maxTokens > overlap >= 0")
-    require(!Set("t", "n", "start", "chunk_id", "chunk_text", "n_tokens").contains(id),
-      s"id column '$id' collides with a chunkDocs working/output column")
+    val reserved = Set("t", "n", "start", "chunk_id", "chunk_text", "n_tokens")
+    require((id +: carry).forall(c => !reserved.contains(c)),
+      s"id/carry columns collide with a chunkDocs working/output column")
     val stride = maxTokens - overlap
-    df.select(col(id), graft.operators.Dedup.tokens(col(text)).as("t"))
+    val keep = col(id) +: carry.map(col)
+    df.select(keep :+ graft.operators.Dedup.tokens(col(text)).as("t"): _*)
       .withColumn("n", size(col("t")))
       .filter(col("n") > 0)
-      .select(col(id), col("t"), col("n"),
+      .select(keep ++ Seq(col("t"), col("n"),
         explode(sequence(lit(1), greatest(col("n") - overlap, lit(1)),
-          lit(stride))).as("start"))
-      .select(col(id),
+          lit(stride))).as("start")): _*)
+      .select(keep ++ Seq(
         ((col("start") - 1) / stride).cast("long").as("chunk_id"),
         array_join(slice(col("t"), col("start"), lit(maxTokens)), " ").as("chunk_text"),
-        least(lit(maxTokens), col("n") - col("start") + 1).cast("long").as("n_tokens"))
+        least(lit(maxTokens), col("n") - col("start") + 1).cast("long").as("n_tokens")): _*)
   }
 }

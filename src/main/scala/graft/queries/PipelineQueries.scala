@@ -60,8 +60,10 @@ object PipelineQueries extends QueryModule {
     // the corpus "data card": per (source, lang) doc counts and token
     // distribution moments from exact integer sums (mean/stddev derived
     // identically on both engines, word_stats-style). Overflow
-    // discipline for 100 TB groups: the squared-sum accumulates in
-    // decimal(38,0) (Spark) / HUGEINT (DuckDB) — both exact — and both
+    // discipline for 100 TB groups: the per-row square is computed in
+    // decimal(38,0) too (a LONG multiply overflows past ~3e9 tokens in
+    // ONE doc), and the squared-sum accumulates in decimal(38,0)
+    // (Spark) / HUGEINT (DuckDB) — both exact — and both
     // engines convert the SAME exact integer to double at the same
     // point, so the derived stddev stays bit-equal; total² is computed
     // in doubles on both sides (a long multiply would overflow past
@@ -72,7 +74,8 @@ object PipelineQueries extends QueryModule {
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("toks")).as("total_tokens"),
-          sum((col("toks") * col("toks")).cast("decimal(38,0)"))
+          sum(col("toks").cast("decimal(38,0)") *
+              col("toks").cast("decimal(38,0)"))
             .cast("double").as("sum_sq"),
           median(col("toks")).as("median_tokens"),
           min(col("toks")).as("min_tokens"),

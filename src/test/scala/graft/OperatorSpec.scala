@@ -163,6 +163,11 @@ class OperatorSpec extends AnyFunSuite {
     } yield (a, b)).toSet
     assert(banded == brute, s"banding missed ${brute.diff(banded)} / invented ${banded.diff(brute)}")
     assert(brute.nonEmpty, "fixture should contain simhash near-dups")
+    // a single 64-bit band would overflow conv(...,2,10).cast(long) for
+    // signatures with the top bit set — rejected up front
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(sig, "doc_id", maxDist = 0, nBands = 1)
+    }
   }
 
   test("Dedup.minhash candidates cover all high-jaccard pairs (recall)") {
@@ -284,6 +289,44 @@ class OperatorSpec extends AnyFunSuite {
       rates = Map("s0" -> 2.0, "s1" -> 0.5, "s2" -> 0.0))
       .as[(Long, String, Long)].collect().toSet
     assert(again == first)
+  }
+
+  test("Sampling.mixtureSample rejects negative rates loudly") {
+    val df = Seq((1L, "s0")).toDF("doc_id", "source")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(df, "source", "doc_id", rates = Map("s0" -> -0.5))
+    }
+    assert(e.getMessage.contains(">= 0"))
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureWeights(df, "source", "doc_id", Map.empty, defaultRate = -1.0)
+    }
+  }
+
+  test("Sampling.mixtureWeights + deferred explode equals mixtureSample's multiset") {
+    val df = spark.range(0, 500).select(col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 3).cast("string")).as("source"))
+    val rates = Map("s0" -> 2.5, "s1" -> 0.25)
+    val direct = Sampling.mixtureSample(df, "source", "doc_id", rates)
+      .select("doc_id", "source", "copy_id")
+      .as[(Long, String, Long)].collect().toSet
+    val deferred = Sampling.mixtureWeights(df, "source", "doc_id", rates)
+      .withColumn("copy_id", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .select("doc_id", "source", "copy_id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(direct == deferred)
+  }
+
+  test("Sampling.chunkDocs carries passthrough columns onto every chunk row") {
+    val df = Seq((1L, "wiki", 3L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"))
+      .toDF("doc_id", "source", "n_copies", "text")
+    val out = Sampling.chunkDocs(df, "doc_id", "text", 8, 2,
+      carry = Seq("source", "n_copies"))
+      .select("doc_id", "source", "n_copies", "chunk_id")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out == Set((1L, "wiki", 3L, 0L), (1L, "wiki", 3L, 1L)))
+    intercept[IllegalArgumentException] {
+      Sampling.chunkDocs(df, "doc_id", "text", 8, 2, carry = Seq("chunk_text"))
+    }
   }
 
   test("Dedup.evalOverlap counts eval-set n-gram hits per document") {
