@@ -485,6 +485,62 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Per-OCCURRENCE gram hashes: (id, h) for every word n-gram position
+    * (unlike [[shingleHashTable]], NOT distinct — repetition analysis
+    * needs multiplicity). Only the 60-bit [[h1]] hash survives the gram
+    * construction, so every downstream count shuffles 16-byte rows.
+    */
+  def gramOccurrences(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    leadShingles(df, id, text, n).select(col(id), h1(col("sh")).as("h"))
+
+  /** Gopher-style intra-document repetition metrics (Rae et al. 2021,
+    * "Scaling Language Models", Table A1): per doc, the fraction of
+    * n-gram occurrences that are repeats of an earlier occurrence
+    * (`dup_gram_frac`) and the fraction covered by the single most
+    * frequent n-gram (`top_gram_frac`) — the standard filters for
+    * degenerate/looping text in web-scale training corpora. Two
+    * hash-partial aggregations over (id, h): both shuffles carry only
+    * 16–32-byte rows and combine map-side, so the cost at 100 TB is the
+    * token scan. Docs with fewer than n tokens emit no grams and are
+    * absent (nothing to measure — filter them with a length gate first).
+    */
+  def repetitionStats(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    gramOccurrences(df, id, text, n)
+      .groupBy(col(id), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col(id))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col(id), col("n_grams"), col("n_distinct"), col("top_count"),
+        ((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+          .as("dup_gram_frac"),
+        (col("top_count").cast("double") / col("n_grams")).as("top_gram_frac"))
+
+  /** C4-style cross-document span-dedup accounting (Raffel et al. 2020
+    * §2.2 dedup of repeated spans): documents split into NON-overlapping
+    * w-token spans; a span occurrence is a duplicate when the same span
+    * text appears in any lower-id document (the keep-first-occurrence
+    * rule made deterministic — same tie-break as [[exact]]). Returns per
+    * doc (n_spans, n_dup_spans, dup_span_frac). The global frequency
+    * pass and the rejoin both key on the 60-bit span hash: shuffles
+    * carry (h, id) pairs, never span text, and a boilerplate span
+    * repeated 100k× costs one group row plus its own occurrences —
+    * nothing quadratic. Trailing partial spans (< w tokens) are dropped,
+    * as in C4.
+    */
+  def spanStats(df: DataFrame, id: String, text: String, w: Int): DataFrame = {
+    val spans = leadShingles(df, id, text, w)
+      .filter(pmod(col("pos"), lit(w)) === 0)
+      .select(col(id), h1(col("sh")).as("h"))
+    val first = spans.groupBy(col("h")).agg(min(col(id)).as("first_id"))
+    spans.join(first, Seq("h"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("first_id") < col(id), 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col(id), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_span_frac"))
+  }
+
   def fingerprints(df: DataFrame, id: String, text: String,
                    k: Int, window: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -68,6 +68,20 @@ object DedupQueries extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
 
+    // Gopher-style intra-doc repetition metrics (2-grams) with the
+    // degenerate-text flag a quality gate would filter on
+    "repetition_filter" -> ((s, dir) =>
+      Dedup.repetitionStats(docs(s, dir), "doc_id", "text", n = 2)
+        .withColumn("flagged",
+          col("dup_gram_frac") > 0.08 || col("top_gram_frac") > 0.1)),
+
+    // C4-style cross-doc span dedup accounting (8-token spans,
+    // keep-first-occurrence); `keep` marks docs a C4 pass would retain
+    // outright (less than half their spans already seen elsewhere)
+    "span_dedup" -> ((s, dir) =>
+      Dedup.spanStats(docs(s, dir), "doc_id", "text", w = 8)
+        .withColumn("keep", col("dup_span_frac") < 0.5)),
+
     // stop-shingles (document frequency > 100) are dropped before the
     // candidate self-join — see Dedup.jaccardPairs. Shingles are reduced
     // to 60-bit md5 hashes first (8-byte join keys, not strings), and
@@ -199,6 +213,50 @@ object DedupQueries extends QueryModule {
       """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "repetition_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(1, len(t)), i -> array_to_string(list_slice(t, i, i+1), ' '))
+        |    ELSE [] END) AS sh
+        |  FROM toks
+        |), h AS (
+        |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h FROM g
+        |), c AS (
+        |  SELECT doc_id, h, COUNT(*) AS c FROM h GROUP BY doc_id, h
+        |), d AS (
+        |  SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct, MAX(c) AS top_count
+        |  FROM c GROUP BY doc_id
+        |)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |       CAST(n_distinct AS BIGINT) AS n_distinct,
+        |       CAST(top_count AS BIGINT) AS top_count,
+        |       CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS dup_gram_frac,
+        |       CAST(top_count AS DOUBLE) / n_grams AS top_gram_frac,
+        |       (CAST(n_grams - n_distinct AS DOUBLE) / n_grams > 0.08
+        |        OR CAST(top_count AS DOUBLE) / n_grams > 0.1) AS flagged
+        |FROM d""".stripMargin,
+    "span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), spans AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    list_filter(range(1, len(t) - 6), i -> (i-1) % 8 = 0),
+        |    i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS sh
+        |  FROM toks
+        |), h AS (
+        |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h FROM spans
+        |), f AS (
+        |  SELECT h, MIN(doc_id) AS first_id FROM h GROUP BY h
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |       CAST(SUM(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |       CAST(SUM(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_span_frac,
+        |       (CAST(SUM(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) < 0.5) AS keep
+        |FROM h JOIN f USING (h) GROUP BY doc_id""".stripMargin,
     "dedup_jaccard" -> (shingleCte +
       """, hsh AS (
         |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS sh FROM sh

@@ -316,6 +316,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(direct == deferred)
   }
 
+  test("Dedup.repetitionStats measures intra-doc n-gram repetition (Gopher filters)") {
+    val df = Seq(
+      (1L, "a a a b"),        // 2-grams: "a a","a a","a b" -> dup 1/3, top 2/3
+      (2L, "x y z w"),        // all distinct -> dup 0, top 1/3
+      (3L, "solo")            // < 2 tokens -> no grams, absent
+    ).toDF("doc_id", "text")
+    val out = Dedup.repetitionStats(df, "doc_id", "text", n = 2)
+      .select("doc_id", "n_grams", "n_distinct", "top_count", "dup_gram_frac", "top_gram_frac")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((1L, 3L, 2L, 2L, 1.0 / 3, 2.0 / 3)))
+    assert(out(2L) == ((2L, 3L, 3L, 1L, 0.0, 1.0 / 3)))
+  }
+
+  test("Dedup.spanStats counts cross-doc duplicate spans, keep-first (C4)") {
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8"),          // spans [t1-4],[t5-8]
+      (2L, "t1 t2 t3 t4 q1 q2 q3 q4 q5"),       // [t1-4] dup of doc 1; trailing q5 dropped
+      (3L, "u1 u2 u3 u4")                        // unique span
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanStats(df, "doc_id", "text", w = 4)
+      .select("doc_id", "n_spans", "n_dup_spans", "dup_span_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 0L, 0.0)), "first occurrences are never dups")
+    assert(out(2L) == ((2L, 2L, 1L, 0.5)), s"doc 2 shares [t1-4] with doc 1: $out")
+    assert(out(3L) == ((3L, 1L, 0L, 0.0)))
+  }
+
   test("Sampling.chunkDocs carries passthrough columns onto every chunk row") {
     val df = Seq((1L, "wiki", 3L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"))
       .toDF("doc_id", "source", "n_copies", "text")
