@@ -1,25 +1,27 @@
 package graft
 
-/** Dev-only: time one named query (median of 3, clearCache between
+/** Dev-only: time named queries (median of 3, clearCache between
   * samples — the Bench protocol) at an sf dir.
-  * Usage: runMain graft.TimeOne <query> [sfDir]
+  * Usage: runMain graft.TimeOne <query> [<query>...] [sfDir]
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val (names, dirArg) = args.partition(!_.startsWith("/"))
+    val dir = dirArg.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.range(0, 1000000, 1, 8)
       .selectExpr("sum(id)", "count(distinct id % 100)").collect()
-    val fn = SparkEntry.queries(name)
-    val ts = (1 to 3).map { _ =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
     def f3(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    println(s"[timeone] $name ${f3(ts.sorted.apply(1))} s samples=${ts.map(f3).mkString(",")}")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(s"[timeone] $name ${f3(ts.sorted.apply(1))} s samples=${ts.map(f3).mkString(",")}")
+    }
     spark.stop()
   }
 }

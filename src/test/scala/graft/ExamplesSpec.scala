@@ -158,4 +158,46 @@ class ExamplesSpec extends AnyFunSuite {
       lang = "en", minTokens = 5, minQuality = Some(100.0))
     assert(rMax.afterFilter == 0, s"inverted quality gate: ${rMax.afterFilter}")
   }
+
+  test("DistSum partitions, computes distributed, and resumes from gaps") {
+    import graft.jobs.DistSum
+    import graft.jobs.DistSum.{Progression, Summation}
+    // the DistBbp-shaped summation: n = 8k+1 ascending, e descending
+    val total = Summation(
+      Progression(1L, 8L, 1L + 8L * 2000L),
+      Progression(8000L, -4L, 8000L - 4L * 2000L))
+    assert(total.steps == 2000L)
+    // partition: contiguous, covering, step-preserving
+    val parts = total.partition(7)
+    assert(parts.map(_.steps).sum == total.steps)
+    parts.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.n.limit == b.n.value && a.e.limit == b.e.value,
+        s"parts not contiguous: $a then $b")
+    case _ => ()
+    }
+    // kernel sanity vs an independent direct evaluation
+    val small = Summation(Progression(3L, 2L, 9L), Progression(10L, 1L, 13L))
+    val direct = Seq((3L, 10L), (5L, 11L), (7L, 12L))
+      .foldLeft(0.0) { case (s, (n, e)) =>
+        DistSum.addMod(s, BigInt(2).modPow(e, n).toDouble / n.toDouble) }
+    assert(math.abs(small.compute() - direct) < 1e-15)
+    // distributed == sequential (partial fold in part order), deterministic
+    val seqV = total.compute()
+    val d1 = DistSum.compute(spark, total, 7)
+    val d2 = DistSum.compute(spark, total, 7)
+    assert(d1 == d2, "distributed sum not deterministic")
+    assert(math.abs(d1 - seqV) < 1e-9, s"distributed $d1 vs sequential $seqV")
+    // resume: with parts 1 and 3 done, remaining covers exactly the gaps
+    val done = Seq(parts(1), parts(3))
+    val rest = DistSum.remaining(total, done)
+    assert((done ++ rest).map(_.steps).sum == total.steps)
+    val resumed = (done ++ rest).sortBy(_.e.value)(Ordering[Long].reverse)
+      .foldLeft(0.0)((acc, s) => DistSum.addMod(acc, s.compute()))
+    assert(math.abs(resumed - seqV) < 1e-9)
+    // a non-sub-summation is rejected loudly
+    intercept[IllegalArgumentException] {
+      DistSum.remaining(total, Seq(Summation(
+        Progression(2L, 8L, 10L), Progression(9L, -4L, 5L))))
+    }
+  }
 }
