@@ -541,6 +541,34 @@ object Dedup {
         (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_span_frac"))
   }
 
+  /** The apply step of [[spanStats]]: emit each document rebuilt from
+    * only the spans whose FIRST global occurrence is in this document
+    * (C4's remove-all-but-first span dedup). Two-phase to keep text off
+    * the wide shuffles: the frequency pass and the keep-decision join
+    * move (h, id, pos) rows only; kept POSITIONS aggregate to one array
+    * per doc; the single text-bearing operation is the final doc-keyed
+    * join that re-slices the original token stream — the same
+    * emit-the-output cost class as chunking. Trailing sub-w tokens are
+    * outside any span and are dropped with it (documented contract —
+    * the accounting query [[spanStats]] sees exactly the same spans).
+    * Documents whose every span is owned elsewhere vanish entirely.
+    */
+  def spanDedupApply(df: DataFrame, id: String, text: String, w: Int): DataFrame = {
+    val spans = leadShingles(df, id, text, w)
+      .filter(pmod(col("pos"), lit(w)) === 0)
+      .select(col(id), col("pos"), h1(col("sh")).as("h"))
+    val first = spans.groupBy(col("h")).agg(min(col(id)).as("first_id"))
+    val kept = spans.join(first, Seq("h"))
+      .filter(col("first_id") === col(id))
+      .groupBy(col(id)).agg(sort_array(collect_list(col("pos"))).as("keep_pos"))
+    df.join(kept, Seq(id))
+      .select(col(id),
+        array_join(
+          flatten(transform(col("keep_pos"),
+            p => slice(tokens(col(text)), p + 1, lit(w)))), " ").as("clean_text"),
+        size(col("keep_pos")).cast("long").as("n_kept"))
+  }
+
   def fingerprints(df: DataFrame, id: String, text: String,
                    k: Int, window: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -82,6 +82,11 @@ object DedupQueries extends QueryModule {
       Dedup.spanStats(docs(s, dir), "doc_id", "text", w = 8)
         .withColumn("keep", col("dup_span_frac") < 0.5)),
 
+    // the apply lane: documents rebuilt from only their globally-first
+    // spans (C4 remove-all-but-first)
+    "span_dedup_apply" -> ((s, dir) =>
+      Dedup.spanDedupApply(docs(s, dir), "doc_id", "text", w = 8)),
+
     // stop-shingles (document frequency > 100) are dropped before the
     // candidate self-join — see Dedup.jaccardPairs. Shingles are reduced
     // to 60-bit md5 hashes first (8-byte join keys, not strings), and
@@ -257,6 +262,23 @@ object DedupQueries extends QueryModule {
         |       CAST(SUM(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_span_frac,
         |       (CAST(SUM(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) < 0.5) AS keep
         |FROM h JOIN f USING (h) GROUP BY doc_id""".stripMargin,
+    "span_dedup_apply" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, t, unnest(list_filter(range(1, len(t) - 6), i -> (i-1) % 8 = 0)) AS i
+        |  FROM toks
+        |), sp AS (
+        |  SELECT doc_id, i, array_to_string(list_slice(t, i, i + 7), ' ') AS sh FROM st
+        |), h AS (
+        |  SELECT doc_id, i, sh, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h FROM sp
+        |), f AS (
+        |  SELECT h, MIN(doc_id) AS first_id FROM h GROUP BY h
+        |)
+        |SELECT doc_id, string_agg(sh, ' ' ORDER BY i) AS clean_text,
+        |       CAST(COUNT(*) AS BIGINT) AS n_kept
+        |FROM h JOIN f USING (h) WHERE first_id = doc_id GROUP BY doc_id""".stripMargin,
     "dedup_jaccard" -> (shingleCte +
       """, hsh AS (
         |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS sh FROM sh

@@ -345,6 +345,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 1L, 0L, 0.0)))
   }
 
+  test("Dedup.spanDedupApply rebuilds docs from globally-first spans only") {
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8"),          // both spans first here
+      (2L, "t1 t2 t3 t4 q1 q2 q3 q4 tail"),     // loses [t1-4], keeps [q1-4], drops tail
+      (3L, "t1 t2 t3 t4 t5 t6 t7 t8")           // every span owned by doc 1 -> vanishes
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedupApply(df, "doc_id", "text", w = 4)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      1L -> (("t1 t2 t3 t4 t5 t6 t7 t8", 2L)),
+      2L -> (("q1 q2 q3 q4", 1L))))
+  }
+
   test("Sampling.chunkDocs carries passthrough columns onto every chunk row") {
     val df = Seq((1L, "wiki", 3L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"))
       .toDF("doc_id", "source", "n_copies", "text")

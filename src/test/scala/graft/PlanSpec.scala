@@ -123,6 +123,30 @@ class PlanSpec extends AnyFunSuite {
       s"naive inequality join in range-join plan:\n$p")
   }
 
+  test("repetition_filter reuses the gram window's doc partitioning: one exchange") {
+    val df = SparkEntry.queries("repetition_filter")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the (id, pos) window shuffles once on doc_id; both downstream
+    // aggregations cluster on (doc_id, …) supersets, so HashPartitioning
+    // (doc_id) satisfies them and nothing reshuffles
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly 1 exchange, got $n:\n$p")
+  }
+
+  test("span_dedup joins spans on the 60-bit hash only — equi-join, no text shuffle") {
+    val df = SparkEntry.queries("span_dedup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"span join must stay an equi-join:\n$p")
+    // every exchange keys on doc_id or the 60-bit hash — never the span
+    // string (the frequency pass and rejoin both key on `h`)
+    val shuffles = "Exchange [^\\n]*".r.findAllIn(p).toSeq
+    assert(shuffles.nonEmpty && shuffles.forall(!_.contains("sh#")),
+      s"a shuffle partitions on span text:\n${shuffles.mkString("\n")}")
+  }
+
   test("chunk_docs and mixture_sample are map-only: zero shuffles") {
     for (name <- Seq("chunk_docs", "mixture_sample")) {
       val df = SparkEntry.queries(name)(spark, dir)
