@@ -48,6 +48,20 @@ object SimilarityQueries extends QueryModule {
       Similarity.cosinePairsLsh(emb(s, dir), "vec_id", "embedding",
         threshold = 0.3, nCells = 32, rep = 2, tables = 6)),
 
+    // topic bucketing: every vector assigned to its nearest of 16
+    // deterministic hash-ranked seed centroids (the codebook recipe the
+    // IVF/LSH family shares; a trained-k-means codebook uses the same
+    // assignment path but float-sum centroids aren't bit-replayable in
+    // SQL, so the oracle-checked query pins the seed variant). The
+    // assignment is a row-local broadcast projection — no join, no
+    // window, no shuffle (same plan family as IVF cell assignment).
+    "topic_assign" -> ((s, dir) => {
+      val base = emb(s, dir)
+      val cb = Similarity.codebook(base, "vec_id", "embedding", nCells = 16)
+      Similarity.assignCells(base, "vec_id", "embedding", cb)
+        .select(col("vec_id"), col("cell").as("topic_id"))
+    }),
+
     // storage quantization: per-vector symmetric int8 (scale + codes) —
     // row-local, shuffle-free (see Similarity.quantizeInt8). The codes
     // array rides the compare harness as a joined string (the driver's
@@ -117,6 +131,25 @@ object SimilarityQueries extends QueryModule {
         |JOIN e eb ON eb.vec_id = vec_b
         |WHERE list_inner_product(ea.v, eb.v) /
         |      (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) >= 0.3""".stripMargin,
+    "topic_assign" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), seeds AS (
+        |  SELECT vec_id AS cell, v,
+        |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rk
+        |  FROM e
+        |), cb AS (
+        |  SELECT cell, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS cv
+        |  FROM seeds WHERE rk <= 16
+        |), scored AS (
+        |  SELECT e.vec_id, cb.cell, list_inner_product(e.v, cb.cv) AS s
+        |  FROM e, cb
+        |)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS topic_id FROM (
+        |  SELECT vec_id, cell,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rnk
+        |  FROM scored)
+        |WHERE rnk = 1""".stripMargin,
     "quantize_embeddings" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
