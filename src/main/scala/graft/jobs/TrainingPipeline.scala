@@ -41,6 +41,7 @@ object TrainingPipeline {
   def run(spark: SparkSession, dir: String,
           lang: String = "en", minTokens: Int = 10,
           minQuality: Option[Double] = None,
+          maxRepetition: Option[Double] = None,
           rates: Map[String, Double] = Map.empty,
           evalDocs: Option[DataFrame] = None,
           contamThreshold: Double = 0.8): (DataFrame, Report) = {
@@ -53,11 +54,21 @@ object TrainingPipeline {
     val stops = TextOps.stopsFor.getOrElse(lang, TextOps.stopEn)
     val qualGate = minQuality
       .map(q => TextOps.quality(col("t"), stops) >= q).getOrElse(lit(true))
-    val filtered = docs
+    val gated = docs
       .withColumn("t", Dedup.tokens(col("text")))
       .filter(TextOps.langPred(col("t")) === lang &&
         size(col("t")) >= minTokens && qualGate)
       .drop("t")
+    // 1b. optional Gopher repetition gate: drop degenerate/looping text
+    // before any dedup work. Not map-only (the per-doc gram counts
+    // aggregate once), but both shuffles carry 16-32-byte rows and the
+    // gate anti-joins doc_ids only. Docs too short to emit a gram pass.
+    val filtered = maxRepetition.map { r =>
+      gated.join(
+        Dedup.repetitionStats(gated, "doc_id", "text", n = 2)
+          .filter(col("dup_gram_frac") > r).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    }.getOrElse(gated)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterFilter = filtered.count()
 

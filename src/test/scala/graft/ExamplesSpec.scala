@@ -157,6 +157,17 @@ class ExamplesSpec extends AnyFunSuite {
     val (_, rMax) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
       lang = "en", minTokens = 5, minQuality = Some(100.0))
     assert(rMax.afterFilter == 0, s"inverted quality gate: ${rMax.afterFilter}")
+    // the repetition gate tightens monotonically and a 0.0 threshold
+    // drops every doc with any repeated 2-gram (most of the small-vocab
+    // fixture), while an unreachable one is a no-op
+    val (_, rRep) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      lang = "en", minTokens = 5, maxRepetition = Some(0.05))
+    assert(rRep.afterFilter <= r3.afterFilter && rRep.afterFilter > 0,
+      s"repetition gate broken: ${rRep.afterFilter} vs ${r3.afterFilter}")
+    val (_, rRepOff) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      lang = "en", minTokens = 5, maxRepetition = Some(1.0))
+    assert(rRepOff.afterFilter == r3.afterFilter,
+      s"unreachable repetition threshold should be a no-op: ${rRepOff.afterFilter}")
   }
 
   test("DistSum partitions, computes distributed, and resumes from gaps") {
