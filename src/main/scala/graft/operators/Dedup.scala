@@ -278,6 +278,33 @@ object Dedup {
       .withColumn("contaminated", col("contam_ratio") >= threshold)
   }
 
+  /** The 100 TB form of [[evalOverlapFromHashes]]: when the eval-suite
+    * n-gram set outgrows an exact broadcast set (billions of hashes),
+    * ship a Bloom filter instead. Built distributed
+    * (`stat.bloomFilter` aggregates partition sketches), broadcast
+    * once, tested row-locally — same plan shape as the exact path, and
+    * NO false negatives: every truly contaminated n-gram still hits.
+    * False positives only ever INCREASE n_hit, so the gate over-drops
+    * with probability bounded by `fpp` — the conservative direction for
+    * decontamination. Not oracle-expressible (the FP set depends on the
+    * sketch), hence spec-checked: zero false negatives, FP rate within
+    * budget.
+    */
+  def evalOverlapBloom(hashes: DataFrame, evalHashes: DataFrame,
+                       id: String, threshold: Double,
+                       expectedItems: Long, fpp: Double): DataFrame = {
+    val bloom = evalHashes.select(col("h1"))
+      .stat.bloomFilter("h1", expectedItems, fpp)
+    val b = hashes.sparkSession.sparkContext.broadcast(bloom)
+    val hitUdf = udf { h: Long => b.value.mightContainLong(h) }
+    val tot = hashes.groupBy(col(id)).agg(
+      count(lit(1)).as("n_grams"),
+      sum(when(hitUdf(col("h1")), 1L).otherwise(0L)).as("n_hit"))
+    tot.select(col(id), col("n_grams"), col("n_hit"))
+      .withColumn("contam_ratio", col("n_hit").cast("double") / col("n_grams"))
+      .withColumn("contaminated", col("contam_ratio") >= threshold)
+  }
+
   /** Per-row contamination ratio against an eval hash set — the
     * row-local form of [[evalOverlap]]: |h1(shingles) ∩ eval| /
     * |h1(shingles)|, and 0.0 for a doc too short to shingle (no

@@ -387,6 +387,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 0L, false)))
   }
 
+  test("Dedup.evalOverlapBloom: no false negatives, FP rate within budget") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val hashes = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
+      .persist()
+    val evalH = hashes.filter(col("doc_id") % 97 === 0).select(col("h1"))
+    val exact = Dedup.evalOverlapFromHashes(hashes, evalH, "doc_id", 0.8)
+      .select("doc_id", "n_grams", "n_hit")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val fpp = 0.01
+    val bloom = Dedup.evalOverlapBloom(hashes, evalH, "doc_id", 0.8,
+      expectedItems = 10000L, fpp = fpp)
+      .select("doc_id", "n_grams", "n_hit")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    hashes.unpersist()
+    assert(bloom.keySet == exact.keySet)
+    // every true hit survives (Bloom filters have no false negatives)
+    exact.foreach { case (id, (ng, nh)) =>
+      assert(bloom(id)._1 == ng && bloom(id)._2 >= nh,
+        s"doc $id lost hits: exact=$nh bloom=${bloom(id)._2}")
+    }
+    // false positives bounded: extra hits over all true-negative tests
+    val extra = exact.keys.map(id => bloom(id)._2 - exact(id)._2).sum.toDouble
+    val negatives = exact.values.map { case (ng, nh) => ng - nh }.sum.toDouble
+    assert(extra / negatives <= 5 * fpp,
+      s"FP rate ${extra / negatives} exceeds budget (fpp=$fpp)")
+  }
+
   test("Dedup.contamRatio (row-local) agrees with evalOverlap (aggregated)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val evalSet = docs.filter(col("doc_id") % 7 === 0)
