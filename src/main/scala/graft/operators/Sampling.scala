@@ -109,6 +109,31 @@ object Sampling {
     df.withColumn("n_copies", nCopies).filter(col("n_copies") > 0)
   }
 
+  /** Deterministic train/val/test split assignment: each row lands in
+    * the bucket its 52-bit id-hash selects — row-local (no shuffle, no
+    * RNG state, drops into a streaming filter), stable under any
+    * partitioning or retry, and leakage-proof across runs because
+    * membership is a pure function of the id. `fractions` are ordered
+    * (name, fraction) pairs; any hash-space remainder falls to the LAST
+    * split. Thresholds are cumulative-fraction × 2^52 compared as exact
+    * doubles, so a SQL oracle replays the assignment bit-identically
+    * (the [[mixtureWeights]] discipline).
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0) &&
+      fractions.map(_._2).sum <= 1.0 + 1e-9,
+      "need non-negative split fractions summing to <= 1")
+    val twoTo52 = 4503599627370496.0
+    val hk = hashKey(col(idCol)).cast("double")
+    val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val first = when(hk < cum.head * twoTo52, lit(fractions.head._1))
+    val chain = fractions.tail.zip(cum.tail).foldLeft(first) {
+      case (acc, ((name, _), c)) => acc.when(hk < c * twoTo52, lit(name))
+    }
+    df.withColumn("split", chain.otherwise(lit(fractions.last._1)))
+  }
+
   /** Token-window chunking — the slicing complement of [[packBySize]]:
     * each document's token stream splits into training-window chunks of
     * at most `maxTokens` tokens, consecutive chunks sharing `overlap`

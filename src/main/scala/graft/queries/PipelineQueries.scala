@@ -57,6 +57,12 @@ object PipelineQueries extends QueryModule {
         "source", "doc_id",
         rates = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0))),
 
+    // deterministic 90/5/5 train/val/test assignment — row-local, zero
+    // shuffles, leakage-proof (membership is a pure function of doc_id)
+    "split_assign" -> ((s, dir) =>
+      Sampling.hashSplit(docs(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
+
     // the corpus "data card": per (source, lang) doc counts and token
     // distribution moments from exact integer sums (mean/stddev derived
     // identically on both engines, word_stats-style). Overflow
@@ -153,6 +159,18 @@ object PipelineQueries extends QueryModule {
         |)
         |SELECT doc_id, source, unnest(range(0, n_copies)) AS copy_id
         |FROM c WHERE n_copies > 0""".stripMargin,
+    "split_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE) AS hk
+        |  FROM documents
+        |)
+        |SELECT doc_id, source,
+        |       CASE WHEN hk < CAST(0.9 AS DOUBLE) * 4503599627370496.0 THEN 'train'
+        |            WHEN hk < (CAST(0.9 AS DOUBLE) + CAST(0.05 AS DOUBLE))
+        |                      * 4503599627370496.0 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM h""".stripMargin,
     "corpus_stats" ->
       """WITH d AS (
         |  SELECT source, lang,

@@ -291,6 +291,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("Sampling.hashSplit assigns stable fraction-sized splits, remainder to last") {
+    val df = spark.range(0, 10000).select(col("id").as("doc_id"))
+    val fr = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val counts = Sampling.hashSplit(df, "doc_id", fr)
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 8700 && counts("train") < 9300, s"train off: $counts")
+    assert(counts("val") > 300 && counts("val") < 700, s"val off: $counts")
+    assert(counts.values.sum == 10000L)
+    // stability: the same doc lands in the same split on a disjoint run
+    val a = Sampling.hashSplit(df.filter(col("doc_id") < 5000), "doc_id", fr)
+      .as[(Long, String)].collect().toMap
+    val b = Sampling.hashSplit(df, "doc_id", fr)
+      .filter(col("doc_id") < 5000).as[(Long, String)].collect().toMap
+    assert(a == b, "split membership must be a pure function of the id")
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "doc_id", Seq("a" -> 0.9, "b" -> 0.2))
+    }
+  }
+
   test("Sampling.mixtureSample rejects negative rates loudly") {
     val df = Seq((1L, "s0")).toDF("doc_id", "source")
     val e = intercept[IllegalArgumentException] {

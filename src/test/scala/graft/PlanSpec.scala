@@ -147,8 +147,8 @@ class PlanSpec extends AnyFunSuite {
       s"a shuffle partitions on span text:\n${shuffles.mkString("\n")}")
   }
 
-  test("chunk_docs, mixture_sample and topic_assign are map-only: zero shuffles") {
-    for (name <- Seq("chunk_docs", "mixture_sample", "topic_assign")) {
+  test("chunk_docs, mixture_sample, topic_assign, split_assign are map-only: zero shuffles") {
+    for (name <- Seq("chunk_docs", "mixture_sample", "topic_assign", "split_assign")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
