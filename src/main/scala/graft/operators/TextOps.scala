@@ -52,4 +52,42 @@ object TextOps {
     when(n === 0L, lit(null).cast("double"))
       .otherwise(lit(0.5) * (countIn(toks, stops) / n) + lit(0.05) * (sumLen / n))
   }
+
+  /** Token document-frequency Count-Min sketch — the 100 TB lane of
+    * corpus-frequency scoring: the exact path (rare_token_score)
+    * broadcast-joins the full vocabulary df table, which stops fitting
+    * when the vocabulary reaches billions of tokens; the sketch is a
+    * fixed `O(1/eps · ln(1/confidence))`-cell array built distributed
+    * (partition sketches merge associatively) and broadcast once.
+    */
+  def dfSketch(df: org.apache.spark.sql.DataFrame, id: String, text: String,
+               eps: Double, confidence: Double
+              ): org.apache.spark.util.sketch.CountMinSketch =
+    df.select(col(id), explode(graft.operators.Dedup.tokens(col(text))).as("w"))
+      .distinct()
+      .stat.countMinSketch(col("w"), eps, confidence, seed = 42)
+
+  /** Sketch-estimated rare-token scoring, same output shape as the
+    * exact rare_token_score query. CMS error is ONE-SIDED (estimate >=
+    * true count), so a token can only look more common than it is: the
+    * gate may miss rare tokens with probability bounded by `confidence`
+    * /`eps`, but never invents rarity — the conservative direction for
+    * a rarity-driven quality filter. Probing is a row-local broadcast
+    * lookup; the only shuffle is the per-doc aggregation of longs.
+    */
+  def rareTokenScoreSketch(df: org.apache.spark.sql.DataFrame, id: String,
+                           text: String,
+                           sketch: org.apache.spark.util.sketch.CountMinSketch,
+                           rareCap: Long): org.apache.spark.sql.DataFrame = {
+    val b = df.sparkSession.sparkContext.broadcast(sketch)
+    val est = udf { w: String => b.value.estimateCount(w) }
+    df.select(col(id), explode(graft.operators.Dedup.tokens(col(text))).as("w"))
+      .withColumn("df", est(col("w")))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("df") <= rareCap, 1L).otherwise(0L)).as("n_rare"),
+        sum(col("df")).as("df_sum"))
+      .select(col(id), col("n_tokens"), col("n_rare"),
+        (col("df_sum").cast("double") / col("n_tokens")).as("mean_df"))
+  }
 }

@@ -435,6 +435,31 @@ class OperatorSpec extends AnyFunSuite {
       s"FP rate ${extra / negatives} exceeds budget (fpp=$fpp)")
   }
 
+  test("TextOps df sketch: one-sided estimates; tight sketch reproduces exact scoring") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val exactDf = docs
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("w"))
+      .distinct().groupBy("w").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    // tight sketch: wide enough that the fixture vocabulary never collides
+    val tight = TextOps.dfSketch(docs, "doc_id", "text", eps = 0.0001, confidence = 0.99)
+    exactDf.foreach { case (w, c) =>
+      assert(tight.estimateCount(w) == c, s"tight sketch off for '$w'")
+    }
+    val viaSketch = TextOps
+      .rareTokenScoreSketch(docs, "doc_id", "text", tight, rareCap = 200L)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val exact = SparkEntry.queries("rare_token_score")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaSketch == exact, "tight-sketch scoring must equal the exact query")
+    // a deliberately tiny sketch collides, but CMS error is one-sided:
+    // estimates never undercount, so rarity is never invented
+    val loose = TextOps.dfSketch(docs, "doc_id", "text", eps = 0.5, confidence = 0.5)
+    exactDf.foreach { case (w, c) =>
+      assert(loose.estimateCount(w) >= c, s"CMS undercounted '$w'")
+    }
+  }
+
   test("Dedup.contamRatio (row-local) agrees with evalOverlap (aggregated)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val evalSet = docs.filter(col("doc_id") % 7 === 0)
