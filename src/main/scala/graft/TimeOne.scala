@@ -6,7 +6,10 @@ package graft
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val (names, dirArg) = args.partition(!_.startsWith("/"))
+    // query names never contain '/', sf dirs (absolute or relative) do
+    val (dirArg, names) = args.partition(_.contains("/"))
+    require(names.nonEmpty, "usage: TimeOne <query> [<query>...] [sfDir]")
+    require(dirArg.length <= 1, s"more than one sf dir given: ${dirArg.mkString(", ")}")
     val dir = dirArg.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.range(0, 1000000, 1, 8)

@@ -34,6 +34,14 @@ object DistSum {
   /** Σ_{i=0}^{steps-1} (2^{e_i} mod n_i)/n_i (mod 1). */
   final case class Summation(n: Progression, e: Progression) {
     require(n.steps == e.steps, s"n and e must have the same step count: $this")
+    // modPow with a negative exponent computes a modular INVERSE (or
+    // throws for a non-invertible base), not the tiny real 2^e/n the
+    // series means — reject the domain the kernel can't represent.
+    // Progressions are monotone, so endpoint checks cover every term.
+    require(e.steps == 0 ||
+      (math.min(n.value, n.skip(n.steps - 1)) >= 1 &&
+        math.min(e.value, e.skip(e.steps - 1)) >= 0),
+      s"terms need modulus n >= 1 and exponent e >= 0 over the whole range: $this")
     def steps: Long = e.steps
 
     /** The sequential kernel (Summation.compute_modular,
@@ -90,6 +98,7 @@ object DistSum {
   def compute(spark: SparkSession, sum: Summation, parts: Int): Double = {
     import spark.implicits._
     val subs = sum.partition(parts).zipWithIndex
+    if (subs.isEmpty) return 0.0 // zero-step summation: nothing to schedule
     val partials = spark.createDataset(subs)
       .repartition(subs.size)
       .map { case (s, i) => (i, s.compute()) }
@@ -107,7 +116,13 @@ object DistSum {
       require(s.n.delta == total.n.delta && s.e.delta == total.e.delta &&
         (s.e.value - total.e.value) % total.e.delta == 0,
         s"not a sub-summation of $total: $s")
-      (s.e.value - total.e.value) / total.e.delta
+      val p = (s.e.value - total.e.value) / total.e.delta
+      // BOTH progressions must sit at the same step offset — an
+      // e-aligned part with a shifted n would pass a one-sided check
+      // and silently corrupt the resumed total
+      require(s.n.value == total.n.skip(p),
+        s"n-progression misaligned with e-position $p of $total: $s")
+      p
     }
     val out = scala.collection.mutable.Buffer[Summation]()
     var cur = 0L

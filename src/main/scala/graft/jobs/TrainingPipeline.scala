@@ -20,9 +20,12 @@ import graft.operators.{Dedup, Sampling, TextOps}
   * Shuffle budget at scale: filters and chunking are map-only; exact
   * dedup shuffles 16-byte digests; clustering shuffles the tiny pair
   * graph; decontamination broadcasts the eval hash set; packing windows
-  * within (source, shard) over (unit, token-count) rows only. Document
-  * text never rides a shuffle: mixture weighting computes copy counts
-  * map-side and replicas explode only after chunking.
+  * within (source, shard) over (unit, token-count) rows only. In the
+  * default pipeline document text never rides a shuffle: mixture
+  * weighting computes copy counts map-side and replicas explode only
+  * after chunking. The optional repetition gate is the one exception —
+  * its gram window shuffles the tokenized stream once, and its doc_id
+  * anti-join shuffles the gated rows unless the flagged set broadcasts.
   *
   * Returns the packed output and a per-stage row accounting Report —
   * the numbers a pipeline dashboard would publish.
@@ -60,17 +63,26 @@ object TrainingPipeline {
         size(col("t")) >= minTokens && qualGate)
       .drop("t")
     // 1b. optional Gopher repetition gate: drop degenerate/looping text
-    // before any dedup work. Not map-only (the per-doc gram counts
-    // aggregate once), but both shuffles carry 16-32-byte rows and the
-    // gate anti-joins doc_ids only. Docs too short to emit a gram pass.
+    // before any dedup work. Not map-only: the gram window shuffles the
+    // TOKENIZED stream once (per-doc gram counts need doc-clustered
+    // positions) and the per-doc counts aggregate in 16-32-byte rows;
+    // the gate itself anti-joins doc_ids. `gated` feeds both the stats
+    // and the anti-join's left side, so it is pinned for the gate's
+    // lifetime — unpinned lineage would re-run the corpus scan +
+    // tokenize + langID twice. Docs too short to emit a gram pass.
+    val gateInput =
+      if (maxRepetition.isDefined)
+        gated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else gated
     val filtered = maxRepetition.map { r =>
-      gated.join(
-        Dedup.repetitionStats(gated, "doc_id", "text", n = 2)
+      gateInput.join(
+        Dedup.repetitionStats(gateInput, "doc_id", "text", n = 2)
           .filter(col("dup_gram_frac") > r).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
-    }.getOrElse(gated)
+    }.getOrElse(gateInput)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterFilter = filtered.count()
+    if (maxRepetition.isDefined) gateInput.unpersist(false)
 
     // 2. exact dedup to representatives (16-byte digests shuffle)
     val reps = Dedup.exact(filtered, "doc_id", "text").select(col("keep_id").as("doc_id"))

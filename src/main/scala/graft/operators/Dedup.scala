@@ -543,50 +543,67 @@ object Dedup {
           .as("dup_gram_frac"),
         (col("top_count").cast("double") / col("n_grams")).as("top_gram_frac"))
 
+  /** (id, pos, h): the document's non-overlapping w-token spans — THE
+    * span contract [[spanStats]] and [[spanDedupApply]] share (the
+    * accounting must see exactly the spans the apply step keeps or
+    * drops; two hand-kept copies would silently desynchronize).
+    */
+  private def spanTable(df: DataFrame, id: String, text: String, w: Int): DataFrame =
+    leadShingles(df, id, text, w)
+      .filter(pmod(col("pos"), lit(w)) === 0)
+      .select(col(id), col("pos"), h1(col("sh")).as("h"))
+
+  /** First occurrence per span hash, ordered by (doc id, position) —
+    * the deterministic anchor of C4's remove-all-but-first rule.
+    */
+  private def firstSpan(spans: DataFrame, id: String): DataFrame =
+    spans.groupBy(col("h"))
+      .agg(min(struct(col(id).as("d"), col("pos").as("p"))).as("fr"))
+
+  private def isDupSpan(id: String): Column =
+    col("fr.d") < col(id) || (col("fr.d") === col(id) && col("fr.p") < col("pos"))
+
   /** C4-style cross-document span-dedup accounting (Raffel et al. 2020
     * §2.2 dedup of repeated spans): documents split into NON-overlapping
-    * w-token spans; a span occurrence is a duplicate when the same span
-    * text appears in any lower-id document (the keep-first-occurrence
-    * rule made deterministic — same tie-break as [[exact]]). Returns per
-    * doc (n_spans, n_dup_spans, dup_span_frac). The global frequency
-    * pass and the rejoin both key on the 60-bit span hash: shuffles
-    * carry (h, id) pairs, never span text, and a boilerplate span
-    * repeated 100k× costs one group row plus its own occurrences —
-    * nothing quadratic. Trailing partial spans (< w tokens) are dropped,
-    * as in C4.
+    * w-token spans; a span occurrence is a duplicate unless it is the
+    * globally FIRST occurrence, ordered by (doc id, position) — C4's
+    * remove-all-but-first, covering intra-document repeats too (a page
+    * of looping boilerplate is mostly duplicate spans of itself).
+    * Returns per doc (n_spans, n_dup_spans, dup_span_frac). The global
+    * first-occurrence pass and the rejoin both key on the 60-bit span
+    * hash: shuffles carry (h, id, pos) rows, never span text, and a
+    * boilerplate span repeated 100k× costs one group row plus its own
+    * occurrences — nothing quadratic. Trailing partial spans (< w
+    * tokens) are dropped, as in C4.
     */
   def spanStats(df: DataFrame, id: String, text: String, w: Int): DataFrame = {
-    val spans = leadShingles(df, id, text, w)
-      .filter(pmod(col("pos"), lit(w)) === 0)
-      .select(col(id), h1(col("sh")).as("h"))
-    val first = spans.groupBy(col("h")).agg(min(col(id)).as("first_id"))
-    spans.join(first, Seq("h"))
+    val spans = spanTable(df, id, text, w)
+    spans.join(firstSpan(spans, id), Seq("h"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("first_id") < col(id), 1L).otherwise(0L)).as("n_dup_spans"))
+        sum(when(isDupSpan(id), 1L).otherwise(0L)).as("n_dup_spans"))
       .select(col(id), col("n_spans"), col("n_dup_spans"),
         (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_span_frac"))
   }
 
   /** The apply step of [[spanStats]]: emit each document rebuilt from
-    * only the spans whose FIRST global occurrence is in this document
-    * (C4's remove-all-but-first span dedup). Two-phase to keep text off
-    * the wide shuffles: the frequency pass and the keep-decision join
-    * move (h, id, pos) rows only; kept POSITIONS aggregate to one array
-    * per doc; the single text-bearing operation is the final doc-keyed
-    * join that re-slices the original token stream — the same
-    * emit-the-output cost class as chunking. Trailing sub-w tokens are
-    * outside any span and are dropped with it (documented contract —
-    * the accounting query [[spanStats]] sees exactly the same spans).
-    * Documents whose every span is owned elsewhere vanish entirely.
+    * only the span occurrences that are globally FIRST, ordered by
+    * (doc id, position) — C4's remove-all-but-first span dedup, which
+    * also collapses a span repeated WITHIN one document to its first
+    * occurrence. Two-phase to keep text off the wide shuffles: the
+    * first-occurrence pass and the keep-decision join move (h, id, pos)
+    * rows only; kept POSITIONS aggregate to one array per doc; the
+    * single text-bearing operation is the final doc-keyed join that
+    * re-slices the original token stream — the same emit-the-output
+    * cost class as chunking. Trailing sub-w tokens are outside any span
+    * and are dropped with it (documented contract — the accounting
+    * query [[spanStats]] sees exactly the same spans). Documents whose
+    * every span is owned elsewhere vanish entirely.
     */
   def spanDedupApply(df: DataFrame, id: String, text: String, w: Int): DataFrame = {
-    val spans = leadShingles(df, id, text, w)
-      .filter(pmod(col("pos"), lit(w)) === 0)
-      .select(col(id), col("pos"), h1(col("sh")).as("h"))
-    val first = spans.groupBy(col("h")).agg(min(col(id)).as("first_id"))
-    val kept = spans.join(first, Seq("h"))
-      .filter(col("first_id") === col(id))
+    val spans = spanTable(df, id, text, w)
+    val kept = spans.join(firstSpan(spans, id), Seq("h"))
+      .filter(col("fr.d") === col(id) && col("fr.p") === col("pos"))
       .groupBy(col(id)).agg(sort_array(collect_list(col("pos"))).as("keep_pos"))
     df.join(kept, Seq(id))
       .select(col(id),

@@ -247,21 +247,25 @@ object DedupQueries extends QueryModule {
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
         |  FROM documents
-        |), spans AS (
-        |  SELECT doc_id, unnest(list_transform(
-        |    list_filter(range(1, len(t) - 6), i -> (i-1) % 8 = 0),
-        |    i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS sh
+        |), st AS (
+        |  SELECT doc_id, t, unnest(list_filter(range(1, len(t) - 6), i -> (i-1) % 8 = 0)) AS i
         |  FROM toks
         |), h AS (
-        |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h FROM spans
+        |  SELECT doc_id, i,
+        |         ('0x' || substring(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15))::BIGINT AS h
+        |  FROM st
         |), f AS (
-        |  SELECT h, MIN(doc_id) AS first_id FROM h GROUP BY h
+        |  SELECT h, MIN(struct_pack(d := doc_id, p := i)) AS fr FROM h GROUP BY h
+        |), a AS (
+        |  SELECT doc_id, COUNT(*) AS ns,
+        |         SUM(CASE WHEN fr.d < doc_id OR (fr.d = doc_id AND fr.p < i)
+        |             THEN 1 ELSE 0 END) AS nd
+        |  FROM h JOIN f USING (h) GROUP BY doc_id
         |)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
-        |       CAST(SUM(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
-        |       CAST(SUM(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_span_frac,
-        |       (CAST(SUM(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) < 0.5) AS keep
-        |FROM h JOIN f USING (h) GROUP BY doc_id""".stripMargin,
+        |SELECT doc_id, CAST(ns AS BIGINT) AS n_spans, CAST(nd AS BIGINT) AS n_dup_spans,
+        |       CAST(nd AS DOUBLE) / ns AS dup_span_frac,
+        |       (CAST(nd AS DOUBLE) / ns < 0.5) AS keep
+        |FROM a""".stripMargin,
     "span_dedup_apply" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
@@ -274,11 +278,11 @@ object DedupQueries extends QueryModule {
         |), h AS (
         |  SELECT doc_id, i, sh, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h FROM sp
         |), f AS (
-        |  SELECT h, MIN(doc_id) AS first_id FROM h GROUP BY h
+        |  SELECT h, MIN(struct_pack(d := doc_id, p := i)) AS fr FROM h GROUP BY h
         |)
         |SELECT doc_id, string_agg(sh, ' ' ORDER BY i) AS clean_text,
         |       CAST(COUNT(*) AS BIGINT) AS n_kept
-        |FROM h JOIN f USING (h) WHERE first_id = doc_id GROUP BY doc_id""".stripMargin,
+        |FROM h JOIN f USING (h) WHERE fr.d = doc_id AND fr.p = i GROUP BY doc_id""".stripMargin,
     "dedup_jaccard" -> (shingleCte +
       """, hsh AS (
         |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS sh FROM sh

@@ -210,5 +210,22 @@ class ExamplesSpec extends AnyFunSuite {
       DistSum.remaining(total, Seq(Summation(
         Progression(2L, 8L, 10L), Progression(9L, -4L, 5L))))
     }
+    // an e-aligned part whose n-progression is shifted is also rejected
+    // (one-sided alignment would silently corrupt the resume)
+    intercept[IllegalArgumentException] {
+      DistSum.remaining(total, Seq(Summation(
+        Progression(9L, 8L, 17L), Progression(8000L, -4L, 7996L))))
+    }
+    // the kernel's domain is enforced: negative exponents (modular
+    // inverse, not 2^e/n) and non-positive moduli cannot be constructed
+    intercept[IllegalArgumentException] {
+      Summation(Progression(3L, 2L, 9L), Progression(2L, -2L, -4L))
+    }
+    intercept[IllegalArgumentException] {
+      Summation(Progression(0L, 2L, 6L), Progression(3L, 1L, 6L))
+    }
+    // a zero-step summation computes to 0.0 instead of crashing
+    val empty = Summation(Progression(1L, 8L, 1L), Progression(8L, -4L, 8L))
+    assert(empty.steps == 0L && DistSum.compute(spark, empty, 4) == 0.0)
   }
 }

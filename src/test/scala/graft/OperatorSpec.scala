@@ -352,31 +352,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 3L, 3L, 1L, 0.0, 1.0 / 3)))
   }
 
-  test("Dedup.spanStats counts cross-doc duplicate spans, keep-first (C4)") {
+  test("Dedup.spanStats counts duplicate spans cross- AND intra-doc, keep-first (C4)") {
     val df = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7 t8"),          // spans [t1-4],[t5-8]
       (2L, "t1 t2 t3 t4 q1 q2 q3 q4 q5"),       // [t1-4] dup of doc 1; trailing q5 dropped
-      (3L, "u1 u2 u3 u4")                        // unique span
+      (3L, "u1 u2 u3 u4 u1 u2 u3 u4")           // intra-doc repeat: second copy is a dup
     ).toDF("doc_id", "text")
     val out = Dedup.spanStats(df, "doc_id", "text", w = 4)
       .select("doc_id", "n_spans", "n_dup_spans", "dup_span_frac")
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(out(1L) == ((1L, 2L, 0L, 0.0)), "first occurrences are never dups")
     assert(out(2L) == ((2L, 2L, 1L, 0.5)), s"doc 2 shares [t1-4] with doc 1: $out")
-    assert(out(3L) == ((3L, 1L, 0L, 0.0)))
+    assert(out(3L) == ((3L, 2L, 1L, 0.5)), s"intra-doc repeat must count as dup: $out")
   }
 
-  test("Dedup.spanDedupApply rebuilds docs from globally-first spans only") {
+  test("Dedup.spanDedupApply rebuilds docs from globally-first span occurrences") {
     val df = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7 t8"),          // both spans first here
       (2L, "t1 t2 t3 t4 q1 q2 q3 q4 tail"),     // loses [t1-4], keeps [q1-4], drops tail
-      (3L, "t1 t2 t3 t4 t5 t6 t7 t8")           // every span owned by doc 1 -> vanishes
+      (3L, "t1 t2 t3 t4 t5 t6 t7 t8"),          // every span owned by doc 1 -> vanishes
+      (4L, "x1 x2 x3 x4 x1 x2 x3 x4")           // intra-doc repeat collapses to one copy
     ).toDF("doc_id", "text")
     val out = Dedup.spanDedupApply(df, "doc_id", "text", w = 4)
       .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out == Map(
       1L -> (("t1 t2 t3 t4 t5 t6 t7 t8", 2L)),
-      2L -> (("q1 q2 q3 q4", 1L))))
+      2L -> (("q1 q2 q3 q4", 1L)),
+      4L -> (("x1 x2 x3 x4", 1L))))
   }
 
   test("Sampling.chunkDocs carries passthrough columns onto every chunk row") {
