@@ -148,6 +148,20 @@ object DedupQueries extends QueryModule {
         "doc_id", threshold = 0.8)
     }),
 
+    // the sketch lane of decontamination: same corpus/eval derivation
+    // through a Bloom filter instead of an exact broadcast set.
+    // Deterministic (fixed-hash sketch, order-independent bit-array
+    // merge) but APPROXIMATE — false positives depend on the sketch,
+    // so no SQL oracle exists; the driver records rows-only and the
+    // no-false-negative/FP-budget properties are spec'd (OperatorSpec).
+    "decontaminate_bloom" -> ((s, dir) => {
+      val hs = Dedup.shingleHashTable(docs(s, dir), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.evalOverlapBloom(hs,
+        hs.filter(col("doc_id") % 97 === 0).select(col("h1")),
+        "doc_id", threshold = 0.8, expectedItems = 100000L, fpp = 0.01)
+    }),
+
     // pairwise near-dup evidence -> dedup GROUPS: connected components
     // over the simhash pair graph by min-label propagation (each doc's
     // cluster = smallest doc_id transitively reachable); docs in no

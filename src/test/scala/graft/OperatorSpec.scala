@@ -21,8 +21,9 @@ class OperatorSpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"stale oracle keys (typo'd key silently " +
       s"downgrades its query to rows-only): ${o.diff(q)}")
     // the intentional no-oracle rows — terasort self-validates, IVF is
-    // approximate by definition — and ONLY those
-    assert(q.diff(o) == Set("terasort", "ann_ivf_topk"),
+    // approximate by definition, the Bloom gate's false-positive set is
+    // sketch-dependent (properties spec'd instead) — and ONLY those
+    assert(q.diff(o) == Set("terasort", "ann_ivf_topk", "decontaminate_bloom"),
       s"rows-only query set drifted: ${q.diff(o)}")
     // no duplicate keys across modules (flatMap(...).toMap is
     // last-wins: a name collision would silently shadow a query)
