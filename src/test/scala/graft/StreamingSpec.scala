@@ -167,6 +167,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hash splits are stream-transparent: same assignment as batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // split membership is a pure row-local function of the id, so a
+    // stream assigns exactly what a batch pass would — no replay risk
+    val mem = MemoryStream[Long]
+    val fr = Seq("train" -> 0.8, "test" -> 0.2)
+    val q = graft.operators.Sampling.hashSplit(
+      mem.toDS().toDF("doc_id"), "doc_id", fr)
+      .writeStream.format("memory").queryName("split_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(0L until 300L: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("split_stream")
+        .as[(Long, String)].collect().toMap
+      val batch = graft.operators.Sampling.hashSplit(
+        (0L until 300L).toDF("doc_id"), "doc_id", fr)
+        .as[(Long, String)].collect().toMap
+      assert(streamed == batch, "stream/batch split assignment diverges")
+    } finally q.stop()
+  }
+
   test("row-local decontamination gates a stream like the batch filter") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
