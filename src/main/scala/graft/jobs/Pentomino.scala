@@ -1,0 +1,218 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+
+/** Distributed pentomino tiling — the last reference example family:
+  * `EX/dancing/DancingLinks.java` (Knuth's Algorithm X on dancing
+  * links), `EX/dancing/Pentomino.java` (the exact-cover matrix for
+  * tiling a w×h board with the 12 pentominoes), and
+  * `EX/dancing/DistributedPentomino.java` (split the search tree at a
+  * fixed depth; one map task per prefix). Spark-first: the prefixes ARE
+  * the dataset — one task per prefix runs the identical sequential
+  * solver on its subtree with the prefix's choices pre-applied, and the
+  * solution counts sum associatively (no shuffle, one long per task to
+  * the driver). The result is independent of executor count and retry
+  * history because each subtree is a pure function of its prefix.
+  *
+  * The solver here is a re-derivation of Knuth's published algorithm
+  * (Dancing Links, 2000), not a translation of the reference's Java.
+  */
+object Pentomino {
+
+  /** The 12 pentominoes as base cell sets (x, y). */
+  private val basePieces: Seq[Seq[(Int, Int)]] = Seq(
+    Seq((1, 0), (2, 0), (0, 1), (1, 1), (1, 2)),         // F
+    Seq((0, 0), (0, 1), (0, 2), (0, 3), (0, 4)),         // I
+    Seq((0, 0), (0, 1), (0, 2), (0, 3), (1, 3)),         // L
+    Seq((1, 0), (1, 1), (0, 2), (1, 2), (0, 3)),         // N
+    Seq((0, 0), (1, 0), (0, 1), (1, 1), (0, 2)),         // P
+    Seq((0, 0), (1, 0), (2, 0), (1, 1), (1, 2)),         // T
+    Seq((0, 0), (2, 0), (0, 1), (1, 1), (2, 1)),         // U
+    Seq((0, 0), (0, 1), (0, 2), (1, 2), (2, 2)),         // V
+    Seq((0, 0), (0, 1), (1, 1), (1, 2), (2, 2)),         // W
+    Seq((1, 0), (0, 1), (1, 1), (2, 1), (1, 2)),         // X
+    Seq((1, 0), (0, 1), (1, 1), (1, 2), (1, 3)),         // Y
+    Seq((0, 0), (1, 0), (1, 1), (1, 2), (2, 2)))         // Z
+
+  private def normalize(cells: Seq[(Int, Int)]): Seq[(Int, Int)] = {
+    val mx = cells.map(_._1).min
+    val my = cells.map(_._2).min
+    cells.map { case (x, y) => (x - mx, y - my) }.sorted
+  }
+
+  /** All distinct orientations (4 rotations × optional reflection). */
+  private def orientations(cells: Seq[(Int, Int)]): Seq[Seq[(Int, Int)]] = {
+    val rots = Iterator.iterate(cells, 4)(c => c.map { case (x, y) => (-y, x) }).toSeq
+    (rots ++ rots.map(_.map { case (x, y) => (-x, y) }))
+      .map(normalize).distinct
+  }
+
+  /** One exact-cover row: piece column + 5 covered board cells. */
+  private def rows(width: Int, height: Int): IndexedSeq[Seq[Int]] = {
+    require(width * height == 60, "pentomino boards have 12 * 5 = 60 cells")
+    val out = IndexedSeq.newBuilder[Seq[Int]]
+    for {
+      (piece, p) <- basePieces.zipWithIndex
+      o <- orientations(piece)
+      ow = o.map(_._1).max + 1; oh = o.map(_._2).max + 1
+      ox <- 0 to width - ow
+      oy <- 0 to height - oh
+    } out += (p +: o.map { case (x, y) => 12 + (oy + y) * width + (ox + x) })
+    out.result()
+  }
+
+  /** Dancing-links matrix (Knuth 2000): toroidal doubly-linked columns
+    * with O(1) cover/uncover. Column choice = smallest size (first on
+    * ties), so the search tree — and therefore prefix splitting — is
+    * deterministic.
+    */
+  private final class Dlx(nCols: Int, matrix: IndexedSeq[Seq[Int]]) {
+    final class Node {
+      var l: Node = this; var r: Node = this
+      var u: Node = this; var d: Node = this
+      var col: Node = _
+      var size = 0          // meaningful on column headers
+      var rowId: Int = -1
+    }
+    val root = new Node
+    private val headers = Array.fill(nCols)(new Node)
+    for (h <- headers) {
+      h.col = h
+      h.l = root.l; h.r = root; root.l.r = h; root.l = h
+    }
+    for ((cols, rowId) <- matrix.zipWithIndex) {
+      var first: Node = null
+      for (c <- cols) {
+        val h = headers(c)
+        val n = new Node
+        n.col = h; n.rowId = rowId
+        n.u = h.u; n.d = h; h.u.d = n; h.u = n
+        h.size += 1
+        if (first == null) first = n
+        else { n.l = first.l; n.r = first; first.l.r = n; first.l = n }
+      }
+    }
+
+    private def cover(h: Node): Unit = {
+      h.r.l = h.l; h.l.r = h.r
+      var i = h.d
+      while (i ne h) {
+        var j = i.r
+        while (j ne i) { j.d.u = j.u; j.u.d = j.d; j.col.size -= 1; j = j.r }
+        i = i.d
+      }
+    }
+    private def uncover(h: Node): Unit = {
+      var i = h.u
+      while (i ne h) {
+        var j = i.l
+        while (j ne i) { j.col.size += 1; j.d.u = j; j.u.d = j; j = j.l }
+        i = i.u
+      }
+      h.r.l = h; h.l.r = h
+    }
+    private def chooseCol(): Node = {
+      var best: Node = null
+      var h = root.r
+      while (h ne root) {
+        if (best == null || h.size < best.size) best = h
+        h = h.r
+      }
+      best
+    }
+
+    /** Apply one forced choice: cover the row with `rowId` in the
+      * heuristically-chosen column. The prefix replays exactly because
+      * the column choice is deterministic.
+      */
+    def applyChoice(rowId: Int): Unit = {
+      val h = chooseCol()
+      var n = h.d
+      while (n.rowId != rowId) {
+        require(n ne h, s"prefix row $rowId not available in chosen column")
+        n = n.d
+      }
+      cover(n.col)
+      var j = n.r
+      while (j ne n) { cover(j.col); j = j.r }
+    }
+
+    /** Count all exact covers below the current (possibly prefixed) state. */
+    def countAll(): Long = {
+      if (root.r eq root) return 1L
+      val h = chooseCol()
+      if (h.size == 0) return 0L
+      var total = 0L
+      cover(h)
+      var n = h.d
+      while (n ne h) {
+        var j = n.r
+        while (j ne n) { cover(j.col); j = j.r }
+        total += countAll()
+        j = n.l
+        while (j ne n) { uncover(j.col); j = j.l }
+        n = n.d
+      }
+      uncover(h)
+      total
+    }
+
+    /** All choice sequences of the first `depth` levels — the split
+      * inventory (DistributedPentomino.java's getSplits analog).
+      */
+    def prefixes(depth: Int): Seq[List[Int]] = {
+      if (depth == 0 || (root.r eq root)) return Seq(Nil)
+      val h = chooseCol()
+      if (h.size == 0) return Seq.empty
+      val out = Seq.newBuilder[List[Int]]
+      cover(h)
+      var n = h.d
+      while (n ne h) {
+        var j = n.r
+        while (j ne n) { cover(j.col); j = j.r }
+        out ++= prefixes(depth - 1).map(n.rowId :: _)
+        j = n.l
+        while (j ne n) { uncover(j.col); j = j.l }
+        n = n.d
+      }
+      uncover(h)
+      out.result()
+    }
+  }
+
+  private def fresh(width: Int, height: Int): Dlx =
+    new Dlx(12 + width * height, rows(width, height))
+
+  /** Sequential total count of tilings (every placement distinct — the
+    * raw exact-cover count, symmetric variants included).
+    */
+  def countSolutions(width: Int, height: Int): Long =
+    fresh(width, height).countAll()
+
+  /** The search-tree prefixes at `depth` — each names a disjoint
+    * subtree; together they partition the solution set.
+    */
+  def prefixes(width: Int, height: Int, depth: Int): Seq[List[Int]] =
+    fresh(width, height).prefixes(depth)
+
+  /** Count the subtree under one prefix (a map task's work). */
+  def countFromPrefix(width: Int, height: Int, prefix: Seq[Int]): Long = {
+    val d = fresh(width, height)
+    prefix.foreach(d.applyChoice)
+    d.countAll()
+  }
+
+  /** Distributed count: one task per depth-`depth` prefix, counts sum
+    * at the driver (bounded collect of longs — never solution rows).
+    */
+  def countDistributed(spark: SparkSession, width: Int, height: Int,
+                       depth: Int = 2): Long = {
+    import spark.implicits._
+    val ps = prefixes(width, height, depth)
+    if (ps.isEmpty) return 0L
+    spark.createDataset(ps)
+      .repartition(math.min(ps.size, 64))
+      .map(p => countFromPrefix(width, height, p))
+      .reduce(_ + _)
+  }
+}

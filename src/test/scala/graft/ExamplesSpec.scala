@@ -228,4 +228,19 @@ class ExamplesSpec extends AnyFunSuite {
     val empty = Summation(Progression(1L, 8L, 1L), Progression(8L, -4L, 8L))
     assert(empty.steps == 0L && DistSum.compute(spark, empty, 4) == 0.0)
   }
+
+  test("Pentomino: distributed prefix-split count equals sequential, 3x20 = 8") {
+    import graft.jobs.Pentomino
+    // the 3x20 rectangle has 2 tilings up to symmetry; the raw
+    // exact-cover count sees each under the rectangle's 4 symmetries
+    val seqCount = Pentomino.countSolutions(3, 20)
+    assert(seqCount == 8L, s"3x20 raw tiling count: got $seqCount")
+    // prefixes partition the search tree: disjoint subtrees, same total
+    val ps = Pentomino.prefixes(3, 20, depth = 2)
+    assert(ps.nonEmpty && ps.map(_.length).forall(_ <= 2))
+    val viaPrefixes = ps.map(p => Pentomino.countFromPrefix(3, 20, p)).sum
+    assert(viaPrefixes == seqCount, s"prefix partition lost solutions: $viaPrefixes")
+    val dist = Pentomino.countDistributed(spark, 3, 20, depth = 2)
+    assert(dist == seqCount, s"distributed count diverged: $dist")
+  }
 }
