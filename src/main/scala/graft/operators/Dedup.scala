@@ -443,9 +443,16 @@ object Dedup {
     def observedSum(o: org.apache.spark.sql.Observation): java.math.BigDecimal =
       Option(o.get("s").asInstanceOf[java.math.BigDecimal])
         .getOrElse(java.math.BigDecimal.ZERO)
+    // init = round one for free: the node inventory needs one agg over
+    // the edges anyway, and min(id, min neighbor) on that same shuffle
+    // is the first propagation round — one fewer join+checkpoint cycle
+    // than starting from self-labels (per-round cost is the scheduling
+    // floor on a near-dup graph's tiny frames)
     val obs0 = org.apache.spark.sql.Observation()
-    var labels = ckpt(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).observe(obs0, sumExpr))
+    var labels = ckpt(edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("label"))
+      .observe(obs0, sumExpr))
     var curSum = observedSum(obs0)
     var i = 0
     var converged = false
