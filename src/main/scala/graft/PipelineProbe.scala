@@ -15,6 +15,7 @@ object PipelineProbe {
     val t0 = System.nanoTime()
     val (packed, r) = jobs.TrainingPipeline.run(spark, dir,
       lang = "en", minTokens = 10, minQuality = Some(0.15),
+      maxRepetition = Some(0.12),
       rates = Map("src0" -> 2.0, "src1" -> 0.5),
       evalDocs = Some(evalSet))
     val dt = (System.nanoTime() - t0) / 1e9
