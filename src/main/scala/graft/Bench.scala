@@ -152,7 +152,7 @@ object Bench {
 
     def jm(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jm(med.map { case (k, v) => k -> v.toString })
+    val qs = jm(med.map { case (k, v) => k -> fmt(v, 3) })
     val spread = jm(samples.map { case (k, ts) =>
       k -> ts.map(t => fmt(t, 3)).mkString("[", ",", "]")
     })
@@ -165,16 +165,20 @@ object Bench {
     val scaleJson = dedupScale.map { case (t1, t3, e) =>
       s""","dedup_scale":{"t1x":${fmt(t1, 3)},"t3x":${fmt(t3, 3)},"exponent":${fmt(e, 3)}}"""
     }.getOrElse("")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","iterations":$iters,"samples":$spread,"failed":$failedJson""" + smallJson + scaleJson +
+    val harnessJson =
       s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)}}"""
-    println(json)
-    // the driver's stdout tail capture has truncated this line before
-    // (BENCH_r03 "parsed": null) — a file copy keeps history lossless
+    val head =
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters,"failed":$failedJson"""
+    // stdout gets the COMPACT line: the driver's tail capture truncated
+    // the full line two rounds running (BENCH_r03/r04 "parsed": null) —
+    // per-sample spreads and the sf-small pass live only in the file copy
+    val compactJson = head + scaleJson + harnessJson
+    val fullJson =
+      head + s""","samples":$spread""" + smallJson + scaleJson + harnessJson
+    println(compactJson)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     spark.stop()
   }

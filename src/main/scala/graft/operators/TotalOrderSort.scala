@@ -50,6 +50,16 @@ object TotalOrderSort {
     * would be the naive `row_number() OVER (ORDER BY ...)` plan and a
     * scale bottleneck). `keys` must be a total order (add tiebreakers)
     * or ranks of ties are unspecified.
+    *
+    * Why RDD `zipWithIndex` and not a pure-DataFrame rank: its two jobs
+    * share ONE RDD lineage, so the count job materializes the sort
+    * shuffle and the map job skips straight to reading those shuffle
+    * files — the sort is paid once. A DataFrame-level offsets pass
+    * (persist sorted frame → count per partition → rank projection)
+    * re-plans per action, so it must cache the sorted frame to avoid
+    * sorting twice; the columnar cache build measured ~2x the rank
+    * stage's entire Row-codec cost at sf0.1 (keyfield_sort 3.4s →
+    * 5.3s+). The Row round-trip here is the cheaper toll.
     */
   def withRank(df: DataFrame, numPartitions: Int, rankCol: String, keys: Column*): DataFrame = {
     val s = sorted(df, numPartitions, keys: _*)
