@@ -188,24 +188,84 @@ object Dedup {
     minhashCandidatesFromHashes(minhashSignatures(shingles, id, numPerm),
       id, numPerm, rowsPerBand, maxBucket)
 
-  /** LSH banding over a precomputed signature table s0..sN-1. */
-  def minhashCandidatesFromHashes(sig: DataFrame, id: String,
-                                  numPerm: Int, rowsPerBand: Int,
-                                  maxBucket: Int = 0): DataFrame = {
+  /** (id, band, bh) band table over a signature table s0..sN-1, with the
+    * per-(band, hash) bucket cap applied. Shared by the self-join
+    * candidates ([[minhashCandidatesFromHashes]]) and the cross-corpus
+    * join ([[fuzzyDecontaminate]]).
+    */
+  private def bandTable(sig: DataFrame, id: String,
+                        numPerm: Int, rowsPerBand: Int,
+                        maxBucket: Int): DataFrame = {
     val nBands = numPerm / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => col(s"s$i").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", slots: _*)).as("bh"))
     }
-    val bands = capBuckets(
+    capBuckets(
       sig.select(col(id), explode(array(bandStructs: _*)).as("bb"))
         .select(col(id), col("bb.band").as("band"), col("bb.bh").as("bh")),
       Seq("band", "bh"), maxBucket)
+  }
+
+  /** LSH banding over a precomputed signature table s0..sN-1. */
+  def minhashCandidatesFromHashes(sig: DataFrame, id: String,
+                                  numPerm: Int, rowsPerBand: Int,
+                                  maxBucket: Int = 0): DataFrame = {
+    val bands = bandTable(sig, id, numPerm, rowsPerBand, maxBucket)
     val l = bands.select(col(id).as("doc_a"), col("band"), col("bh"))
     val r = bands.select(col(id).as("doc_b"), col("band"), col("bh"))
     l.join(r, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** FUZZY eval-set decontamination: near-duplicate (not just
+    * n-gram-overlap) matches between a training corpus and an eval set.
+    * [[evalOverlap]] catches verbatim contamination; an eval answer
+    * that was lightly paraphrased or reformatted slips past exact
+    * n-gram membership but still collides in MinHash bands. This is
+    * the cross-corpus variant of [[nearDuplicates]]: band EQUI-join
+    * corpus×eval (never a self-join, never all-pairs), candidates
+    * verified by exact Jaccard over the shingle-hash sets.
+    *
+    * Scale shape: both sides reduce to 8-byte shingle hashes; the band
+    * join's eval side is small (eval suites are thousands of docs, the
+    * corpus is billions) so AQE broadcasts it; `maxBucket` caps
+    * degenerate buckets on BOTH sides (boilerplate shared by corpus
+    * and eval would otherwise make the cross join a dups_a×dups_b
+    * blowup). Output: (doc_id, eval_id, n_inter, jaccard) per match
+    * >= threshold; a pipeline drops or flags matched doc_ids.
+    */
+  def fuzzyDecontaminate(corpus: DataFrame, eval: DataFrame,
+                         id: String, text: String, k: Int,
+                         numPerm: Int, rowsPerBand: Int, threshold: Double,
+                         maxBucket: Int = 0): DataFrame = {
+    val ch = shingleHashTable(corpus, id, text, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eh = shingleHashTable(eval, id, text, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cBands = bandTable(minhashSignaturesFromHashes(ch, id, numPerm), id,
+      numPerm, rowsPerBand, maxBucket)
+    val eBands = bandTable(minhashSignaturesFromHashes(eh, id, numPerm), id,
+      numPerm, rowsPerBand, maxBucket)
+    val cand = cBands.select(col(id).as("doc_id"), col("band"), col("bh"))
+      .join(eBands.select(col(id).as("eval_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select("doc_id", "eval_id").distinct()
+    val cSizes = ch.groupBy(col(id).as("doc_id")).agg(count(lit(1)).as("na"))
+    val eSizes = eh.groupBy(col(id).as("eval_id")).agg(count(lit(1)).as("nb"))
+    val inter = cand
+      .join(ch.select(col(id).as("doc_id"), col("h1")), "doc_id")
+      .join(eh.select(col(id).as("eval_id"), col("h1").as("h1b")), "eval_id")
+      .filter(col("h1") === col("h1b"))
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter").cast("double") /
+      (col("na") + col("nb") - col("n_inter"))
+    inter
+      .join(cSizes, "doc_id")
+      .join(eSizes, "eval_id")
+      .select(col("doc_id"), col("eval_id"), col("n_inter"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Full near-dup pipeline: LSH candidates verified by exact Jaccard.

@@ -148,6 +148,22 @@ object DedupQueries extends QueryModule {
         "doc_id", threshold = 0.8)
     }),
 
+    // FUZZY decontamination: near-dup (MinHash-banded) matches between
+    // the training slice and the eval slice — catches paraphrased
+    // contamination that exact n-gram membership (decontaminate) misses.
+    // Cross-corpus equi-join only; both sides bucket-capped. The mock
+    // eval slice is doc_id % 20 (not decontaminate's % 97): sized so
+    // near-dup pairs straddle the corpus/eval split at every fixture
+    // scale — % 97 splits zero pairs at sf0.01 and the check goes
+    // vacuous.
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.fuzzyDecontaminate(
+        d.filter(col("doc_id") % 20 =!= 0), d.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", k = 3, numPerm = 16, rowsPerBand = 4,
+        threshold = 0.5, maxBucket = MaxBucket)
+    }),
+
     // the sketch lane of decontamination: same corpus/eval derivation
     // through a Bloom filter instead of an exact broadcast set.
     // Deterministic (fixed-hash sketch, order-independent bit-array
@@ -321,6 +337,53 @@ object DedupQueries extends QueryModule {
     // then the identical minhash pipeline over the representative docs
     "dedup_minhash_rep" -> (repCte + ", " +
       minhashSql.stripPrefix("WITH ").replace("FROM documents", "FROM repd")),
+    // same minhash pipeline as dedup_minhash, split corpus/eval at the
+    // banding step (signatures are per-doc, side-independent); buckets
+    // capped PER SIDE, exactly as Dedup.fuzzyDecontaminate caps each
+    // bandTable before the cross join
+    "decontaminate_fuzzy" -> (shingleCte +
+      s""", hh AS (
+        |  SELECT doc_id,
+        |         ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h1,
+        |         ('0x' || substring(md5(sh), 17, 15))::BIGINT AS h2
+        |  FROM sh
+        |), m AS (
+        |  SELECT doc_id, i,
+        |         min((h1 % 1000000007 + i * (h2 % 1000000007)) % 1000000007) AS s
+        |  FROM hh, (SELECT unnest(range(0, 16)) AS i)
+        |  GROUP BY doc_id, i
+        |), bands AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |         md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS bh
+        |  FROM m GROUP BY doc_id, i // 4
+        |), bc AS (SELECT * FROM bands WHERE doc_id % 20 <> 0),
+        |be AS (SELECT * FROM bands WHERE doc_id % 20 = 0),
+        |bkc AS (
+        |  SELECT b.* FROM bc b
+        |  JOIN (SELECT band, bh FROM bc GROUP BY band, bh HAVING COUNT(*) <= $MaxBucket) ok
+        |    USING (band, bh)
+        |), bke AS (
+        |  SELECT b.* FROM be b
+        |  JOIN (SELECT band, bh FROM be GROUP BY band, bh HAVING COUNT(*) <= $MaxBucket) ok
+        |    USING (band, bh)
+        |), cand AS (
+        |  SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS eval_id
+        |  FROM bkc c JOIN bke e ON c.band = e.band AND c.bh = e.bh
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT c.doc_id, c.eval_id, COUNT(*) AS ni
+        |  FROM cand c
+        |  JOIN hh x ON x.doc_id = c.doc_id
+        |  JOIN hh y ON y.doc_id = c.eval_id AND y.h1 = x.h1
+        |  GROUP BY c.doc_id, c.eval_id
+        |)
+        |SELECT i.doc_id, i.eval_id, CAST(ni AS BIGINT) AS n_inter,
+        |       CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.doc_id
+        |JOIN sizes sb ON sb.doc_id = i.eval_id
+        |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5""".stripMargin),
     "decontaminate" -> (shingleCte +
       """, hsh AS (
         |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h1 FROM sh

@@ -90,6 +90,33 @@ class PlanSpec extends AnyFunSuite {
       s"no partial aggregation in top-k:\n$p")
   }
 
+  test("bm25_topk scores row-locally: no join or window, bounded top-k aggregation") {
+    val df = SparkEntry.queries("bm25_topk")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // stats ride in as literals; scoring must not join the corpus
+    assert(!p.contains("Join"), s"join in the bm25 scoring plan:\n$p")
+    assert(!p.contains("Window"), s"per-query window in bm25 plan:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"no aggregator-based top-k:\n$p")
+  }
+
+  test("inverted_index postings stay bounded: aggregator, no collect_list or window") {
+    val df = SparkEntry.queries("inverted_index")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("collect_list") && !p.contains("Window"),
+      s"unbounded postings build:\n$p")
+  }
+
+  test("decontaminate_fuzzy stays equi-join: no cartesian or nested-loop anywhere") {
+    val df = SparkEntry.queries("decontaminate_fuzzy")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"all-pairs in fuzzy decon:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
+  }
+
   test("dedup_embedding_blocked joins only on (table, cell) — no all-pairs join") {
     val df = SparkEntry.queries("dedup_embedding_blocked")(spark, dir)
     df.collect()
