@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.VectorExpressions
+import graft.functions.{TextExpressions, VectorExpressions}
 
 /** Engine extensions, installed with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (done by
@@ -15,5 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(VectorExpressions.dotProductFunction)
     e.injectFunction(VectorExpressions.nearestCellsFunction)
+    e.injectFunction(TextExpressions.nfcNormalizeFunction)
   }
 }

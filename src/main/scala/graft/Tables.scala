@@ -35,6 +35,11 @@ object Tables {
           "nearest_cells",
           exprs => graft.functions.NearestCells(exprs(0), exprs(1), exprs(2)),
           "scala_udf"))
+      scala.util.Try(
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "nfc_normalize",
+          exprs => graft.functions.NfcNormalize(exprs.head),
+          "scala_udf"))
     }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {

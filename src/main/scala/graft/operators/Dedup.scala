@@ -20,6 +20,11 @@ object Dedup {
 
   def tokens(text: Column): Column = filter(split(text, "\\s+"), w => w =!= "")
 
+  /** Local mirror of [[tokens]] (same split, same empty-drop) for
+    * driver/executor-side code that tokenizes outside a Column plan. */
+  def tokensLocal(s: String): Seq[String] =
+    s.split("\\s+").toIndexedSeq.filter(_.nonEmpty)
+
   /** Word k-gram shingles of a token array (empty when fewer than k). */
   def wordShingles(toks: Column, k: Int): Column =
     when(size(toks) >= k,

@@ -134,6 +134,40 @@ object Sampling {
     df.withColumn("split", chain.otherwise(lit(fractions.last._1)))
   }
 
+  /** Exact quantile cutoffs for [[quantileBins]]: the (nBins-1)
+    * interior percentiles of `value`, one aggregation job and a BOUNDED
+    * single-row collect (nBins-1 doubles to the driver). Exact
+    * percentile is the oracle-replayable lane; a 100 TB run with a
+    * huge value domain swaps in `approx_percentile` — same downstream
+    * binning, documented trade.
+    */
+  def quantileCutoffs(df: DataFrame, value: Column, nBins: Int): Seq[Double] = {
+    require(nBins >= 2, "need at least 2 bins")
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    df.agg(percentile(value, typedLit(probs)).as("cuts"))
+      .head.getSeq[Double](0)
+  }
+
+  /** Bin assignment against fixed cutoffs as a PURE PROJECTION:
+    * bin = 1 + |{cutoffs strictly below the value}| — the cutoffs ride
+    * to executors as a literal array, so binning a row never shuffles
+    * or windows (vs the `ntile() OVER (ORDER BY ...)` anti-pattern: a
+    * single-task global sort that cannot survive scale-up). NULL values
+    * get NULL bins.
+    */
+  def binByCutoffs(value: Column, cutoffs: Seq[Double]): Column =
+    when(value.isNull, lit(null).cast("int"))
+      .otherwise(size(filter(typedLit(cutoffs), c => value > c)) + 1)
+
+  /** Curriculum/quality binning: rows split into `nBins` equal-count
+    * bins of `valueCol` (deciles by default elsewhere in the library) —
+    * quantile cutoffs once, then row-local assignment. The shape every
+    * curriculum schedule and quality-tier mixture needs at scale.
+    */
+  def quantileBins(df: DataFrame, valueCol: String, nBins: Int): DataFrame =
+    df.withColumn("bin",
+      binByCutoffs(col(valueCol), quantileCutoffs(df, col(valueCol), nBins)))
+
   /** Token-window chunking — the slicing complement of [[packBySize]]:
     * each document's token stream splits into training-window chunks of
     * at most `maxTokens` tokens, consecutive chunks sharing `overlap`

@@ -368,6 +368,30 @@ object Similarity {
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, nCells: Int, rep: Int = 2,
                      tables: Int = 6): DataFrame = {
+    val assigned = lshAssignments(df, idCol, vecCol, nCells, rep, tables)
+    val a = assigned.select(col("t"), col("cell"),
+      col("id").as("vec_a"), col("v").as("va"))
+    val b = assigned.select(col("t"), col("cell"),
+      col("id").as("vec_b"), col("v").as("vb"))
+    a.join(b, Seq("t", "cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "va", "vb")
+      .distinct()                            // one cosine per candidate pair
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b")
+  }
+
+  /** The deterministic multi-table LSH assignment shared by
+    * [[cosinePairsLsh]] and [[knnJoinLsh]]: every row fans out to its
+    * top-`rep` cells in each of `tables` salted seed codebooks. Seed
+    * rankings come from ONE aggregation pass ([[codebooks]]) and
+    * assignment is ONE projection (each row scores itself against all
+    * broadcast codebooks and explodes its (t, cell) pairs) — ≤2 scans
+    * of the base in any consumer's executed plan, not 2·tables.
+    */
+  private def lshAssignments(df: DataFrame, idCol: String, vecCol: String,
+                             nCells: Int, rep: Int, tables: Int): DataFrame = {
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // salts 1..tables: uniformly salted, so a SQL oracle replays every
     // table's seed ranking with ONE expression (md5(id || ':' || t))
@@ -380,18 +404,33 @@ object Similarity {
           col("v"), cb.map(_._2.toSeq), rep),
         i => struct(lit(t).as("t"), element_at(ids, i + 1).as("cell")))
     }: _*))
-    val assigned = e.select(col("id"), col("v"), explode(tcPairs).as("tc"))
+    e.select(col("id"), col("v"), explode(tcPairs).as("tc"))
       .select(col("tc.t").as("t"), col("tc.cell").as("cell"), col("id"), col("v"))
+  }
+
+  /** k-nearest-neighbor SELF-join: every vector's top-k cosine
+    * neighbors among its multi-table-LSH candidates — the semantic-
+    * clustering / near-dup-audit primitive (per-doc neighbor lists,
+    * where [[cosinePairsLsh]] emits thresholded pairs). The blocking is
+    * the same deterministic seeded recipe, so a SQL oracle replays it
+    * exactly; candidates join on (t, cell) equi-keys only, and the
+    * only shuffle after candidate generation is the bounded top-k
+    * merge (≤ k rows per (partition, query) map-side). Neighbor lists
+    * are exact WITHIN the candidate set; end-to-end recall vs brute
+    * force is a spec'd property, as with the dedup LSH family.
+    */
+  def knnJoinLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                 nCells: Int, rep: Int = 2, tables: Int = 6): DataFrame = {
+    val assigned = lshAssignments(df, idCol, vecCol, nCells, rep, tables)
     val a = assigned.select(col("t"), col("cell"),
-      col("id").as("vec_a"), col("v").as("va"))
+      col("id").as("q_id"), col("v").as("qv"))
     val b = assigned.select(col("t"), col("cell"),
-      col("id").as("vec_b"), col("v").as("vb"))
-    a.join(b, Seq("t", "cell"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b", "va", "vb")
+      col("id").as("n_id"), col("v").as("nv"))
+    val scored = a.join(b, Seq("t", "cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id", "qv", "nv")
       .distinct()                            // one cosine per candidate pair
-      .withColumn("sim", cosine(col("va"), col("vb")))
-      .filter(col("sim") >= threshold)
-      .select("vec_a", "vec_b")
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    topKRank(scored, k)
   }
 }

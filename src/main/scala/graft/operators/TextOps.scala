@@ -53,6 +53,86 @@ object TextOps {
       .otherwise(lit(0.5) * (countIn(toks, stops) / n) + lit(0.05) * (sumLen / n))
   }
 
+  /** Canonical text normalization: Unicode NFC composition (the
+    * codegen'd [[graft.functions.NfcNormalize]] expression), lowercase,
+    * whitespace runs collapsed to single spaces, ends trimmed. Pure
+    * row-local projection. This MUST precede any digest-based dedup:
+    * byte-unequal spellings of identical text (decomposed accents,
+    * doubled spaces, case variants) otherwise defeat exact and
+    * near-dup hashing alike.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(graft.functions.TextExpressions.nfc_normalize(c)),
+      "\\s+", " "))
+
+  /** Adjacent-token bigram structs from a token array — a row-local
+    * zip of the array against itself shifted by one (no window, no
+    * shuffle; the per-doc array is the locality unit).
+    */
+  def bigrams(toks: Column): Column = {
+    val n = size(toks)
+    zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
+  /** Corpus bigram count table: (w1, w2, c12). The language-model
+    * foundation — vocabulary² is small relative to any corpus worth
+    * modeling, so downstream joins broadcast it (beyond-broadcast
+    * vocabularies take the [[dfSketch]] lane, same as unigram df).
+    */
+  def bigramCounts(df: org.apache.spark.sql.DataFrame, text: String
+                  ): org.apache.spark.sql.DataFrame =
+    df.select(explode(bigrams(graft.operators.Dedup.tokens(col(text)))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+
+  /** Per-document bigram-frequency statistics against the corpus bigram
+    * table — the fluency/quality signal of an n-gram LM filter reduced
+    * to exact integer aggregates (SQL-replayable; the float-log
+    * perplexity lane is [[perplexity]]). Documents with fewer than two
+    * tokens emit no bigrams and are absent from the output.
+    */
+  def lmScore(df: org.apache.spark.sql.DataFrame, id: String, text: String,
+              rareCap: Long = 5L): org.apache.spark.sql.DataFrame = {
+    val bg = df.select(col(id),
+        explode(bigrams(graft.operators.Dedup.tokens(col(text)))).as("b"))
+      .select(col(id), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val counts = bigramCounts(df, text)
+    bg.join(broadcast(counts), Seq("w1", "w2"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12") <= rareCap, 1L).otherwise(0L)).as("n_rare"),
+        sum(col("c12")).as("c12_sum"))
+      .select(col(id), col("n_bigrams"), col("n_rare"),
+        (col("c12_sum").cast("double") / col("n_bigrams")).as("mean_c12"))
+  }
+
+  /** Add-one-smoothed bigram-LM perplexity per document:
+    * exp(-1/N · Σ ln((c12+1)/(c1+V))) with c1 = occurrences of w1 as a
+    * bigram head and V the head vocabulary size. Float-log accumulation
+    * is partition-order-dependent in the last ulps, so this lane is
+    * spec-verified against a local reference rather than hash-compared
+    * to a SQL oracle ([[lmScore]] is the oracle-checked lane). The
+    * count tables broadcast; the token stream never shuffles.
+    */
+  def perplexity(df: org.apache.spark.sql.DataFrame, id: String, text: String
+                ): org.apache.spark.sql.DataFrame = {
+    val bg = df.select(col(id),
+        explode(bigrams(graft.operators.Dedup.tokens(col(text)))).as("b"))
+      .select(col(id), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bigramCounts(df, text)
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val v = c1.count()
+    bg.join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n"),
+        sum(log((col("c12") + 1).cast("double") / (col("c1") + v))).as("ll"))
+      .select(col(id), exp(-col("ll") / col("n")).as("ppl"))
+  }
+
   /** Token document-frequency Count-Min sketch — the 100 TB lane of
     * corpus-frequency scoring: the exact path (rare_token_score)
     * broadcast-joins the full vocabulary df table, which stops fitting

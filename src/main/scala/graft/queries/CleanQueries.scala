@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Redact, Sampling, TextOps}
+
+/** Text-cleaning / curation queries over `documents`: PII scrubbing,
+  * canonical normalization, bigram-LM fluency scoring, and quantile
+  * curriculum binning — the cleaning half of a training-data pipeline
+  * (the dedup half lives in DedupQueries).
+  *
+  * The fixture corpus is synthetic word-salad with no natural PII or
+  * unicode damage, so the PII and normalization queries first DAMAGE
+  * the text deterministically (injected emails/phones/IPs, decomposed
+  * accents, doubled spaces, stray caps) with expressions the oracle
+  * replays verbatim — the operators then have real spans to find, and
+  * the driver hash-checks the full repair round-trip.
+  */
+object CleanQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private def toks(c: Column): Column = filter(split(c, "\\s+"), w => w =!= "")
+
+  /** Deterministic PII injection: docs get an email (id%3=0), a phone
+    * (id%5=0), and/or an IPv4 (id%7=0) appended — value derived from
+    * doc_id, so both engines synthesize identical spans.
+    */
+  private def injectPii(id: Column, text: Column): Column = concat(
+    text,
+    when(id % 3 === 0,
+      concat(lit(" contact user"), id.cast("string"), lit("@example.com")))
+      .otherwise(lit("")),
+    when(id % 5 === 0,
+      concat(lit(" call 555-"), lpad((id % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((id % 10000).cast("string"), 4, "0")))
+      .otherwise(lit("")),
+    when(id % 7 === 0,
+      concat(lit(" from 10."), (id % 256).cast("string"), lit("."),
+        (id % 100).cast("string"), lit(".1")))
+      .otherwise(lit("")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII scrub: per-doc span counts by type + the redacted text.
+    // Detection and redaction are chained codegen'd regex projections —
+    // row-local at any corpus size (see operators/Redact).
+    "pii_scan" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), injectPii(col("doc_id"), col("text")).as("p"))
+        .select(col("doc_id"),
+          Redact.matchCount(col("p"), Redact.EmailPattern).as("n_email"),
+          Redact.matchCount(col("p"), Redact.PhonePattern).as("n_phone"),
+          Redact.matchCount(col("p"), Redact.Ipv4Pattern).as("n_ip"),
+          Redact.scrubPii(col("p")).as("clean"))
+    }),
+
+    // Canonical normalization round-trip: deterministically damage the
+    // text (decomposed e+U+0301, doubled spaces, upper-cased a/o), then
+    // repair with NFC + lower + whitespace collapse + trim — the
+    // codegen'd NfcNormalize expression (functions/TextExpressions)
+    // under a projection-only plan.
+    "normalize_text" -> ((s, dir) => {
+      val messy = regexp_replace(
+        regexp_replace(translate(col("text"), "ao", "AO"), "e", "e\u0301"),
+        " ", "  ")
+      docs(s, dir)
+        .select(col("doc_id"), messy.as("messy"))
+        .select(col("doc_id"), TextOps.normalizeText(col("messy")).as("norm"),
+          length(col("messy")).cast("long").as("n_before"))
+        .withColumn("n_after", length(col("norm")).cast("long"))
+    }),
+
+    // Bigram-LM fluency scoring: every adjacent token pair joined to
+    // its corpus bigram frequency (bigram table broadcast — the token
+    // stream never shuffles), then per-doc rarity stats from exact
+    // integer sums. The n-gram-LM quality-filter shape (the float-log
+    // perplexity lane is spec-verified; see TextOps.perplexity).
+    "lm_score" -> ((s, dir) => TextOps.lmScore(docs(s, dir), "doc_id", "text")),
+
+    // BPE subword tokenization: merges trained on the corpus word-
+    // frequency table (vocabulary-scale, one (word,count) shuffle +
+    // bounded collect; see operators/Bpe), applied as a map-only
+    // broadcast encode. The merge loop has no SQL replay, so this is
+    // a rows-only driver check; training parity with a hand-computed
+    // reference and the reconstruction round-trip are spec'd.
+    "bpe_tokenize" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.operators.Bpe.train(d, "text", nMerges = 40)
+      graft.operators.Bpe.tokenize(d, "text", merges)
+        .select(col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_words"),
+          size(col("bpe_tokens")).cast("long").as("n_sub"))
+    }),
+
+    // Curriculum binning: quality deciles via exact percentile cutoffs
+    // (ONE bounded 9-double collect), then row-local bin assignment —
+    // no ntile window, no global sort (see Sampling.binByCutoffs).
+    "quality_bins" -> ((s, dir) => {
+      val q = docs(s, dir)
+        .select(col("doc_id"), TextOps.quality(toks(col("text"))).as("quality"))
+      val cuts = Sampling.quantileCutoffs(q, col("quality"), 10)
+      q.withColumn("bin", Sampling.binByCutoffs(col("quality"), cuts))
+    })
+  )
+
+  // single-line (it is interpolated into templates that stripMargin
+  // AFTER interpolation — embedded margin chars would be re-stripped)
+  private val piiText =
+    "text" +
+      " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END" +
+      " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END" +
+      " || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || '.1' ELSE '' END"
+
+  def oracleSql: Map[String, String] = Map(
+    "pii_scan" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, $piiText AS p FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(p, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(p, '\\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\\b')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(p, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ip,
+         |  regexp_replace(regexp_replace(regexp_replace(p,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\\b', '<PHONE>', 'g'),
+         |    '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS clean
+         |FROM p""".stripMargin,
+    "normalize_text" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         replace(replace(translate(text, 'ao', 'AO'), 'e', 'e' || chr(769)), ' ', '  ') AS messy
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, messy,
+        |         trim(regexp_replace(lower(nfc_normalize(messy)), '\s+', ' ', 'g')) AS norm
+        |  FROM m
+        |)
+        |SELECT doc_id, norm,
+        |       CAST(length(messy) AS BIGINT) AS n_before,
+        |       CAST(length(norm) AS BIGINT) AS n_after
+        |FROM n""".stripMargin,
+    "lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+        |), c AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(CASE WHEN c12 <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |       CAST(SUM(c12) AS DOUBLE) / COUNT(*) AS mean_c12
+        |FROM bg JOIN c USING (w1, w2)
+        |GROUP BY doc_id""".stripMargin,
+    "quality_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) = 0 THEN NULL
+        |              ELSE 0.5 * (CAST(len(list_filter(t, x -> x IN ('the','a','is','of','and'))) AS BIGINT) / CAST(len(t) AS BIGINT))
+        |                 + 0.05 * (CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) / CAST(len(t) AS BIGINT))
+        |         END AS quality
+        |  FROM t
+        |), c AS (
+        |  SELECT quantile_cont(quality, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM f
+        |)
+        |SELECT doc_id, quality,
+        |       CASE WHEN quality IS NULL THEN NULL
+        |            ELSE CAST(1 + len(list_filter(c.cuts, x -> quality > x)) AS INTEGER)
+        |       END AS bin
+        |FROM f, c""".stripMargin
+  )
+}

@@ -48,6 +48,16 @@ object SimilarityQueries extends QueryModule {
       Similarity.cosinePairsLsh(emb(s, dir), "vec_id", "embedding",
         threshold = 0.3, nCells = 32, rep = 2, tables = 6)),
 
+    // k-NN SELF-join, oracle-checked end-to-end: every vector's top-5
+    // cosine neighbors among its multi-table-LSH candidates (same
+    // deterministic blocking as dedup_embedding_blocked, so DuckDB
+    // replays it exactly; neighbor lists are exact within the candidate
+    // set, and recall vs brute force is spec'd in OperatorSpec). The
+    // per-doc-neighbor-list primitive of semantic clustering.
+    "knn_join" -> ((s, dir) =>
+      Similarity.knnJoinLsh(emb(s, dir), "vec_id", "embedding",
+        k = 5, nCells = 32, rep = 2, tables = 6)),
+
     // topic bucketing: every vector assigned to its nearest of 16
     // deterministic hash-ranked seed centroids (the codebook recipe the
     // IVF/LSH family shares; a trained-k-means codebook uses the same
@@ -131,6 +141,44 @@ object SimilarityQueries extends QueryModule {
         |JOIN e eb ON eb.vec_id = vec_b
         |WHERE list_inner_product(ea.v, eb.v) /
         |      (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) >= 0.3""".stripMargin,
+    "knn_join" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), seeds AS (
+        |  SELECT t, vec_id AS cell, v,
+        |         row_number() OVER (PARTITION BY t
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR) || ':' || CAST(t AS VARCHAR))) AS rk
+        |  FROM e, (SELECT unnest(range(1, 7)) AS t)
+        |), cb AS (
+        |  SELECT t, cell,
+        |         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS cv
+        |  FROM seeds WHERE rk <= 32
+        |), scored AS (
+        |  SELECT e.vec_id, cb.t, cb.cell, list_inner_product(e.v, cb.cv) AS s
+        |  FROM e, cb
+        |), assigned AS (
+        |  SELECT vec_id, t, cell FROM (
+        |    SELECT vec_id, t, cell,
+        |           row_number() OVER (PARTITION BY vec_id, t ORDER BY s DESC, cell ASC) AS rnk
+        |    FROM scored)
+        |  WHERE rnk <= 2
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
+        |  FROM assigned a JOIN assigned b
+        |    ON a.t = b.t AND a.cell = b.cell AND a.vec_id <> b.vec_id
+        |), sim AS (
+        |  SELECT q_id, n_id,
+        |         list_inner_product(ea.v, eb.v) /
+        |           (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) AS sim
+        |  FROM cand
+        |  JOIN e ea ON ea.vec_id = q_id
+        |  JOIN e eb ON eb.vec_id = n_id
+        |), ranked AS (
+        |  SELECT q_id, n_id,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rnk
+        |  FROM sim
+        |)
+        |SELECT q_id, n_id, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
     "topic_assign" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

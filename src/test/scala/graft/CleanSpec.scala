@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Redact, Sampling, Similarity, TextOps}
+
+/** Specs for the text-cleaning / curation operators (CleanQueries):
+  * NFC normalization, PII scrubbing, bigram-LM scoring, quantile
+  * binning, and the k-NN self-join. Unicode literals are written as
+  * escape sequences so source encoding can never silently re-compose
+  * the decomposed fixtures.
+  */
+class CleanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("4")
+  import spark.implicits._
+
+  // --- NfcNormalize expression ------------------------------------
+
+  test("NfcNormalize: codegen and interpreted agree; composes NFD sequences") {
+    val decomposed = "cafe\u0301"     // e + combining acute
+    val composed = "caf\u00e9"
+    val df = Seq(
+      decomposed,
+      composed,                       // already NFC: fast path, unchanged
+      "A\u030a",                      // decomposed A-ring
+      "plain ascii", "").toDF("s")
+    val viaExpr = df.select(
+      graft.functions.TextExpressions.nfc_normalize(col("s")).as("n"))
+      .as[String].collect().toSeq
+    val viaJava = df.as[String].collect().toSeq
+      .map(s => java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    assert(viaExpr == viaJava)
+    assert(viaExpr(0) == composed && viaExpr(1) == composed)
+    assert(viaExpr(2) == "\u00c5")
+    // interpreted eval through the expression directly
+    val e = graft.functions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString(decomposed),
+        org.apache.spark.sql.types.StringType))
+    assert(e.eval(null).toString == composed)
+    assert(graft.functions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        null, org.apache.spark.sql.types.StringType)).eval(null) == null)
+  }
+
+  test("TextOps.normalizeText: NFC + lower + whitespace collapse + trim") {
+    val df = Seq("  HE\u0301LLO   World\t\nx  ").toDF("s")
+    val out = df.select(TextOps.normalizeText(col("s")).as("n"))
+      .as[String].head()
+    assert(out == "h\u00e9llo world x")
+  }
+
+  // --- PII scrub ----------------------------------------------------
+
+  test("Redact.scrubPii: finds and replaces emails, phones, IPv4") {
+    val s = "mail a.b+c@foo-bar.example.com or call 555-012-3456; " +
+      "host 192.168.1.255 end"
+    val df = Seq(s).toDF("t")
+    val out = df.select(Redact.scrubPii(col("t")).as("c")).as[String].head()
+    assert(out == "mail <EMAIL> or call <PHONE>; host <IP> end")
+    val counts = df.select(
+      Redact.matchCount(col("t"), Redact.EmailPattern).as("e"),
+      Redact.matchCount(col("t"), Redact.PhonePattern).as("p"),
+      Redact.matchCount(col("t"), Redact.Ipv4Pattern).as("i"))
+      .as[(Long, Long, Long)].head()
+    assert(counts == ((1L, 1L, 1L)))
+  }
+
+  test("Redact.scrubPii: no false positives on clean text") {
+    val clean = Seq(
+      "version 1.2 of the spec",      // not a dotted quad
+      "meeting at 5.30 pm",
+      "user at example dot com",
+      "sum 100-200-300").toDF("t")    // wrong phone shape (3-3-3)
+    val out = clean.select(Redact.scrubPii(col("t")).as("c"))
+      .as[String].collect()
+    assert(out.toSeq == clean.as[String].collect().toSeq)
+  }
+
+  // --- bigram LM ----------------------------------------------------
+
+  test("TextOps.bigrams: adjacent pairs; empty/single-token arrays emit none") {
+    val df = Seq("a b c a b", "solo", "").toDF("text")
+    val bg = df.select(explode(TextOps.bigrams(
+        graft.operators.Dedup.tokens(col("text")))).as("b"))
+      .select("b.w1", "b.w2").as[(String, String)].collect().toSeq
+    assert(bg == Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "b")))
+  }
+
+  test("TextOps.lmScore: per-doc bigram frequency stats") {
+    val df = Seq((1L, "a b c"), (2L, "a b a b"), (3L, "x")).toDF("doc_id", "text")
+    // corpus bigrams: (a,b)x3 [doc1 + doc2 twice], (b,c)x1, (b,a)x1
+    val r = TextOps.lmScore(df, "doc_id", "text", rareCap = 1L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc1: bigrams (a,b)c12=3, (b,c)c12=1 -> n=2, rare=1, mean=2.0
+    // doc2: (a,b)=3, (b,a)=1, (a,b)=3     -> n=3, rare=1, mean=7/3
+    // doc3: no bigrams -> absent
+    assert(r == Seq((1L, 2L, 1L, 2.0), (2L, 3L, 1L, 7.0 / 3)))
+  }
+
+  test("TextOps.perplexity matches a locally computed add-one bigram LM") {
+    val rows = Seq((1L, "a b c a"), (2L, "b c b"), (3L, "c a c"))
+    val df = rows.toDF("doc_id", "text")
+    val got = TextOps.perplexity(df, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    // local reference
+    val docs = rows.map { case (id, t) => id -> t.split(" ").toSeq }
+    val bigrams = docs.flatMap { case (id, t) => t.zip(t.tail).map((id, _)) }
+    val c12 = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = c1.size
+    val want = docs.map { case (id, t) =>
+      val bs = t.zip(t.tail)
+      val ll = bs.map(b => math.log((c12(b) + 1.0) / (c1(b._1) + v))).sum
+      id -> math.exp(-ll / bs.size)
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, p) => assert(math.abs(p - want(id)) < 1e-9,
+      s"doc $id: got $p want ${want(id)}") }
+  }
+
+  // --- BPE ----------------------------------------------------------
+
+  test("Bpe.trainLocal: merges match hand-computed BPE on a known table") {
+    // words: "low" x5, "lower" x2, "newest" x6, "widest" x3
+    val freqs = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = graft.operators.Bpe.trainLocal(freqs, nMerges = 4)
+    // classic example (Sennrich et al. fixture): es(9) -> est(9) ->
+    // est</w>(9) -> lo(7)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("est", graft.operators.Bpe.EndMark),
+      ("l", "o")))
+  }
+
+  test("Bpe.encodeWord: reconstruction round-trip and rank-order apply") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("est", graft.operators.Bpe.EndMark),
+      ("l", "o"))
+    val ranks = merges.zipWithIndex.toMap
+    val enc = graft.operators.Bpe.encodeWord("lowest", ranks)
+    assert(enc == Vector("lo", "w", "est</w>"))
+    // concatenating subwords (minus the end mark) reconstructs the word
+    assert(enc.mkString.stripSuffix(graft.operators.Bpe.EndMark) == "lowest")
+  }
+
+  test("Bpe.tokenize: distributed apply agrees with local encode; more merges never add tokens") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(50)
+      .persist()
+    val m20 = graft.operators.Bpe.train(docs, "text", nMerges = 20)
+    val m40 = graft.operators.Bpe.train(docs, "text", nMerges = 40)
+    assert(m40.take(m20.size) == m20, "merge list must be a stable prefix")
+    val ranks = m20.zipWithIndex.toMap
+    val row = graft.operators.Bpe.tokenize(docs, "text", m20)
+      .select(col("text"), col("bpe_tokens")).head()
+    val localEnc = graft.operators.Dedup.tokensLocal(row.getString(0))
+      .flatMap(w => graft.operators.Bpe.encodeWord(w, ranks))
+    assert(row.getSeq[String](1) == localEnc)
+    val tot20 = graft.operators.Bpe.tokenize(docs, "text", m20)
+      .agg(sum(size(col("bpe_tokens")))).as[Long].head()
+    val tot40 = graft.operators.Bpe.tokenize(docs, "text", m40)
+      .agg(sum(size(col("bpe_tokens")))).as[Long].head()
+    assert(tot40 <= tot20)
+    docs.unpersist()
+  }
+
+  // --- quantile bins ------------------------------------------------
+
+  test("Sampling.quantileBins: equal-count deciles, nulls get null bins") {
+    val df = ((1 to 100).map(i => (i.toLong, Some(i.toDouble))) :+
+      (101L, Option.empty[Double])).toDF("id", "v")
+    val binned = Sampling.quantileBins(df, "v", 10)
+    val sizes = binned.filter(col("bin").isNotNull)
+      .groupBy("bin").count().as[(Int, Long)].collect().toMap
+    assert(sizes.keySet == (1 to 10).toSet)
+    assert(sizes.values.forall(_ == 10L), s"unbalanced deciles: $sizes")
+    assert(binned.filter(col("id") === 101L).select("bin").head().isNullAt(0))
+    // monotone: higher value never gets a lower bin
+    val rows = binned.filter(col("bin").isNotNull)
+      .select(col("v"), col("bin")).as[(Double, Int)].collect().sortBy(_._1)
+    assert(rows.map(_._2).sliding(2).forall(w => w(0) <= w(1)))
+  }
+
+  // --- knn join -----------------------------------------------------
+
+  test("Similarity.knnJoinLsh: declared-query config recall >= 0.9 vs brute force") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val bf = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val knn = Similarity.knnJoinLsh(emb, "vec_id", "embedding",
+        k = 5, nCells = 32, rep = 2, tables = 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    val knnSet = knn.toSet
+    val recall = bf.intersect(knnSet).size.toDouble / bf.size
+    assert(recall >= 0.9, s"knn recall $recall too low (${bf.size} truth pairs)")
+    // at most k neighbors per query
+    val maxPerQ = knn.groupBy(_._1).values.map(_.size).max
+    assert(maxPerQ <= 5)
+  }
+}

@@ -22,8 +22,10 @@ class OperatorSpec extends AnyFunSuite {
       s"downgrades its query to rows-only): ${o.diff(q)}")
     // the intentional no-oracle rows — terasort self-validates, IVF is
     // approximate by definition, the Bloom gate's false-positive set is
-    // sketch-dependent (properties spec'd instead) — and ONLY those
-    assert(q.diff(o) == Set("terasort", "ann_ivf_topk", "decontaminate_bloom"),
+    // sketch-dependent (properties spec'd instead), BPE's merge loop
+    // has no SQL replay (trainer parity is spec'd) — and ONLY those
+    assert(q.diff(o) == Set("terasort", "ann_ivf_topk", "decontaminate_bloom",
+      "bpe_tokenize"),
       s"rows-only query set drifted: ${q.diff(o)}")
     // no duplicate keys across modules (flatMap(...).toMap is
     // last-wins: a name collision would silently shadow a query)
