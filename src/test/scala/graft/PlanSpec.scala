@@ -223,6 +223,55 @@ class PlanSpec extends AnyFunSuite {
       s"too many shuffles in asof plan:\n$p")
   }
 
+  test("pii_scan and normalize_text are map-only: zero shuffles, codegen'd") {
+    for (name <- Seq("pii_scan", "normalize_text")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!p.contains("Exchange"), s"$name should not shuffle:\n$p")
+      assert(p.contains("*(") || p.contains("WholeStageCodegen"),
+        s"$name fell out of codegen:\n$p")
+    }
+  }
+
+  test("lm_score broadcasts the bigram table to the bigram stream") {
+    val df = SparkEntry.queries("lm_score")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"bigram join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream shuffled for the bigram join:\n$p")
+  }
+
+  test("quality_bins bins row-locally: no window, no join, single exchange for the cutoffs") {
+    val df = SparkEntry.queries("quality_bins")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), s"ntile-style window in binning plan:\n$p")
+    assert(!p.contains("Join"), s"cutoffs should ride as literals, not join:\n$p")
+    // binning itself is a projection over the scan — no exchange at all
+    // (the cutoff aggregation ran separately, as a bounded collect)
+    assert(!p.contains("Exchange"), s"binning projection shuffles:\n$p")
+  }
+
+  test("knn_join joins only on (table, cell); ranks via bounded aggregator") {
+    val df = SparkEntry.queries("knn_join")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in knn plan:\n$p")
+    assert(!p.contains("Window"), s"per-query window in knn plan:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"knn should scan embeddings at most twice, got $scans:\n$p")
+  }
+
+  test("bpe_tokenize applies map-only: no exchange after the scan") {
+    val df = SparkEntry.queries("bpe_tokenize")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), s"BPE apply should be map-only:\n$p")
+  }
+
   test("bucketed tables join without a shuffle (CompositeInputFormat analog)") {
     // The reference's map-side join needs co-partitioned, sorted inputs
     // (CompositeInputFormat.java:59-96); the Spark analog is bucketed
