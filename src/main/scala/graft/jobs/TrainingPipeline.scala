@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Sampling, TextOps}
+import graft.operators.{Dedup, Redact, Sampling, TextOps}
 
 /** The end-to-end training-data preparation pipeline, assembled from the
   * library's verified stages — the workload this engine exists for, and
@@ -40,6 +40,13 @@ object TrainingPipeline {
     * against — (id, text)-shaped. None skips the decontamination stage
     * (a real pipeline should always pass its eval suites; the spec
     * passes a slice of the corpus as a stand-in).
+    *
+    * `normalize` canonicalizes text FIRST (NFC + lower + whitespace
+    * collapse): byte-unequal spellings of identical text must converge
+    * before any digest-based dedup sees them. `scrubPii` redacts
+    * email/phone/IPv4 spans after normalization (tokens like <EMAIL>
+    * then dedup/chunk like any other token). Both are row-local
+    * projections — free at any scale.
     */
   def run(spark: SparkSession, dir: String,
           lang: String = "en", minTokens: Int = 10,
@@ -47,8 +54,15 @@ object TrainingPipeline {
           maxRepetition: Option[Double] = None,
           rates: Map[String, Double] = Map.empty,
           evalDocs: Option[DataFrame] = None,
-          contamThreshold: Double = 0.8): (DataFrame, Report) = {
-    val docs = Tables(spark, dir, "documents")
+          contamThreshold: Double = 0.8,
+          normalize: Boolean = false,
+          scrubPii: Boolean = false): (DataFrame, Report) = {
+    val raw = Tables(spark, dir, "documents")
+    val docs = {
+      val n = if (normalize)
+        raw.withColumn("text", TextOps.normalizeText(col("text"))) else raw
+      if (scrubPii) n.withColumn("text", Redact.scrubPii(col("text"))) else n
+    }
     val input = docs.count()
 
     // 1. language + length (+ optional quality) gate (map-only) — the

@@ -168,6 +168,12 @@ class ExamplesSpec extends AnyFunSuite {
       lang = "en", minTokens = 5, maxRepetition = Some(1.0))
     assert(rRepOff.afterFilter == r3.afterFilter,
       s"unreachable repetition threshold should be a no-op: ${rRepOff.afterFilter}")
+    // normalization + PII scrub: the fixture is ascii/lower/PII-free, so
+    // both stages are no-ops on the accounting — proving they don't
+    // perturb the pipeline — and determinism still holds
+    val (_, rNorm) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      lang = "en", minTokens = 5, normalize = true, scrubPii = true)
+    assert(rNorm == r3, s"normalize/scrub perturbed a clean corpus: $rNorm vs $r3")
   }
 
   test("DistSum partitions, computes distributed, and resumes from gaps") {
