@@ -134,6 +134,23 @@ object Sampling {
     df.withColumn("split", chain.otherwise(lit(fractions.last._1)))
   }
 
+  /** Deterministic global training-order shuffle: every row gets a
+    * hash shard and a within-shard sort key, both pure functions of the
+    * id (domain-separated from [[hashKey]]'s sampling hash, so shuffle
+    * order is independent of sampling decisions). A dataloader reads
+    * shards in parallel and each shard sorted by `sort_key` — a
+    * reproducible global permutation with NO global sort: the only
+    * at-scale cost is the write-side `repartition(shard) +
+    * sortWithinPartitions(sort_key)`, which this projection feeds.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0, "need at least one shard")
+    val ord = md5(concat(col(idCol).cast("string"), lit(":ord")))
+    df.withColumn("shard",
+        pmod(conv(substring(ord, 1, 13), 16, 10).cast("long"), lit(shards.toLong)))
+      .withColumn("sort_key", ord)
+  }
+
   /** Exact quantile cutoffs for [[quantileBins]]: the (nBins-1)
     * interior percentiles of `value`, one aggregation job and a BOUNDED
     * single-row collect (nBins-1 doubles to the driver). Exact

@@ -57,6 +57,14 @@ object PipelineQueries extends QueryModule {
         "source", "doc_id",
         rates = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0))),
 
+    // deterministic global training-order shuffle: hash shard +
+    // within-shard sort key, a pure row-local projection (the write
+    // side repartitions by shard and sorts within partitions — never a
+    // global sort)
+    "shuffle_order" -> ((s, dir) =>
+      Sampling.shuffleOrder(docs(s, dir).select(col("doc_id")), "doc_id",
+        shards = 8)),
+
     // deterministic 90/5/5 train/val/test assignment — row-local, zero
     // shuffles, leakage-proof (membership is a pure function of doc_id)
     "split_assign" -> ((s, dir) =>
@@ -159,6 +167,14 @@ object PipelineQueries extends QueryModule {
         |)
         |SELECT doc_id, source, unnest(range(0, n_copies)) AS copy_id
         |FROM c WHERE n_copies > 0""".stripMargin,
+    "shuffle_order" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':ord') AS ord FROM documents
+        |)
+        |SELECT doc_id,
+        |       ('0x' || substring(ord, 1, 13))::BIGINT % 8 AS shard,
+        |       ord AS sort_key
+        |FROM h""".stripMargin,
     "split_assign" ->
       """WITH h AS (
         |  SELECT doc_id, source,

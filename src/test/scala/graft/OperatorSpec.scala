@@ -315,6 +315,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("Sampling.shuffleOrder: balanced shards, total order, independent of sampling hash") {
+    val df = spark.range(0, 8000).select(col("id").as("doc_id"))
+    val out = Sampling.shuffleOrder(df, "doc_id", shards = 8)
+      .as[(Long, Long, String)].collect()
+    // every shard populated, roughly balanced (8000 over 8)
+    val sizes = out.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.keySet == (0L to 7L).toSet)
+    assert(sizes.values.forall(s => s > 800 && s < 1200), s"skewed: ${sizes.toMap}")
+    // (shard, sort_key, doc_id) is a total order: no duplicate keys
+    assert(out.map(r => (r._2, r._3)).distinct.length == out.length)
+    // domain separation: shuffle shard is NOT the sampling hash's bucket
+    val sampleBucket = df.select(col("doc_id"),
+        pmod(Sampling.hashKey(col("doc_id")), lit(8L)).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(out.exists(r => sampleBucket(r._1) != r._2),
+      "shuffle order must not reuse the sampling hash domain")
+    intercept[IllegalArgumentException] {
+      Sampling.shuffleOrder(df, "doc_id", 0)
+    }
+  }
+
   test("Sampling.mixtureSample rejects negative rates loudly") {
     val df = Seq((1L, "s0")).toDF("doc_id", "source")
     val e = intercept[IllegalArgumentException] {
