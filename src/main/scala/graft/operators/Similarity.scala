@@ -373,13 +373,18 @@ object Similarity {
       col("id").as("vec_a"), col("v").as("va"))
     val b = assigned.select(col("t"), col("cell"),
       col("id").as("vec_b"), col("v").as("vb"))
+    // score IN PLACE on the candidate join (a pair met in several
+    // (t, cell) buckets recomputes an identical codegen'd cosine — a
+    // few map-local flops), then dedupe only the thresholded 16-byte id
+    // pairs. The former pre-scoring distinct shuffled BOTH vectors per
+    // candidate row — the one non-narrow shuffle in the plan, and the
+    // part that could not survive a 100x scale-up.
     a.join(b, Seq("t", "cell"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b", "va", "vb")
-      .distinct()                            // one cosine per candidate pair
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b")
+      .distinct()
   }
 
   /** The deterministic multi-table LSH assignment shared by
@@ -420,16 +425,25 @@ object Similarity {
     * force is a spec'd property, as with the dedup LSH family.
     */
   def knnJoinLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                 nCells: Int, rep: Int = 2, tables: Int = 6): DataFrame = {
-    val assigned = lshAssignments(df, idCol, vecCol, nCells, rep, tables)
+                 nCells: Int = 0, rep: Int = 2, tables: Int = 6): DataFrame = {
+    // candidate volume per vector is ~tables·rep²·(base/cells): scale
+    // cells with an EXACT count (parquet metadata job; exact so a SQL
+    // oracle replays GREATEST(32, n // 64) identically) to hold per-cell
+    // population ≈ 64 — constant per-vector candidate work at any size
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(32, (df.count() / 64).toInt)
+    val assigned = lshAssignments(df, idCol, vecCol, cells, rep, tables)
     val a = assigned.select(col("t"), col("cell"),
       col("id").as("q_id"), col("v").as("qv"))
     val b = assigned.select(col("t"), col("cell"),
       col("id").as("n_id"), col("v").as("nv"))
+    // no candidate distinct: a (q, n) pair met in several buckets scores
+    // the identical cosine each time, and TopKByScore keeps one entry
+    // per n_id (best score) — so duplicates cost a few map-local flops
+    // instead of a full-width shuffle of both vectors per candidate row
     val scored = a.join(b, Seq("t", "cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .select("q_id", "n_id", "qv", "nv")
-      .distinct()                            // one cosine per candidate pair
       .withColumn("sim", cosine(col("qv"), col("nv")))
     topKRank(scored, k)
   }

@@ -52,11 +52,14 @@ object SimilarityQueries extends QueryModule {
     // cosine neighbors among its multi-table-LSH candidates (same
     // deterministic blocking as dedup_embedding_blocked, so DuckDB
     // replays it exactly; neighbor lists are exact within the candidate
-    // set, and recall vs brute force is spec'd in OperatorSpec). The
-    // per-doc-neighbor-list primitive of semantic clustering.
+    // set, and recall vs brute force is spec'd in CleanSpec). The
+    // per-doc-neighbor-list primitive of semantic clustering. Cell
+    // count auto-scales as max(32, n/64) from an exact count, so
+    // per-vector candidate work stays constant as the table grows —
+    // the oracle replays the same formula from COUNT(*).
     "knn_join" -> ((s, dir) =>
       Similarity.knnJoinLsh(emb(s, dir), "vec_id", "embedding",
-        k = 5, nCells = 32, rep = 2, tables = 6)),
+        k = 5, rep = 2, tables = 6)),
 
     // topic bucketing: every vector assigned to its nearest of 16
     // deterministic hash-ranked seed centroids (the codebook recipe the
@@ -152,7 +155,7 @@ object SimilarityQueries extends QueryModule {
         |), cb AS (
         |  SELECT t, cell,
         |         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS cv
-        |  FROM seeds WHERE rk <= 32
+        |  FROM seeds WHERE rk <= (SELECT GREATEST(32, COUNT(*) // 64) FROM e)
         |), scored AS (
         |  SELECT e.vec_id, cb.t, cb.cell, list_inner_product(e.v, cb.cv) AS s
         |  FROM e, cb

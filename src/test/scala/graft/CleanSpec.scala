@@ -189,7 +189,7 @@ class CleanSpec extends AnyFunSuite {
     val bf = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val knn = Similarity.knnJoinLsh(emb, "vec_id", "embedding",
-        k = 5, nCells = 32, rep = 2, tables = 6)
+        k = 5, rep = 2, tables = 6)
       .select("q_id", "n_id").as[(Long, Long)].collect()
     val knnSet = knn.toSet
     val recall = bf.intersect(knnSet).size.toDouble / bf.size
