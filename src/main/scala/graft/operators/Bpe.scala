@@ -135,10 +135,19 @@ object Bpe {
   def tokenize(df: DataFrame, text: String, merges: Seq[Merge]): DataFrame = {
     val ranks = merges.zipWithIndex.toMap
     val b = df.sparkSession.sparkContext.broadcast(ranks)
+    // memo capped at 2^20 distinct words per JVM: Zipf means the cap
+    // covers essentially all occurrences, and an adversarial
+    // all-unique-words corpus can't grow executor memory unboundedly
     val memo = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
     val enc = udf { s: String =>
       graft.operators.Dedup.tokensLocal(s).flatMap { w =>
-        memo.computeIfAbsent(w, ww => encodeWord(ww, b.value))
+        val hit = memo.get(w)
+        if (hit != null) hit
+        else {
+          val e = encodeWord(w, b.value)
+          if (memo.size < (1 << 20)) memo.putIfAbsent(w, e)
+          e
+        }
       }
     }
     df.withColumn("bpe_tokens", enc(col(text)))

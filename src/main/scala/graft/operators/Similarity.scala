@@ -367,8 +367,9 @@ object Similarity {
     */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, nCells: Int, rep: Int = 2,
-                     tables: Int = 6): DataFrame = {
-    val assigned = lshAssignments(df, idCol, vecCol, nCells, rep, tables)
+                     tables: Int = 6, maxBucket: Int = 0): DataFrame = {
+    val assigned = capCells(
+      lshAssignments(df, idCol, vecCol, nCells, rep, tables), maxBucket)
     val a = assigned.select(col("t"), col("cell"),
       col("id").as("vec_a"), col("v").as("va"))
     val b = assigned.select(col("t"), col("cell"),
@@ -386,6 +387,23 @@ object Similarity {
       .select("vec_a", "vec_b")
       .distinct()
   }
+
+  /** Drop (t, cell) buckets larger than `maxBucket` BEFORE a cell
+    * self-join — the embedding-space twin of the dedup family's LSH
+    * band-bucket cap (Dedup.capBuckets): a table with one vector
+    * repeated 100k× (boilerplate pages share boilerplate embeddings)
+    * puts all copies in the same cells and the self-join emits
+    * O(dups²) candidates. Dropped buckets lose their pairs — for
+    * dup-heavy tables the contract is the dedup family's: collapse
+    * exact-duplicate vectors to one representative first, block the
+    * representatives, and expand cluster membership afterwards.
+    */
+  private def capCells(assigned: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) assigned
+    else assigned.join(
+      assigned.groupBy("t", "cell").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= maxBucket).select("t", "cell"),
+      Seq("t", "cell"), "left_semi")
 
   /** The deterministic multi-table LSH assignment shared by
     * [[cosinePairsLsh]] and [[knnJoinLsh]]: every row fans out to its
@@ -425,7 +443,8 @@ object Similarity {
     * force is a spec'd property, as with the dedup LSH family.
     */
   def knnJoinLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                 nCells: Int = 0, rep: Int = 2, tables: Int = 6): DataFrame = {
+                 nCells: Int = 0, rep: Int = 2, tables: Int = 6,
+                 maxBucket: Int = 0): DataFrame = {
     // candidate volume per vector is ~tables·rep²·(base/cells): scale
     // cells with an EXACT count (parquet metadata job; exact so a SQL
     // oracle replays GREATEST(32, n // 64) identically) to hold per-cell
@@ -433,7 +452,8 @@ object Similarity {
     val cells =
       if (nCells > 0) nCells
       else math.max(32, (df.count() / 64).toInt)
-    val assigned = lshAssignments(df, idCol, vecCol, cells, rep, tables)
+    val assigned = capCells(
+      lshAssignments(df, idCol, vecCol, cells, rep, tables), maxBucket)
     val a = assigned.select(col("t"), col("cell"),
       col("id").as("q_id"), col("v").as("qv"))
     val b = assigned.select(col("t"), col("cell"),

@@ -198,4 +198,29 @@ class CleanSpec extends AnyFunSuite {
     val maxPerQ = knn.groupBy(_._1).values.map(_.size).max
     assert(maxPerQ <= 5)
   }
+
+  test("LSH cell cap bounds candidates on a duplicate-heavy embedding table") {
+    // 400 copies of one vector + 40 distinct vectors: uncapped, the
+    // dup cells emit O(400²) candidate rows; the cap drops those cells
+    val dim = 8
+    val rows = (0 until 400).map(i => (i.toLong, Seq.fill(dim)(1.0f))) ++
+      (0 until 40).map(i => (400L + i, (0 until dim).map(d =>
+        math.sin(i * dim + d).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val uncapped = Similarity.knnJoinLsh(df, "vec_id", "embedding",
+      k = 3, nCells = 16, rep = 2, tables = 3)
+    val capped = Similarity.knnJoinLsh(df, "vec_id", "embedding",
+      k = 3, nCells = 16, rep = 2, tables = 3, maxBucket = 100)
+    // capped output loses the dup cluster's internal pairs but keeps
+    // neighbors among the well-spread minority
+    assert(capped.count() < uncapped.count())
+    assert(capped.filter(col("q_id") >= 400).count() > 0,
+      "cap should keep the non-dup vectors' neighbor lists")
+    // pair version: capped candidate volume stays near the distinct-
+    // vector scale instead of the dups² scale
+    val cappedPairs = Similarity.cosinePairsLsh(df, "vec_id", "embedding",
+      threshold = 0.99, nCells = 16, rep = 2, tables = 3, maxBucket = 100)
+    assert(cappedPairs.count() < 2000,
+      "capped pair candidates should not blow up on the dup cluster")
+  }
 }

@@ -10,7 +10,7 @@ import graft.streaming.StreamingOps
 
 /** Streaming/batch parity: a stream processed to completion must agree
   * with the equivalent batch query on the same data (layer-2 e2e tests,
-  * SURVEY §5 — streaming is this engine's extension surface).
+  * SURVEY \u00a75 \u2014 streaming is this engine's extension surface).
   */
 class StreamingSpec extends AnyFunSuite {
 
@@ -130,7 +130,7 @@ class StreamingSpec extends AnyFunSuite {
       val got = spark.table("running_agg")
         .select("k", "n", "sum").as[(String, Long, Long)].collect().toSet
       // batch 1 emits the first running reports; batch 2 emits a's
-      // UPDATED report — state carried across batches
+      // UPDATED report \u2014 state carried across batches
       assert(got == Set(("a", 2L, 3L), ("b", 1L, 5L), ("a", 3L, 7L)), got.toString)
     } finally {
       q.stop()
@@ -145,7 +145,7 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // stateless hash-threshold sampling runs unchanged under
-    // micro-batching — no state, no watermark, per-row decision
+    // micro-batching \u2014 no state, no watermark, per-row decision
     val mem = MemoryStream[(Long, String)]
     val rates = Map("s0" -> 2.0, "s1" -> 0.5)
     val q = graft.operators.Sampling.mixtureSample(
@@ -171,7 +171,7 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // split membership is a pure row-local function of the id, so a
-    // stream assigns exactly what a batch pass would — no replay risk
+    // stream assigns exactly what a batch pass would \u2014 no replay risk
     val mem = MemoryStream[Long]
     val fr = Seq("train" -> 0.8, "test" -> 0.2)
     val q = graft.operators.Sampling.hashSplit(
@@ -240,5 +240,35 @@ class StreamingSpec extends AnyFunSuite {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(want.nonEmpty, "fixture should contain view->purchase funnels")
     assert(got == want)
+  }
+
+  test("text cleaning (normalize + PII scrub) is stream-transparent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // pure row-local projections (NfcNormalize expression + regex
+    // chain): identical output under micro-batching, no state
+    val mem = MemoryStream[(Long, String)]
+    def clean(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.operators.Redact.scrubPii(
+          graft.operators.TextOps.normalizeText(col("text"))).as("clean"))
+    val q = clean(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("clean_stream")
+      .outputMode("append").start()
+    val rows = Seq(
+      (1L, "  Mail ME\u0301: a@b.co  now "),
+      (2L, "from 10.1.2.3 call 555-123-4567"),
+      (3L, "plain  TEXT"))
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("clean_stream")
+        .as[(Long, String)].collect().toMap
+      val batch = clean(rows.toDF("doc_id", "text"))
+        .as[(Long, String)].collect().toMap
+      assert(streamed == batch, "stream/batch cleaning diverges")
+      assert(streamed(1L) == "mail m\u00e9: <EMAIL> now")
+      assert(streamed(2L) == "from <IP> call <PHONE>")
+    } finally q.stop()
   }
 }
