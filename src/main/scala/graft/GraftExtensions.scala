@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{TextExpressions, VectorExpressions}
+import graft.functions.{CompressExpressions, TextExpressions, VectorExpressions}
 
 /** Engine extensions, installed with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (done by
@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(VectorExpressions.dotProductFunction)
     e.injectFunction(VectorExpressions.nearestCellsFunction)
     e.injectFunction(TextExpressions.nfcNormalizeFunction)
+    e.injectFunction(CompressExpressions.deflatedSizeFunction)
   }
 }

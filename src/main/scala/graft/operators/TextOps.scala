@@ -65,6 +65,23 @@ object TextOps {
     trim(regexp_replace(lower(graft.functions.TextExpressions.nfc_normalize(c)),
       "\\s+", " "))
 
+  /** Compression-ratio quality signal: DEFLATE-compressed bytes /
+    * original bytes (the codegen'd [[graft.functions.DeflatedSize]]
+    * expression over the UTF-8 encoding). Web-pipeline staple: heavily
+    * repetitive boilerplate (menus, listings, SEO spam) compresses far
+    * below natural prose and near-random noise compresses above it, so
+    * thresholding BOTH tails drops junk row-locally — no vocabulary, no
+    * model, no shuffle. NULL for the empty string (no bytes, no signal)
+    * rather than a divide-by-zero. Not SQL-replayable (DuckDB exposes no
+    * zlib), so this lane is spec-verified; the declared query gets the
+    * driver's rows-only check.
+    */
+  def compressionRatio(c: Column): Column = {
+    val bytes = octet_length(c).cast("double")
+    when(bytes > 0,
+      graft.functions.CompressExpressions.deflated_size(c) / bytes)
+  }
+
   /** Adjacent-token bigram structs from a token array — a row-local
     * zip of the array against itself shifted by one (no window, no
     * shuffle; the per-doc array is the locality unit).

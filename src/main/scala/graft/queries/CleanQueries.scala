@@ -95,6 +95,19 @@ object CleanQueries extends QueryModule {
           size(col("bpe_tokens")).cast("long").as("n_sub"))
     }),
 
+    // Compression-ratio quality signal: DEFLATE bytes / original bytes
+    // via the codegen'd deflated_size expression — the model-free
+    // repetitiveness/noise filter of web-corpus pipelines, row-local at
+    // any scale. DuckDB exposes no zlib, so the driver records a
+    // rows-only check; ordering and tail behavior are spec-verified
+    // (known repetitive vs prose vs noise strings).
+    "comp_ratio" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextOps.compressionRatio(col("text")).as("comp_ratio"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+    }),
+
     // Curriculum binning: quality deciles via exact percentile cutoffs
     // (ONE bounded 9-double collect), then row-local bin assignment —
     // no ntile window, no global sort (see Sampling.binByCutoffs).

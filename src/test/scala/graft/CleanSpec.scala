@@ -53,6 +53,66 @@ class CleanSpec extends AnyFunSuite {
     assert(out == "h\u00e9llo world x")
   }
 
+  // --- DeflatedSize / compression ratio ----------------------------
+
+  test("DeflatedSize: codegen and interpreted agree; null passes through") {
+    val ss = Seq("abcabcabcabcabcabcabcabc", "the quick brown fox", "")
+    val viaExpr = ss.toDF("s")
+      .select(graft.functions.CompressExpressions.deflated_size(col("s")).as("n"))
+      .as[Int].collect().toSeq
+    val viaUtil = ss.map(s =>
+      graft.functions.CompressUtil.deflatedSize(s.getBytes("UTF-8")))
+    assert(viaExpr == viaUtil)
+    val e = graft.functions.DeflatedSize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString(ss.head),
+        org.apache.spark.sql.types.StringType))
+    assert(e.eval(null) == viaUtil.head)
+    assert(graft.functions.DeflatedSize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        null, org.apache.spark.sql.types.StringType)).eval(null) == null)
+  }
+
+  test("compressionRatio: repetitive < prose < noise; empty is NULL; big values survive") {
+    val repetitive = "buy now click here " * 200
+    val prose = ("the committee considered several proposals before " +
+      "reaching a decision on the matter of local governance ") * 20
+    // deterministic pseudo-noise (LCG over printable ASCII)
+    val noise = {
+      var x = 123456789L
+      val sb = new StringBuilder
+      (1 to 3800).foreach { _ =>
+        x = (x * 6364136223846793005L + 1442695040888963407L)
+        sb.append((33 + Math.floorMod(x >>> 33, 94L)).toChar)
+      }
+      sb.toString
+    }
+    val rows = Seq(("rep", repetitive), ("prose", prose), ("noise", noise), ("empty", ""))
+      .toDF("k", "s")
+      .select(col("k"), TextOps.compressionRatio(col("s")).as("r"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(rows("empty").isEmpty)
+    assert(rows("rep").get < rows("prose").get,
+      "boilerplate must compress below prose")
+    assert(rows("prose").get < rows("noise").get,
+      "noise must compress above prose")
+    assert(rows("rep").get < 0.1 && rows("noise").get > 0.8)
+    // a value larger than the 64 KB scratch buffer still sizes
+    // correctly (fresh noise — repeating a block would compress)
+    val big = {
+      var x = 987654321L
+      val sb = new StringBuilder
+      (1 to 150000).foreach { _ =>
+        x = (x * 6364136223846793005L + 1442695040888963407L)
+        sb.append((33 + Math.floorMod(x >>> 33, 94L)).toChar)
+      }
+      sb.toString
+    }
+    val n = graft.functions.CompressUtil.deflatedSize(big.getBytes("UTF-8"))
+    assert(n > big.length / 2 && n < big.length + 1024)
+  }
+
   // --- PII scrub ----------------------------------------------------
 
   test("Redact.scrubPii: finds and replaces emails, phones, IPv4") {
