@@ -51,6 +51,7 @@ object TrainingPipeline {
   def run(spark: SparkSession, dir: String,
           lang: String = "en", minTokens: Int = 10,
           minQuality: Option[Double] = None,
+          compRatioBounds: Option[(Double, Double)] = None,
           maxRepetition: Option[Double] = None,
           rates: Map[String, Double] = Map.empty,
           evalDocs: Option[DataFrame] = None,
@@ -71,10 +72,19 @@ object TrainingPipeline {
     val stops = TextOps.stopsFor.getOrElse(lang, TextOps.stopEn)
     val qualGate = minQuality
       .map(q => TextOps.quality(col("t"), stops) >= q).getOrElse(lit(true))
+    // optional compression-ratio gate: drop BOTH tails — ratio below lo
+    // is boilerplate/looping text, above hi is near-random noise. A
+    // row-local codegen'd expression, so it rides the same map-only
+    // filter as language/length/quality.
+    val compGate = compRatioBounds.map { case (lo, hi) =>
+      require(lo <= hi, s"compRatioBounds lo ($lo) must be <= hi ($hi)")
+      val r = TextOps.compressionRatio(col("text"))
+      r.isNotNull && r >= lo && r <= hi
+    }.getOrElse(lit(true))
     val gated = docs
       .withColumn("t", Dedup.tokens(col("text")))
       .filter(TextOps.langPred(col("t")) === lang &&
-        size(col("t")) >= minTokens && qualGate)
+        size(col("t")) >= minTokens && qualGate && compGate)
       .drop("t")
     // 1b. optional Gopher repetition gate: drop degenerate/looping text
     // before any dedup work. Not map-only: the gram window shuffles the

@@ -74,6 +74,21 @@ object EventQueries extends QueryModule {
           col("UniqValueCount_props_50").as("capped_props"))
     }),
 
+    // The beyond-cap lane of UniqValueCount: per-type distinct users
+    // via mergeable HLL sketches, built per (type, day) and UNIONED up
+    // — the incremental-rollup shape (per-day sketches compose to
+    // month/alltime without re-reading raw data). Estimates are
+    // implementation-specific (DataSketches HLL), so the driver records
+    // a rows-only check; merge-exactness and the error bound vs exact
+    // distinct are spec'd (see operators/Sketches).
+    "uniq_hll" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val perDay = Sketches.distinctSketch(
+        ev(s, dir).withColumn("day", to_date(col("ts"))),
+        col("user_id"), lgK = 12, "event_type", "day")
+      Sketches.mergeEstimate(perDay, "event_type")
+    }),
+
     // ValueHistogram report (mapreduce/lib/aggregate/ValueHistogram.java:38-120):
     // per key, stats over the per-value frequency table. Two-level hash
     // aggregation — both levels get map-side combine; doubles derived

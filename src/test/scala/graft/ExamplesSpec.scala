@@ -168,6 +168,17 @@ class ExamplesSpec extends AnyFunSuite {
       lang = "en", minTokens = 5, maxRepetition = Some(1.0))
     assert(rRepOff.afterFilter == r3.afterFilter,
       s"unreachable repetition threshold should be a no-op: ${rRepOff.afterFilter}")
+    // the compression-ratio gate tightens monotonically: permissive
+    // bounds are a no-op (word-salad prose sits well inside (0, 1)),
+    // an empty band keeps nothing
+    val (_, rComp) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      lang = "en", minTokens = 5, compRatioBounds = Some((0.0, 1.5)))
+    assert(rComp.afterFilter == r3.afterFilter,
+      s"permissive comp-ratio bounds should be a no-op: ${rComp.afterFilter}")
+    val (_, rCompNone) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      lang = "en", minTokens = 5, compRatioBounds = Some((0.0, 0.0)))
+    assert(rCompNone.afterFilter == 0,
+      s"empty comp-ratio band kept rows: ${rCompNone.afterFilter}")
     // normalization + PII scrub: the fixture is ascii/lower/PII-free, so
     // both stages are no-ops on the accounting — proving they don't
     // perturb the pipeline — and determinism still holds

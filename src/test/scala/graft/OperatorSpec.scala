@@ -130,6 +130,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.getLong(2) == 30L)
   }
 
+  test("Sketches: HLL rollup is deterministic and within the lgK error bound") {
+    import graft.operators.Sketches
+    // 5000 values across 4 groups, sharded 8 ways. Union is NOT
+    // register-identical to a single pass (DataSketches sparse-mode
+    // promotion differs under merge), so both lanes are held to the
+    // same error bound and to agreement with each other within it.
+    val df = spark.range(5000).select(
+      (col("id") % 4).as("g"), (col("id") % 8).as("shard"),
+      (col("id") % 1234).as("v"))
+    val oneLevel = Sketches.distinctEstimate(df, col("v"), lgK = 12, "g")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def rollup() = Sketches.mergeEstimate(
+      Sketches.distinctSketch(df, col("v"), lgK = 12, "g", "shard"), "g")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twoLevel = rollup()
+    assert(twoLevel == rollup(), "sketch rollup must be deterministic")
+    // error bound: ~1.04/sqrt(2^12) ≈ 1.6%; allow 5% slack
+    val exact = df.groupBy("g").agg(countDistinct(col("v")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(twoLevel(g) - n).toDouble / n < 0.05,
+        s"rollup group $g: est ${twoLevel(g)} vs exact $n")
+      assert(math.abs(oneLevel(g) - n).toDouble / n < 0.05,
+        s"one-pass group $g: est ${oneLevel(g)} vs exact $n")
+      assert(math.abs(oneLevel(g) - twoLevel(g)).toDouble / n < 0.05,
+        s"lanes disagree for $g: ${oneLevel(g)} vs ${twoLevel(g)}")
+    }
+  }
+
   test("Dedup.jaccardPairs stop-shingle cap bounds candidates on skewed data") {
     // 200 docs all sharing one hot phrase (a boilerplate header) + one
     // planted near-dup pair with distinctive content
