@@ -16,6 +16,53 @@ class SourcesSpec extends AnyFunSuite {
 
   private def tmp(): String = Files.createTempDirectory("graft-src").toString
 
+  test("Archive: pack/list/get/extract roundtrip with stats-pruned lookup") {
+    import graft.jobs.Archive
+    // 200 small files across two subdirs, deterministic contents
+    val src = tmp() + "/files"
+    (0 until 200).foreach { i =>
+      val sub = if (i % 2 == 0) "even" else "odd"
+      val p = java.nio.file.Paths.get(src, sub, f"f$i%03d.txt")
+      Files.createDirectories(p.getParent)
+      Files.write(p, s"content-$i ${"x" * (i % 37)}".getBytes("UTF-8"))
+    }
+    val arch = tmp() + "/arch"
+    Archive.create(spark, src, arch, numParts = 4)
+    // 4 parquet parts, nothing else
+    val parts = new java.io.File(arch).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSeq
+    assert(parts.size == 4, s"expected 4 parts, got $parts")
+    // toc: every file listed with its true size and one owning part
+    val toc = Archive.toc(spark, arch).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(toc.size == 200)
+    assert(toc("even/f042.txt")._1 ==
+      s"content-42 ${"x" * (42 % 37)}".getBytes("UTF-8").length)
+    assert(parts.contains(toc("odd/f043.txt")._2))
+    // get: exact bytes back; missing path -> None
+    assert(Archive.get(spark, arch, "odd/f137.txt")
+      .map(new String(_, "UTF-8")) == Some(s"content-137 ${"x" * (137 % 37)}"))
+    assert(Archive.get(spark, arch, "nope.txt").isEmpty)
+    // the lookup predicate reaches the parquet scan (the sorted path
+    // stats then prune parts/row groups — har's _index analog)
+    val plan = spark.read.parquet(arch).filter(col("path") === "odd/f137.txt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(path), EqualTo(path,odd/f137.txt)]"),
+      s"path lookup not pushed down:\n$plan")
+    // extract: glob-limited copy-out matches the originals byte-for-byte
+    val dest = tmp() + "/out"
+    assert(Archive.extract(spark, arch, dest, Some("even/*")) == 100L)
+    // ignore the local-FS .crc sidecars Hadoop's checksumming writes
+    val backFiles = new java.io.File(dest + "/even").listFiles()
+      .filter(!_.getName.startsWith("."))
+    assert(backFiles.length == 100)
+    backFiles.foreach { f =>
+      val orig = java.nio.file.Paths.get(src, "even", f.getName)
+      assert(java.util.Arrays.equals(Files.readAllBytes(f.toPath),
+        Files.readAllBytes(orig)), s"extract mismatch for ${f.getName}")
+    }
+  }
+
   test("SequenceFile roundtrip (long, string) with schema inference") {
     val dir = tmp() + "/ls"
     val df = spark.range(100).select(col("id").as("key"),
