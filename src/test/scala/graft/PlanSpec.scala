@@ -234,6 +234,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("comp_ratio is map-only: zero shuffles, deflated_size inside codegen") {
+    val df = SparkEntry.queries("comp_ratio")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), s"comp_ratio should not shuffle:\n$p")
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"),
+      s"comp_ratio fell out of codegen:\n$p")
+  }
+
+  test("uniq_hll aggregates sketches in two phases at both rollup levels") {
+    val df = SparkEntry.queries("uniq_hll")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // per-(type, day) sketch build and the per-type union each get
+    // map-side partials: 4 ObjectHashAggregate operators, 2 exchanges
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 4,
+      s"sketch aggregation not two-phase:\n$p")
+    assert("Exchange".r.findAllIn(
+      p.split("== Initial Plan ==")(0)).size <= 2,
+      s"more exchanges than the two rollup levels:\n$p")
+  }
+
   test("lm_score broadcasts the bigram table to the bigram stream") {
     val df = SparkEntry.queries("lm_score")(spark, dir)
     df.collect()
