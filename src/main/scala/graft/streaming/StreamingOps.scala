@@ -36,6 +36,59 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming document cleaning — the ingestion-time form of
+    * TrainingPipeline's stage-1/4 gates over an unbounded corpus feed
+    * (a crawler delivering documents continuously). Every gate here is
+    * a row-local projection or filter, so the whole chain is
+    * stream-transparent: normalize/scrub rewrite text in place;
+    * language, length, quality and compression-ratio gates filter;
+    * the contamination gate scores n-gram overlap against a BROADCAST
+    * eval-hash set ([[graft.operators.Dedup.contamRatio]] — the
+    * row-local lane built for exactly this, vs the batch join lane);
+    * finally exact dedup drops re-crawled text by content digest within
+    * the `dedupWatermark` horizon over `tsCol` (bounded state — a
+    * global dropDuplicates would grow forever on an unbounded feed).
+    * Batch parity is spec'd: the stream run to completion must emit
+    * exactly the rows the same gates keep in batch.
+    */
+  def cleanDocStream(docs: DataFrame, textCol: String,
+                     lang: String, minTokens: Int,
+                     minQuality: Option[Double] = None,
+                     compRatioBounds: Option[(Double, Double)] = None,
+                     evalH1: Seq[Long] = Nil, k: Int = 3,
+                     contamThreshold: Double = 0.8,
+                     normalize: Boolean = false, scrubPii: Boolean = false,
+                     dedupWatermark: Option[(String, String)] = None): DataFrame = {
+    import graft.operators.{Dedup, Redact, TextOps}
+    val canon = {
+      val n = if (normalize)
+        docs.withColumn(textCol, TextOps.normalizeText(col(textCol))) else docs
+      if (scrubPii) n.withColumn(textCol, Redact.scrubPii(col(textCol))) else n
+    }
+    val stops = TextOps.stopsFor.getOrElse(lang, TextOps.stopEn)
+    val qualGate = minQuality
+      .map(q => TextOps.quality(col("t"), stops) >= q).getOrElse(lit(true))
+    val compGate = compRatioBounds.map { case (lo, hi) =>
+      val r = TextOps.compressionRatio(col(textCol))
+      r.isNotNull && r >= lo && r <= hi
+    }.getOrElse(lit(true))
+    val contamGate =
+      if (evalH1.isEmpty) lit(true)
+      else Dedup.contamRatio(col(textCol), k, evalH1) < contamThreshold
+    val gated = canon
+      .withColumn("t", Dedup.tokens(col(textCol)))
+      .filter(TextOps.langPred(col("t")) === lang &&
+        size(col("t")) >= minTokens && qualGate && compGate && contamGate)
+      .drop("t")
+      .withColumn("digest", md5(col(textCol)))  // Dedup.exact's digest
+    dedupWatermark match {
+      case Some((tsCol, delay)) =>
+        gated.withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark("digest")
+      case None => gated.dropDuplicates("digest")
+    }
+  }
+
   /** Watermarked stream-stream self-join: for every `firstType` event,
     * the same user's `thenType` events within `within` (funnel
     * correlation, e.g. view -> purchase). Both join states are bounded
