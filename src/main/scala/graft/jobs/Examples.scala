@@ -72,4 +72,41 @@ object Examples {
         1L
       }.sum().toLong
   }
+
+  /** DistCh analog (hadoop-extras/.../DistCh.java): parallel metadata
+    * change — the reference builds an operation listing then maps
+    * chmod/chown over it as an MR job. Same shape: enumerate paths on
+    * the driver (metadata-only; the listing is small even when the data
+    * is not), apply each change in a task. `perm` is octal ("0640");
+    * `owner`/`group` apply only where the FS/process allows ownership
+    * changes (as in the reference — a plain user's chown fails there
+    * too). Returns the number of paths changed.
+    */
+  def distCh(spark: SparkSession, dir: String, perm: Option[String],
+             owner: Option[String] = None, group: Option[String] = None,
+             recursive: Boolean = true): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.fs.permission.FsPermission
+    require(perm.nonEmpty || owner.nonEmpty || group.nonEmpty,
+      "distCh needs at least one of perm/owner/group")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf.value)
+    val paths = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(root, recursive)
+    while (it.hasNext) paths += it.next().getPath.toString
+    val permShort = perm.map(p => java.lang.Short.parseShort(p, 8))
+    spark.sparkContext
+      .parallelize(paths.toIndexedSeq,
+        math.max(1, math.min(paths.length, 64)))
+      .map { p =>
+        val path = new Path(p)
+        val pfs = path.getFileSystem(conf.value)
+        permShort.foreach(s => pfs.setPermission(path, new FsPermission(s)))
+        if (owner.nonEmpty || group.nonEmpty)
+          pfs.setOwner(path, owner.orNull, group.orNull)
+        1L
+      }.sum().toLong
+  }
 }

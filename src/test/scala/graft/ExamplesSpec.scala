@@ -78,6 +78,28 @@ class ExamplesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("distCh applies permissions to every file in parallel") {
+    val base = Files.createTempDirectory("graft-distch").toString
+    (0 until 20).foreach { i =>
+      val p = java.nio.file.Paths.get(base, s"sub${i % 3}", s"f$i.txt")
+      Files.createDirectories(p.getParent)
+      Files.write(p, s"d$i".getBytes)
+    }
+    val changed = Examples.distCh(spark, base, perm = Some("0600"))
+    assert(changed == 20)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(base), true)
+    while (it.hasNext) {
+      val st = it.next()
+      assert(st.getPermission.toShort == java.lang.Short.parseShort("0600", 8),
+        s"${st.getPath} has ${st.getPermission}")
+    }
+    intercept[IllegalArgumentException] {
+      Examples.distCh(spark, base, perm = None)
+    }
+  }
+
   test("MRBench analog: repeated identity sort jobs report per-run latency") {
     import graft.jobs.LoadGen
     import spark.implicits._
