@@ -40,6 +40,11 @@ object Tables {
           "nfc_normalize",
           exprs => graft.functions.NfcNormalize(exprs.head),
           "scala_udf"))
+      scala.util.Try(
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "deflated_size",
+          exprs => graft.functions.DeflatedSize(exprs.head),
+          "scala_udf"))
     }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {

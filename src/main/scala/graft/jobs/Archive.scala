@@ -39,7 +39,10 @@ object Archive {
       .option("recursiveFileLookup", "true")
       .load(inputDir)
       .select(
-        regexp_replace(col("path"), lit(root + "/"), lit("")).as("path"),
+        // prefix strip by length, NOT regexp_replace: the root is an
+        // arbitrary path, and regex metacharacters in a directory name
+        // ("+", "(", ".") would corrupt or crash the pattern
+        substring(col("path"), root.length + 2, Int.MaxValue).as("path"),
         col("length"),
         col("content"))
       .repartitionByRange(numParts, col("path"))

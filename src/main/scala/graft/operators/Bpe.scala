@@ -135,12 +135,16 @@ object Bpe {
   def tokenize(df: DataFrame, text: String, merges: Seq[Merge]): DataFrame = {
     val ranks = merges.zipWithIndex.toMap
     val b = df.sparkSession.sparkContext.broadcast(ranks)
-    // memo capped at 2^20 distinct words per JVM: Zipf means the cap
-    // covers essentially all occurrences, and an adversarial
-    // all-unique-words corpus can't grow executor memory unboundedly
+    // memo capped at 2^20 distinct words PER TASK (the closure-captured
+    // map deserializes fresh with each task): Zipf means even a
+    // task-scoped memo covers essentially all occurrences within its
+    // partition, and an adversarial all-unique-words corpus can't grow
+    // executor memory unboundedly. NULL text encodes to an empty token
+    // list (the null-safe contract of the Column-function operators).
     val memo = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
     val enc = udf { s: String =>
-      graft.operators.Dedup.tokensLocal(s).flatMap { w =>
+      val toks = if (s == null) Nil else graft.operators.Dedup.tokensLocal(s)
+      toks.flatMap { w =>
         val hit = memo.get(w)
         if (hit != null) hit
         else {

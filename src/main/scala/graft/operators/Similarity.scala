@@ -400,10 +400,17 @@ object Similarity {
     */
   private def capCells(assigned: DataFrame, maxBucket: Int): DataFrame =
     if (maxBucket <= 0) assigned
-    else assigned.join(
-      assigned.groupBy("t", "cell").agg(count(lit(1)).as("n"))
-        .filter(col("n") <= maxBucket).select("t", "cell"),
-      Seq("t", "cell"), "left_semi")
+    else {
+      // pin the assignment table: the cap's bucket-count aggregation
+      // AND both sides of the downstream self-join consume it — without
+      // the persist the base scan + codebook aggregation + cell-scoring
+      // projection would run three times instead of once
+      val a = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      a.join(
+        a.groupBy("t", "cell").agg(count(lit(1)).as("n"))
+          .filter(col("n") <= maxBucket).select("t", "cell"),
+        Seq("t", "cell"), "left_semi")
+    }
 
   /** The deterministic multi-table LSH assignment shared by
     * [[cosinePairsLsh]] and [[knnJoinLsh]]: every row fans out to its

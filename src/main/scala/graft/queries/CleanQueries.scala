@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Redact, Sampling, TextOps}
+import graft.operators.{Dedup, Redact, Sampling, TextOps}
 
 /** Text-cleaning / curation queries over `documents`: PII scrubbing,
   * canonical normalization, bigram-LM fluency scoring, and quantile
@@ -23,7 +23,10 @@ object CleanQueries extends QueryModule {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  private def toks(c: Column): Column = filter(split(c, "\\s+"), w => w =!= "")
+  // the canonical tokenizer — NOT a local re-implementation, so the
+  // n_words/quality columns can never drift from the operators they
+  // mirror if the tokenization ever changes
+  private def toks(c: Column): Column = Dedup.tokens(c)
 
   /** Deterministic PII injection: docs get an email (id%3=0), a phone
     * (id%5=0), and/or an IPv4 (id%7=0) appended — value derived from

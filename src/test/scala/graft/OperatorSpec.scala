@@ -23,9 +23,11 @@ class OperatorSpec extends AnyFunSuite {
     // the intentional no-oracle rows — terasort self-validates, IVF is
     // approximate by definition, the Bloom gate's false-positive set is
     // sketch-dependent (properties spec'd instead), BPE's merge loop
-    // has no SQL replay (trainer parity is spec'd) — and ONLY those
+    // has no SQL replay (trainer parity is spec'd), DuckDB exposes no
+    // zlib for comp_ratio, HLL estimates are implementation-specific
+    // (merge/error properties spec'd) — and ONLY those
     assert(q.diff(o) == Set("terasort", "ann_ivf_topk", "decontaminate_bloom",
-      "bpe_tokenize"),
+      "bpe_tokenize", "comp_ratio", "uniq_hll"),
       s"rows-only query set drifted: ${q.diff(o)}")
     // no duplicate keys across modules (flatMap(...).toMap is
     // last-wins: a name collision would silently shadow a query)
