@@ -66,7 +66,7 @@ object Pentomino {
     * ties), so the search tree — and therefore prefix splitting — is
     * deterministic.
     */
-  private final class Dlx(nCols: Int, matrix: IndexedSeq[Seq[Int]]) {
+  private[jobs] final class Dlx(nCols: Int, matrix: IndexedSeq[Seq[Int]]) {
     final class Node {
       var l: Node = this; var r: Node = this
       var u: Node = this; var d: Node = this
@@ -135,6 +135,29 @@ object Pentomino {
       cover(n.col)
       var j = n.r
       while (j ne n) { cover(j.col); j = j.r }
+    }
+
+    /** First exact cover below the current state (row ids in choice
+      * order), or None — the Sudoku lane (one solution wanted) vs
+      * [[countAll]] (full enumeration wanted).
+      */
+    def solveOne(): Option[List[Int]] = {
+      if (root.r eq root) return Some(Nil)
+      val h = chooseCol()
+      if (h.size == 0) return None
+      var res: Option[List[Int]] = None
+      cover(h)
+      var n = h.d
+      while ((n ne h) && res.isEmpty) {
+        var j = n.r
+        while (j ne n) { cover(j.col); j = j.r }
+        res = solveOne().map(n.rowId :: _)
+        j = n.l
+        while (j ne n) { uncover(j.col); j = j.l }
+        if (res.isEmpty) n = n.d
+      }
+      uncover(h)
+      res
     }
 
     /** Count all exact covers below the current (possibly prefixed) state. */

@@ -78,6 +78,35 @@ class ExamplesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("Sudoku: solves a known puzzle, rejects contradictions, batches map-only") {
+    import graft.jobs.Sudoku
+    import spark.implicits._
+    def board(rows: Seq[String]): String =
+      rows.map(_.map(c => if (c == '0') "?" else c.toString).mkString(" "))
+        .mkString("\n")
+    val puzzle = board(Seq(
+      "003020600", "900305001", "001806400",
+      "008102900", "700000008", "006708200",
+      "002609500", "800203009", "005010300"))
+    val expected = Seq(
+      "483921657", "967345821", "251876493",
+      "548132976", "729564138", "136798245",
+      "372689514", "814253769", "695417382")
+      .map(_.mkString(" ")).mkString("\n")
+    assert(Sudoku.solve(puzzle) == Some(expected))
+    // a preset contradiction (two 5s in the first row) has no cover
+    val bad = board(Seq(
+      "553020600", "900305001", "001806400",
+      "008102900", "700000008", "006708200",
+      "002609500", "800203009", "005010300"))
+    assert(Sudoku.solve(bad).isEmpty)
+    // batch lane: one task per puzzle, unsolvable rows go NULL
+    val out = Sudoku.solveAll(
+      Seq((1L, puzzle), (2L, bad)).toDF("id", "p"), "id", "p")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) == Some(expected) && out(2L).isEmpty)
+  }
+
   test("distCh applies permissions to every file in parallel") {
     val base = Files.createTempDirectory("graft-distch").toString
     (0 until 20).foreach { i =>
