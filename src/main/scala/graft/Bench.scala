@@ -136,15 +136,16 @@ object Bench {
     // dominate the round but large enough to exceed fixed overhead
     val benchDir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-bench-${ProcessHandle.current().pid()}"
     // a harness failure reports -1, never swallows the whole JSON line
-    val (mrAvg, wMbps, rMbps) =
+    val (mrAvg, wMbps, rMbps, nnOps) =
       try {
         val mrRuns = jobs.LoadGen.mrbench(spark, s"$benchDir/mrbench", inputLines = 1000, runs = 4)
         val dfsioMb = sys.env.getOrElse("SPARK_GRAFT_DFSIO_MB", "256").toInt
         val dfsioFiles = 8
         val (_, w) = jobs.LoadGen.dfsioWrite(spark, s"$benchDir/dfsio", dfsioFiles, dfsioMb / dfsioFiles)
         val (_, r) = jobs.LoadGen.dfsioRead(spark, s"$benchDir/dfsio")
-        (mrRuns.sum / mrRuns.length, w, r)
-      } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+        val nn = jobs.LoadGen.nnbench(spark, s"$benchDir/nnbench", files = 2000)
+        (mrRuns.sum / mrRuns.length, w, r, nn.getOrElse("create_write", -1.0))
+      } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0) }
       finally {
         try sources.TeraIO.delete(spark, benchDir)
         catch { case _: Throwable => () }
@@ -166,7 +167,7 @@ object Bench {
       s""","dedup_scale":{"t1x":${fmt(t1, 3)},"t3x":${fmt(t3, 3)},"exponent":${fmt(e, 3)}}"""
     }.getOrElse("")
     val harnessJson =
-      s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)}}"""
+      s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)},"nnbench_create_ops_sec":${fmt(nnOps, 1)}}"""
     val head =
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters,"failed":$failedJson"""
     // stdout gets the COMPACT line: the driver's tail capture truncated

@@ -78,6 +78,40 @@ object LoadGen {
     (sec, bytes / 1e6 / sec)
   }
 
+  /** NNBench analog (src/test/.../hdfs/NNBench.java: create_write /
+    * open_read / delete operation phases): metadata-op throughput —
+    * each task creates, then reads, then deletes its share of `files`
+    * tiny files through the Hadoop FS API, timed per phase from the
+    * driver. The namenode/metadata-path probe (ops/sec, not MB/s):
+    * a pipeline landing millions of small objects is gated here long
+    * before raw storage bandwidth matters. Returns ops/sec per phase.
+    */
+  def nnbench(spark: SparkSession, workDir: String, files: Int,
+              partitions: Int = 8): Map[String, Double] = {
+    import org.apache.hadoop.fs.Path
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val ids = spark.sparkContext.range(0, files, 1, partitions)
+    def phase(f: (org.apache.hadoop.fs.FileSystem, Path) => Unit): Double = {
+      val t0 = System.nanoTime()
+      ids.foreachPartition { it =>
+        val fs = new Path(workDir).getFileSystem(conf.value)
+        it.foreach(i => f(fs, new Path(workDir, s"nn_$i")))
+      }
+      files / ((System.nanoTime() - t0) / 1e9)
+    }
+    val create = phase { (fs, p) =>
+      val out = fs.create(p, true)
+      try out.write(1) finally out.close()
+    }
+    val read = phase { (fs, p) =>
+      val in = fs.open(p)
+      try { in.read(); () } finally in.close()
+    }
+    val delete = phase((fs, p) => fs.delete(p, false))
+    Map("create_write" -> create, "open_read" -> read, "delete" -> delete)
+  }
+
   /** `mapTasks` map partitions sleeping `mapMs` each, then (optionally)
     * a shuffle into `redTasks` reduce partitions sleeping `redMs`.
     * Returns total records passed through (== mapTasks).

@@ -129,6 +129,18 @@ class ExamplesSpec extends AnyFunSuite {
     }
   }
 
+  test("NNBench analog: create/read/delete phases report ops/sec and clean up") {
+    import graft.jobs.LoadGen
+    val dir = Files.createTempDirectory("graft-nnbench").toString + "/work"
+    val ops = LoadGen.nnbench(spark, dir, files = 100, partitions = 4)
+    assert(ops.keySet == Set("create_write", "open_read", "delete"))
+    assert(ops.values.forall(_ > 0), s"non-positive ops/sec: $ops")
+    // the delete phase removed every benchmark file
+    val left = new java.io.File(dir).listFiles()
+    assert(left == null || left.forall(!_.getName.startsWith("nn_")),
+      s"benchmark files left behind: ${left.toSeq}")
+  }
+
   test("MRBench analog: repeated identity sort jobs report per-run latency") {
     import graft.jobs.LoadGen
     import spark.implicits._
