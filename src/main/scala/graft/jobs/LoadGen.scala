@@ -137,4 +137,29 @@ object LoadGen {
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))
       .filter(pmod(xxhash64(col(keyCol), lit("red")), lit(100)) < keepRedPct)
+
+  /** One job of a synthetic load trace: `rows` of generated input run
+    * through the [[loadGen]] selectivity shape.
+    */
+  case class TraceJob(name: String, rows: Long, mapPct: Int, redPct: Int)
+
+  /** GridMix-lite (HT/hadoop-gridmix/): replay a synthetic job mix in
+    * submission order, one [[loadGen]]-shaped job per trace entry over
+    * deterministic generated input, reporting (name, seconds, output
+    * rows). The reference's SERIAL submission policy — each job starts
+    * when its predecessor completes (its STRESS/REPLAY policies need a
+    * multi-tenant scheduler; on one Spark app serial is the meaningful
+    * mode). Rumen's job-history parsing and the sls scheduler simulator
+    * stay out of scope — this replays the load shape, which is the part
+    * that exercises the engine.
+    */
+  def replayTrace(spark: SparkSession,
+                  trace: Seq[TraceJob]): Seq[(String, Double, Long)] =
+    trace.map { j =>
+      val in = spark.range(j.rows)
+        .select((col("id") % math.max(1L, j.rows / 4)).as("k"))
+      val t0 = System.nanoTime()
+      val out = loadGen(in, "k", j.mapPct, j.redPct).count()
+      (j.name, (System.nanoTime() - t0) / 1e9, out)
+    }
 }

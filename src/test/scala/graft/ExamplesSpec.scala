@@ -129,6 +129,25 @@ class ExamplesSpec extends AnyFunSuite {
     }
   }
 
+  test("GridMix-lite replays a trace serially with deterministic output sizes") {
+    import graft.jobs.LoadGen
+    import graft.jobs.LoadGen.TraceJob
+    val trace = Seq(
+      TraceJob("small_wide", 1000, 100, 100),
+      TraceJob("filter_heavy", 2000, 25, 50),
+      TraceJob("empty", 500, 0, 100))
+    val runs = LoadGen.replayTrace(spark, trace)
+    assert(runs.map(_._1) == trace.map(_.name), "jobs must replay in order")
+    assert(runs.forall(_._2 > 0))
+    val rows = runs.map(r => r._1 -> r._3).toMap
+    assert(rows("small_wide") == 250,
+      s"full selectivity must keep every distinct key: $rows")
+    assert(rows("empty") == 0)
+    assert(rows("filter_heavy") > 0 && rows("filter_heavy") < 500)
+    // deterministic: same trace, same outputs
+    assert(LoadGen.replayTrace(spark, trace).map(_._3) == runs.map(_._3))
+  }
+
   test("NNBench analog: create/read/delete phases report ops/sec and clean up") {
     import graft.jobs.LoadGen
     val dir = Files.createTempDirectory("graft-nnbench").toString + "/work"
