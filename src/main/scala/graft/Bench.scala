@@ -136,16 +136,21 @@ object Bench {
     // dominate the round but large enough to exceed fixed overhead
     val benchDir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-bench-${ProcessHandle.current().pid()}"
     // a harness failure reports -1, never swallows the whole JSON line
-    val (mrAvg, wMbps, rMbps, nnOps) =
+    val (mrAvg, wMbps, rMbps) =
       try {
         val mrRuns = jobs.LoadGen.mrbench(spark, s"$benchDir/mrbench", inputLines = 1000, runs = 4)
         val dfsioMb = sys.env.getOrElse("SPARK_GRAFT_DFSIO_MB", "256").toInt
         val dfsioFiles = 8
         val (_, w) = jobs.LoadGen.dfsioWrite(spark, s"$benchDir/dfsio", dfsioFiles, dfsioMb / dfsioFiles)
         val (_, r) = jobs.LoadGen.dfsioRead(spark, s"$benchDir/dfsio")
-        val nn = jobs.LoadGen.nnbench(spark, s"$benchDir/nnbench", files = 2000)
-        (mrRuns.sum / mrRuns.length, w, r, nn.getOrElse("create_write", -1.0))
-      } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0) }
+        (mrRuns.sum / mrRuns.length, w, r)
+      } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+    // each harness fails alone: an nnbench error must not discard the
+    // three measurements above
+    val nnOps =
+      try jobs.LoadGen.nnbench(spark, s"$benchDir/nnbench", files = 2000)
+        .getOrElse("create_write", -1.0)
+      catch { case _: Throwable => -1.0 }
       finally {
         try sources.TeraIO.delete(spark, benchDir)
         catch { case _: Throwable => () }

@@ -23,12 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object Sudoku {
 
-  /** Parse the reference board format to a row-major grid, -1 = open. */
+  /** Parse the reference board format to a row-major grid, -1 = open.
+    * Presets outside 1..n are rejected here — an out-of-range digit
+    * would otherwise alias into a DIFFERENT constraint column block
+    * (the encoding is positional) and corrupt the model silently.
+    */
   def parse(puzzle: String): Array[Array[Int]] = {
     val grid = puzzle.split("\n").map(_.trim).filter(_.nonEmpty)
       .map(_.split("\\s+").map(t => if (t == "?") -1 else t.toInt))
     require(grid.nonEmpty && grid.forall(_.length == grid.length),
       "board must be square (n lines of n tokens)")
+    require(grid.forall(_.forall(v => v == -1 || (v >= 1 && v <= grid.length))),
+      s"preset values must be ? or 1..${grid.length}")
     grid
   }
 
@@ -65,11 +71,16 @@ object Sudoku {
   }
 
   /** Batch lane: solve every puzzle in `(id, puzzle)` rows, one task
-    * per puzzle, NULL solution for unsolvable boards. Pure map — no
-    * shuffle, scales to any batch size.
+    * per puzzle, NULL solution for unsolvable, malformed, or NULL
+    * boards (one bad row among millions must not abort the batch —
+    * the SkipBadRecords contract). Pure map — no shuffle, scales to
+    * any batch size.
     */
   def solveAll(puzzles: DataFrame, idCol: String, puzzleCol: String): DataFrame = {
-    val solver = udf { p: String => solve(p).orNull }
+    val solver = udf { p: String =>
+      if (p == null) null
+      else scala.util.Try(solve(p)).toOption.flatten.orNull
+    }
     puzzles.select(col(idCol), solver(col(puzzleCol)).as("solution"))
   }
 }

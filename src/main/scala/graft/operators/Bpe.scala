@@ -139,12 +139,13 @@ object Bpe {
     // map deserializes fresh with each task): Zipf means even a
     // task-scoped memo covers essentially all occurrences within its
     // partition, and an adversarial all-unique-words corpus can't grow
-    // executor memory unboundedly. NULL text encodes to an empty token
-    // list (the null-safe contract of the Column-function operators).
+    // executor memory unboundedly. NULL text yields NULL tokens —
+    // the same propagation as Dedup.tokens and the other Column
+    // operators, so size()/IS NULL consumers see symmetric semantics.
     val memo = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
     val enc = udf { s: String =>
-      val toks = if (s == null) Nil else graft.operators.Dedup.tokensLocal(s)
-      toks.flatMap { w =>
+      if (s == null) null
+      else graft.operators.Dedup.tokensLocal(s).flatMap { w =>
         val hit = memo.get(w)
         if (hit != null) hit
         else {

@@ -368,24 +368,25 @@ object Similarity {
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, nCells: Int, rep: Int = 2,
                      tables: Int = 6, maxBucket: Int = 0): DataFrame = {
-    val assigned = capCells(
-      lshAssignments(df, idCol, vecCol, nCells, rep, tables), maxBucket)
-    val a = assigned.select(col("t"), col("cell"),
-      col("id").as("vec_a"), col("v").as("va"))
-    val b = assigned.select(col("t"), col("cell"),
-      col("id").as("vec_b"), col("v").as("vb"))
-    // score IN PLACE on the candidate join (a pair met in several
-    // (t, cell) buckets recomputes an identical codegen'd cosine — a
-    // few map-local flops), then dedupe only the thresholded 16-byte id
-    // pairs. The former pre-scoring distinct shuffled BOTH vectors per
-    // candidate row — the one non-narrow shuffle in the plan, and the
-    // part that could not survive a 100x scale-up.
-    a.join(b, Seq("t", "cell"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
-      .filter(col("sim") >= threshold)
-      .select("vec_a", "vec_b")
-      .distinct()
+    boundedCandidates(
+      lshAssignments(df, idCol, vecCol, nCells, rep, tables), maxBucket) { assigned =>
+      val a = assigned.select(col("t"), col("cell"),
+        col("id").as("vec_a"), col("v").as("va"))
+      val b = assigned.select(col("t"), col("cell"),
+        col("id").as("vec_b"), col("v").as("vb"))
+      // score IN PLACE on the candidate join (a pair met in several
+      // (t, cell) buckets recomputes an identical codegen'd cosine — a
+      // few map-local flops), then dedupe only the thresholded 16-byte id
+      // pairs. The former pre-scoring distinct shuffled BOTH vectors per
+      // candidate row — the one non-narrow shuffle in the plan, and the
+      // part that could not survive a 100x scale-up.
+      a.join(b, Seq("t", "cell"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("sim", cosine(col("va"), col("vb")))
+        .filter(col("sim") >= threshold)
+        .select("vec_a", "vec_b")
+        .distinct()
+    }
   }
 
   /** Drop (t, cell) buckets larger than `maxBucket` BEFORE a cell
@@ -404,13 +405,35 @@ object Similarity {
       // pin the assignment table: the cap's bucket-count aggregation
       // AND both sides of the downstream self-join consume it — without
       // the persist the base scan + codebook aggregation + cell-scoring
-      // projection would run three times instead of once
+      // projection would run three times instead of once. The pin's
+      // LIFETIME is bounded by the caller ([[boundedCandidates]]):
+      // capped consumers materialize their result eagerly and
+      // unpersist before returning, so repeated calls in a long
+      // session can't accumulate cache entries.
       val a = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       a.join(
         a.groupBy("t", "cell").agg(count(lit(1)).as("n"))
           .filter(col("n") <= maxBucket).select("t", "cell"),
         Seq("t", "cell"), "left_semi")
     }
+
+  /** Run `consume` over the (possibly capped) assignment table; when
+    * the cap pinned the assignments, materialize the (small) result
+    * eagerly via localCheckpoint and release the pin — the dedup
+    * family's `materialize` discipline, here mandatory because the
+    * operator owns the persist.
+    */
+  private def boundedCandidates(assigned: DataFrame, maxBucket: Int)
+                               (consume: DataFrame => DataFrame): DataFrame = {
+    val capped = capCells(assigned, maxBucket)
+    val out = consume(capped)
+    if (maxBucket <= 0) out
+    else {
+      val materialized = out.localCheckpoint()
+      assigned.unpersist(false)
+      materialized
+    }
+  }
 
   /** The deterministic multi-table LSH assignment shared by
     * [[cosinePairsLsh]] and [[knnJoinLsh]]: every row fans out to its
@@ -459,19 +482,20 @@ object Similarity {
     val cells =
       if (nCells > 0) nCells
       else math.max(32, (df.count() / 64).toInt)
-    val assigned = capCells(
-      lshAssignments(df, idCol, vecCol, cells, rep, tables), maxBucket)
-    val a = assigned.select(col("t"), col("cell"),
-      col("id").as("q_id"), col("v").as("qv"))
-    val b = assigned.select(col("t"), col("cell"),
-      col("id").as("n_id"), col("v").as("nv"))
-    // no candidate distinct: a (q, n) pair met in several buckets scores
-    // the identical cosine each time, and TopKByScore keeps one entry
-    // per n_id (best score) — so duplicates cost a few map-local flops
-    // instead of a full-width shuffle of both vectors per candidate row
-    val scored = a.join(b, Seq("t", "cell"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("qv"), col("nv")))
-    topKRank(scored, k)
+    boundedCandidates(
+      lshAssignments(df, idCol, vecCol, cells, rep, tables), maxBucket) { assigned =>
+      val a = assigned.select(col("t"), col("cell"),
+        col("id").as("q_id"), col("v").as("qv"))
+      val b = assigned.select(col("t"), col("cell"),
+        col("id").as("n_id"), col("v").as("nv"))
+      // no candidate distinct: a (q, n) pair met in several buckets scores
+      // the identical cosine each time, and TopKByScore keeps one entry
+      // per n_id (best score) — so duplicates cost a few map-local flops
+      // instead of a full-width shuffle of both vectors per candidate row
+      val scored = a.join(b, Seq("t", "cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim", cosine(col("qv"), col("nv")))
+      topKRank(scored, k)
+    }
   }
 }

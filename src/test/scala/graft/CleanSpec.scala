@@ -260,6 +260,9 @@ class CleanSpec extends AnyFunSuite {
   }
 
   test("LSH cell cap bounds candidates on a duplicate-heavy embedding table") {
+    // baseline for the leak assertion below (suites run sequentially;
+    // earlier suites legitimately leave query-lifetime persists behind)
+    spark.catalog.clearCache()
     // 400 copies of one vector + 40 distinct vectors: uncapped, the
     // dup cells emit O(400²) candidate rows; the cap drops those cells
     val dim = 8
@@ -282,5 +285,10 @@ class CleanSpec extends AnyFunSuite {
       threshold = 0.99, nCells = 16, rep = 2, tables = 3, maxBucket = 100)
     assert(cappedPairs.count() < 2000,
       "capped pair candidates should not blow up on the dup cluster")
+    // the cap's internal persist is released before the operator
+    // returns (repeated capped calls in a long session must not
+    // accumulate cache entries)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "capped LSH call leaked a cached assignment table")
   }
 }

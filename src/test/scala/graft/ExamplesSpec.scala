@@ -100,11 +100,20 @@ class ExamplesSpec extends AnyFunSuite {
       "008102900", "700000008", "006708200",
       "002609500", "800203009", "005010300"))
     assert(Sudoku.solve(bad).isEmpty)
-    // batch lane: one task per puzzle, unsolvable rows go NULL
+    // out-of-range presets are rejected, not silently mis-encoded
+    intercept[IllegalArgumentException] {
+      Sudoku.solve(board(Seq("003020600", "900305001", "001806400",
+        "008102900", "700000008", "006708200",
+        "002609500", "800203009", "005010300")).replace("3", "12"))
+    }
+    // batch lane: one task per puzzle; unsolvable, malformed, and NULL
+    // rows go NULL instead of aborting the job
     val out = Sudoku.solveAll(
-      Seq((1L, puzzle), (2L, bad)).toDF("id", "p"), "id", "p")
+      Seq((1L, puzzle), (2L, bad), (3L, "not a board"), (4L, null))
+        .toDF("id", "p"), "id", "p")
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(out(1L) == Some(expected) && out(2L).isEmpty)
+    assert(out(3L).isEmpty && out(4L).isEmpty)
   }
 
   test("distCh applies permissions to every file in parallel") {
