@@ -109,6 +109,45 @@ object Sampling {
     df.withColumn("n_copies", nCopies).filter(col("n_copies") > 0)
   }
 
+  /** Token-budget sampling — real data mixtures are specified in
+    * TOKENS per source ("50B web, 10B wiki"), not rows: keep each
+    * stratum's hash-ordered document prefix until its token budget is
+    * spent. Budgets divide evenly across `shards` hash-shards and the
+    * cumulative sum runs within (stratum, shard) — the [[packBySize]]
+    * discipline — so no stratum ever needs a single-task global prefix
+    * scan, at the cost of ±one document's tokens per shard against the
+    * exact budget. A document is kept while the tokens BEFORE it (in
+    * 52-bit-hash order, id tiebreak) fit the shard budget, so the
+    * budget overshoots by at most one document per shard rather than
+    * truncating documents. Deterministic: the kept set is a pure
+    * function of the data, and a SQL oracle replays it window-for-
+    * window. Strata absent from `budgets` pass through unsampled
+    * (budget = unlimited) unless `defaultBudget` says otherwise.
+    */
+  def tokenBudgetSample(df: DataFrame, strataCol: String, idCol: String,
+                        tokenCol: Column, budgets: Map[String, Long],
+                        shards: Int = 1,
+                        defaultBudget: Option[Long] = None): DataFrame = {
+    require(shards > 0, "need at least one shard")
+    require(budgets.values.forall(_ >= 0) && defaultBudget.forall(_ >= 0),
+      "token budgets must be >= 0")
+    val budget = budgets.foldLeft(
+      defaultBudget.map(b => lit(b / shards)).getOrElse(lit(null).cast("long"))) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v / shards)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col("shard"))
+      .orderBy(col("hk"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("hk", hashKey(col(idCol)))
+      .withColumn("shard", pmod(col("hk"), lit(shards.toLong)))
+      .withColumn("prior_toks",
+        coalesce(sum(tokenCol.cast("long")).over(w), lit(0L)))
+      .withColumn("shard_budget", budget)
+      .filter(col("shard_budget").isNull || col("prior_toks") < col("shard_budget"))
+      .drop("hk", "shard", "prior_toks", "shard_budget")
+  }
+
   /** Deterministic train/val/test split assignment: each row lands in
     * the bucket its 52-bit id-hash selects — row-local (no shuffle, no
     * RNG state, drops into a streaming filter), stable under any

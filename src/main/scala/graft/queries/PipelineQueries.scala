@@ -57,6 +57,20 @@ object PipelineQueries extends QueryModule {
         "source", "doc_id",
         rates = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0))),
 
+    // token-budget sampling: mixtures are specified in TOKENS per
+    // source — keep each (source, shard)'s hash-ordered document
+    // prefix until the shard's share of the budget is spent; sources
+    // without a budget pass through. Sharded cumulative sums, never a
+    // single-task global prefix scan (the packBySize discipline).
+    "token_budget_sample" -> ((s, dir) => {
+      val toks = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+        .cast("long")
+      Sampling.tokenBudgetSample(
+        docs(s, dir).select(col("doc_id"), col("source"), toks.as("n_tokens")),
+        "source", "doc_id", col("n_tokens"),
+        budgets = Map("src0" -> 400L, "src1" -> 200L), shards = 2)
+    }),
+
     // deterministic global training-order shuffle: hash shard +
     // within-shard sort key, a pure row-local projection (the write
     // side repartitions by shard and sorts within partitions — never a
@@ -167,6 +181,24 @@ object PipelineQueries extends QueryModule {
         |)
         |SELECT doc_id, source, unnest(range(0, n_copies)) AS copy_id
         |FROM c WHERE n_copies > 0""".stripMargin,
+    "token_budget_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS hk
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         COALESCE(SUM(n_tokens) OVER (
+        |           PARTITION BY source, hk % 2 ORDER BY hk, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_toks
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tokens
+        |FROM s
+        |WHERE CASE source WHEN 'src0' THEN prior_toks < 200
+        |                  WHEN 'src1' THEN prior_toks < 100
+        |                  ELSE TRUE END""".stripMargin,
     "shuffle_order" ->
       """WITH h AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':ord') AS ord FROM documents

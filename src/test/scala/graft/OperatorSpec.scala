@@ -325,6 +325,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("Sampling.tokenBudgetSample keeps hash-prefix documents within per-shard budgets") {
+    val df = spark.range(0, 1000).select(col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 2).cast("string")).as("source"),
+      (col("id") % 17 + 5).as("toks"))
+    val shards = 4
+    val out = Sampling.tokenBudgetSample(df, "source", "doc_id", col("toks"),
+      budgets = Map("s0" -> 2000L), shards = shards)
+    // budgeted stratum: kept tokens land in [budget - shards*maxDoc,
+    // budget + shards*maxDoc] (each shard overshoots by < one doc and
+    // stops short by < one doc); unbudgeted stratum passes through
+    val kept = out.groupBy("source").agg(sum(col("toks")).as("t"),
+      count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val maxDoc = 21L
+    assert(kept("s0")._1 > 2000L - shards * maxDoc &&
+      kept("s0")._1 < 2000L + shards * maxDoc,
+      s"budgeted stratum off target: $kept")
+    assert(kept("s1")._2 == 500L, s"unbudgeted stratum must pass through: $kept")
+    // prefix property: halving the budget keeps a subset
+    val half = Sampling.tokenBudgetSample(df, "source", "doc_id", col("toks"),
+      budgets = Map("s0" -> 1000L), shards = shards)
+      .filter(col("source") === "s0").select("doc_id").as[Long].collect().toSet
+    val full = out.filter(col("source") === "s0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(half.subsetOf(full) && half.size < full.size,
+      "smaller budget must keep a strict hash-prefix subset")
+    // determinism
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      Sampling.tokenBudgetSample(df, "source", "doc_id", col("toks"),
+        budgets = Map("s0" -> 2000L), shards = shards)
+        .select("doc_id").as[Long].collect().toSet)
+  }
+
   test("Sampling.hashSplit assigns stable fraction-sized splits, remainder to last") {
     val df = spark.range(0, 10000).select(col("id").as("doc_id"))
     val fr = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
