@@ -12,8 +12,8 @@ import graft.operators.{Dedup, Redact, Sampling, TextOps}
   *
   *   corpus → language/quality filter → exact dedup (representatives)
   *   → near-dup clustering (SimHash + connected components) → apply
-  *   → eval-set decontamination → mixture weighting → context-window
-  *   chunking → sequence packing
+  *   → eval-set decontamination → token budgeting → mixture weighting
+  *   → context-window chunking → sequence packing
   *
   * Every stage is the same operator the oracle-checked queries run;
   * intermediate frames that feed multiple stages are persisted once.
@@ -54,6 +54,8 @@ object TrainingPipeline {
           compRatioBounds: Option[(Double, Double)] = None,
           maxRepetition: Option[Double] = None,
           rates: Map[String, Double] = Map.empty,
+          tokenBudgets: Map[String, Long] = Map.empty,
+          budgetShards: Int = 8,
           evalDocs: Option[DataFrame] = None,
           contamThreshold: Double = 0.8,
           normalize: Boolean = false,
@@ -147,13 +149,27 @@ object TrainingPipeline {
     }
     val afterDecontam = clean.count()
 
-    // 5. mixture weighting (map-only, deterministic) — copy COUNTS
-    // only; the replica explosion is deferred until after chunking, so
-    // each unique doc chunks once and the replication happens on the
-    // narrow chunk rows (no distinct, no rejoin, no text shuffle)
+    // 5. dataset shaping. 5a: optional per-source TOKEN budgets (the
+    // unit mixtures are really specified in) — hash-prefix sampling
+    // within (source, shard), one bounded window shuffle over narrow
+    // (id, source, toks) rows, text stays columnar in the scan. 5b:
+    // rate-based mixture weighting (map-only, deterministic) — copy
+    // COUNTS only; the replica explosion is deferred until after
+    // chunking, so each unique doc chunks once and the replication
+    // happens on the narrow chunk rows (no distinct, no rejoin, no
+    // text shuffle)
+    val budgeted =
+      if (tokenBudgets.isEmpty) clean
+      else clean.join(
+        Sampling.tokenBudgetSample(
+          clean.select(col("doc_id"), col("source"),
+            size(Dedup.tokens(col("text"))).cast("long").as("tbs_toks")),
+          "source", "doc_id", col("tbs_toks"), tokenBudgets, budgetShards)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
     val weighted =
-      if (rates.isEmpty) clean.withColumn("n_copies", lit(1L))
-      else Sampling.mixtureWeights(clean, "source", "doc_id", rates)
+      if (rates.isEmpty) budgeted.withColumn("n_copies", lit(1L))
+      else Sampling.mixtureWeights(budgeted, "source", "doc_id", rates)
     val mixtureRows =
       weighted.agg(coalesce(sum(col("n_copies")), lit(0L))).head.getLong(0)
 

@@ -259,6 +259,18 @@ class ExamplesSpec extends AnyFunSuite {
       lang = "en", minTokens = 5, maxRepetition = Some(1.0))
     assert(rRepOff.afterFilter == r3.afterFilter,
       s"unreachable repetition threshold should be a no-op: ${rRepOff.afterFilter}")
+    // token budgets cut the budgeted source's mixture rows and leave
+    // the rest untouched; an enormous budget is a no-op
+    val (_, rBud) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      lang = "en", minTokens = 5, tokenBudgets = Map("src0" -> 64L),
+      budgetShards = 2)
+    assert(rBud.mixtureRows < r3.mixtureRows && rBud.mixtureRows > 0,
+      s"token budget should bite: ${rBud.mixtureRows} vs ${r3.mixtureRows}")
+    val (_, rBudBig) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      lang = "en", minTokens = 5, tokenBudgets = Map("src0" -> 1000000L),
+      budgetShards = 2)
+    assert(rBudBig.mixtureRows == r3.mixtureRows,
+      s"unreachable budget should be a no-op: ${rBudBig.mixtureRows}")
     // the compression-ratio gate tightens monotonically: permissive
     // bounds are a no-op (word-salad prose sits well inside (0, 1)),
     // an empty band keeps nothing

@@ -234,6 +234,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("token_budget_sample shuffles once on (source, shard); no global sort") {
+    val df = SparkEntry.queries("token_budget_sample")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly the window's partition exchange:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"budget prefix must not global-sort:\n$p")
+  }
+
   test("comp_ratio is map-only: zero shuffles, deflated_size inside codegen") {
     val df = SparkEntry.queries("comp_ratio")(spark, dir)
     df.collect()
