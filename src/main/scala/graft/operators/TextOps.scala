@@ -65,6 +65,29 @@ object TextOps {
     trim(regexp_replace(lower(graft.functions.TextExpressions.nfc_normalize(c)),
       "\\s+", " "))
 
+  /** Unicode script composition per document — the script-filter
+    * signal of multilingual pipelines (keep pages whose dominant
+    * script matches the target language; drop mixed-script spam).
+    * Counts are single-character regex matches over explicit code
+    * ranges, so a SQL oracle with the same RE2 classes replays them
+    * exactly; the whole profile is a row-local codegen'd projection.
+    * `other` = everything outside the counted classes and whitespace.
+    */
+  def scriptProfile(df: org.apache.spark.sql.DataFrame, id: String,
+                    text: String): org.apache.spark.sql.DataFrame = {
+    def cnt(pat: String) = graft.operators.Redact.matchCount(col(text), pat)
+    df.select(col(id),
+      cnt("[A-Za-z]").as("n_latin"),
+      cnt("[0-9]").as("n_digit"),
+      cnt("[\u0400-\u04FF]").as("n_cyrillic"),
+      cnt("[\u4E00-\u9FFF]").as("n_cjk"),
+      cnt("\\s").as("n_space"),
+      length(col(text)).cast("long").as("n_chars"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_latin") - col("n_digit") -
+          col("n_cyrillic") - col("n_cjk") - col("n_space"))
+  }
+
   /** Compression-ratio quality signal: DEFLATE-compressed bytes /
     * original bytes (the codegen'd [[graft.functions.DeflatedSize]]
     * expression over the UTF-8 encoding). Web-pipeline staple: heavily

@@ -98,6 +98,21 @@ object CleanQueries extends QueryModule {
           size(col("bpe_tokens")).cast("long").as("n_sub"))
     }),
 
+    // Script composition: the multilingual script-filter signal. The
+    // fixture is pure ASCII, so Cyrillic/CJK spans are injected
+    // deterministically (the pii_scan damage discipline) before the
+    // row-local regex counters profile each document.
+    "script_profile" -> ((s, dir) => {
+      val damaged = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" \u043f\u0440\u0438\u0432\u0435\u0442")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit(" \u4f60\u597d\u4e16\u754c")).otherwise(lit("")))
+      TextOps.scriptProfile(
+        docs(s, dir).select(col("doc_id"), damaged.as("text")),
+        "doc_id", "text")
+    }),
+
     // Compression-ratio quality signal: DEFLATE bytes / original bytes
     // via the codegen'd deflated_size expression — the model-free
     // repetitiveness/noise filter of web-corpus pipelines, row-local at
@@ -174,6 +189,27 @@ object CleanQueries extends QueryModule {
         |       CAST(SUM(c12) AS DOUBLE) / COUNT(*) AS mean_c12
         |FROM bg JOIN c USING (w1, w2)
         |GROUP BY doc_id""".stripMargin,
+    "script_profile" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' \u043f\u0440\u0438\u0432\u0435\u0442' ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 0 THEN ' \u4f60\u597d\u4e16\u754c' ELSE '' END AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT) AS n_latin,
+         |  CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digit,
+         |  CAST(len(regexp_extract_all(t, '[\u0400-\u04ff]')) AS BIGINT) AS n_cyrillic,
+         |  CAST(len(regexp_extract_all(t, '[\u4e00-\u9fff]')) AS BIGINT) AS n_cjk,
+         |  CAST(len(regexp_extract_all(t, '\\s')) AS BIGINT) AS n_space,
+         |  CAST(length(t) AS BIGINT) AS n_chars,
+         |  CAST(length(t)
+         |       - len(regexp_extract_all(t, '[A-Za-z]'))
+         |       - len(regexp_extract_all(t, '[0-9]'))
+         |       - len(regexp_extract_all(t, '[\u0400-\u04ff]'))
+         |       - len(regexp_extract_all(t, '[\u4e00-\u9fff]'))
+         |       - len(regexp_extract_all(t, '\\s')) AS BIGINT) AS n_other
+         |FROM d""".stripMargin,
     "quality_bins" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t

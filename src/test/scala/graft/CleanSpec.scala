@@ -53,6 +53,19 @@ class CleanSpec extends AnyFunSuite {
     assert(out == "h\u00e9llo world x")
   }
 
+  // --- script profile ----------------------------------------------
+
+  test("TextOps.scriptProfile counts scripts on a known mixed string") {
+    // "ab1 <privet> <nihao> !" with Cyrillic privet (6) and CJK nihao (2)
+    val s = "ab1 \u043f\u0440\u0438\u0432\u0435\u0442 \u4f60\u597d !"
+    val out = TextOps.scriptProfile(Seq((1L, s)).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    val m = out.schema.fieldNames.zip(out.toSeq).toMap
+    assert(m("n_latin") == 2L && m("n_digit") == 1L)
+    assert(m("n_cyrillic") == 6L && m("n_cjk") == 2L)
+    assert(m("n_space") == 3L && m("n_chars") == 15L && m("n_other") == 1L)
+  }
+
   // --- DeflatedSize / compression ratio ----------------------------
 
   test("DeflatedSize: codegen and interpreted agree; null passes through") {
