@@ -113,6 +113,27 @@ object CleanQueries extends QueryModule {
         "doc_id", "text")
     }),
 
+    // URL canonicalization + dedup-by-URL: inject messy URL variants
+    // (case-shifted authority, default ports, tracking params,
+    // fragments) deterministically, then extract, canonicalize, and
+    // count per canonical form — variants of one page collapse to one
+    // group. All regex/string projections + one count aggregation.
+    "url_canon" -> ((s, dir) => {
+      import graft.operators.Urls
+      val id = col("doc_id")
+      val damaged = concat(col("text"),
+        lit(" visit HTTP://Example.COM:80/page/"), (id % 20).cast("string"),
+        lit("?utm_source=mail&ref="), (id % 3).cast("string"),
+        when(id % 2 === 0,
+          concat(lit(" also https://Cdn.Example.COM:443/asset/"),
+            (id % 10).cast("string"), lit("#sec")))
+          .otherwise(lit("")))
+      docs(s, dir)
+        .select(explode(Urls.extract(damaged)).as("u"))
+        .select(Urls.canonicalize(col("u")).as("url"))
+        .groupBy("url").agg(count(lit(1)).as("n"))
+    }),
+
     // Compression-ratio quality signal: DEFLATE bytes / original bytes
     // via the codegen'd deflated_size expression — the model-free
     // repetitiveness/noise filter of web-corpus pipelines, row-local at
@@ -210,6 +231,35 @@ object CleanQueries extends QueryModule {
          |       - len(regexp_extract_all(t, '[\u4e00-\u9fff]'))
          |       - len(regexp_extract_all(t, '\\s')) AS BIGINT) AS n_other
          |FROM d""".stripMargin,
+    "url_canon" ->
+      """WITH d AS (
+        |  SELECT text
+        |    || ' visit HTTP://Example.COM:80/page/' || CAST(doc_id % 20 AS VARCHAR)
+        |    || '?utm_source=mail&ref=' || CAST(doc_id % 3 AS VARCHAR)
+        |    || CASE WHEN doc_id % 2 = 0
+        |            THEN ' also https://Cdn.Example.COM:443/asset/' || CAST(doc_id % 10 AS VARCHAR) || '#sec'
+        |            ELSE '' END AS t
+        |  FROM documents
+        |), u AS (
+        |  SELECT unnest(regexp_extract_all(t, '(?i:https?)://[^\s]+')) AS u FROM d
+        |), c AS (
+        |  SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+        |           '#.*$', '', 'g'),
+        |           '([?&])(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '\1', 'g'),
+        |           '([?&])&+', '\1', 'g'),
+        |           '[?&]+$', '', 'g') AS cleaned
+        |  FROM u
+        |), s AS (
+        |  SELECT cleaned, regexp_extract(cleaned, '^((?i:https?)://[^/?#]+)', 1) AS head
+        |  FROM c
+        |)
+        |SELECT regexp_replace(regexp_replace(lower(head),
+        |         '^(http://[^/:]+):80$', '\1'),
+        |         '^(https://[^/:]+):443$', '\1')
+        |       || substring(cleaned, length(head) + 1) AS url,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM s
+        |GROUP BY 1""".stripMargin,
     "quality_bins" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t

@@ -66,6 +66,30 @@ class CleanSpec extends AnyFunSuite {
     assert(m("n_space") == 3L && m("n_chars") == 15L && m("n_other") == 1L)
   }
 
+  // --- URL canonicalization ----------------------------------------
+
+  test("Urls.canonicalize: case-folds authority, strips default ports, tracking, fragments") {
+    import graft.operators.Urls
+    val cases = Seq(
+      "HTTP://Example.COM:80/Path/File?id=1" -> "http://example.com/Path/File?id=1",
+      "https://CDN.Example.com:443/img.png#frag" -> "https://cdn.example.com/img.png",
+      "http://a.com:8080/x" -> "http://a.com:8080/x",          // non-default port kept
+      "https://a.com:80/x" -> "https://a.com:80/x",            // scheme-mismatched port kept
+      "http://a.com/p?utm_source=x" -> "http://a.com/p",
+      "http://a.com/p?utm_source=x&q=2&fbclid=z" -> "http://a.com/p?q=2",
+      "http://a.com/p?q=1&utm_a=x&utm_b=y&r=2" -> "http://a.com/p?q=1&r=2",
+      "http://a.com/p?gclid=1#sec" -> "http://a.com/p")
+    val got = cases.map(_._1).toDF("u")
+      .select(Urls.canonicalize(col("u")).as("c")).as[String].collect().toSeq
+    cases.map(_._2).zip(got).foreach { case (want, have) =>
+      assert(have == want, s"expected $want, got $have")
+    }
+    // extraction finds every absolute URL in running text
+    val urls = Seq("see http://a.b/c and https://d.e/f done").toDF("t")
+      .select(explode(Urls.extract(col("t"))).as("u")).as[String].collect().toSeq
+    assert(urls == Seq("http://a.b/c", "https://d.e/f"))
+  }
+
   // --- DeflatedSize / compression ratio ----------------------------
 
   test("DeflatedSize: codegen and interpreted agree; null passes through") {
