@@ -244,6 +244,25 @@ class PlanSpec extends AnyFunSuite {
       s"budget prefix must not global-sort:\n$p")
   }
 
+  test("script_profile is map-only: zero shuffles, regex counters codegen'd") {
+    val df = SparkEntry.queries("script_profile")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), s"script_profile should not shuffle:\n$p")
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"),
+      s"script_profile fell out of codegen:\n$p")
+  }
+
+  test("url_canon aggregates in two phases after a map-only extract/canonicalize") {
+    val df = SparkEntry.queries("url_canon")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected only the count aggregation's exchange:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"URL counting must combine map-side:\n$p")
+  }
+
   test("comp_ratio is map-only: zero shuffles, deflated_size inside codegen") {
     val df = SparkEntry.queries("comp_ratio")(spark, dir)
     df.collect()
