@@ -15,9 +15,12 @@ object PipelineProbe {
     val t0 = System.nanoTime()
     val (packed, r) = jobs.TrainingPipeline.run(spark, dir,
       lang = "en", minTokens = 10, minQuality = Some(0.15),
+      compRatioBounds = Some((0.05, 0.9)),
       maxRepetition = Some(0.12),
       rates = Map("src0" -> 2.0, "src1" -> 0.5),
-      evalDocs = Some(evalSet))
+      tokenBudgets = Map("src2" -> 100000L),
+      evalDocs = Some(evalSet),
+      normalize = true, scrubPii = true)
     val dt = (System.nanoTime() - t0) / 1e9
     println(f"[pipeline] $r in $dt%.1f s; sample packs:")
     packed.orderBy(desc("tok_sum")).show(5, false)
