@@ -23,9 +23,12 @@ import graft.operators.{Dedup, Redact, Sampling, TextOps}
   * within (source, shard) over (unit, token-count) rows only. In the
   * default pipeline document text never rides a shuffle: mixture
   * weighting computes copy counts map-side and replicas explode only
-  * after chunking. The optional repetition gate is the one exception —
-  * its gram window shuffles the tokenized stream once, and its doc_id
-  * anti-join shuffles the gated rows unless the flagged set broadcasts.
+  * after chunking. Two OPTIONAL stages are the exceptions: the
+  * repetition gate's gram window shuffles the tokenized stream once
+  * (and its doc_id anti-join shuffles the gated rows unless the
+  * flagged set broadcasts), and the token-budget stage's kept-id
+  * semi-join shuffles the surviving text on doc_id when the kept set
+  * exceeds the broadcast threshold.
   *
   * Returns the packed output and a per-stage row accounting Report —
   * the numbers a pipeline dashboard would publish.
@@ -83,10 +86,13 @@ object TrainingPipeline {
       val r = TextOps.compressionRatio(col("text"))
       r.isNotNull && r >= lo && r <= hi
     }.getOrElse(lit(true))
+    // n_toks rides the surviving frames as one long column so the
+    // token-budget stage never re-tokenizes the corpus
     val gated = docs
       .withColumn("t", Dedup.tokens(col("text")))
       .filter(TextOps.langPred(col("t")) === lang &&
         size(col("t")) >= minTokens && qualGate && compGate)
+      .withColumn("n_toks", size(col("t")).cast("long"))
       .drop("t")
     // 1b. optional Gopher repetition gate: drop degenerate/looping text
     // before any dedup work. Not map-only: the gram window shuffles the
@@ -133,9 +139,18 @@ object TrainingPipeline {
     // skipped when no eval corpus is supplied
     var hs: Option[DataFrame] = None
     val clean = evalDocs match {
-      case Some(ev) =>
-        require(ev.columns.contains("doc_id") && ev.columns.contains("text"),
+      case Some(evRaw) =>
+        require(evRaw.columns.contains("doc_id") && evRaw.columns.contains("text"),
           "evalDocs needs (doc_id, text) columns")
+        // the EVAL side gets the same canonicalization as the corpus:
+        // hashing normalized training text against raw eval text would
+        // let byte-unequal spellings of eval content slip through —
+        // exactly the mismatch `normalize` exists to close
+        val ev = {
+          val n = if (normalize)
+            evRaw.withColumn("text", TextOps.normalizeText(col("text"))) else evRaw
+          if (scrubPii) n.withColumn("text", Redact.scrubPii(col("text"))) else n
+        }
         val h = Dedup.shingleHashTable(nearKept, "doc_id", "text", 3)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         hs = Some(h)
@@ -151,22 +166,26 @@ object TrainingPipeline {
 
     // 5. dataset shaping. 5a: optional per-source TOKEN budgets (the
     // unit mixtures are really specified in) — hash-prefix sampling
-    // within (source, shard), one bounded window shuffle over narrow
-    // (id, source, toks) rows, text stays columnar in the scan. 5b:
-    // rate-based mixture weighting (map-only, deterministic) — copy
-    // COUNTS only; the replica explosion is deferred until after
-    // chunking, so each unique doc chunks once and the replication
-    // happens on the narrow chunk rows (no distinct, no rejoin, no
-    // text shuffle)
+    // over narrow (id, source, n_toks) rows (carried from stage 1, no
+    // re-tokenization), one bounded window shuffle. The kept-id
+    // semi-join back is the budget stage's text-shuffle exception
+    // (like the repetition gate's): beyond the broadcast threshold
+    // the surviving text rides a doc_id shuffle once. The budgeted
+    // frame feeds three actions (mixture agg, chunk count, packing),
+    // so it is pinned when budgets apply. 5b: rate-based mixture
+    // weighting (map-only, deterministic) — copy COUNTS only; the
+    // replica explosion is deferred until after chunking, so each
+    // unique doc chunks once and the replication happens on the
+    // narrow chunk rows (no distinct, no rejoin, no text shuffle)
     val budgeted =
       if (tokenBudgets.isEmpty) clean
       else clean.join(
         Sampling.tokenBudgetSample(
-          clean.select(col("doc_id"), col("source"),
-            size(Dedup.tokens(col("text"))).cast("long").as("tbs_toks")),
-          "source", "doc_id", col("tbs_toks"), tokenBudgets, budgetShards)
+          clean.select(col("doc_id"), col("source"), col("n_toks")),
+          "source", "doc_id", col("n_toks"), tokenBudgets, budgetShards)
           .select(col("doc_id")),
         Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val weighted =
       if (rates.isEmpty) budgeted.withColumn("n_copies", lit(1L))
       else Sampling.mixtureWeights(budgeted, "source", "doc_id", rates)
@@ -192,7 +211,9 @@ object TrainingPipeline {
     // four full-corpus frames each, forever)
     val packedOut = packed.localCheckpoint()
     val packs = packedOut.count()
-    (Seq(filtered, exactKept, nearKept) ++ hs).foreach(_.unpersist(false))
+    (Seq(filtered, exactKept, nearKept) ++ hs ++
+      (if (tokenBudgets.nonEmpty) Seq(budgeted) else Nil))
+      .foreach(_.unpersist(false))
 
     (packedOut, Report(input, afterFilter, afterExact, afterNearDup,
       afterDecontam, mixtureRows, chunks, packs))

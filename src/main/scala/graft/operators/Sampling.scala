@@ -131,9 +131,18 @@ object Sampling {
     require(shards > 0, "need at least one shard")
     require(budgets.values.forall(_ >= 0) && defaultBudget.forall(_ >= 0),
       "token budgets must be >= 0")
+    val reserved = Seq("hk", "shard", "prior_toks", "shard_budget")
+    require(!reserved.exists(df.columns.contains),
+      s"tokenBudgetSample reserves working columns ${reserved.mkString("/")} " +
+        "(a caller column of that name would be clobbered then dropped)")
+    // CEILING split: floor would turn a budget below `shards` into a
+    // zero per-shard budget and silently drop the stratum; ceiling
+    // over-allocates at most shards-1 tokens, inside the documented
+    // ±one-document-per-shard tolerance
+    def perShard(v: Long) = (v + shards - 1) / shards
     val budget = budgets.foldLeft(
-      defaultBudget.map(b => lit(b / shards)).getOrElse(lit(null).cast("long"))) {
-      case (acc, (k, v)) => when(col(strataCol) === k, lit(v / shards)).otherwise(acc)
+      defaultBudget.map(b => lit(perShard(b))).getOrElse(lit(null).cast("long"))) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(perShard(v))).otherwise(acc)
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol), col("shard"))

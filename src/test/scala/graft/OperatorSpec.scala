@@ -356,6 +356,17 @@ class OperatorSpec extends AnyFunSuite {
       Sampling.tokenBudgetSample(df, "source", "doc_id", col("toks"),
         budgets = Map("s0" -> 2000L), shards = shards)
         .select("doc_id").as[Long].collect().toSet)
+    // a budget below the shard count still keeps ~one doc per shard
+    // (ceiling split), not zero (floor would silently drop the stratum)
+    val tiny = Sampling.tokenBudgetSample(df, "source", "doc_id", col("toks"),
+      budgets = Map("s0" -> 2L), shards = shards)
+      .filter(col("source") === "s0").count()
+    assert(tiny >= 1 && tiny <= shards, s"tiny budget kept $tiny docs")
+    // a caller column colliding with a working column fails loudly
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSample(df.withColumn("shard", lit(1)),
+        "source", "doc_id", col("toks"), budgets = Map("s0" -> 10L))
+    }
   }
 
   test("Sampling.hashSplit assigns stable fraction-sized splits, remainder to last") {
