@@ -64,6 +64,77 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  private val resizeSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false))), nullable = false)))
+
+  /** Resize plumbing: decode → scale → re-encode, per partition. The
+    * scale kernel is the STUB (deterministic byte subsampling standing
+    * in for a pixel resampler); the surrounding shape — binary in,
+    * binary out, metadata updated to the target dims, per-partition
+    * batch loop — is the real contract a codec-backed implementation
+    * drops into.
+    */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "content", "meta.mime").rdd.mapPartitions { it =>
+      // real resizers initialize codec/scaler state once per partition
+      it.map { r =>
+        val content = r.getAs[Array[Byte]]("content")
+        // STUB kernel: proportional byte subsample to the target "area"
+        val outLen = math.max(1, math.min(content.length, targetW * targetH / 64))
+        val out = Array.tabulate(outLen)(i =>
+          content((i.toLong * content.length / outLen).toInt))
+        Row(r.getAs[Long]("doc_id"), out,
+          Row(r.getAs[String]("mime"), out.length.toLong, targetW, targetH))
+      }
+    }
+    spark.createDataFrame(rdd, resizeSchema)
+  }
+
+  private val entropySchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("entropy_bits", DoubleType, nullable = false)))
+
+  /** Shannon byte entropy per media item — a REAL feature (no codec
+    * needed): compressed/encrypted content sits near 8 bits/byte,
+    * text-like payloads well below, truncated or zero-padded files
+    * collapse toward 0 — the cheap corruption/mislabel screen for a
+    * binary-column corpus. One pass per item over a 256-cell local
+    * histogram in mapPartitions; nothing but (id, long, double) rows
+    * come back.
+    */
+  def byteEntropy(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "content").rdd.mapPartitions { it =>
+      val hist = new Array[Long](256)
+      it.map { r =>
+        val content = r.getAs[Array[Byte]]("content")
+        java.util.Arrays.fill(hist, 0L)
+        var i = 0
+        while (i < content.length) { hist(content(i) & 0xff) += 1; i += 1 }
+        var h = 0.0
+        var b = 0
+        while (b < 256) {
+          if (hist(b) > 0) {
+            val p = hist(b).toDouble / content.length
+            h -= p * (math.log(p) / math.log(2.0))
+          }
+          b += 1
+        }
+        Row(r.getAs[Long]("doc_id"), content.length.toLong, h)
+      }
+    }
+    spark.createDataFrame(rdd, entropySchema)
+  }
+
   /** Frame sampling: n evenly spaced byte offsets per media item (the
     * video-frame-sample shape: one row per sampled frame).
     */

@@ -17,7 +17,12 @@ object MultimodalQueries extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode" -> ((s, dir) => Multimodal.decodeFeatures(media(s, dir))),
-    "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(media(s, dir), 4))
+    "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(media(s, dir), 4)),
+    // byte-entropy screen over binary content — a REAL feature (no
+    // codec): float-log accumulation has no exact SQL replay, so the
+    // driver records rows-only; exact values on known byte patterns
+    // are spec'd (uniform=8 bits, constant=0, two-symbol=1)
+    "multimodal_entropy" -> ((s, dir) => Multimodal.byteEntropy(media(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(

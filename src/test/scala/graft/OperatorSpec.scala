@@ -27,7 +27,7 @@ class OperatorSpec extends AnyFunSuite {
     // zlib for comp_ratio, HLL estimates are implementation-specific
     // (merge/error properties spec'd) — and ONLY those
     assert(q.diff(o) == Set("terasort", "ann_ivf_topk", "decontaminate_bloom",
-      "bpe_tokenize", "comp_ratio", "uniq_hll"),
+      "bpe_tokenize", "comp_ratio", "uniq_hll", "multimodal_entropy"),
       s"rows-only query set drifted: ${q.diff(o)}")
     // no duplicate keys across modules (flatMap(...).toMap is
     // last-wins: a name collision would silently shadow a query)
@@ -323,6 +323,34 @@ class OperatorSpec extends AnyFunSuite {
       rates = Map("s0" -> 2.0, "s1" -> 0.5, "s2" -> 0.0))
       .as[(Long, String, Long)].collect().toSet
     assert(again == first)
+  }
+
+  test("Multimodal.byteEntropy exact on known patterns; resize updates meta and bounds content") {
+    import graft.multimodal.Multimodal
+    val rows = Seq(
+      (1L, Array.tabulate(256 * 4)(i => (i % 256).toByte)),          // uniform -> 8 bits
+      (2L, Array.fill(100)(7.toByte)),                               // constant -> 0
+      (3L, Array.tabulate(64)(i => (i % 2).toByte)))                 // two symbols -> 1
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, b) =>
+        org.apache.spark.sql.Row(id, b,
+          org.apache.spark.sql.Row("application/octet-stream", b.length.toLong))
+      }), Multimodal.mediaSchema)
+    val ent = Multimodal.byteEntropy(media).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(ent(1L) - 8.0) < 1e-12, s"uniform bytes: ${ent(1L)}")
+    assert(ent(2L) == 0.0)
+    assert(math.abs(ent(3L) - 1.0) < 1e-12)
+    val resized = Multimodal.resize(media, targetW = 32, targetH = 32).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]](1).length, r.getStruct(2).getInt(2), r.getStruct(2).getInt(3))))
+      .toMap
+    rows.foreach { case (id, b) =>
+      val (len, w, h) = resized(id)
+      assert(w == 32 && h == 32, "meta must carry the target dims")
+      assert(len >= 1 && len <= math.min(b.length, 32 * 32 / 64),
+        s"resized content out of bounds for $id: $len")
+    }
   }
 
   test("Sampling.tokenBudgetSample keeps hash-prefix documents within per-shard budgets") {
