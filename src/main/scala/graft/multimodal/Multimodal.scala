@@ -83,12 +83,17 @@ object Multimodal {
   def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     require(targetW > 0 && targetH > 0, "target dims must be positive")
     val spark = media.sparkSession
+    // long area: 46341² already overflows Int, which would silently
+    // collapse every item to 1 byte
+    val targetArea = targetW.toLong * targetH
     val rdd = media.select("doc_id", "content", "meta.mime").rdd.mapPartitions { it =>
       // real resizers initialize codec/scaler state once per partition
       it.map { r =>
         val content = r.getAs[Array[Byte]]("content")
-        // STUB kernel: proportional byte subsample to the target "area"
-        val outLen = math.max(1, math.min(content.length, targetW * targetH / 64))
+        // STUB kernel: proportional byte subsample to the target "area";
+        // empty content (truncated/corrupt media is in-domain — that is
+        // what byteEntropy screens for) stays empty
+        val outLen = math.min(content.length.toLong, targetArea / 64).toInt
         val out = Array.tabulate(outLen)(i =>
           content((i.toLong * content.length / outLen).toInt))
         Row(r.getAs[Long]("doc_id"), out,
@@ -113,6 +118,7 @@ object Multimodal {
     */
   def byteEntropy(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
+    val ln2 = math.log(2.0)
     val rdd = media.select("doc_id", "content").rdd.mapPartitions { it =>
       val hist = new Array[Long](256)
       it.map { r =>
@@ -125,7 +131,7 @@ object Multimodal {
         while (b < 256) {
           if (hist(b) > 0) {
             val p = hist(b).toDouble / content.length
-            h -= p * (math.log(p) / math.log(2.0))
+            h -= p * (math.log(p) / ln2)
           }
           b += 1
         }

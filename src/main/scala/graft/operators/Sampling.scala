@@ -132,7 +132,9 @@ object Sampling {
     require(budgets.values.forall(_ >= 0) && defaultBudget.forall(_ >= 0),
       "token budgets must be >= 0")
     val reserved = Seq("hk", "shard", "prior_toks", "shard_budget")
-    require(!reserved.exists(df.columns.contains),
+    // case-insensitive: Spark's default resolver would clobber "Shard"
+    // through withColumn("shard", ...) just the same
+    require(!df.columns.map(_.toLowerCase).exists(reserved.contains),
       s"tokenBudgetSample reserves working columns ${reserved.mkString("/")} " +
         "(a caller column of that name would be clobbered then dropped)")
     // CEILING split: floor would turn a budget below `shards` into a

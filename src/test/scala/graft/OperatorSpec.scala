@@ -330,7 +330,8 @@ class OperatorSpec extends AnyFunSuite {
     val rows = Seq(
       (1L, Array.tabulate(256 * 4)(i => (i % 256).toByte)),          // uniform -> 8 bits
       (2L, Array.fill(100)(7.toByte)),                               // constant -> 0
-      (3L, Array.tabulate(64)(i => (i % 2).toByte)))                 // two symbols -> 1
+      (3L, Array.tabulate(64)(i => (i % 2).toByte)),                 // two symbols -> 1
+      (4L, Array.empty[Byte]))                                       // truncated file
     val media = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map { case (id, b) =>
         org.apache.spark.sql.Row(id, b,
@@ -341,6 +342,7 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(ent(1L) - 8.0) < 1e-12, s"uniform bytes: ${ent(1L)}")
     assert(ent(2L) == 0.0)
     assert(math.abs(ent(3L) - 1.0) < 1e-12)
+    assert(ent(4L) == 0.0, "empty content must not divide by zero")
     val resized = Multimodal.resize(media, targetW = 32, targetH = 32).collect()
       .map(r => r.getLong(0) ->
         ((r.getAs[Array[Byte]](1).length, r.getStruct(2).getInt(2), r.getStruct(2).getInt(3))))
@@ -348,7 +350,7 @@ class OperatorSpec extends AnyFunSuite {
     rows.foreach { case (id, b) =>
       val (len, w, h) = resized(id)
       assert(w == 32 && h == 32, "meta must carry the target dims")
-      assert(len >= 1 && len <= math.min(b.length, 32 * 32 / 64),
+      assert(len == math.min(b.length, 32 * 32 / 64),
         s"resized content out of bounds for $id: $len")
     }
   }
