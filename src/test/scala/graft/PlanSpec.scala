@@ -323,6 +323,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"BPE apply should be map-only:\n$p")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (no manual salting)") {
+    import org.apache.spark.sql.functions._
+    val c = spark.conf
+    val keys = Seq("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      // thresholds scaled to a test-sized fixture; the production path
+      // is the same rule with production defaults
+      c.set(keys(0), "128KB"); c.set(keys(1), "2")
+      c.set(keys(2), "64KB"); c.set(keys(3), "-1")
+      // high-entropy per-row padding: skew detection reads COMPRESSED
+      // shuffle sizes, so constant padding would deflate below the
+      // threshold and get coalesced instead
+      def pad(salt: String) =
+        concat(sha2(concat(col("id").cast("string"), lit(salt)), 256),
+          sha2(concat(lit(salt), col("id").cast("string")), 256))
+      // one hot key holding ~25% of all rows
+      val left = spark.range(200000).select(
+        when(col("id") % 4 === 0, 0L).otherwise(col("id") % 997).as("k"),
+        pad("l").as("p"))
+      val right = spark.range(0, 997).select(col("id").as("k"), pad("r").as("q"))
+      // execute and inspect the SAME QueryExecution; the aggregate must
+      // CONSUME the payload columns or pruning strips them and the
+      // shuffle partitions are too small to register as skewed
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("p")) + length(col("q"))).as("bytes"))
+      assert(joined.collect().head.getLong(0) == 200000L)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n${p.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle (CompositeInputFormat analog)") {
     // The reference's map-side join needs co-partitioned, sorted inputs
     // (CompositeInputFormat.java:59-96); the Spark analog is bucketed
