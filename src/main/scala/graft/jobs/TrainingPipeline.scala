@@ -190,7 +190,7 @@ object TrainingPipeline {
       if (rates.isEmpty) budgeted.withColumn("n_copies", lit(1L))
       else Sampling.mixtureWeights(budgeted, "source", "doc_id", rates)
     val mixtureRows =
-      weighted.agg(coalesce(sum(col("n_copies")), lit(0L))).head.getLong(0)
+      weighted.agg(coalesce(sum(col("n_copies")), lit(0L))).head().getLong(0)
 
     // 6. context-window chunking (map-only; doc_ids are unique in
     // `clean` by construction), carrying (source, n_copies) through to

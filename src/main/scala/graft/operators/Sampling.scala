@@ -212,7 +212,7 @@ object Sampling {
     require(nBins >= 2, "need at least 2 bins")
     val probs = (1 until nBins).map(_.toDouble / nBins)
     df.agg(percentile(value, typedLit(probs)).as("cuts"))
-      .head.getSeq[Double](0)
+      .head().getSeq[Double](0)
   }
 
   /** Bin assignment against fixed cutoffs as a PURE PROJECTION:
