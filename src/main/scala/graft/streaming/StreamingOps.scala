@@ -187,6 +187,46 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class RunningUniq(k: String, uniq_est: Long)
+
+  /** Running distinct-count per key as HLL sketch STATE — the streaming
+    * form of the [[graft.operators.Sketches]] lane (and the unbounded
+    * analog of capped UniqValueCount): per key, a fixed-size
+    * DataSketches HLL lives in the state store; each micro-batch
+    * updates it and emits the refreshed estimate. State is O(2^lgK)
+    * bytes per key FOREVER — an exact running countDistinct would
+    * instead hold every seen value. Same sketch family as the batch
+    * uniq_hll query, so a batch rollup and the stream agree to within
+    * the common error bound (spec'd).
+    */
+  class RunningDistinctProcessor(lgK: Int)
+      extends StatefulProcessor[String, KV, RunningUniq] {
+    @transient private var st: ValueState[Array[Byte]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Array[Byte]]("hll",
+        Encoders.BINARY, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[KV],
+                                 tv: TimerValues): Iterator[RunningUniq] = {
+      import org.apache.datasketches.hll.HllSketch
+      val sk = if (st.exists())
+        HllSketch.heapify(org.apache.datasketches.memory.Memory.wrap(st.get()))
+      else new HllSketch(lgK)
+      rows.foreach(r => sk.update(r.v))
+      st.update(sk.toUpdatableByteArray)
+      Iterator(RunningUniq(key, math.rint(sk.getEstimate).toLong))
+    }
+  }
+
+  /** Streaming per-key distinct estimate (RocksDB state store, like
+    * [[runningAgg]]).
+    */
+  def runningDistinct(events: Dataset[KV], lgK: Int = 12): Dataset[RunningUniq] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.k)
+      .transformWithState(new RunningDistinctProcessor(lgK),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class EvW(user_id: Long, us: Long, ts: java.sql.Timestamp)
 
   /** [[sessionize]] plus EventTimeTimeout: when the stream's watermark

@@ -172,6 +172,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState running distinct tracks exact counts across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[StreamingOps.KV]
+    val q = StreamingOps.runningDistinct(mem.toDS())
+      .writeStream.format("memory").queryName("running_uniq")
+      .outputMode("update").start()
+    try {
+      // batch 1: a sees {1, 2} (2 distinct), b sees {5}
+      mem.addData(StreamingOps.KV("a", 1L), StreamingOps.KV("a", 2L),
+        StreamingOps.KV("a", 1L), StreamingOps.KV("b", 5L))
+      q.processAllAvailable()
+      // batch 2: a's sketch state carries — one repeat + one new value
+      mem.addData(StreamingOps.KV("a", 2L), StreamingOps.KV("a", 9L))
+      q.processAllAvailable()
+      val got = spark.table("running_uniq")
+        .select("k", "uniq_est").as[(String, Long)].collect().toSet
+      // HLL is exact at these cardinalities (sparse mode)
+      assert(got == Set(("a", 2L), ("b", 1L), ("a", 3L)), got.toString)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mixture sampling is stream-transparent: same kept multiset as batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
