@@ -195,9 +195,11 @@ object StreamingOps {
     * DataSketches HLL lives in the state store; each micro-batch
     * updates it and emits the refreshed estimate. State is O(2^lgK)
     * bytes per key FOREVER — an exact running countDistinct would
-    * instead hold every seen value. Same sketch family as the batch
-    * uniq_hll query, so a batch rollup and the stream agree to within
-    * the common error bound (spec'd).
+    * instead hold every seen value. Same sketch family and update hash
+    * as the batch uniq_hll lane (different target register width, so
+    * not register-identical): stream and batch estimates agree within
+    * the common lgK error bound, spec'd at a cardinality past sparse
+    * mode.
     */
   class RunningDistinctProcessor(lgK: Int)
       extends StatefulProcessor[String, KV, RunningUniq] {
@@ -212,7 +214,9 @@ object StreamingOps {
         HllSketch.heapify(org.apache.datasketches.memory.Memory.wrap(st.get()))
       else new HllSketch(lgK)
       rows.foreach(r => sk.update(r.v))
-      st.update(sk.toUpdatableByteArray)
+      // compact image: heapify accepts it, and sparse-mode sketches
+      // would otherwise store their full-capacity coupon array per key
+      st.update(sk.toCompactByteArray)
       Iterator(RunningUniq(key, math.rint(sk.getEstimate).toLong))
     }
   }

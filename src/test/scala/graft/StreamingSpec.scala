@@ -17,6 +17,21 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.build("4")
   import spark.implicits._
 
+  /** transformWithState needs the RocksDB state store; set it for the
+    * body and restore the previous provider after.
+    */
+  private def withRocksDBStateStore[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   private lazy val eventsDir: String = {
     val dir = Files.createTempDirectory("graft-stream").toString + "/events"
     Tables(spark, "/root/testdata/sf0.001", "events").write.parquet(dir)
@@ -144,62 +159,83 @@ class StreamingSpec extends AnyFunSuite {
   test("transformWithState running aggregate accumulates across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    // transformWithState requires the RocksDB state store
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val mem = MemoryStream[StreamingOps.KV]
-    val q = StreamingOps.runningAgg(mem.toDS())
-      .writeStream.format("memory").queryName("running_agg")
-      .outputMode("update").start()
-    try {
-      mem.addData(StreamingOps.KV("a", 1L), StreamingOps.KV("a", 2L),
-        StreamingOps.KV("b", 5L))
-      q.processAllAvailable()
-      mem.addData(StreamingOps.KV("a", 4L))
-      q.processAllAvailable()
-      val got = spark.table("running_agg")
-        .select("k", "n", "sum").as[(String, Long, Long)].collect().toSet
-      // batch 1 emits the first running reports; batch 2 emits a's
-      // UPDATED report \u2014 state carried across batches
-      assert(got == Set(("a", 2L, 3L), ("b", 1L, 5L), ("a", 3L, 7L)), got.toString)
-    } finally {
-      q.stop()
-      prevProvider match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    withRocksDBStateStore {
+      val mem = MemoryStream[StreamingOps.KV]
+      val q = StreamingOps.runningAgg(mem.toDS())
+        .writeStream.format("memory").queryName("running_agg")
+        .outputMode("update").start()
+      try {
+        mem.addData(StreamingOps.KV("a", 1L), StreamingOps.KV("a", 2L),
+          StreamingOps.KV("b", 5L))
+        q.processAllAvailable()
+        mem.addData(StreamingOps.KV("a", 4L))
+        q.processAllAvailable()
+        val got = spark.table("running_agg")
+          .select("k", "n", "sum").as[(String, Long, Long)].collect().toSet
+        // batch 1 emits the first running reports; batch 2 emits a's
+        // UPDATED report \u2014 state carried across batches
+        assert(got == Set(("a", 2L, 3L), ("b", 1L, 5L), ("a", 3L, 7L)), got.toString)
+      } finally q.stop()
     }
   }
 
   test("transformWithState running distinct tracks exact counts across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val mem = MemoryStream[StreamingOps.KV]
-    val q = StreamingOps.runningDistinct(mem.toDS())
-      .writeStream.format("memory").queryName("running_uniq")
-      .outputMode("update").start()
-    try {
-      // batch 1: a sees {1, 2} (2 distinct), b sees {5}
-      mem.addData(StreamingOps.KV("a", 1L), StreamingOps.KV("a", 2L),
-        StreamingOps.KV("a", 1L), StreamingOps.KV("b", 5L))
-      q.processAllAvailable()
-      // batch 2: a's sketch state carries — one repeat + one new value
-      mem.addData(StreamingOps.KV("a", 2L), StreamingOps.KV("a", 9L))
-      q.processAllAvailable()
-      val got = spark.table("running_uniq")
-        .select("k", "uniq_est").as[(String, Long)].collect().toSet
-      // HLL is exact at these cardinalities (sparse mode)
-      assert(got == Set(("a", 2L), ("b", 1L), ("a", 3L)), got.toString)
-    } finally {
-      q.stop()
-      prevProvider match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    withRocksDBStateStore {
+      val mem = MemoryStream[StreamingOps.KV]
+      val q = StreamingOps.runningDistinct(mem.toDS())
+        .writeStream.format("memory").queryName("running_uniq")
+        .outputMode("update").start()
+      try {
+        // batch 1: a sees {1, 2} (2 distinct), b sees {5}
+        mem.addData(StreamingOps.KV("a", 1L), StreamingOps.KV("a", 2L),
+          StreamingOps.KV("a", 1L), StreamingOps.KV("b", 5L))
+        q.processAllAvailable()
+        // batch 2: a's sketch state carries — one repeat + one new value
+        mem.addData(StreamingOps.KV("a", 2L), StreamingOps.KV("a", 9L))
+        q.processAllAvailable()
+        val got = spark.table("running_uniq")
+          .select("k", "uniq_est").as[(String, Long)].collect().toSet
+        // HLL is exact at these cardinalities (sparse mode)
+        assert(got == Set(("a", 2L), ("b", 1L), ("a", 3L)), got.toString)
+      } finally q.stop()
+    }
+  }
+
+  test("streaming distinct equals the batch HLL estimate past sparse mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 30k values, ~5k distinct: dense HLL territory, where the
+    // estimate is genuinely approximate — the stream's sketch and the
+    // batch hll_sketch_agg lane must agree within the lgK=12 error
+    // bound (same family and update hash, but Spark's aggregate uses a
+    // different target register width, so not register-identical)
+    val values = (0 until 30000).map(i => (i * i) % 9973L)
+    withRocksDBStateStore {
+      val mem = MemoryStream[StreamingOps.KV]
+      val q = StreamingOps.runningDistinct(mem.toDS())
+        .writeStream.format("memory").queryName("running_uniq_big")
+        .outputMode("update").start()
+      try {
+        val (first, second) = values.splitAt(17000)
+        mem.addData(first.map(StreamingOps.KV("k", _)): _*)
+        q.processAllAvailable()
+        mem.addData(second.map(StreamingOps.KV("k", _)): _*)
+        q.processAllAvailable()
+        val streamEst = spark.table("running_uniq_big")
+          .orderBy(desc("uniq_est")).select("uniq_est").as[Long].head()
+        val batchEst = values.toDF("v")
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("v"), lit(12))))
+          .head().getLong(0)
+        val exact = values.distinct.size
+        assert(math.abs(streamEst - batchEst).toDouble / exact < 0.02,
+          s"lanes disagree: stream $streamEst vs batch $batchEst (exact $exact)")
+        assert(math.abs(streamEst - exact).toDouble / exact < 0.05,
+          s"stream estimate $streamEst too far from exact $exact")
+        assert(math.abs(batchEst - exact).toDouble / exact < 0.05,
+          s"batch estimate $batchEst too far from exact $exact")
+      } finally q.stop()
     }
   }
 
