@@ -201,6 +201,26 @@ object Sampling {
       .withColumn("sort_key", ord)
   }
 
+  /** The WRITE side of [[shuffleOrder]]: materialize the deterministic
+    * global permutation as `shards` parquet directories, each file
+    * sorted by the in-shard sort key — the dataloader handoff (readers
+    * consume shard dirs in parallel; each shard streams in its defined
+    * order with no read-time sort). `repartition(shard)` is the only
+    * shuffle; the in-shard sort is per-partition. Returns the shard
+    * count written.
+    */
+  def writeShards(df: DataFrame, idCol: String, shards: Int,
+                  outDir: String): Int = {
+    shuffleOrder(df, idCol, shards)
+      .repartition(shards, col("shard"))
+      // shard FIRST: the dynamic-partition writer requires its
+      // partition column sorted and would otherwise re-sort by shard
+      // alone, destroying the in-shard key order
+      .sortWithinPartitions("shard", "sort_key")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    shards
+  }
+
   /** Exact quantile cutoffs for [[quantileBins]]: the (nBins-1)
     * interior percentiles of `value`, one aggregation job and a BOUNDED
     * single-row collect (nBins-1 doubles to the driver). Exact

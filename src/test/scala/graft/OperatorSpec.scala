@@ -399,6 +399,32 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("Sampling.writeShards lands sorted shard files matching shuffleOrder") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/out"
+    val df = spark.range(0, 2000).select(col("id").as("doc_id"),
+      concat(lit("d"), col("id")).as("payload"))
+    assert(Sampling.writeShards(df, "doc_id", shards = 4, dir) == 4)
+    // one directory per shard; each file's rows already in sort_key
+    // order (the dataloader reads them with NO read-time sort)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2000)
+    (0 until 4).foreach { s =>
+      val rows = spark.read.parquet(s"$dir/shard=$s")
+        .select("sort_key", "doc_id").collect()
+      val keys = rows.map(_.getString(0)).toSeq
+      assert(keys == keys.sorted, s"shard $s not stored in sort order")
+      // membership matches the row-local hash assignment (replayed
+      // locally: first 13 hex chars of md5(id || ":ord") mod shards)
+      rows.map(_.getLong(1)).foreach { id =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:ord".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(13)
+        val expect = java.lang.Long.parseLong(hex, 16) % 4
+        assert(expect == s, s"doc $id landed in shard $s, expected $expect")
+      }
+    }
+  }
+
   test("Sampling.hashSplit assigns stable fraction-sized splits, remainder to last") {
     val df = spark.range(0, 10000).select(col("id").as("doc_id"))
     val fr = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
