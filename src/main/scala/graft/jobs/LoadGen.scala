@@ -149,9 +149,9 @@ object LoadGen {
     * rows). The reference's SERIAL submission policy — each job starts
     * when its predecessor completes (its STRESS/REPLAY policies need a
     * multi-tenant scheduler; on one Spark app serial is the meaningful
-    * mode). Rumen's job-history parsing and the sls scheduler simulator
-    * stay out of scope — this replays the load shape, which is the part
-    * that exercises the engine.
+    * mode). Traces can be hand-written or mined from a real event log
+    * by [[Rumen.toTrace]]; the sls scheduler simulator stays out of
+    * scope — replay exercises the engine, not a YARN scheduler model.
     */
   def replayTrace(spark: SparkSession,
                   trace: Seq[TraceJob]): Seq[(String, Double, Long)] =

@@ -157,6 +157,55 @@ class ExamplesSpec extends AnyFunSuite {
     assert(LoadGen.replayTrace(spark, trace).map(_._3) == runs.map(_._3))
   }
 
+  test("Rumen analog parses an event log into a replayable GridMix trace") {
+    import graft.jobs.{LoadGen, Rumen}
+    // A schema-faithful event-log excerpt (the public JSON-lines format
+    // spark.eventLog.enabled writes and the History Server reads): two
+    // jobs — a 2-stage shuffle job and a 1-stage map-only job — plus an
+    // unrelated event, a malformed line, and a TaskEnd for a stage no
+    // job claims, all of which must be ignored.
+    def task(stage: Int, in: Long, shuf: Long, out: Long): String =
+      s"""{"Event":"SparkListenerTaskEnd","Stage ID":$stage,"Task Type":"ResultTask",""" +
+        s""""Task Metrics":{"Input Metrics":{"Bytes Read":${in * 10},"Records Read":$in},""" +
+        s""""Output Metrics":{"Bytes Written":${out * 10},"Records Written":$out},""" +
+        s""""Shuffle Write Metrics":{"Shuffle Bytes Written":${shuf * 10},"Shuffle Records Written":$shuf}}}"""
+    val lines = Seq(
+      """{"Event":"SparkListenerApplicationStart","App Name":"probe","Timestamp":900}""",
+      """{"Event":"SparkListenerJobStart","Job ID":0,"Submission Time":1000,"Stage IDs":[0,1]}""",
+      task(0, 100, 50, 0), task(0, 100, 50, 0), task(1, 0, 0, 30),
+      """{"Event":"SparkListenerStageCompleted","Stage Info":{"Stage ID":0}}""",
+      """{"Event":"SparkListenerJobEnd","Job ID":0,"Completion Time":3500,"Job Result":{"Result":"JobSucceeded"}}""",
+      """{"Event":"SparkListenerJobStart","Job ID":1,"Submission Time":4000,"Stage IDs":[2]}""",
+      task(2, 10, 0, 0),
+      task(99, 1000, 1000, 1000),
+      """not json at all {{{""",
+      """{"Event":"SparkListenerJobEnd","Job ID":1,"Completion Time":4250,"Job Result":{"Result":"JobSucceeded"}}""")
+    val dir = Files.createTempDirectory("graft-rumen")
+    Files.write(dir.resolve("events.log"), lines.mkString("\n").getBytes("UTF-8"))
+
+    val hist = Rumen.jobHistory(spark, dir.toString)
+      .orderBy("job_id").collect()
+    assert(hist.length == 2, hist.mkString("; "))
+    val j0 = hist(0)
+    assert(j0.getLong(0) == 0 && j0.getDouble(2) == 2.5)
+    assert(j0.getLong(3) == 2 && j0.getLong(4) == 3, s"stages/tasks: $j0")
+    assert(j0.getLong(5) == 200 && j0.getLong(6) == 100 && j0.getLong(7) == 30)
+    val j1 = hist(1)
+    assert(j1.getLong(3) == 1 && j1.getLong(4) == 1)
+    assert(j1.getLong(5) == 10 && j1.getLong(6) == 0 && j1.getLong(7) == 0)
+
+    val trace = Rumen.toTrace(Rumen.jobHistory(spark, dir.toString))
+    assert(trace == Seq(
+      // job 0: rows = input 200, map 100/200 = 50%, red 30/100 = 30%
+      LoadGen.TraceJob("job_0", 200, 50, 30),
+      // job 1: never shuffled -> reduce stage replays wide open
+      LoadGen.TraceJob("job_1", 10, 0, 100)), trace.mkString("; "))
+
+    // the parsed trace feeds the GridMix-lite replayer directly
+    val runs = LoadGen.replayTrace(spark, trace)
+    assert(runs.map(_._1) == Seq("job_0", "job_1") && runs.forall(_._2 > 0))
+  }
+
   test("NNBench analog: create/read/delete phases report ops/sec and clean up") {
     import graft.jobs.LoadGen
     val dir = Files.createTempDirectory("graft-nnbench").toString + "/work"
