@@ -88,6 +88,94 @@ object LawsSpec extends Properties("graft.laws") {
         bins.sliding(2).forall { case Seq(x, y) => x <= y; case _ => true }
     }
 
+  // --- normalization / PII scrub -----------------------------------------
+
+  private val genMessy: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.oneOf("Foo", "BAR", "baz", "Émile", "étude", "ﬁn", "x²"),
+    Gen.oneOf(" ", "  ", "\t", "\n", "   "),
+    Gen.oneOf("a@b.com", "Jo.Smith+x@mail.co", "555-123-4567",
+      "10.0.0.255", "999.1.2.3"))).map(_.take(25).mkString)
+
+  property("normalizeText is idempotent") = forAll(Gen.listOfN(15, genMessy)) { texts =>
+    texts.toDF("x")
+      .select(graft.operators.TextOps.normalizeText(col("x")).as("once"))
+      .select(col("once"),
+        graft.operators.TextOps.normalizeText(col("once")).as("twice"))
+      .collect().forall(r => r.getString(0) == r.getString(1))
+  }
+
+  property("scrubPii is idempotent and leaves nothing matchable") =
+    forAll(Gen.listOfN(15, genMessy)) { texts =>
+      import graft.operators.Redact
+      val rows = texts.toDF("x")
+        .select(Redact.scrubPii(col("x")).as("once"))
+        .select(col("once"), Redact.scrubPii(col("once")).as("twice"),
+          (Redact.matchCount(col("once"), Redact.EmailPattern) +
+            Redact.matchCount(col("once"), Redact.PhonePattern) +
+            Redact.matchCount(col("once"), Redact.Ipv4Pattern)).as("residual"))
+        .collect()
+      rows.forall(r => r.getString(0) == r.getString(1) && r.getLong(2) == 0L)
+    }
+
+  // --- context-window chunking -------------------------------------------
+
+  private val genDoc: Gen[(Long, String)] = for {
+    id <- Gen.chooseNum(0L, 1000000L)
+    words <- Gen.nonEmptyListOf(Gen.oneOf("alpha", "b", "gamma2", "Δδ", "x"))
+    seps <- Gen.listOfN(words.size, Gen.oneOf(" ", "  ", "\t"))
+  } yield (id, words.take(40).zip(seps).map { case (w, s) => w + s }.mkString)
+
+  property("chunkDocs reassembles, bounds sizes, and overlaps exactly") =
+    forAll(Gen.listOfN(4, genDoc),
+      Gen.chooseNum(2, 7), Gen.chooseNum(0, 1)) { (docsRaw, max, overlap) =>
+      val docs = docsRaw.distinctBy(_._1)
+      val stride = max - overlap
+      val out = graft.operators.Sampling
+        .chunkDocs(docs.toDF("doc_id", "text"), "doc_id", "text", max, overlap)
+        .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+      docs.forall { case (id, text) =>
+        val toks = graft.operators.Dedup.tokensLocal(text)
+        val chunks = out.getOrElse(id, Seq.empty)
+        chunks.map(_._2) == chunks.indices.map(_.toLong) &&
+          chunks.forall(c => c._4 <= max &&
+            c._3.split(" ").length.toLong == c._4) &&
+          // every chunk is the declared slice of the token stream, so
+          // consecutive chunks share exactly `overlap` tokens and
+          // stride-0 reassembly is the identity
+          chunks.forall { case (_, i, txt, _) =>
+            txt.split(" ").toSeq == toks.slice(i.toInt * stride,
+              i.toInt * stride + max) }
+      }
+    }
+
+  // --- sequence packing ---------------------------------------------------
+
+  property("packBySize conserves docs, bounds packs, keeps ids contiguous") =
+    forAll(Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 100000L),
+      Gen.chooseNum(1, 50)))) { docsRaw =>
+      val docs = docsRaw.distinctBy(_._1)
+      val budget = 50
+      val packs = graft.operators.Sampling.packBySize(
+        docs.map { case (id, t) => (s"s${id % 2}", id, t) }
+          .toDF("source", "doc_id", "toks"),
+        "source", "doc_id", col("toks"), budget, shards = 3)
+        .select("source", "shard", "pack_id", "n_docs", "tok_sum")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val maxTok = docs.map(_._2).max
+      packs.map(_._4).sum == docs.size &&
+        // a doc straddling the budget boundary stays in the pack where
+        // its prefix sum fell, so a pack never exceeds budget + maxTok
+        packs.forall(p => p._5 >= 1 && p._5 < budget + maxTok) &&
+        packs.groupBy(p => (p._1, p._2)).values.forall { ps =>
+          ps.map(_._3).sorted.toSeq == (0L until ps.size.toLong)
+        }
+    }
+
   // --- BPE round-trip ----------------------------------------------------
 
   property("BPE encode always reconstructs the word") =
