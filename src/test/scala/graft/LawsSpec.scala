@@ -176,6 +176,29 @@ object LawsSpec extends Properties("graft.laws") {
         }
     }
 
+  // --- as-of join ---------------------------------------------------------
+
+  property("asof matches the naive latest-at-or-before oracle") =
+    forAll(
+      Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 20L))),
+      Gen.listOfN(15, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 20L)))) {
+      (leftRaw, rightRaw) =>
+        val left = leftRaw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        val right = rightRaw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        val got = graft.operators.AsofJoin.asof(
+          left.toDF("l_id", "k", "lts"),
+          right.toDF("r_id", "k", "rts"),
+          "k", "lts", "rts", "r_id")
+          .select("l_id", "asof_r_id").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .toMap
+        left.forall { case (lid, k, lts) =>
+          val want = right.filter(r => r._2 == k && r._3 <= lts)
+            .sortBy(r => (r._3, r._1)).lastOption.map(_._1)
+          got(lid) == want
+        }
+    }
+
   // --- BPE round-trip ----------------------------------------------------
 
   property("BPE encode always reconstructs the word") =

@@ -244,6 +244,20 @@ class PlanSpec extends AnyFunSuite {
       s"budget prefix must not global-sort:\n$p")
   }
 
+  test("writeShards' pre-write plan shuffles once; the shard sort is in-partition") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Sampling
+      .shuffleOrder(Tables(spark, dir, "documents"), "doc_id", shards = 4)
+      .repartition(4, col("shard"))
+      .sortWithinPartitions("shard", "sort_key")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly the shard repartition exchange:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"shard landing must not global-sort:\n$p")
+  }
+
   test("script_profile is map-only: zero shuffles, regex counters codegen'd") {
     val df = SparkEntry.queries("script_profile")(spark, dir)
     df.collect()
