@@ -211,15 +211,22 @@ object Sampling {
     */
   def writeShards(df: DataFrame, idCol: String, shards: Int,
                   outDir: String): Int = {
+    shardLanding(df, idCol, shards)
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    shards
+  }
+
+  /** [[writeShards]]' pre-write plan, exposed so the plan pin binds to
+    * the real code path (one shard exchange, in-partition sort only).
+    */
+  private[graft] def shardLanding(df: DataFrame, idCol: String,
+                                  shards: Int): DataFrame =
     shuffleOrder(df, idCol, shards)
       .repartition(shards, col("shard"))
       // shard FIRST: the dynamic-partition writer requires its
       // partition column sorted and would otherwise re-sort by shard
       // alone, destroying the in-shard key order
       .sortWithinPartitions("shard", "sort_key")
-      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    shards
-  }
 
   /** Exact quantile cutoffs for [[quantileBins]]: the (nBins-1)
     * interior percentiles of `value`, one aggregation job and a BOUNDED

@@ -162,10 +162,12 @@ class ExamplesSpec extends AnyFunSuite {
     // A schema-faithful event-log excerpt (the public JSON-lines format
     // spark.eventLog.enabled writes and the History Server reads): two
     // jobs — a 2-stage shuffle job and a 1-stage map-only job — plus an
-    // unrelated event, a malformed line, and a TaskEnd for a stage no
-    // job claims, all of which must be ignored.
-    def task(stage: Int, in: Long, shuf: Long, out: Long): String =
+    // unrelated event, a malformed line, a failed task attempt, and a
+    // TaskEnd for a stage no job claims, all of which must be ignored.
+    def task(stage: Int, in: Long, shuf: Long, out: Long,
+             reason: String = "Success"): String =
       s"""{"Event":"SparkListenerTaskEnd","Stage ID":$stage,"Task Type":"ResultTask",""" +
+        s""""Task End Reason":{"Reason":"$reason"},""" +
         s""""Task Metrics":{"Input Metrics":{"Bytes Read":${in * 10},"Records Read":$in},""" +
         s""""Output Metrics":{"Bytes Written":${out * 10},"Records Written":$out},""" +
         s""""Shuffle Write Metrics":{"Shuffle Bytes Written":${shuf * 10},"Shuffle Records Written":$shuf}}}"""
@@ -173,6 +175,8 @@ class ExamplesSpec extends AnyFunSuite {
       """{"Event":"SparkListenerApplicationStart","App Name":"probe","Timestamp":900}""",
       """{"Event":"SparkListenerJobStart","Job ID":0,"Submission Time":1000,"Stage IDs":[0,1]}""",
       task(0, 100, 50, 0), task(0, 100, 50, 0), task(1, 0, 0, 30),
+      // a killed speculative duplicate: must NOT be counted
+      task(0, 100, 50, 0, reason = "TaskKilled"),
       """{"Event":"SparkListenerStageCompleted","Stage Info":{"Stage ID":0}}""",
       """{"Event":"SparkListenerJobEnd","Job ID":0,"Completion Time":3500,"Job Result":{"Result":"JobSucceeded"}}""",
       """{"Event":"SparkListenerJobStart","Job ID":1,"Submission Time":4000,"Stage IDs":[2]}""",
@@ -180,30 +184,46 @@ class ExamplesSpec extends AnyFunSuite {
       task(99, 1000, 1000, 1000),
       """not json at all {{{""",
       """{"Event":"SparkListenerJobEnd","Job ID":1,"Completion Time":4250,"Job Result":{"Result":"JobSucceeded"}}""")
+    // a SECOND application whose job/stage ids overlap the first: job
+    // and stage numbering restarts per app, so nothing may cross-credit.
+    // Its one job is a write-only generator (no input, no shuffle).
+    val lines2 = Seq(
+      """{"Event":"SparkListenerJobStart","Job ID":0,"Submission Time":2000,"Stage IDs":[0]}""",
+      task(0, 0, 0, 5000),
+      """{"Event":"SparkListenerJobEnd","Job ID":0,"Completion Time":2400,"Job Result":{"Result":"JobSucceeded"}}""")
     val dir = Files.createTempDirectory("graft-rumen")
-    Files.write(dir.resolve("events.log"), lines.mkString("\n").getBytes("UTF-8"))
+    Files.write(dir.resolve("app1.log"), lines.mkString("\n").getBytes("UTF-8"))
+    Files.write(dir.resolve("app2.log"), lines2.mkString("\n").getBytes("UTF-8"))
 
     val hist = Rumen.jobHistory(spark, dir.toString)
-      .orderBy("job_id").collect()
-    assert(hist.length == 2, hist.mkString("; "))
+      .orderBy("app", "job_id").collect()
+    assert(hist.length == 3, hist.mkString("; "))
     val j0 = hist(0)
-    assert(j0.getLong(0) == 0 && j0.getDouble(2) == 2.5)
-    assert(j0.getLong(3) == 2 && j0.getLong(4) == 3, s"stages/tasks: $j0")
-    assert(j0.getLong(5) == 200 && j0.getLong(6) == 100 && j0.getLong(7) == 30)
+    assert(j0.getString(0) == "app1.log" && j0.getLong(1) == 0 &&
+      j0.getDouble(3) == 2.5)
+    assert(j0.getLong(4) == 2 && j0.getLong(5) == 3, s"stages/tasks: $j0")
+    assert(j0.getLong(6) == 200 && j0.getLong(7) == 100 && j0.getLong(8) == 30)
     val j1 = hist(1)
-    assert(j1.getLong(3) == 1 && j1.getLong(4) == 1)
-    assert(j1.getLong(5) == 10 && j1.getLong(6) == 0 && j1.getLong(7) == 0)
+    assert(j1.getLong(4) == 1 && j1.getLong(5) == 1)
+    assert(j1.getLong(6) == 10 && j1.getLong(7) == 0 && j1.getLong(8) == 0)
+    val gen = hist(2)
+    assert(gen.getString(0) == "app2.log" && gen.getLong(6) == 0 &&
+      gen.getLong(8) == 5000, s"generator job: $gen")
 
     val trace = Rumen.toTrace(Rumen.jobHistory(spark, dir.toString))
     assert(trace == Seq(
       // job 0: rows = input 200, map 100/200 = 50%, red 30/100 = 30%
-      LoadGen.TraceJob("job_0", 200, 50, 30),
+      LoadGen.TraceJob("app1.log/job_0", 200, 50, 30),
       // job 1: never shuffled -> reduce stage replays wide open
-      LoadGen.TraceJob("job_1", 10, 0, 100)), trace.mkString("; "))
+      LoadGen.TraceJob("app1.log/job_1", 10, 0, 100),
+      // write-only generator: replay volume comes from output_records
+      LoadGen.TraceJob("app2.log/job_0", 5000, 100, 100)),
+      trace.mkString("; "))
 
     // the parsed trace feeds the GridMix-lite replayer directly
-    val runs = LoadGen.replayTrace(spark, trace)
-    assert(runs.map(_._1) == Seq("job_0", "job_1") && runs.forall(_._2 > 0))
+    val runs = LoadGen.replayTrace(spark, trace.take(2))
+    assert(runs.map(_._1) == Seq("app1.log/job_0", "app1.log/job_1") &&
+      runs.forall(_._2 > 0))
   }
 
   test("NNBench analog: create/read/delete phases report ops/sec and clean up") {

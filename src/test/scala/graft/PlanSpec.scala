@@ -245,11 +245,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("writeShards' pre-write plan shuffles once; the shard sort is in-partition") {
-    import org.apache.spark.sql.functions.col
     val df = graft.operators.Sampling
-      .shuffleOrder(Tables(spark, dir, "documents"), "doc_id", shards = 4)
-      .repartition(4, col("shard"))
-      .sortWithinPartitions("shard", "sort_key")
+      .shardLanding(Tables(spark, dir, "documents"), "doc_id", shards = 4)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert("Exchange".r.findAllIn(p).size == 1,
