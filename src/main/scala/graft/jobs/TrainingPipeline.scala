@@ -14,6 +14,7 @@ import graft.operators.{Dedup, Redact, Sampling, TextOps}
   *   → near-dup clustering (SimHash + connected components) → apply
   *   → eval-set decontamination → token budgeting → mixture weighting
   *   → context-window chunking → sequence packing
+  *   (→ optional sharded landing in deterministic shuffle order)
   *
   * Every stage is the same operator the oracle-checked queries run;
   * intermediate frames that feed multiple stages are persisted once.
@@ -62,7 +63,9 @@ object TrainingPipeline {
           evalDocs: Option[DataFrame] = None,
           contamThreshold: Double = 0.8,
           normalize: Boolean = false,
-          scrubPii: Boolean = false): (DataFrame, Report) = {
+          scrubPii: Boolean = false,
+          shardsOut: Option[String] = None,
+          outShards: Int = 8): (DataFrame, Report) = {
     val raw = Tables(spark, dir, "documents")
     val docs = {
       val n = if (normalize)
@@ -202,10 +205,17 @@ object TrainingPipeline {
     val chunks = chunked.count()
 
     // 7. sequence packing per (source, shard) into 256-token packs
+    val chunkedU = chunked.withColumn("unit",
+      concat_ws("#", col("doc_id"), col("copy_id"), col("chunk_id")))
     val packed = Sampling.packBySize(
-      chunked.withColumn("unit",
-        concat_ws("#", col("doc_id"), col("copy_id"), col("chunk_id"))),
-      "source", "unit", col("n_tokens"), budget = 256, shards = 2)
+      chunkedU, "source", "unit", col("n_tokens"), budget = 256, shards = 2)
+
+    // 7b. optional sharded landing: the chunk rows, in deterministic
+    // global shuffle order, as in-order shard files — the dataloader
+    // handoff. Chunking is a map-only pass off the pinned upstream
+    // frames, so the landing costs one narrow recompute plus the one
+    // shard exchange inside writeShards.
+    shardsOut.foreach(out => Sampling.writeShards(chunkedU, "unit", outShards, out))
     // the pack summary is small: pin it, then release the corpus-sized
     // intermediates (repeated runs in one session would otherwise pin
     // four full-corpus frames each, forever)

@@ -283,9 +283,10 @@ class ExamplesSpec extends AnyFunSuite {
     // stand-in eval corpus: a fixed slice of the documents table
     val evalSet = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .filter(col("doc_id") % 97 === 0).select(col("doc_id"), col("text"))
+    val landing = Files.createTempDirectory("graft-pipeline").toString + "/shards"
     val (packed, r) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
       lang = "en", minTokens = 5, rates = Map("src0" -> 2.0, "src1" -> 0.5),
-      evalDocs = Some(evalSet))
+      evalDocs = Some(evalSet), shardsOut = Some(landing), outShards = 4)
     // row accounting: each cleaning stage is monotone non-increasing
     assert(r.input >= r.afterFilter && r.afterFilter >= r.afterExact &&
       r.afterExact >= r.afterNearDup && r.afterNearDup >= r.afterDecontam,
@@ -299,6 +300,13 @@ class ExamplesSpec extends AnyFunSuite {
     // max tokens (a pack closes only when the budget is crossed)
     val overBudget = packed.filter(col("tok_sum") > 256 + 64).count()
     assert(overBudget == 0, "pack exceeded budget by more than one unit")
+    // the sharded landing carries every chunk row, in-order per shard
+    val landed = spark.read.parquet(landing)
+    assert(landed.count() == r.chunks, "landing lost chunk rows")
+    assert(landed.select("shard").distinct().count() <= 4)
+    val keys = spark.read.parquet(s"$landing/shard=0")
+      .select("sort_key").collect().map(_.getString(0)).toSeq
+    assert(keys == keys.sorted, "shard 0 not stored in sort order")
     // determinism: the full pipeline replays to identical accounting
     val (_, r2) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
       lang = "en", minTokens = 5, rates = Map("src0" -> 2.0, "src1" -> 0.5),
