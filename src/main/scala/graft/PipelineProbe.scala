@@ -12,6 +12,8 @@ object PipelineProbe {
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     val evalSet = Tables(spark, dir, "documents")
       .filter(col("doc_id") % 97 === 0).select(col("doc_id"), col("text"))
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-probe").toString + "/shards"
     val t0 = System.nanoTime()
     val (packed, r) = jobs.TrainingPipeline.run(spark, dir,
       lang = "en", minTokens = 10, minQuality = Some(0.15),
@@ -20,9 +22,11 @@ object PipelineProbe {
       rates = Map("src0" -> 2.0, "src1" -> 0.5),
       tokenBudgets = Map("src2" -> 100000L),
       evalDocs = Some(evalSet),
-      normalize = true, scrubPii = true)
+      normalize = true, scrubPii = true,
+      shardsOut = Some(landing), outShards = 8)
     val dt = (System.nanoTime() - t0) / 1e9
-    println(f"[pipeline] $r in $dt%.1f s; sample packs:")
+    val landed = spark.read.parquet(landing).count()
+    println(f"[pipeline] $r in $dt%.1f s; landed $landed chunk rows; sample packs:")
     packed.orderBy(desc("tok_sum")).show(5, false)
     spark.stop()
   }
