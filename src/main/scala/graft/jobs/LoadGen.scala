@@ -150,8 +150,8 @@ object LoadGen {
     * when its predecessor completes (its STRESS/REPLAY policies need a
     * multi-tenant scheduler; on one Spark app serial is the meaningful
     * mode). Traces can be hand-written or mined from a real event log
-    * by [[Rumen.toTrace]]; the sls scheduler simulator stays out of
-    * scope — replay exercises the engine, not a YARN scheduler model.
+    * by [[Rumen.toTrace]]; [[Sls]] simulates the same mined traces
+    * against scheduler policies without running them.
     */
   def replayTrace(spark: SparkSession,
                   trace: Seq[TraceJob]): Seq[(String, Double, Long)] =

@@ -39,6 +39,9 @@ object Rumen {
     StructField("Stage ID", LongType),
     StructField("Task End Reason", StructType(Seq(
       StructField("Reason", StringType)))),
+    StructField("Task Info", StructType(Seq(
+      StructField("Launch Time", LongType),
+      StructField("Finish Time", LongType)))),
     StructField("Task Metrics", StructType(Seq(
       StructField("Input Metrics", StructType(Seq(
         StructField("Records Read", LongType)))),
@@ -49,7 +52,7 @@ object Rumen {
 
   /** One row per (app, job) across every event log under `path`:
     * (app, job_id, submitted_ms, duration_sec, n_stages, n_tasks,
-    * input_records, shuffle_records, output_records).
+    * input_records, shuffle_records, output_records, avg_task_sec).
     *
     * `app` is the log file's base name — job and stage IDs restart at 0
     * in every application, so all keying is per FILE and a directory of
@@ -99,13 +102,16 @@ object Rumen {
         coalesce(col("`Task Metrics`.`Shuffle Write Metrics`.`Shuffle Records Written`"),
           lit(0L)).as("shuf_rec"),
         coalesce(col("`Task Metrics`.`Output Metrics`.`Records Written`"),
-          lit(0L)).as("out_rec"))
+          lit(0L)).as("out_rec"),
+        coalesce((col("`Task Info`.`Finish Time`") -
+          col("`Task Info`.`Launch Time`")) / 1e3, lit(0.0)).as("task_sec"))
 
     val perStage = tasks.groupBy("app", "stage_id").agg(
       count(lit(1)).as("n_tasks"),
       sum("in_rec").as("input_records"),
       sum("shuf_rec").as("shuffle_records"),
-      sum("out_rec").as("output_records"))
+      sum("out_rec").as("output_records"),
+      sum("task_sec").as("task_secs"))
 
     val perJob = starts
       .select(col("app"), col("job_id"), explode(col("stage_ids")).as("stage_id"))
@@ -115,7 +121,8 @@ object Rumen {
         coalesce(sum("n_tasks"), lit(0L)).as("n_tasks"),
         coalesce(sum("input_records"), lit(0L)).as("input_records"),
         coalesce(sum("shuffle_records"), lit(0L)).as("shuffle_records"),
-        coalesce(sum("output_records"), lit(0L)).as("output_records"))
+        coalesce(sum("output_records"), lit(0L)).as("output_records"),
+        coalesce(sum("task_secs"), lit(0.0)).as("task_secs"))
 
     starts.drop("stage_ids")
       .join(ends, Seq("app", "job_id"), "left")
@@ -123,7 +130,11 @@ object Rumen {
       .select(col("app"), col("job_id"), col("submitted_ms"),
         ((col("completed_ms") - col("submitted_ms")) / 1e3).as("duration_sec"),
         col("n_stages"), col("n_tasks"), col("input_records"),
-        col("shuffle_records"), col("output_records"))
+        col("shuffle_records"), col("output_records"),
+        // mean successful-attempt runtime (TaskInfo launch→finish) —
+        // what [[Sls.fromHistory]] replays per task slot
+        when(col("n_tasks") > 0, col("task_secs") / col("n_tasks"))
+          .otherwise(lit(0.0)).as("avg_task_sec"))
   }
 
   /** Shape [[jobHistory]] rows into the GridMix-lite mix. The loadGen

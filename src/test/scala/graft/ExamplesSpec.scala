@@ -168,6 +168,7 @@ class ExamplesSpec extends AnyFunSuite {
              reason: String = "Success"): String =
       s"""{"Event":"SparkListenerTaskEnd","Stage ID":$stage,"Task Type":"ResultTask",""" +
         s""""Task End Reason":{"Reason":"$reason"},""" +
+        s""""Task Info":{"Task ID":1,"Launch Time":1000,"Finish Time":1500},""" +
         s""""Task Metrics":{"Input Metrics":{"Bytes Read":${in * 10},"Records Read":$in},""" +
         s""""Output Metrics":{"Bytes Written":${out * 10},"Records Written":$out},""" +
         s""""Shuffle Write Metrics":{"Shuffle Bytes Written":${shuf * 10},"Shuffle Records Written":$shuf}}}"""
@@ -224,6 +225,39 @@ class ExamplesSpec extends AnyFunSuite {
     val runs = LoadGen.replayTrace(spark, trace.take(2))
     assert(runs.map(_._1) == Seq("app1.log/job_0", "app1.log/job_1") &&
       runs.forall(_._2 > 0))
+
+    // ...and the sls-lite simulator (rumen -> sls, the reference's own
+    // handoff): mined task counts + mean runtimes (500 ms fixture tasks)
+    import graft.jobs.Sls
+    val sim = Sls.fromHistory(Rumen.jobHistory(spark, dir.toString))
+    assert(sim == Seq(
+      Sls.SimJob("app1.log/job_0", 0.0, 3, 0.5),
+      Sls.SimJob("app1.log/job_1", 3.0, 1, 0.5),
+      Sls.SimJob("app2.log/job_0", 1.0, 1, 0.5)), sim.mkString("; "))
+    val (stats, makespan) = Sls.simulate(sim, slots = 2, Sls.Fifo)
+    assert(stats.forall(s => s.finishSec >= s.startSec && s.waitSec >= 0))
+    assert(makespan > 0)
+  }
+
+  test("SLS analog: FIFO makes the late job wait; FAIR shares the slots") {
+    import graft.jobs.Sls
+    import Sls.{SimJob, JobStats}
+    // two slots; job a: 4 tasks x 10 s at t=0, job b: 2 tasks x 10 s at t=5
+    val trace = Seq(SimJob("a", 0, 4, 10), SimJob("b", 5, 2, 10))
+    val (fifo, mkFifo) = Sls.simulate(trace, slots = 2, Sls.Fifo)
+    // FIFO: a fills both slots for two waves (0-10, 10-20); b waits 15 s
+    assert(fifo == Seq(JobStats("a", 0, 20, 0), JobStats("b", 20, 30, 15)),
+      fifo.mkString("; "))
+    assert(mkFifo == 30)
+    val (fair, mkFair) = Sls.simulate(trace, slots = 2, Sls.Fair)
+    // FAIR: at t=10 b has fewest running tasks and gets a slot; its wait
+    // drops 15 -> 5 while the makespan stays 30
+    assert(fair == Seq(JobStats("a", 0, 30, 0), JobStats("b", 10, 30, 5)),
+      fair.mkString("; "))
+    assert(mkFair == 30)
+    // a zero-task job schedules trivially: start == finish == submit
+    val (z, _) = Sls.simulate(Seq(SimJob("z", 7, 0, 10)), slots = 1, Sls.Fifo)
+    assert(z == Seq(JobStats("z", 7, 7, 0)))
   }
 
   test("NNBench analog: create/read/delete phases report ops/sec and clean up") {
