@@ -176,6 +176,30 @@ object LawsSpec extends Properties("graft.laws") {
         }
     }
 
+  // --- winnowing fingerprints ---------------------------------------------
+
+  property("fingerprints equal the local winnowing oracle") =
+    forAll(Gen.listOfN(3, Gen.zip(Gen.chooseNum(0L, 100000L),
+      Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "e2"))))) { docsRaw =>
+      val (k, w) = (3, 4)
+      val docs = docsRaw.distinctBy(_._1)
+        .map { case (id, toks) => (id, toks.take(30).mkString(" ")) }
+      val got = graft.operators.Dedup
+        .fingerprints(docs.toDF("doc_id", "text"), "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val want = docs.flatMap { case (id, text) =>
+        val h = graft.operators.Dedup.tokensLocal(text)
+          .sliding(k).filter(_.size == k).map(g => md5hex(g.mkString(" ")))
+          .toIndexedSeq
+        // min of each forward window of w shingle hashes (short tails
+        // shrink the window) -- the winnowing selection rule
+        h.indices.map(p => id -> h.slice(p, math.min(p + w, h.size)).min)
+      }.toSet
+      got == want
+    }
+
   // --- as-of join ---------------------------------------------------------
 
   property("asof matches the naive latest-at-or-before oracle") =
