@@ -25,7 +25,12 @@ object PipelineProbe {
       normalize = true, scrubPii = true,
       shardsOut = Some(landing), outShards = 8)
     val dt = (System.nanoTime() - t0) / 1e9
-    val landed = spark.read.parquet(landing).count()
+    // filters that reject every document land only _SUCCESS (a
+    // partitionBy write with zero rows emits no data files), which
+    // parquet schema inference refuses — report 0, don't crash
+    val landed =
+      try spark.read.parquet(landing).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     println(f"[pipeline] $r in $dt%.1f s; landed $landed chunk rows; sample packs:")
     packed.orderBy(desc("tok_sum")).show(5, false)
     spark.stop()

@@ -37,9 +37,13 @@ object Rumen {
     StructField("Completion Time", LongType),
     StructField("Stage IDs", ArrayType(LongType)),
     StructField("Stage ID", LongType),
+    StructField("Stage Attempt ID", LongType),
     StructField("Task End Reason", StructType(Seq(
       StructField("Reason", StringType)))),
     StructField("Task Info", StructType(Seq(
+      StructField("Task ID", LongType),
+      StructField("Index", LongType),
+      StructField("Attempt", LongType),
       StructField("Launch Time", LongType),
       StructField("Finish Time", LongType)))),
     StructField("Task Metrics", StructType(Seq(
@@ -57,10 +61,12 @@ object Rumen {
     * `app` is the log file's base name — job and stage IDs restart at 0
     * in every application, so all keying is per FILE and a directory of
     * many runs (a History Server dir) never cross-credits metrics.
-    * Metrics come from successful `SparkListenerTaskEnd` attempts only
-    * (failed, killed, and losing-speculative attempts re-emit TaskEnd
-    * with a non-Success reason, exactly the attempts rumen's
-    * `JobBuilder` drops); the stage→job mapping from
+    * Metrics come from the FIRST successful `SparkListenerTaskEnd` per
+    * (stage, task index): failed, killed, and losing-speculative
+    * attempts re-emit TaskEnd with a non-Success reason and are
+    * dropped, and a stage retry's re-run successes dedup against the
+    * original — one attempt per task, exactly what rumen's
+    * `JobBuilder` records; the stage→job mapping from
     * `SparkListenerJobStart.Stage IDs`; wall time from the
     * JobStart/JobEnd timestamps. Events of any other type — and a stage
     * that never ran a task (skipped stages) — contribute nothing. A
@@ -92,26 +98,50 @@ object Rumen {
         col("`Job ID`").isNotNull)
       .select(col("app"), col("`Job ID`").as("job_id"),
         col("`Completion Time`").as("completed_ms"))
+    // One row per TASK, not per successful attempt: after a fetch-failure
+    // stage retry the same task index re-runs and re-succeeds under a
+    // later stage attempt, so successes are deduped on (app, stage,
+    // index) keeping the earliest (stage attempt, task attempt) — the
+    // one-attempt-per-task rumen's JobBuilder records. min over a struct
+    // whose leading fields are the attempt keys makes the pick
+    // deterministic. task_sec stays NULL when the log carries no
+    // launch/finish times (truncated logs) so it cannot deflate the
+    // average; such rows still count as tasks. A TaskEnd with no Task
+    // Info at all is unattributable and collapses to one unknown-task
+    // row per stage — only degenerate logs hit that.
     val tasks = events
       .filter(col("Event") === "SparkListenerTaskEnd" &&
         col("`Stage ID`").isNotNull &&
         col("`Task End Reason`.Reason") === "Success")
       .select(col("app"), col("`Stage ID`").as("stage_id"),
+        coalesce(col("`Task Info`.Index"), col("`Task Info`.`Task ID`"))
+          .as("task_idx"),
+        coalesce(col("`Stage Attempt ID`"), lit(0L)).as("stage_att"),
+        coalesce(col("`Task Info`.Attempt"), lit(0L)).as("task_att"),
         coalesce(col("`Task Metrics`.`Input Metrics`.`Records Read`"),
           lit(0L)).as("in_rec"),
         coalesce(col("`Task Metrics`.`Shuffle Write Metrics`.`Shuffle Records Written`"),
           lit(0L)).as("shuf_rec"),
         coalesce(col("`Task Metrics`.`Output Metrics`.`Records Written`"),
           lit(0L)).as("out_rec"),
-        coalesce((col("`Task Info`.`Finish Time`") -
-          col("`Task Info`.`Launch Time`")) / 1e3, lit(0.0)).as("task_sec"))
+        ((col("`Task Info`.`Finish Time`") -
+          col("`Task Info`.`Launch Time`")) / 1e3).as("task_sec"))
+      .groupBy("app", "stage_id", "task_idx").agg(
+        min(struct(col("stage_att"), col("task_att"), col("in_rec"),
+          col("shuf_rec"), col("out_rec"), col("task_sec"))).as("first"))
+      .select(col("app"), col("stage_id"),
+        col("first.in_rec").as("in_rec"),
+        col("first.shuf_rec").as("shuf_rec"),
+        col("first.out_rec").as("out_rec"),
+        col("first.task_sec").as("task_sec"))
 
     val perStage = tasks.groupBy("app", "stage_id").agg(
       count(lit(1)).as("n_tasks"),
       sum("in_rec").as("input_records"),
       sum("shuf_rec").as("shuffle_records"),
       sum("out_rec").as("output_records"),
-      sum("task_sec").as("task_secs"))
+      sum("task_sec").as("task_secs"),
+      count(col("task_sec")).as("n_timed"))
 
     val perJob = starts
       .select(col("app"), col("job_id"), explode(col("stage_ids")).as("stage_id"))
@@ -122,7 +152,8 @@ object Rumen {
         coalesce(sum("input_records"), lit(0L)).as("input_records"),
         coalesce(sum("shuffle_records"), lit(0L)).as("shuffle_records"),
         coalesce(sum("output_records"), lit(0L)).as("output_records"),
-        coalesce(sum("task_secs"), lit(0.0)).as("task_secs"))
+        coalesce(sum("task_secs"), lit(0.0)).as("task_secs"),
+        coalesce(sum("n_timed"), lit(0L)).as("n_timed"))
 
     starts.drop("stage_ids")
       .join(ends, Seq("app", "job_id"), "left")
@@ -131,9 +162,10 @@ object Rumen {
         ((col("completed_ms") - col("submitted_ms")) / 1e3).as("duration_sec"),
         col("n_stages"), col("n_tasks"), col("input_records"),
         col("shuffle_records"), col("output_records"),
-        // mean successful-attempt runtime (TaskInfo launch→finish) —
-        // what [[Sls.fromHistory]] replays per task slot
-        when(col("n_tasks") > 0, col("task_secs") / col("n_tasks"))
+        // mean first-success runtime (TaskInfo launch→finish) over the
+        // tasks that carried times — what [[Sls.fromHistory]] replays
+        // per task slot; a log with no times at all reports 0
+        when(col("n_timed") > 0, col("task_secs") / col("n_timed"))
           .otherwise(lit(0.0)).as("avg_task_sec"))
   }
 

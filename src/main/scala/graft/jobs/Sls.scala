@@ -35,13 +35,19 @@ object Sls {
     */
   case object Fifo extends Policy
   /** Least-running-tasks-first instantaneous fair share (the reference
-    * FairScheduler's core rule), submission order breaking ties.
+    * FairScheduler's core rule). Running counts tie constantly — on a
+    * single slot they are ALWAYS 0-0 at decision time, since finished
+    * tasks drain before counting — so ties fall to the job with the
+    * least slot-time allocated so far (the original fair scheduler's
+    * deficit), then submission order. Without the deficit term the
+    * policy degenerates to exact FIFO on every tie.
     */
   case object Fair extends Policy
 
   /** Simulate `jobs` on `slots` identical task slots under `policy`.
-    * Returns per-job stats (trace order) and the makespan. Purely
-    * deterministic: ties break on (submitSec, trace index).
+    * Returns per-job stats (trace order) and the makespan (max finish
+    * across jobs, zero-task jobs included). Purely deterministic: final
+    * ties break on (submitSec, trace index).
     */
   def simulate(jobs: Seq[SimJob], slots: Int,
                policy: Policy): (Seq[JobStats], Double) = {
@@ -54,9 +60,10 @@ object Sls {
     val finished = Array.fill[Double](n)(0.0)
     // finish times of in-flight tasks per job, for FAIR's running count
     val inFlight = Array.fill(n)(scala.collection.mutable.Queue.empty[Double])
+    // cumulative slot-seconds granted per job: FAIR's deficit tie-break
+    val allocSec = Array.fill(n)(0.0)
     val slotFree = scala.collection.mutable.PriorityQueue.fill(slots)(0.0)(
       Ordering[Double].reverse) // min-heap: earliest-free slot first
-    var makespan = 0.0
     var left = remaining.sum
     while (left > 0) {
       var t = slotFree.dequeue()
@@ -70,14 +77,14 @@ object Sls {
         case Fair => runnable.minBy { i =>
           val q = inFlight(i)
           while (q.nonEmpty && q.head <= t) q.dequeue() // completed
-          (q.size, jobs(i).submitSec, i)
+          (q.size, allocSec(i), jobs(i).submitSec, i)
         }
       }
       if (started(pick).isNaN) started(pick) = t
       val fin = t + jobs(pick).taskSec
       inFlight(pick) += fin // queue stays sorted: equal taskSec per job
+      allocSec(pick) += jobs(pick).taskSec
       finished(pick) = math.max(finished(pick), fin)
-      makespan = math.max(makespan, fin)
       remaining(pick) -= 1
       left -= 1
       slotFree.enqueue(fin)
@@ -86,6 +93,9 @@ object Sls {
       val start = if (started(i).isNaN) j.submitSec else started(i)
       JobStats(j.name, start, math.max(finished(i), start), start - j.submitSec)
     }
+    // makespan from the stats themselves, so a zero-task job's (trivial)
+    // finish can never exceed the reported makespan
+    val makespan = stats.foldLeft(0.0)((m, s) => math.max(m, s.finishSec))
     (stats, makespan)
   }
 

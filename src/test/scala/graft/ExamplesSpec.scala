@@ -165,19 +165,24 @@ class ExamplesSpec extends AnyFunSuite {
     // unrelated event, a malformed line, a failed task attempt, and a
     // TaskEnd for a stage no job claims, all of which must be ignored.
     def task(stage: Int, in: Long, shuf: Long, out: Long,
-             reason: String = "Success"): String =
-      s"""{"Event":"SparkListenerTaskEnd","Stage ID":$stage,"Task Type":"ResultTask",""" +
+             reason: String = "Success", idx: Int = 0,
+             stageAtt: Int = 0): String =
+      s"""{"Event":"SparkListenerTaskEnd","Stage ID":$stage,"Stage Attempt ID":$stageAtt,"Task Type":"ResultTask",""" +
         s""""Task End Reason":{"Reason":"$reason"},""" +
-        s""""Task Info":{"Task ID":1,"Launch Time":1000,"Finish Time":1500},""" +
+        s""""Task Info":{"Task ID":${stage * 100 + idx},"Index":$idx,"Attempt":0,"Launch Time":1000,"Finish Time":1500},""" +
         s""""Task Metrics":{"Input Metrics":{"Bytes Read":${in * 10},"Records Read":$in},""" +
         s""""Output Metrics":{"Bytes Written":${out * 10},"Records Written":$out},""" +
         s""""Shuffle Write Metrics":{"Shuffle Bytes Written":${shuf * 10},"Shuffle Records Written":$shuf}}}"""
     val lines = Seq(
       """{"Event":"SparkListenerApplicationStart","App Name":"probe","Timestamp":900}""",
       """{"Event":"SparkListenerJobStart","Job ID":0,"Submission Time":1000,"Stage IDs":[0,1]}""",
-      task(0, 100, 50, 0), task(0, 100, 50, 0), task(1, 0, 0, 30),
+      task(0, 100, 50, 0), task(0, 100, 50, 0, idx = 1), task(1, 0, 0, 30),
       // a killed speculative duplicate: must NOT be counted
-      task(0, 100, 50, 0, reason = "TaskKilled"),
+      task(0, 100, 50, 0, reason = "TaskKilled", idx = 1),
+      // a fetch-failure stage retry re-succeeds task index 1 under stage
+      // attempt 1 with different metrics: must dedup against the
+      // original success, not double-count
+      task(0, 999, 999, 999, idx = 1, stageAtt = 1),
       """{"Event":"SparkListenerStageCompleted","Stage Info":{"Stage ID":0}}""",
       """{"Event":"SparkListenerJobEnd","Job ID":0,"Completion Time":3500,"Job Result":{"Result":"JobSucceeded"}}""",
       """{"Event":"SparkListenerJobStart","Job ID":1,"Submission Time":4000,"Stage IDs":[2]}""",
@@ -191,13 +196,20 @@ class ExamplesSpec extends AnyFunSuite {
     val lines2 = Seq(
       """{"Event":"SparkListenerJobStart","Job ID":0,"Submission Time":2000,"Stage IDs":[0]}""",
       task(0, 0, 0, 5000),
+      // a success whose Task Info carries no launch/finish times
+      // (truncated log): counts as a task but must NOT drag
+      // avg_task_sec toward 0
+      """{"Event":"SparkListenerTaskEnd","Stage ID":0,"Task End Reason":{"Reason":"Success"},"Task Info":{"Task ID":9,"Index":1}}""",
       """{"Event":"SparkListenerJobEnd","Job ID":0,"Completion Time":2400,"Job Result":{"Result":"JobSucceeded"}}""")
     val dir = Files.createTempDirectory("graft-rumen")
     Files.write(dir.resolve("app1.log"), lines.mkString("\n").getBytes("UTF-8"))
     Files.write(dir.resolve("app2.log"), lines2.mkString("\n").getBytes("UTF-8"))
 
-    val hist = Rumen.jobHistory(spark, dir.toString)
-      .orderBy("app", "job_id").collect()
+    // one mined frame feeds every downstream check: jobHistory is eager
+    // (it checkpoints its parsed slice at construction), so each extra
+    // call would re-scan the logs
+    val histDf = Rumen.jobHistory(spark, dir.toString)
+    val hist = histDf.orderBy("app", "job_id").collect()
     assert(hist.length == 3, hist.mkString("; "))
     val j0 = hist(0)
     assert(j0.getString(0) == "app1.log" && j0.getLong(1) == 0 &&
@@ -210,8 +222,12 @@ class ExamplesSpec extends AnyFunSuite {
     val gen = hist(2)
     assert(gen.getString(0) == "app2.log" && gen.getLong(6) == 0 &&
       gen.getLong(8) == 5000, s"generator job: $gen")
+    // two tasks, but only one carried times: the timeless task may not
+    // deflate the 0.5 s average
+    assert(gen.getLong(5) == 2 && gen.getDouble(9) == 0.5,
+      s"timeless task deflated avg: $gen")
 
-    val trace = Rumen.toTrace(Rumen.jobHistory(spark, dir.toString))
+    val trace = Rumen.toTrace(histDf)
     assert(trace == Seq(
       // job 0: rows = input 200, map 100/200 = 50%, red 30/100 = 30%
       LoadGen.TraceJob("app1.log/job_0", 200, 50, 30),
@@ -229,11 +245,11 @@ class ExamplesSpec extends AnyFunSuite {
     // ...and the sls-lite simulator (rumen -> sls, the reference's own
     // handoff): mined task counts + mean runtimes (500 ms fixture tasks)
     import graft.jobs.Sls
-    val sim = Sls.fromHistory(Rumen.jobHistory(spark, dir.toString))
+    val sim = Sls.fromHistory(histDf)
     assert(sim == Seq(
       Sls.SimJob("app1.log/job_0", 0.0, 3, 0.5),
       Sls.SimJob("app1.log/job_1", 3.0, 1, 0.5),
-      Sls.SimJob("app2.log/job_0", 1.0, 1, 0.5)), sim.mkString("; "))
+      Sls.SimJob("app2.log/job_0", 1.0, 2, 0.5)), sim.mkString("; "))
     val (stats, makespan) = Sls.simulate(sim, slots = 2, Sls.Fifo)
     assert(stats.forall(s => s.finishSec >= s.startSec && s.waitSec >= 0))
     assert(makespan > 0)
@@ -255,9 +271,19 @@ class ExamplesSpec extends AnyFunSuite {
     assert(fair == Seq(JobStats("a", 0, 30, 0), JobStats("b", 10, 30, 5)),
       fair.mkString("; "))
     assert(mkFair == 30)
-    // a zero-task job schedules trivially: start == finish == submit
-    val (z, _) = Sls.simulate(Seq(SimJob("z", 7, 0, 10)), slots = 1, Sls.Fifo)
-    assert(z == Seq(JobStats("z", 7, 7, 0)))
+    // a zero-task job schedules trivially: start == finish == submit —
+    // and its finish is still visible in the makespan
+    val (z, mkZ) = Sls.simulate(Seq(SimJob("z", 7, 0, 10)), slots = 1, Sls.Fifo)
+    assert(z == Seq(JobStats("z", 7, 7, 0)) && mkZ == 7)
+    // single slot: running counts tie 0-0 at EVERY decision point (the
+    // finished task drains before counting), so without the deficit
+    // tie-break FAIR would degenerate to FIFO and starve the small job
+    // for 1000 s
+    val (mono, mkMono) = Sls.simulate(
+      Seq(SimJob("big", 0, 100, 10), SimJob("one", 0, 1, 10)),
+      slots = 1, Sls.Fair)
+    assert(mono(1) == JobStats("one", 10, 20, 10) && mkMono == 1010,
+      mono.mkString("; "))
   }
 
   test("NNBench analog: create/read/delete phases report ops/sec and clean up") {
