@@ -371,18 +371,20 @@ object Similarity {
     boundedCandidates(
       lshAssignments(df, idCol, vecCol, nCells, rep, tables), maxBucket) { assigned =>
       val a = assigned.select(col("t"), col("cell"),
-        col("id").as("vec_a"), col("v").as("va"))
+        col("id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
       val b = assigned.select(col("t"), col("cell"),
-        col("id").as("vec_b"), col("v").as("vb"))
+        col("id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
       // score IN PLACE on the candidate join (a pair met in several
-      // (t, cell) buckets recomputes an identical codegen'd cosine — a
+      // (t, cell) buckets recomputes an identical codegen'd dot — a
       // few map-local flops), then dedupe only the thresholded 16-byte id
       // pairs. The former pre-scoring distinct shuffled BOTH vectors per
       // candidate row — the one non-narrow shuffle in the plan, and the
-      // part that could not survive a 100x scale-up.
+      // part that could not survive a 100x scale-up. Norms ride the
+      // assignment rows (computed once per vector in lshAssignments), so
+      // each candidate costs ONE dot product, not three.
       a.join(b, Seq("t", "cell"))
         .filter(col("vec_a") < col("vec_b"))
-        .withColumn("sim", cosine(col("va"), col("vb")))
+        .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("sim") >= threshold)
         .select("vec_a", "vec_b")
         .distinct()
@@ -445,7 +447,13 @@ object Similarity {
     */
   private def lshAssignments(df: DataFrame, idCol: String, vecCol: String,
                              nCells: Int, rep: Int, tables: Int): DataFrame = {
+    // `nrm` rides the assignment row so candidate scoring divides by it
+    // instead of re-deriving both norms per candidate pair: the norm is
+    // computed once per vector (before the (t, cell) fan-out), cutting
+    // the candidate-join hot loop from 3 dot products to 1. Bit-equal to
+    // cosine(): same dot, same sqrt, same multiply/divide order.
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
     // salts 1..tables: uniformly salted, so a SQL oracle replays every
     // table's seed ranking with ONE expression (md5(id || ':' || t))
     val cbs = codebooks(df, idCol, vecCol, nCells, 1 to tables)
@@ -457,8 +465,9 @@ object Similarity {
           col("v"), cb.map(_._2.toSeq), rep),
         i => struct(lit(t).as("t"), element_at(ids, i + 1).as("cell")))
     }: _*))
-    e.select(col("id"), col("v"), explode(tcPairs).as("tc"))
-      .select(col("tc.t").as("t"), col("tc.cell").as("cell"), col("id"), col("v"))
+    e.select(col("id"), col("v"), col("nrm"), explode(tcPairs).as("tc"))
+      .select(col("tc.t").as("t"), col("tc.cell").as("cell"),
+        col("id"), col("v"), col("nrm"))
   }
 
   /** k-nearest-neighbor SELF-join: every vector's top-k cosine
@@ -485,16 +494,18 @@ object Similarity {
     boundedCandidates(
       lshAssignments(df, idCol, vecCol, cells, rep, tables), maxBucket) { assigned =>
       val a = assigned.select(col("t"), col("cell"),
-        col("id").as("q_id"), col("v").as("qv"))
+        col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       val b = assigned.select(col("t"), col("cell"),
-        col("id").as("n_id"), col("v").as("nv"))
+        col("id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
       // no candidate distinct: a (q, n) pair met in several buckets scores
       // the identical cosine each time, and TopKByScore keeps one entry
       // per n_id (best score) — so duplicates cost a few map-local flops
-      // instead of a full-width shuffle of both vectors per candidate row
+      // instead of a full-width shuffle of both vectors per candidate row.
+      // Norms ride the assignment rows (once per vector, lshAssignments),
+      // so each candidate costs ONE dot product, not three.
       val scored = a.join(b, Seq("t", "cell"))
         .filter(col("q_id") =!= col("n_id"))
-        .withColumn("sim", cosine(col("qv"), col("nv")))
+        .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
       topKRank(scored, k)
     }
   }
