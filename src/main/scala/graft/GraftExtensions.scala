@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(VectorExpressions.dotProductFunction)
     e.injectFunction(VectorExpressions.nearestCellsFunction)
+    e.injectFunction(VectorExpressions.nearestCellIdsFunction)
     e.injectFunction(TextExpressions.nfcNormalizeFunction)
     e.injectFunction(CompressExpressions.deflatedSizeFunction)
   }

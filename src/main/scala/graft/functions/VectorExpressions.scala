@@ -187,6 +187,130 @@ case class NearestCells(first: Expression, second: Expression, third: Expression
     copy(first = f, second = s, third = t)
 }
 
+/** [[NearestCells]] fused with its index→cell-id mapping: returns the
+  * IDS (not positions) of the `n` nearest codebook rows, best first.
+  * Exists because the composition `transform(nearest_cells(...), i =>
+  * element_at(ids, i + 1))` routes through ArrayTransform — a
+  * higher-order function, which never enters whole-stage codegen, so
+  * the WHOLE projection around it fell back to interpreted evaluation
+  * (~1 ms/row on the LSH assignment path, the measured wall of the
+  * knn_join / cosinePairsLsh plans). Same scoring loop as NearestCells;
+  * the id array rides along as one more foldable literal.
+  */
+@ExpressionDescription(
+  usage = "_FUNC_(vec, codebook, ids, n) - ids of the n nearest codebook rows, best first")
+case class NearestCellIds(first: Expression, second: Expression,
+                          third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, second.foldable,
+     third.dataType, third.foldable, fourth.dataType, fourth.foldable) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(ArrayType(DoubleType, _), _), true,
+            ArrayType(LongType, _), true, IntegerType, true) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "nearest_cell_ids needs (float/double array, foldable array<array<double>> codebook, " +
+            s"foldable array<bigint> ids, foldable int n), got $other")
+    }
+
+  private lazy val cells: Array[Array[Double]] = {
+    val arr = second.eval().asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray())
+  }
+
+  private lazy val cellIds: Array[Long] = {
+    val arr = third.eval().asInstanceOf[ArrayData]
+    require(arr.numElements() == cells.length,
+      s"nearest_cell_ids: ${cells.length} codebook rows but ${arr.numElements()} ids")
+    arr.toLongArray()
+  }
+
+  private lazy val topN: Int =
+    math.max(1, math.min(fourth.eval().asInstanceOf[Int], cells.length))
+
+  private def elemIsFloat: Boolean =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, u1: Any, u2: Any, u3: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val xf = elemIsFloat
+    val n = topN
+    val bs = new Array[Double](n)
+    val bi = new Array[Long](n)
+    var filled = 0
+    var c = 0
+    while (c < cells.length) {
+      val cell = cells(c)
+      val m = math.min(x.numElements(), cell.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+        acc += xi * cell(i)
+        i += 1
+      }
+      var p = filled
+      while (p > 0 && acc > bs(p - 1)) p -= 1
+      if (p < n) {
+        val end = math.min(filled, n - 1)
+        var j = end
+        while (j > p) { bs(j) = bs(j - 1); bi(j) = bi(j - 1); j -= 1 }
+        bs(p) = acc; bi(p) = cellIds(c)
+        if (filled < n) filled += 1
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(bi, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _, _, _) => {
+      val cb = ctx.addReferenceObj("cells", cells, "double[][]")
+      val idsRef = ctx.addReferenceObj("cellIds", cellIds, "long[]")
+      val n = topN
+      val bs = ctx.freshName("bs"); val bi = ctx.freshName("bi")
+      val filled = ctx.freshName("filled")
+      val c = ctx.freshName("c"); val cell = ctx.freshName("cell")
+      val m = ctx.freshName("m"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val p = ctx.freshName("p")
+      val end = ctx.freshName("end"); val j = ctx.freshName("j")
+      val getX = if (elemIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |double[] $bs = new double[$n];
+         |long[] $bi = new long[$n];
+         |int $filled = 0;
+         |for (int $c = 0; $c < $cb.length; $c++) {
+         |  double[] $cell = $cb[$c];
+         |  int $m = java.lang.Math.min($a.numElements(), $cell.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $acc += $getX * $cell[$i];
+         |  }
+         |  int $p = $filled;
+         |  while ($p > 0 && $acc > $bs[$p - 1]) $p--;
+         |  if ($p < $n) {
+         |    int $end = java.lang.Math.min($filled, $n - 1);
+         |    for (int $j = $end; $j > $p; $j--) { $bs[$j] = $bs[$j - 1]; $bi[$j] = $bi[$j - 1]; }
+         |    $bs[$p] = $acc; $bi[$p] = $idsRef[$c];
+         |    if ($filled < $n) $filled++;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(java.util.Arrays.copyOf($bi, $filled));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -202,6 +326,12 @@ object VectorExpressions {
     new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
     (children: Seq[Expression]) => NearestCells(children(0), children(1), children(2)))
 
+  val nearestCellIdsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nearest_cell_ids"),
+    new ExpressionInfo(classOf[NearestCellIds].getName, "nearest_cell_ids"),
+    (children: Seq[Expression]) =>
+      NearestCellIds(children(0), children(1), children(2), children(3)))
+
   /** Column form (resolved through the registered SQL function). */
   def dot_product(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("dot_product", a, b)
@@ -211,5 +341,13 @@ object VectorExpressions {
   def nearest_cells(vec: Column, codebook: Seq[Seq[Double]], n: Int): Column =
     org.apache.spark.sql.functions.call_function("nearest_cells", vec,
       org.apache.spark.sql.functions.typedLit(codebook),
+      org.apache.spark.sql.functions.lit(n))
+
+  /** Column form: ids of the n nearest codebook rows, best first. */
+  def nearest_cell_ids(vec: Column, codebook: Seq[Seq[Double]],
+                       ids: Seq[Long], n: Int): Column =
+    org.apache.spark.sql.functions.call_function("nearest_cell_ids", vec,
+      org.apache.spark.sql.functions.typedLit(codebook),
+      org.apache.spark.sql.functions.typedLit(ids),
       org.apache.spark.sql.functions.lit(n))
 }

@@ -175,13 +175,14 @@ object Similarity {
     */
   def assignCells(df: DataFrame, idCol: String, vecCol: String,
                   cb: Seq[(Long, Array[Double])], rep: Int = 1): DataFrame = {
-    val ids = typedLit(cb.map(_._1))
-    val cellIdx = graft.functions.VectorExpressions.nearest_cells(
-      col(vecCol), cb.map(_._2.toSeq), rep)
+    // fused id mapping (nearest_cell_ids), not transform(nearest_cells):
+    // the HOF lambda would drop the whole projection out of codegen
+    val cellIds = graft.functions.VectorExpressions.nearest_cell_ids(
+      col(vecCol), cb.map(_._2.toSeq), cb.map(_._1), rep)
     if (rep == 1)
-      df.withColumn("cell", element_at(ids, element_at(cellIdx, 1) + 1))
+      df.withColumn("cell", element_at(cellIds, 1))
     else
-      df.withColumn("cell", explode(transform(cellIdx, i => element_at(ids, i + 1))))
+      df.withColumn("cell", explode(cellIds))
   }
 
   private[graft] def autoCells(n: Long): Int =
@@ -455,19 +456,31 @@ object Similarity {
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", l2norm(col("v")))
     // salts 1..tables: uniformly salted, so a SQL oracle replays every
-    // table's seed ranking with ONE expression (md5(id || ':' || t))
+    // table's seed ranking with ONE expression (md5(id || ':' || t)).
+    // nearest_cell_ids (NOT transform(nearest_cells, ...)): ArrayTransform
+    // is a higher-order function, which disables whole-stage codegen for
+    // the enclosing projection — the fused expression keeps the whole
+    // assignment (scoring + id mapping + both explodes) inside codegen.
     val cbs = codebooks(df, idCol, vecCol, nCells, 1 to tables)
-    val tcPairs = flatten(array((1 to tables).map { t =>
+    val perTable = array((1 to tables).map { t =>
       val cb = cbs(t)
-      val ids = typedLit(cb.map(_._1))
-      transform(
-        graft.functions.VectorExpressions.nearest_cells(
-          col("v"), cb.map(_._2.toSeq), rep),
-        i => struct(lit(t).as("t"), element_at(ids, i + 1).as("cell")))
-    }: _*))
-    e.select(col("id"), col("v"), col("nrm"), explode(tcPairs).as("tc"))
-      .select(col("tc.t").as("t"), col("tc.cell").as("cell"),
-        col("id"), col("v"), col("nrm"))
+      struct(lit(t).as("t"),
+        graft.functions.VectorExpressions.nearest_cell_ids(
+          col("v"), cb.map(_._2.toSeq), cb.map(_._1), rep).as("cs"))
+    }: _*)
+    // explicit hash shuffle on the join keys: the candidate self-join is
+    // a narrow pipeline over the scan otherwise, and a small fixture (one
+    // parquet row group = one split) would run ALL candidate scoring on
+    // one core — while at cluster scale a (t, cell) exchange is exactly
+    // the plan a non-broadcastable self-join takes anyway. The explicit
+    // count (the session's shuffle parallelism) keeps AQE from size-
+    // coalescing compute-heavy-but-byte-small partitions back to one.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    e.select(col("id"), col("v"), col("nrm"), explode(perTable).as("tc"))
+      .select(col("tc.t").as("t"), col("id"), col("v"), col("nrm"),
+        explode(col("tc.cs")).as("cell"))
+      .select(col("t"), col("cell"), col("id"), col("v"), col("nrm"))
+      .repartition(parts, col("t"), col("cell"))
   }
 
   /** k-nearest-neighbor SELF-join: every vector's top-k cosine
@@ -502,10 +515,19 @@ object Similarity {
       // per n_id (best score) — so duplicates cost a few map-local flops
       // instead of a full-width shuffle of both vectors per candidate row.
       // Norms ride the assignment rows (once per vector, lshAssignments),
-      // so each candidate costs ONE dot product, not three.
+      // so each candidate costs ONE dot product, not three — and only the
+      // q < n half of the symmetric self-join computes it: the scored row
+      // explodes into both directions in the same stage (dot and norms
+      // commute bitwise, so the mirrored sim is bit-equal to scoring
+      // (n, q) directly). Halves the hot loop again.
       val scored = a.join(b, Seq("t", "cell"))
-        .filter(col("q_id") =!= col("n_id"))
+        .filter(col("q_id") < col("n_id"))
         .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+        .select(explode(array(
+          struct(col("q_id"), col("n_id"), col("sim")),
+          struct(col("n_id").as("q_id"), col("q_id").as("n_id"), col("sim")))).as("p"))
+        .select(col("p.q_id").as("q_id"), col("p.n_id").as("n_id"),
+          col("p.sim").as("sim"))
       topKRank(scored, k)
     }
   }
