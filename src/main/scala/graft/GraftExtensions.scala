@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(VectorExpressions.nearestCellsFunction)
     e.injectFunction(VectorExpressions.nearestCellIdsFunction)
     e.injectFunction(TextExpressions.nfcNormalizeFunction)
+    e.injectFunction(TextExpressions.wordTokensFunction)
+    e.injectFunction(TextExpressions.wordShinglesFunction)
     e.injectFunction(CompressExpressions.deflatedSizeFunction)
   }
 }

@@ -18,7 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   */
 object Dedup {
 
-  def tokens(text: Column): Column = filter(split(text, "\\s+"), w => w =!= "")
+  /** Whitespace tokens, empty tokens dropped. Routed through the
+    * codegen'd [[graft.functions.WordTokens]] kernel — the declarative
+    * `filter(split(text, "\\s+"), _ =!= "")` is an ArrayFilter HOF,
+    * which evaluates interpreted; same result, same null contract.
+    */
+  def tokens(text: Column): Column =
+    graft.functions.TextExpressions.word_tokens(text)
 
   /** Local mirror of [[tokens]] (same split, same empty-drop) for
     * driver/executor-side code that tokenizes outside a Column plan. */
@@ -41,9 +47,15 @@ object Dedup {
     df.groupBy(md5(col(text)).as("h"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Word k-gram shingles straight from a text column — the fused,
+    * codegen'd form of `wordShingles(tokens(text), k)` (see
+    * [[graft.functions.WordShingles]]). */
+  def textShingles(text: Column, k: Int): Column =
+    graft.functions.TextExpressions.word_shingles(text, k)
+
   /** Distinct (id, shingle) pairs. */
   def shingleTable(df: DataFrame, id: String, text: String, k: Int): DataFrame =
-    df.select(col(id), explode(wordShingles(tokens(col(text)), k)).as("sh"))
+    df.select(col(id), explode(textShingles(col(text), k)).as("sh"))
       .distinct()
 
   /** Shingles reduced to their Carter-Wegman hash halves: ONE md5 per
@@ -69,18 +81,20 @@ object Dedup {
     * dedup/decontamination queries share. Two changes, same multiset:
     *
     *  - shingles come from `lead()` over (id, pos) — the [[fingerprints]]
-    *    pattern — so construction is codegen'd concat_ws instead of the
-    *    interpreted per-position transform/slice/array_join lambda
-    *    (HigherOrderFunction eval was ~3-4× the query's cost at sf0.1);
+    *    pattern — so construction is codegen'd concat_ws, and the
+    *    window's partition-by-doc shuffle spreads shingle+md5 work
+    *    across the cluster even when the upstream scan has few splits
+    *    (a zero-shuffle map pipeline is only as parallel as its input);
     *  - the distinct dedups AFTER hashing, so its shuffle carries
     *    24-byte (id, h1, h2) rows, never shingle strings.
     *
     * distinct-on-string == distinct-on-(h1,h2) up to 120-bit md5
     * collisions; downstream joins key on the hash either way. Cost
     * shape: ONE extra shuffle of the token stream (the window's
-    * partition-by-doc) buys fully-codegen'd shingling — at 100 TB
+    * partition-by-doc) buys parallel, codegen'd shingling — at 100 TB
     * prefer this when CPU-bound (measured ~2× here); [[shingleTable]]
-    * remains the zero-shuffle form.
+    * remains the zero-shuffle form (itself codegen'd via the fused
+    * [[textShingles]] kernel since r5).
     */
   def shingleHashTable(df: DataFrame, id: String, text: String, k: Int): DataFrame =
     shingleHashes(leadShingles(df, id, text, k).select(col(id), col("sh")), id)
@@ -391,7 +405,7 @@ object Dedup {
         u.count(eval.contains).toDouble / u.size
       }
     }
-    score(transform(wordShingles(tokens(text), k), s => h1(s)))
+    score(transform(textShingles(text, k), s => h1(s)))
   }
 
   /** The lossless form of the [[capBuckets]] guard for exact-dup-heavy
