@@ -61,6 +61,26 @@ object SimilarityQueries extends QueryModule {
       Similarity.knnJoinLsh(emb(s, dir), "vec_id", "embedding",
         k = 5, rep = 2, tables = 6)),
 
+    // SemDeDup-style semantic dedup, end-to-end and oracle-checked:
+    // blocked near-dup pairs over the FULL embedding table (the
+    // dedup_embedding_blocked recipe) -> connected components (the
+    // dedup_clusters engine) -> keep the min-id representative of every
+    // semantic cluster (singletons keep themselves). The composition a
+    // training pipeline actually ships for embedding-space dedup; every
+    // stage is an equi-join or a bounded aggregation — no all-pairs
+    // anywhere (inherited plan shape, asserted for the parts in
+    // PlanSpec).
+    "semantic_dedup" -> ((s, dir) => {
+      val base = emb(s, dir)
+      val pairs = Similarity.cosinePairsLsh(base, "vec_id", "embedding",
+        threshold = 0.3, nCells = 32, rep = 2, tables = 6)
+      val cc = graft.operators.Dedup.connectedComponents(pairs, "vec_a", "vec_b")
+        .withColumnRenamed("vec_a", "vec_id")
+      base.select(col("vec_id")).join(cc, Seq("vec_id"), "left")
+        .filter(coalesce(col("cluster_id"), col("vec_id")) === col("vec_id"))
+        .select(col("vec_id"))
+    }),
+
     // topic bucketing: every vector assigned to its nearest of 16
     // deterministic hash-ranked seed centroids (the codebook recipe the
     // IVF/LSH family shares; a trained-k-means codebook uses the same
@@ -84,6 +104,45 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id"), col("scale"),
           concat_ws(",", col("qvec")).as("qcodes")))
   )
+
+  // The deterministic multi-table LSH blocking + thresholded cosine
+  // pairs over the full embedding table, as a reusable CTE chain ending
+  // in `p(vec_a, vec_b)` — shared by dedup_embedding_blocked (emits the
+  // pairs) and semantic_dedup (clusters them). No leading WITH so the
+  // consumer can choose WITH vs WITH RECURSIVE.
+  private val blockedPairsCte: String =
+    """e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), seeds AS (
+      |  SELECT t, vec_id AS cell, v,
+      |         row_number() OVER (PARTITION BY t
+      |           ORDER BY md5(CAST(vec_id AS VARCHAR) || ':' || CAST(t AS VARCHAR))) AS rk
+      |  FROM e, (SELECT unnest(range(1, 7)) AS t)
+      |), cb AS (
+      |  SELECT t, cell,
+      |         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS cv
+      |  FROM seeds WHERE rk <= 32
+      |), scored AS (
+      |  SELECT e.vec_id, cb.t, cb.cell, list_inner_product(e.v, cb.cv) AS s
+      |  FROM e, cb
+      |), assigned AS (
+      |  SELECT vec_id, t, cell FROM (
+      |    SELECT vec_id, t, cell,
+      |           row_number() OVER (PARTITION BY vec_id, t ORDER BY s DESC, cell ASC) AS rnk
+      |    FROM scored)
+      |  WHERE rnk <= 2
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM assigned a JOIN assigned b
+      |    ON a.t = b.t AND a.cell = b.cell AND a.vec_id < b.vec_id
+      |), p AS (
+      |  SELECT vec_a, vec_b
+      |  FROM cand
+      |  JOIN e ea ON ea.vec_id = vec_a
+      |  JOIN e eb ON eb.vec_id = vec_b
+      |  WHERE list_inner_product(ea.v, eb.v) /
+      |        (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) >= 0.3
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ann_cosine_topk" ->
@@ -113,37 +172,24 @@ object SimilarityQueries extends QueryModule {
         |)
         |SELECT vec_a, vec_b FROM p ORDER BY sim DESC, vec_a, vec_b LIMIT 20""".stripMargin,
     "dedup_embedding_blocked" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |), seeds AS (
-        |  SELECT t, vec_id AS cell, v,
-        |         row_number() OVER (PARTITION BY t
-        |           ORDER BY md5(CAST(vec_id AS VARCHAR) || ':' || CAST(t AS VARCHAR))) AS rk
-        |  FROM e, (SELECT unnest(range(1, 7)) AS t)
-        |), cb AS (
-        |  SELECT t, cell,
-        |         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS cv
-        |  FROM seeds WHERE rk <= 32
-        |), scored AS (
-        |  SELECT e.vec_id, cb.t, cb.cell, list_inner_product(e.v, cb.cv) AS s
-        |  FROM e, cb
-        |), assigned AS (
-        |  SELECT vec_id, t, cell FROM (
-        |    SELECT vec_id, t, cell,
-        |           row_number() OVER (PARTITION BY vec_id, t ORDER BY s DESC, cell ASC) AS rnk
-        |    FROM scored)
-        |  WHERE rnk <= 2
-        |), cand AS (
-        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM assigned a JOIN assigned b
-        |    ON a.t = b.t AND a.cell = b.cell AND a.vec_id < b.vec_id
+      s"""WITH $blockedPairsCte
+        |SELECT vec_a, vec_b FROM p""".stripMargin,
+    // the blocked pairs feed the SAME transitive-closure + min-label
+    // recursion the dedup_clusters oracle uses; keep = own min label
+    "semantic_dedup" ->
+      s"""WITH RECURSIVE $blockedPairsCte, edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM p
+        |  UNION ALL
+        |  SELECT vec_b, vec_a FROM p
+        |), reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT g.src, reach.r FROM edges g JOIN reach ON reach.id = g.dst
         |)
-        |SELECT vec_a, vec_b
-        |FROM cand
-        |JOIN e ea ON ea.vec_id = vec_a
-        |JOIN e eb ON eb.vec_id = vec_b
-        |WHERE list_inner_product(ea.v, eb.v) /
-        |      (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) >= 0.3""".stripMargin,
+        |SELECT v.vec_id
+        |FROM e v LEFT JOIN reach ON reach.id = v.vec_id
+        |GROUP BY v.vec_id
+        |HAVING CAST(COALESCE(LEAST(MIN(reach.r), v.vec_id), v.vec_id) AS BIGINT) = v.vec_id""".stripMargin,
     "knn_join" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
