@@ -46,6 +46,80 @@ class CleanSpec extends AnyFunSuite {
         null, org.apache.spark.sql.types.StringType)).eval(null) == null)
   }
 
+  test("WordTokens kernel == declarative filter(split) on varied text") {
+    val df = Seq(
+      "the quick  brown\tfox", "  leading ws", "trailing ws   ",
+      "\t\n mixed \r\n ws ", "single", "", "   ", "a b c d e f g",
+      null.asInstanceOf[String]).toDF("s")
+    val kern = df.select(
+      graft.functions.TextExpressions.word_tokens(col("s")).as("t"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))
+    val hof = df.select(
+      filter(split(col("s"), "\\s+"), w => w =!= "").as("t"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))
+    assert(kern.toSeq == hof.toSeq)
+    // interpreted eval path agrees too (null in -> null out)
+    val e = graft.functions.WordTokens(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString(" a  b\tc "),
+        org.apache.spark.sql.types.StringType))
+    assert(e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq ==
+      Seq("a", "b", "c"))
+    assert(graft.functions.WordTokens(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        null, org.apache.spark.sql.types.StringType)).eval(null) == null)
+  }
+
+  test("WordShingles kernel == declarative transform/slice composition") {
+    val df = Seq(
+      "the quick brown fox jumps", "one two three", "one two", "one",
+      "  padded   tokens  here now ", "", null.asInstanceOf[String]).toDF("s")
+    for (k <- Seq(1, 2, 3)) {
+      val toks = filter(split(col("s"), "\\s+"), w => w =!= "")
+      val declarative = when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => array_join(slice(toks, i, lit(k)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val a = df.select(
+        graft.functions.TextExpressions.word_shingles(col("s"), k).as("sh"))
+        .collect().map(_.getSeq[String](0))
+      val b = df.select(declarative.as("sh")).collect().map(_.getSeq[String](0))
+      assert(a.toSeq == b.toSeq, s"k=$k")
+    }
+    // null text -> EMPTY array (the original when().otherwise contract)
+    val e = graft.functions.WordShingles(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        null, org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.catalyst.expressions.Literal(3))
+    assert(e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .numElements() == 0)
+  }
+
+  test("nearest_cell_ids == transform(nearest_cells, element_at) mapping") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong + 100, Array.fill(16)(rnd.nextDouble() - 0.5)))
+    val df = vecs.toDF("id", "v")
+    val cb = vecs.take(8).map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (id, v.map(_ / n))
+    }
+    val ids = typedLit(cb.map(_._1))
+    for (rep <- Seq(1, 3)) {
+      val fused = df.select(col("id"),
+        graft.functions.VectorExpressions.nearest_cell_ids(
+          col("v"), cb.map(_._2.toSeq), cb.map(_._1), rep).as("c"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      val viaHof = df.select(col("id"),
+        transform(graft.functions.VectorExpressions.nearest_cells(
+          col("v"), cb.map(_._2.toSeq), rep), i => element_at(ids, i + 1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      assert(fused.toSeq == viaHof.toSeq, s"rep=$rep")
+    }
+  }
+
   test("TextOps.normalizeText: NFC + lower + whitespace collapse + trim") {
     val df = Seq("  HE\u0301LLO   World\t\nx  ").toDF("s")
     val out = df.select(TextOps.normalizeText(col("s")).as("n"))
