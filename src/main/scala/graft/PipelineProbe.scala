@@ -22,6 +22,8 @@ object PipelineProbe {
       rates = Map("src0" -> 2.0, "src1" -> 0.5),
       tokenBudgets = Map("src2" -> 100000L),
       evalDocs = Some(evalSet),
+      embeddings = Some(Tables(spark, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))),
       normalize = true, scrubPii = true,
       shardsOut = Some(landing), outShards = 8)
     val dt = (System.nanoTime() - t0) / 1e9

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Redact, Sampling, TextOps}
+import graft.operators.{Dedup, Redact, Sampling, Similarity, TextOps}
 
 /** The end-to-end training-data preparation pipeline, assembled from the
   * library's verified stages — the workload this engine exists for, and
@@ -37,13 +37,18 @@ import graft.operators.{Dedup, Redact, Sampling, TextOps}
 object TrainingPipeline {
 
   case class Report(input: Long, afterFilter: Long, afterExact: Long,
-                    afterNearDup: Long, afterDecontam: Long,
+                    afterNearDup: Long, afterSemantic: Long, afterDecontam: Long,
                     mixtureRows: Long, chunks: Long, packs: Long)
 
   /** `evalDocs`: the held-out evaluation corpus to decontaminate
     * against — (id, text)-shaped. None skips the decontamination stage
     * (a real pipeline should always pass its eval suites; the spec
     * passes a slice of the corpus as a stand-in).
+    *
+    * `embeddings`: optional (doc_id, embedding) frame enabling the
+    * SemDeDup semantic-dedup stage (3b) — embedding-space clustering
+    * over the near-dup survivors at cosine >= `semanticThreshold`;
+    * None skips the stage. Docs without an embedding row are kept.
     *
     * `normalize` canonicalizes text FIRST (NFC + lower + whitespace
     * collapse): byte-unequal spellings of identical text must converge
@@ -62,6 +67,8 @@ object TrainingPipeline {
           budgetShards: Int = 8,
           evalDocs: Option[DataFrame] = None,
           contamThreshold: Double = 0.8,
+          embeddings: Option[DataFrame] = None,
+          semanticThreshold: Double = 0.3,
           normalize: Boolean = false,
           scrubPii: Boolean = false,
           shardsOut: Option[String] = None,
@@ -137,6 +144,34 @@ object TrainingPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterNearDup = nearKept.count()
 
+    // 3b. optional SEMANTIC dedup (SemDeDup): embedding-space near-dup
+    // clustering over the survivors — catches paraphrases/translations
+    // that text shingles cannot see. Blocked multi-table LSH pairs
+    // (equi-joins only, hot-cell capped) -> connected components ->
+    // keep each semantic cluster's min-id representative. Docs WITHOUT
+    // an embedding row never pair, so they are always kept — the stage
+    // only ever removes evidenced near-dups.
+    val semKept = embeddings match {
+      case Some(embRaw) =>
+        require(embRaw.columns.contains("doc_id") && embRaw.columns.contains("embedding"),
+          "embeddings needs (doc_id, embedding) columns")
+        val emb = embRaw.select(col("doc_id"), col("embedding"))
+          .join(nearKept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        // linear cell scaling (population ~64), from plan stats — no
+        // extra counting pass over the embedding table
+        val cells = math.max(32, (Similarity.estimateRows(emb) / 64).toInt)
+        val pairsE = Similarity.cosinePairsLsh(emb, "doc_id", "embedding",
+          threshold = semanticThreshold, nCells = cells, maxBucket = 1000)
+        val ccE = Dedup.connectedComponents(pairsE, "vec_a", "vec_b")
+          .withColumnRenamed("vec_a", "doc_id")
+        nearKept.join(ccE, Seq("doc_id"), "left")
+          .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+          .drop("cluster_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case None => nearKept
+    }
+    val afterSemantic = semKept.count()
+
     // 4. eval-set decontamination (eval hashes broadcast; the corpus
     // hash table is computed once and feeds both count branches);
     // skipped when no eval corpus is supplied
@@ -154,16 +189,16 @@ object TrainingPipeline {
             evRaw.withColumn("text", TextOps.normalizeText(col("text"))) else evRaw
           if (scrubPii) n.withColumn("text", Redact.scrubPii(col("text"))) else n
         }
-        val h = Dedup.shingleHashTable(nearKept, "doc_id", "text", 3)
+        val h = Dedup.shingleHashTable(semKept, "doc_id", "text", 3)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         hs = Some(h)
         val overlap = Dedup.evalOverlapFromHashes(h,
           Dedup.shingleHashTable(ev, "doc_id", "text", 3).select(col("h1")),
           "doc_id", contamThreshold)
-        nearKept.join(
+        semKept.join(
           overlap.filter(col("contaminated")).select(col("doc_id")),
           Seq("doc_id"), "left_anti")
-      case None => nearKept
+      case None => semKept
     }
     val afterDecontam = clean.count()
 
@@ -221,11 +256,12 @@ object TrainingPipeline {
     // four full-corpus frames each, forever)
     val packedOut = packed.localCheckpoint()
     val packs = packedOut.count()
-    (Seq(filtered, exactKept, nearKept) ++ hs ++
+    (Seq(filtered, exactKept, nearKept) ++
+      (if (embeddings.isDefined) Seq(semKept) else Nil) ++ hs ++
       (if (tokenBudgets.nonEmpty) Seq(budgeted) else Nil))
       .foreach(_.unpersist(false))
 
     (packedOut, Report(input, afterFilter, afterExact, afterNearDup,
-      afterDecontam, mixtureRows, chunks, packs))
+      afterSemantic, afterDecontam, mixtureRows, chunks, packs))
   }
 }

@@ -349,11 +349,25 @@ class ExamplesSpec extends AnyFunSuite {
       evalDocs = Some(evalSet), shardsOut = Some(landing), outShards = 4)
     // row accounting: each cleaning stage is monotone non-increasing
     assert(r.input >= r.afterFilter && r.afterFilter >= r.afterExact &&
-      r.afterExact >= r.afterNearDup && r.afterNearDup >= r.afterDecontam,
+      r.afterExact >= r.afterNearDup && r.afterNearDup >= r.afterSemantic &&
+      r.afterSemantic >= r.afterDecontam,
       s"cleaning stages must shrink: $r")
+    // no embeddings supplied -> the semantic stage is a pass-through
+    assert(r.afterSemantic == r.afterNearDup, s"semantic skip path filtered: $r")
     assert(r.afterFilter > 0 && r.packs > 0, s"pipeline emptied out: $r")
     // decontamination removed the mock eval slice members (ratio 1.0)
-    assert(r.afterDecontam < r.afterNearDup, s"eval slice not removed: $r")
+    assert(r.afterDecontam < r.afterSemantic, s"eval slice not removed: $r")
+    // the SemDeDup stage: embeddings keyed by doc_id cluster the dense
+    // fixture vectors, so representatives-only strictly shrinks the
+    // corpus — and unembedded docs (half the table) are always kept
+    val embById = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val (_, rSem) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      lang = "en", minTokens = 5, embeddings = Some(embById))
+    assert(rSem.afterSemantic < rSem.afterNearDup,
+      s"semantic dedup removed nothing: $rSem")
+    assert(rSem.afterSemantic > 0, s"semantic dedup emptied the corpus: $rSem")
     // chunks cover at least one window per surviving mixture row
     assert(r.chunks >= r.mixtureRows, s"chunking lost rows: $r")
     // pack budgets hold: every pack's token sum <= budget + one unit's
