@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Redact, Sampling, TextOps}
+import graft.operators.{Classify, Dedup, Redact, Sampling, TextOps}
 
 /** Text-cleaning / curation queries over `documents`: PII scrubbing,
   * canonical normalization, bigram-LM fluency scoring, and quantile
@@ -147,6 +147,19 @@ object CleanQueries extends QueryModule {
           octet_length(col("text")).cast("long").as("n_bytes"))
     }),
 
+    // Model-based quality filtering: the contrastive token classifier
+    // (operators/Classify — fastText-lite, integer-exact). Trained here
+    // on the corpus's own language labels (en = positive class) and
+    // applied back to every document: one training aggregation, then a
+    // broadcast-weights map-side score. The oracle replays the
+    // cross-multiplied df arithmetic in HUGEINT.
+    "classifier_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = Classify.trainTokenWeights(d, "doc_id", "text",
+        col("lang") === "en")
+      Classify.scoreDocs(d, "doc_id", "text", w)
+    }),
+
     // Curriculum binning: quality deciles via exact percentile cutoffs
     // (ONE bounded 9-double collect), then row-local bin assignment —
     // no ntile window, no global sort (see Sampling.binByCutoffs).
@@ -167,6 +180,27 @@ object CleanQueries extends QueryModule {
       " || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || '.1' ELSE '' END"
 
   def oracleSql: Map[String, String] = Map(
+    "classifier_score" ->
+      """WITH feats AS (
+        |  SELECT doc_id, lang = 'en' AS y,
+        |         unnest(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS feature
+        |  FROM documents
+        |), counts AS (
+        |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_pos,
+        |         SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_neg
+        |  FROM documents
+        |), w AS (
+        |  SELECT feature,
+        |         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT) * CAST(n_neg AS HUGEINT)
+        |         - CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS HUGEINT) * CAST(n_pos AS HUGEINT) AS w
+        |  FROM feats, counts
+        |  GROUP BY feature, n_pos, n_neg
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |       CAST(SUM(w) AS DECIMAL(38,0)) AS score,
+        |       SUM(w) > 0 AS pred
+        |FROM feats JOIN w USING (feature)
+        |GROUP BY doc_id""".stripMargin,
     "pii_scan" ->
       s"""WITH p AS (
          |  SELECT doc_id, $piiText AS p FROM documents

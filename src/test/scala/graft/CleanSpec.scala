@@ -402,4 +402,50 @@ class CleanSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty,
       "capped LSH call leaked a cached assignment table")
   }
+
+  // --- Classify: contrastive token classifier ----------------------
+
+  test("Classify: weights and scores match the hand-computed oracle") {
+    import graft.operators.Classify
+    // N_pos = 2 (docs 1,2), N_neg = 2 (docs 3,4)
+    // df_pos: good=2 fine=1 bad=1 ; df_neg: bad=1 awful=2 fine=1
+    // w = df_pos*2 - df_neg*2: good=4 fine=0 bad=0 awful=-4
+    val docs = Seq(
+      (1L, "good fine good", true),
+      (2L, "good bad", true),
+      (3L, "bad awful", false),
+      (4L, "fine awful awful", false)).toDF("doc_id", "text", "y")
+    val w = Classify.trainTokenWeights(docs, "doc_id", "text", col("y"))
+    val wm = w.collect().map(r => r.getString(0) -> r.getDecimal(1).longValueExact()).toMap
+    assert(wm == Map("good" -> 4L, "fine" -> 0L, "bad" -> 0L, "awful" -> -4L))
+    val scored = Classify.scoreDocs(docs, "doc_id", "text", w)
+    val sm = scored.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDecimal(2).longValueExact(),
+        r.getBoolean(3)))).toMap
+    assert(sm == Map(
+      1L -> ((2L, 4L, true)), 2L -> ((2L, 4L, true)),
+      3L -> ((2L, -4L, false)), 4L -> ((2L, -4L, false))))
+    // the weight table reaches the scorer as a broadcast join — the
+    // feature stream must never shuffle on the join key
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "weights should broadcast to the scorer")
+  }
+
+  test("Classify: hashing trick collapses colliding features once per doc") {
+    import graft.operators.Classify
+    val docs = Seq(
+      (1L, "alpha beta", true),
+      (2L, "gamma delta", false)).toDF("doc_id", "text", "y")
+    // one bucket: every token maps to feature "0", counted ONCE per doc,
+    // so df_pos = df_neg = 1 and every weight/score is exactly 0
+    val w = Classify.trainTokenWeights(docs, "doc_id", "text", col("y"),
+      hashBuckets = 1)
+    assert(w.collect().map(r => (r.getString(0), r.getDecimal(1).longValueExact()))
+      .toSeq == Seq(("0", 0L)))
+    val sm = Classify.scoreDocs(docs, "doc_id", "text", w, hashBuckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).longValueExact(), r.getBoolean(3))).toSet
+    assert(sm == Set((1L, 1L, 0L, false), (2L, 1L, 0L, false)))
+  }
 }
