@@ -238,6 +238,85 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** The corpus-side artifact of INCREMENTAL near-dup detection: minhash
+    * signatures plus their banded buckets, built once over the existing
+    * corpus and persisted (both frames are plain DataFrames — write them
+    * to parquet and read them back; the parameters travel in the case
+    * class so a probe can never silently run with mismatched shingle/
+    * band settings against a stored index).
+    *
+    * Why signatures and not shingle sets: the index must stay FIXED-WIDTH
+    * per document (numPerm longs + nBands bucket keys ≈ 300 bytes at
+    * 16/4) so a 100 TB corpus indexes into low terabytes — storing
+    * shingle sets would be a second copy of the corpus. The price is
+    * that probe verification uses the signature-AGREEMENT estimator of
+    * Jaccard (unbiased, matching slots / numPerm) instead of the exact
+    * shingle ratio; pairs a pipeline wants exact evidence for can be
+    * re-verified with [[fuzzyDecontaminate]] over just the flagged docs.
+    */
+  final case class MinhashIndex(signatures: DataFrame, bands: DataFrame,
+                                k: Int, numPerm: Int, rowsPerBand: Int)
+
+  /** Build the [[MinhashIndex]] for a corpus: one shingle-hash pass, one
+    * signature aggregation, one band projection (the same machinery as
+    * [[nearDuplicates]] — `maxBucket` caps degenerate buckets at build
+    * time so they never reach any probe's join).
+    */
+  def buildMinhashIndex(df: DataFrame, id: String, text: String, k: Int,
+                        numPerm: Int, rowsPerBand: Int,
+                        maxBucket: Int = 0): MinhashIndex = {
+    val sig = minhashSignaturesFromHashes(shingleHashTable(df, id, text, k),
+      id, numPerm)
+    MinhashIndex(sig, bandTable(sig, id, numPerm, rowsPerBand, maxBucket),
+      k, numPerm, rowsPerBand)
+  }
+
+  /** Dedup an incoming batch against an existing corpus WITHOUT touching
+    * the corpus again — the incremental form of [[nearDuplicates]], the
+    * shape that matters operationally: a crawl lands daily, the corpus
+    * is petabytes, and re-running the self-join over corpus∪batch would
+    * re-pay the full corpus cost per batch. Here the batch (small side)
+    * is shingled/signed/banded fresh; candidates come from the band
+    * equi-join against the PRE-BUILT index buckets (AQE broadcasts the
+    * batch side); verification is the signature-agreement estimate
+    * n_agree/numPerm — row-local once the two fixed-width signature rows
+    * meet. Returns (new_id, corpus_id, n_agree, est_jaccard) for every
+    * batch doc whose estimated Jaccard against a corpus doc meets
+    * `threshold`; a pipeline drops or flags those new_ids, then appends
+    * the survivors' signatures/bands to the index (a parquet append).
+    */
+  def probeMinhashIndex(batch: DataFrame, id: String, text: String,
+                        index: MinhashIndex, threshold: Double,
+                        maxBucket: Int = 0,
+                        materialize: Boolean = false): DataFrame = {
+    val n = index.numPerm
+    val bsig0 = minhashSignaturesFromHashes(
+      shingleHashTable(batch, id, text, index.k), id, n)
+    // the batch signature table feeds two branches (banding + the
+    // verify join's a-side); materialize avoids shingling the batch
+    // twice — same contract as nearDuplicates' flag
+    val bsig = if (materialize)
+      bsig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else bsig0
+    val bands = bandTable(bsig, id, n, index.rowsPerBand, maxBucket)
+    val cand = bands.select(col(id).as("new_id"), col("band"), col("bh"))
+      .join(index.bands.select(col(id).as("corpus_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select("new_id", "corpus_id").distinct()
+    val a = bsig.select(col(id).as("new_id") +:
+      (0 until n).map(i => col(s"s$i").as(s"a$i")): _*)
+    val b = index.signatures.select(col(id).as("corpus_id") +:
+      (0 until n).map(i => col(s"s$i").as(s"b$i")): _*)
+    val agree = (0 until n)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand.join(a, "new_id").join(b, "corpus_id")
+      .withColumn("n_agree", agree)
+      .withColumn("est_jaccard", col("n_agree").cast("double") / n)
+      .filter(col("est_jaccard") >= threshold)
+      .select("new_id", "corpus_id", "n_agree", "est_jaccard")
+  }
+
   /** FUZZY eval-set decontamination: near-duplicate (not just
     * n-gram-overlap) matches between a training corpus and an eval set.
     * [[evalOverlap]] catches verbatim contamination; an eval answer

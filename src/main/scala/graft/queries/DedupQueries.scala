@@ -178,6 +178,22 @@ object DedupQueries extends QueryModule {
         "doc_id", threshold = 0.8, expectedItems = 100000L, fpp = 0.01)
     }),
 
+    // INCREMENTAL dedup: the corpus slice (doc_id % 3 != 0) is indexed
+    // once (signatures + banded buckets — the persisted artifact); the
+    // "incoming batch" slice (doc_id % 3 = 0) is probed against that
+    // index with equi-joins only and verified by the signature-agreement
+    // Jaccard estimate. The daily-crawl shape: the corpus is never
+    // rescanned per batch (see Dedup.probeMinhashIndex).
+    "incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = Dedup.buildMinhashIndex(d.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", k = 3, numPerm = 16, rowsPerBand = 4,
+        maxBucket = MaxBucket)
+      Dedup.probeMinhashIndex(d.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", idx, threshold = 0.5, maxBucket = MaxBucket,
+        materialize = true)
+    }),
+
     // pairwise near-dup evidence -> dedup GROUPS: connected components
     // over the simhash pair graph by min-label propagation (each doc's
     // cluster = smallest doc_id transitively reachable); docs in no
@@ -333,6 +349,50 @@ object DedupQueries extends QueryModule {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5""".stripMargin),
     "dedup_minhash" -> minhashSql,
+    // same signature/band CTEs as minhashSql, split corpus/batch at the
+    // banding step (signatures are side-independent), buckets capped PER
+    // SIDE as build/probe each cap their own band table; verification is
+    // the slot-agreement count over the 16-slot signature lists
+    "incremental_dedup" -> (shingleCte +
+      s""", hh AS (
+        |  SELECT doc_id,
+        |         ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h1,
+        |         ('0x' || substring(md5(sh), 17, 15))::BIGINT AS h2
+        |  FROM sh
+        |), m AS (
+        |  SELECT doc_id, i,
+        |         min((h1 % 1000000007 + i * (h2 % 1000000007)) % 1000000007) AS s
+        |  FROM hh, (SELECT unnest(range(0, 16)) AS i)
+        |  GROUP BY doc_id, i
+        |), sigs AS (
+        |  SELECT doc_id, list(s ORDER BY i) AS sig FROM m GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |         md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS bh
+        |  FROM m GROUP BY doc_id, i // 4
+        |), bc AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+        |bb AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+        |bkc AS (
+        |  SELECT b.* FROM bc b
+        |  JOIN (SELECT band, bh FROM bc GROUP BY band, bh HAVING COUNT(*) <= $MaxBucket) ok
+        |    USING (band, bh)
+        |), bkb AS (
+        |  SELECT b.* FROM bb b
+        |  JOIN (SELECT band, bh FROM bb GROUP BY band, bh HAVING COUNT(*) <= $MaxBucket) ok
+        |    USING (band, bh)
+        |), cand AS (
+        |  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+        |  FROM bkb b JOIN bkc c USING (band, bh)
+        |), ag AS (
+        |  SELECT cand.new_id, cand.corpus_id,
+        |         len(list_filter(range(1, 17), i -> x.sig[i] = y.sig[i])) AS n_agree
+        |  FROM cand
+        |  JOIN sigs x ON x.doc_id = cand.new_id
+        |  JOIN sigs y ON y.doc_id = cand.corpus_id
+        |)
+        |SELECT new_id, corpus_id, CAST(n_agree AS BIGINT) AS n_agree,
+        |       CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
+        |FROM ag WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.5""".stripMargin),
     // representatives first (exact-dup groups collapse to MIN(doc_id)),
     // then the identical minhash pipeline over the representative docs
     "dedup_minhash_rep" -> (repCte + ", " +

@@ -280,6 +280,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(groups == Seq((200001L, 500L)))
   }
 
+  test("Dedup.probeMinhashIndex flags batch near-dups against a persisted index") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (20L, "completely different text about another subject entirely unrelated here"),
+      (30L, "one more unrelated corpus document body with its own words inside")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // exact copy of corpus doc 10 -> all 16 slots agree
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // near-dup of corpus doc 10 (one token changed)
+      (102L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      // novel document -> no candidate
+      (103L, "fresh never seen content sharing nothing with the existing corpus")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildMinhashIndex(corpus, "doc_id", "text",
+      k = 3, numPerm = 16, rowsPerBand = 4)
+
+    // the index is a persistable ARTIFACT: write both frames to parquet,
+    // read them back, and probe the restored index — the operational
+    // contract (build once, probe every future batch)
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    idx.signatures.write.mode("overwrite").parquet(s"$dir/sig")
+    idx.bands.write.mode("overwrite").parquet(s"$dir/bands")
+    val restored = Dedup.MinhashIndex(
+      spark.read.parquet(s"$dir/sig"), spark.read.parquet(s"$dir/bands"),
+      idx.k, idx.numPerm, idx.rowsPerBand)
+
+    for (ix <- Seq(idx, restored)) {
+      val hits = Dedup.probeMinhashIndex(batch, "doc_id", "text", ix,
+          threshold = 0.5, materialize = true)
+        .select("new_id", "corpus_id", "n_agree")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(hits.contains((101L, 10L, 16L)),
+        s"exact copy should agree on all 16 slots: $hits")
+      assert(hits.exists { case (n, c, a) => n == 102L && c == 10L && a >= 8L },
+        s"near-dup should clear the 0.5 agreement threshold: $hits")
+      assert(!hits.exists(_._1 == 103L), s"novel doc must not match: $hits")
+      assert(!hits.exists(h => h._2 == 20L || h._2 == 30L),
+        s"unrelated corpus docs must not match: $hits")
+    }
+  }
+
   test("Sampling.chunkDocs slices token windows with overlap, no covered trailing chunk") {
     val df = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),   // 10 tokens
