@@ -317,6 +317,47 @@ object Dedup {
       .select("new_id", "corpus_id", "n_agree", "est_jaccard")
   }
 
+  /** ROW-LOCAL minhash signature as an array<long> of length `numPerm` —
+    * the same Carter-Wegman values [[minhashSignaturesFromHashes]]
+    * aggregates, computed entirely inside one row (shingle → md5 halves
+    * → per-permutation min, via higher-order functions). NULL when the
+    * document has no shingles (fewer than k tokens); min over the
+    * multiset equals min over the distinct set, so no per-doc dedup is
+    * needed and parity with the batch lane is exact.
+    *
+    * This exists for STREAMING: the batch signature is a groupBy
+    * aggregation, which an append-mode stream can't run without
+    * watermark state — a row-local projection drops straight into
+    * `readStream` pipelines (see StreamingOps.streamDedupGate). The
+    * price of the HOF form: interpreted evaluation and two md5 calls
+    * per shingle (no codegen CSE inside lambdas) — for batch corpora
+    * prefer the aggregated lane, which shares one hash pass across the
+    * whole plan.
+    */
+  def minhashSignatureArray(text: Column, k: Int, numPerm: Int): Column = {
+    val p = 1000000007L
+    val hh = transform(textShingles(text, k),
+      sh => struct((h1(sh) % p).as("h1"), (h2(sh) % p).as("h2")))
+    // fold the shingle array ONCE, carrying all numPerm running mins;
+    // p is a safe +infinity (every value is mod p, strictly below it)
+    val idx = array((0 until numPerm).map(i => lit(i.toLong)): _*)
+    val init = array((0 until numPerm).map(_ => lit(p)): _*)
+    val folded = aggregate(hh, init,
+      (acc, x) => zip_with(acc, idx,
+        (a, i) => least(a, (x("h1") + i * x("h2")) % p)))
+    when(size(textShingles(text, k)) > 0, folded)
+  }
+
+  /** The band-b bucket hash of a signature ARRAY — byte-identical to
+    * [[bandTable]]'s md5(concat_ws(",", slots)) over signature columns,
+    * so row-local (streaming) banding collides with index buckets built
+    * by the batch lane. `rowsPerBand` slots starting at b*rowsPerBand.
+    */
+  def bandHashOfArray(sig: Column, b: Int, rowsPerBand: Int): Column =
+    md5(array_join(
+      transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
+        s => s.cast("string")), ","))
+
   /** FUZZY eval-set decontamination: near-duplicate (not just
     * n-gram-overlap) matches between a training corpus and an eval set.
     * [[evalOverlap]] catches verbatim contamination; an eval answer

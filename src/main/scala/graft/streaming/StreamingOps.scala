@@ -89,6 +89,68 @@ object StreamingOps {
     }
   }
 
+  /** Ingest-time near-dup gate: a STREAM of incoming documents probed
+    * against the STATIC corpus minhash index ([[graft.operators.Dedup
+    * .MinhashIndex]] — built once in batch, read from parquet). This is
+    * the streaming face of `Dedup.probeMinhashIndex`: signatures and
+    * band-bucket hashes are computed ROW-LOCALLY
+    * (`Dedup.minhashSignatureArray` / `bandHashOfArray` — byte-identical
+    * to the batch banding, so stream rows collide with index buckets
+    * built by the batch lane), candidates come from the stream-static
+    * equi-join on (band, bh), and verification — the signature-agreement
+    * Jaccard estimate — is a row-local zip of the two fixed-width
+    * signature arrays. No stateful aggregation anywhere, so the gate
+    * runs in append mode; the one piece of state is the final
+    * per-(new_id, corpus_id) dedup across band matches, bounded by the
+    * watermark horizon when `watermark` is set (pass it on an unbounded
+    * feed — the None lane keeps all pair keys, fine for tests/backfills).
+    *
+    * Emits flagged pairs (new_id, corpus_id, n_agree, est_jaccard);
+    * the ingest pipeline anti-joins its feed against these to drop (or
+    * quarantine) re-crawled near-dups before they ever land.
+    */
+  def streamDedupGate(stream: DataFrame, id: String, text: String,
+                      index: graft.operators.Dedup.MinhashIndex,
+                      threshold: Double,
+                      watermark: Option[(String, String)] = None): DataFrame = {
+    import graft.operators.Dedup
+    val n = index.numPerm
+    val nBands = n / index.rowsPerBand
+    val withSig = stream
+      .withColumn("sig", Dedup.minhashSignatureArray(col(text), index.k, n))
+      .filter(col("sig").isNotNull)
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        Dedup.bandHashOfArray(col("sig"), b, index.rowsPerBand).as("bh"))
+    }
+    val banded = withSig
+      .select(col(id).as("new_id") +: col("sig") +:
+        (watermark.map(w => col(w._1)).toSeq :+
+          explode(array(bandStructs: _*)).as("bb")): _*)
+      .select(col("new_id") +: col("sig") +: col("bb.band").as("band") +:
+        col("bb.bh").as("bh") +: watermark.map(w => col(w._1)).toSeq: _*)
+    val corpusSig = index.signatures.select(col(id).as("corpus_id"),
+      array((0 until n).map(i => col(s"s$i")): _*).as("csig"))
+    val agree = size(filter(zip_with(col("sig"), col("csig"),
+      (a, b) => a === b), x => x))
+    val scored = banded
+      .join(index.bands.select(col(id).as("corpus_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .join(corpusSig, "corpus_id")
+      .withColumn("n_agree", agree.cast("long"))
+      .withColumn("est_jaccard", col("n_agree").cast("double") / n)
+      .filter(col("est_jaccard") >= threshold)
+    watermark match {
+      case Some((tsCol, delay)) =>
+        scored.withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark("new_id", "corpus_id")
+          .select("new_id", "corpus_id", "n_agree", "est_jaccard")
+      case None =>
+        scored.select("new_id", "corpus_id", "n_agree", "est_jaccard")
+          .dropDuplicates("new_id", "corpus_id")
+    }
+  }
+
   /** Watermarked stream-stream self-join: for every `firstType` event,
     * the same user's `thenType` events within `within` (funnel
     * correlation, e.g. view -> purchase). Both join states are bounded

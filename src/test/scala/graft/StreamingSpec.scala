@@ -369,4 +369,60 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed(2L) == "from <IP> call <PHONE>")
     } finally q.stop()
   }
+
+  test("streamDedupGate flags the same pairs as the batch index probe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (20L, "completely different text about another subject entirely unrelated here"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildMinhashIndex(corpus, "doc_id", "text",
+      k = 3, numPerm = 16, rowsPerBand = 4)
+    val batchRows = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (102L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (103L, "fresh never seen content sharing nothing with the existing corpus"),
+      (104L, "xy"))  // too short to shingle: must pass through unflagged
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamDedupGate(
+      mem.toDS().toDF("doc_id", "text"), "doc_id", "text", idx,
+      threshold = 0.5)
+      .writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(batchRows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(batchRows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gate_stream")
+        .select("new_id", "corpus_id", "n_agree")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = Dedup.probeMinhashIndex(
+        batchRows.toDF("doc_id", "text"), "doc_id", "text", idx,
+        threshold = 0.5)
+        .select("new_id", "corpus_id", "n_agree")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed.contains((101L, 10L, 16L)), "exact copy must be flagged")
+      assert(!streamed.exists(p => p._1 == 103L || p._1 == 104L))
+    } finally q.stop()
+  }
+
+  test("minhashSignatureArray: the row-local signature equals the batch lane") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    val batch = Dedup.minhashSignaturesFromHashes(
+      Dedup.shingleHashTable(docs, "doc_id", "text", 3), "doc_id", 16)
+      .select(col("doc_id"), array((0 until 16).map(i => col(s"s$i")): _*))
+      .as[(Long, Seq[Long])].collect().toMap
+    val local = docs.select(col("doc_id"),
+      Dedup.minhashSignatureArray(col("text"), 3, 16))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(local.keySet == batch.keySet ++
+      local.filter(_._2.isEmpty).keySet, "row coverage diverges")
+    for ((id, sig) <- batch)
+      assert(local(id).contains(sig), s"doc $id signature diverges")
+  }
 }
