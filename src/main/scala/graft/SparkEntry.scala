@@ -16,7 +16,8 @@ object SparkEntry {
   private[graft] val modules: Seq[QueryModule] =
     Seq(CoreQueries, TextQueries, EventQueries, DedupQueries,
       SimilarityQueries, ToolQueries, MultimodalQueries, JobQueries,
-      DbQueries, PipelineQueries, RetrievalQueries, CleanQueries)
+      DbQueries, PipelineQueries, RetrievalQueries, CleanQueries,
+      GraphQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

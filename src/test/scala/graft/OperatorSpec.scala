@@ -322,6 +322,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("Graphs.pageRankInt matches hand-computed rounds; deterministic; dangling mass drops") {
+    import graft.operators.Graphs
+    // a -> {b, c}, b -> a; c is a rank sink (dangling: its mass drops)
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a")).toDF("src", "dst")
+    // round 1: contribs a->b,c: 500000 each; b->a: 1000000
+    //   a = 150000 + 85*1000000//100 = 1000000
+    //   b = c = 150000 + 85*500000//100 = 575000
+    // round 2: a->: 500000 each; b->a: 575000
+    //   a = 150000 + 85*575000//100 = 638750 ; b = c = 575000
+    val pr2 = Graphs.pageRankInt(edges, "src", "dst", iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(pr2 == Map("a" -> 638750L, "b" -> 575000L, "c" -> 575000L))
+    // bit-identical across runs (integer sums are order-independent)
+    val again = Graphs.pageRankInt(edges, "src", "dst", iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(again == pr2)
+    // lineage-truncated long run agrees with the unrolled plan
+    val deep = Graphs.pageRankInt(edges, "src", "dst", iters = 6,
+      checkpointEvery = 2).as[(String, Long)].collect().toMap
+    val deepUnrolled = Graphs.pageRankInt(edges, "src", "dst", iters = 6)
+      .as[(String, Long)].collect().toMap
+    assert(deep == deepUnrolled)
+    // total mass shrinks (truncation + the dangling sink c) — ordinal
+    // scores, not a distribution: the documented contract
+    assert(pr2.values.sum < 3L * 1000000L)
+  }
+
   test("Sampling.chunkDocs slices token windows with overlap, no covered trailing chunk") {
     val df = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),   // 10 tokens
