@@ -23,6 +23,11 @@ object GraftSession {
       // rejects by default; read as long nanos and convert in Tables
       // (DuckDB's oracle likewise truncates ns -> us).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Driver-generated parquet may carry isAdjustedToUTC=false micros,
+      // which Spark 4 infers as TIMESTAMP_NTZ — a type unix_micros/
+      // withWatermark reject. The session is pinned UTC, so reading NTZ
+      // as TIMESTAMP is value-identity; keep the engine on one ts type.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     extra.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

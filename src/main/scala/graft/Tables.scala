@@ -25,6 +25,12 @@ object Tables {
     if (ensured.add(spark)) {
       scala.util.Try(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+      // Driver-built sessions may not come through GraftSession: force
+      // isAdjustedToUTC=false parquet micros to read as TIMESTAMP (the
+      // session is pinned UTC, so the values are identical) rather than
+      // TIMESTAMP_NTZ, which unix_micros/withWatermark reject.
+      scala.util.Try(
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false"))
       scala.util.Try(
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           "dot_product",
@@ -53,10 +59,24 @@ object Tables {
     // events.ts is parquet TIMESTAMP(NANOS): with
     // spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos;
     // truncate to a microsecond timestamp exactly like DuckDB reads it.
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else df
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** Normalize the `ts` column to TimestampType regardless of how the
+    * parquet annotated it: long nanos (nanosAsLong sessions) truncate to
+    * micros; TIMESTAMP_NTZ (inferTimestampNTZ sessions) casts — the
+    * session is pinned UTC so NTZ→LTZ is value-identity.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", df("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 }
