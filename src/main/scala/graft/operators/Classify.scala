@@ -97,6 +97,8 @@ object Classify {
       .agg(count(lit(1)).as("n_terms"),
         sum(coalesce(col("w"), lit(0).cast("decimal(38,0)")))
           .cast("decimal(38,0)").as("score"))
-      .withColumn("pred", col("score") > 0)
+      // BIGINT 0/1 rather than BOOLEAN: engine-portable (the driver's
+      // result hashing canonicalizes integers but not booleans).
+      .withColumn("pred", (col("score") > 0).cast("long"))
   }
 }

@@ -198,7 +198,7 @@ object CleanQueries extends QueryModule {
         |)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
         |       CAST(SUM(w) AS DECIMAL(38,0)) AS score,
-        |       SUM(w) > 0 AS pred
+        |       CAST(SUM(w) > 0 AS BIGINT) AS pred
         |FROM feats JOIN w USING (feature)
         |GROUP BY doc_id""".stripMargin,
     "pii_scan" ->

@@ -421,10 +421,10 @@ class CleanSpec extends AnyFunSuite {
     val scored = Classify.scoreDocs(docs, "doc_id", "text", w)
     val sm = scored.collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDecimal(2).longValueExact(),
-        r.getBoolean(3)))).toMap
+        r.getLong(3)))).toMap
     assert(sm == Map(
-      1L -> ((2L, 4L, true)), 2L -> ((2L, 4L, true)),
-      3L -> ((2L, -4L, false)), 4L -> ((2L, -4L, false))))
+      1L -> ((2L, 4L, 1L)), 2L -> ((2L, 4L, 1L)),
+      3L -> ((2L, -4L, 0L)), 4L -> ((2L, -4L, 0L))))
     // the weight table reaches the scorer as a broadcast join — the
     // feature stream must never shuffle on the join key
     val plan = scored.queryExecution.executedPlan.toString
@@ -445,7 +445,7 @@ class CleanSpec extends AnyFunSuite {
       .toSeq == Seq(("0", 0L)))
     val sm = Classify.scoreDocs(docs, "doc_id", "text", w, hashBuckets = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1),
-        r.getDecimal(2).longValueExact(), r.getBoolean(3))).toSet
-    assert(sm == Set((1L, 1L, 0L, false), (2L, 1L, 0L, false)))
+        r.getDecimal(2).longValueExact(), r.getLong(3))).toSet
+    assert(sm == Set((1L, 1L, 0L, 0L), (2L, 1L, 0L, 0L)))
   }
 }

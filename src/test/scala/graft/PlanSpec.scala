@@ -334,6 +334,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"BPE apply should be map-only:\n$p")
   }
 
+  test("pagerank_domains materializes edge invariants once: no source re-scan per round") {
+    // e/nodes/deg are localCheckpointed before the iteration loop, so
+    // the unrolled per-round plan joins executor-resident blocks — a
+    // plan that still reads parquet would re-scan the raw table once
+    // per round (linear-in-iters source I/O at 100 TB).
+    val p = plan("pagerank_domains")
+    assert(!p.toLowerCase.contains("parquet"),
+      s"iteration plan re-scans the source table:\n${p.take(4000)}")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected checkpointed invariants in plan:\n${p.take(4000)}")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (no manual salting)") {
     import org.apache.spark.sql.functions._
     val c = spark.conf
