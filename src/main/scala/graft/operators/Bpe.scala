@@ -50,6 +50,19 @@ object Bpe {
             maxVocab: Int = 50000, minCount: Long = 2L): Seq[Merge] =
     trainLocal(wordFreqs(df, text, maxVocab), nMerges, minCount)
 
+  /** MD5 of the merge list (pair-and-order sensitive): a bounded
+    * fingerprint of the trained tokenizer that rides query output, so
+    * any nondeterminism in training (partitioning, retries) is visible
+    * as a checksum change rather than silently different tokenizations.
+    */
+  def mergesChecksum(merges: Seq[Merge]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // non-printing separators: ("ab","c") and ("a","bc") must not
+    // collide in the digest input
+    val s = merges.map { case (a, b) => a + "\u0001" + b }.mkString("\u0002")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** The driver-side merge loop, exposed for spec-level verification
     * against hand-computed merges.
     */

@@ -87,15 +87,23 @@ object CleanQueries extends QueryModule {
     // frequency table (vocabulary-scale, one (word,count) shuffle +
     // bounded collect; see operators/Bpe), applied as a map-only
     // broadcast encode. The merge loop has no SQL replay, so this is
-    // a rows-only driver check; training parity with a hand-computed
-    // reference and the reconstruction round-trip are spec'd.
+    // a rows-only driver check — the output therefore carries its own
+    // invariants: `round_trip_ok` = 1 iff stripping the end-of-word
+    // marks from the concatenated subwords reconstructs the exact word
+    // sequence (all rows must be 1; spec'd on this query), and
+    // `merges_md5` = checksum of the trained merge list (constant per
+    // corpus; retrain determinism spec'd against an independent train).
     "bpe_tokenize" -> ((s, dir) => {
       val d = docs(s, dir)
       val merges = graft.operators.Bpe.train(d, "text", nMerges = 40)
       graft.operators.Bpe.tokenize(d, "text", merges)
         .select(col("doc_id"),
           size(toks(col("text"))).cast("long").as("n_words"),
-          size(col("bpe_tokens")).cast("long").as("n_sub"))
+          size(col("bpe_tokens")).cast("long").as("n_sub"),
+          (rtrim(regexp_replace(array_join(col("bpe_tokens"), ""),
+            graft.operators.Bpe.EndMark, " ")) ===
+            array_join(toks(col("text")), " ")).cast("long").as("round_trip_ok"),
+          lit(graft.operators.Bpe.mergesChecksum(merges)).as("merges_md5"))
     }),
 
     // Script composition: the multilingual script-filter signal. The

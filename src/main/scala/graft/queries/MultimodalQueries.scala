@@ -20,9 +20,21 @@ object MultimodalQueries extends QueryModule {
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(media(s, dir), 4)),
     // byte-entropy screen over binary content — a REAL feature (no
     // codec): float-log accumulation has no exact SQL replay, so the
-    // driver records rows-only; exact values on known byte patterns
-    // are spec'd (uniform=8 bits, constant=0, two-symbol=1)
-    "multimodal_entropy" -> ((s, dir) => Multimodal.byteEntropy(media(s, dir)))
+    // driver records rows-only. Three SENTINEL items with analytically
+    // known entropies ride every run (doc_id < 0: constant bytes -> 0
+    // bits, two-symbol -> 1, uniform -> 8), so the kernel's exactness
+    // is visible in the row output the driver records; the same values
+    // are asserted on this query in OperatorSpec.
+    "multimodal_entropy" -> ((s, dir) => {
+      import s.implicits._
+      val sent = Seq(
+        (-1L, Array.fill[Byte](128)(7)),
+        (-2L, Array.tabulate[Byte](64)(i => (i % 2).toByte)),
+        (-3L, Array.tabulate[Byte](256)(i => i.toByte)))
+        .toDF("doc_id", "content")
+      Multimodal.byteEntropy(
+        media(s, dir).select("doc_id", "content").unionByName(sent))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -22,13 +22,26 @@ object SimilarityQueries extends QueryModule {
       val queries = base.filter(col("vec_id") % 50 === 0)
       Similarity.bruteForceTopK(base, queries, "vec_id", "embedding", k = 5)
     }),
-    // IVF path: deterministic but approximate — rows-only driver check;
-    // recall vs brute force is asserted in the ScalaTest spec.
+    // IVF path: deterministic but approximate — rows-only driver check.
+    // Each emitted neighbor carries `hit` = 1 iff the pair is also in
+    // the brute-force top-k, so the recall-vs-ground-truth invariant is
+    // VISIBLE in the row output (avg(hit) >= 0.9 is asserted in
+    // OperatorSpec on this exact query). The brute-force pass exists
+    // only for this instrumentation — a production caller runs ivfTopK
+    // alone (the sublinear path); the embeddings fixture is small
+    // enough that the check costs about one ann_cosine_topk.
     "ann_ivf_topk" -> ((s, dir) => {
       val base = emb(s, dir)
       val queries = base.filter(col("vec_id") % 50 === 0)
-      // nCells/nProbe auto-sized from the base row count (sqrt scaling)
-      Similarity.ivfTopK(base, queries, "vec_id", "embedding", k = 5)
+      // nCells/nProbe auto-sized from the base row count (sqrt
+      // scaling); rep=4 replicated cell assignments is the config the
+      // recall bound is declared for
+      val ivf = Similarity.ivfTopK(base, queries, "vec_id", "embedding", k = 5,
+        rep = 4)
+      val bf = Similarity.bruteForceTopK(base, queries, "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      ivf.join(bf, Seq("q_id", "n_id"), "left")
+        .withColumn("hit", coalesce(col("hit"), lit(0L)))
     }),
     // Embedding-cosine near-dup (scale extension): the fixture has no
     // planted vector dups, so the demo is top-20 most-similar pairs

@@ -963,6 +963,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("no-oracle queries carry their invariants in the row output") {
+    val dir = "/root/testdata/sf0.001"
+    // ann_ivf_topk: every row's `hit` flags membership in the
+    // brute-force top-k; aggregate recall must clear the declared bound
+    val ivf = SparkEntry.queries("ann_ivf_topk")(spark, dir)
+      .agg(avg(col("hit")).as("recall"), count(lit(1)).as("n"))
+      .as[(Double, Long)].head()
+    assert(ivf._2 > 0 && ivf._1 >= 0.9,
+      s"declared-query IVF recall ${ivf._1} below 0.9 over ${ivf._2} rows")
+    // bpe_tokenize: reconstruction must hold on EVERY row, and the
+    // merges checksum must be the constant an independent train yields
+    val bpe = SparkEntry.queries("bpe_tokenize")(spark, dir)
+    assert(bpe.filter(col("round_trip_ok") =!= 1L).isEmpty,
+      "BPE round-trip failed on some document")
+    val expectMd5 = Bpe.mergesChecksum(
+      Bpe.train(Tables(spark, dir, "documents"), "text", nMerges = 40))
+    val got = bpe.select("merges_md5").distinct().as[String].collect()
+    assert(got.toSeq == Seq(expectMd5),
+      s"merges checksum drifted: $got vs $expectMd5")
+    // multimodal_entropy: the sentinel rows' entropies are analytic
+    val ent = SparkEntry.queries("multimodal_entropy")(spark, dir)
+      .filter(col("doc_id") < 0)
+      .select("doc_id", "entropy_bits").as[(Long, Double)].collect().toMap
+    assert(ent(-1L) == 0.0, s"constant bytes: ${ent(-1L)}")
+    assert(math.abs(ent(-2L) - 1.0) < 1e-12, s"two-symbol: ${ent(-2L)}")
+    assert(math.abs(ent(-3L) - 8.0) < 1e-12, s"uniform bytes: ${ent(-3L)}")
+  }
+
   test("Dedup.simhash: near-dup pairs have small hamming distance") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val sig = Dedup.simhash(docs, "doc_id", "text")
