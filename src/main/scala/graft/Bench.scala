@@ -151,6 +151,21 @@ object Bench {
       try jobs.LoadGen.nnbench(spark, s"$benchDir/nnbench", files = 2000)
         .getOrElse("create_write", -1.0)
       catch { case _: Throwable => -1.0 }
+    // FileBench / Slive analogs (MapredTestDriver.java:60-105 family):
+    // one headline number each — the K/V-format read lane and the
+    // sustained mixed-op rate (a slive failure count would surface as a
+    // collapsed ops/sec, so the single metric still carries the signal)
+    val fbSeqRead =
+      try jobs.LoadGen.fileBench(spark, s"$benchDir/filebench", mb = 64)
+        .getOrElse("seq_read", -1.0)
+      catch { case _: Throwable => -1.0 }
+    val sliveOps =
+      try {
+        val (_, rate, fails) =
+          jobs.LoadGen.slive(spark, s"$benchDir/slive", filesPerTask = 100)
+        if (fails > 0) -1.0 else rate
+      }
+      catch { case _: Throwable => -1.0 }
       finally {
         try sources.TeraIO.delete(spark, benchDir)
         catch { case _: Throwable => () }
@@ -172,7 +187,7 @@ object Bench {
       s""","dedup_scale":{"t1x":${fmt(t1, 3)},"t3x":${fmt(t3, 3)},"exponent":${fmt(e, 3)}}"""
     }.getOrElse("")
     val harnessJson =
-      s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)},"nnbench_create_ops_sec":${fmt(nnOps, 1)}}"""
+      s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)},"nnbench_create_ops_sec":${fmt(nnOps, 1)},"filebench_seq_read_mbps":${fmt(fbSeqRead, 1)},"slive_ops_sec":${fmt(sliveOps, 1)}}"""
     val head =
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters,"failed":$failedJson"""
     // stdout gets the COMPACT line: the driver's tail capture truncated

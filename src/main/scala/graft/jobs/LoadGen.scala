@@ -138,6 +138,99 @@ object LoadGen {
       .agg(count(lit(1)).as("n"))
       .filter(pmod(xxhash64(col(keyCol), lit("red")), lit(100)) < keepRedPct)
 
+  /** FileBench analog (hadoop-mapreduce-client-jobclient
+    * src/test/.../io/FileBench.java:41,244-295: per-(format, codec,
+    * read|write) MB/s over generated word text): times the engine's
+    * record-format lanes — plain text, SequenceFile uncompressed, and
+    * SequenceFile BLOCK-deflate — write then full read of the same
+    * (key, value) records, reporting logical MB/s per lane. The
+    * parquet lane is intentionally absent here: every declared query
+    * already measures it; this probe isolates the K/V format codecs.
+    */
+  def fileBench(spark: SparkSession, workDir: String,
+                mb: Int): Map[String, Double] = {
+    val rows = mb.toLong * 10000L                     // 100 B/record
+    val df = spark.range(rows).select(
+      format_string("k%09d", col("id")).as("key"),
+      rpad(format_string("v%09d", col("id")), 90, "x").as("value"))
+    val logicalMb = rows * 100 / 1e6
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      logicalMb / ((System.nanoTime() - t0) / 1e9)
+    }
+    import graft.sources.sequencefile.SequenceFileIO
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    out("txt_write") = timed {
+      df.select(concat_ws("\t", col("key"), col("value")).as("value"))
+        .write.mode("overwrite").text(s"$workDir/txt")
+    }
+    out("txt_read") = timed {
+      spark.read.text(s"$workDir/txt")
+        .select(sum(length(col("value")))).head()
+    }
+    out("seq_write") = timed(SequenceFileIO.write(df, s"$workDir/seq"))
+    out("seq_read") = timed {
+      SequenceFileIO.read(spark, s"$workDir/seq")
+        .select(sum(length(col("key")) + length(col("value")))).head()
+    }
+    out("seq_blk_write") = timed {
+      SequenceFileIO.write(df, s"$workDir/seq_blk", compression = "BLOCK")
+    }
+    out("seq_blk_read") = timed {
+      SequenceFileIO.read(spark, s"$workDir/seq_blk")
+        .select(sum(length(col("key")) + length(col("value")))).head()
+    }
+    out.toMap
+  }
+
+  /** Slive analog (hadoop-mapreduce-client-jobclient
+    * src/test/.../fs/slive/SliveTest.java + the op classes CreateOp/
+    * MkdirOp/RenameOp/ReadOp/ListOp/DeleteOp): a weighted mixed
+    * metadata+data op load run by every partition against its own
+    * directory — the reference's measure of sustained mixed-op
+    * throughput with failures COUNTED rather than thrown (slive's
+    * not-found outcomes). Append is omitted: local checksum
+    * filesystems reject it, and the reference itself weights it
+    * optional. Returns (totalOps, opsPerSec, failures).
+    */
+  def slive(spark: SparkSession, workDir: String, filesPerTask: Int = 50,
+            partitions: Int = 8): (Long, Double, Long) = {
+    import org.apache.hadoop.fs.Path
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val t0 = System.nanoTime()
+    val (ops, fails) = spark.sparkContext
+      .range(0, partitions, 1, partitions)
+      .mapPartitions { it =>
+        val t = it.next()
+        val dir = new Path(workDir, s"task_$t")
+        val fs = dir.getFileSystem(conf.value)
+        var ops = 0L
+        var fails = 0L
+        def op(f: => Boolean): Unit = {
+          ops += 1
+          if (!scala.util.Try(f).getOrElse(false)) fails += 1
+        }
+        op(fs.mkdirs(dir))
+        val files = (0 until filesPerTask).map(i => new Path(dir, s"f_$i"))
+        files.foreach { p =>
+          op { val o = fs.create(p, true); o.write(t.toInt); o.close(); true }
+        }
+        op(fs.listStatus(dir).length == filesPerTask)
+        val renamed = files.map(p => new Path(dir, p.getName + ".r"))
+        files.zip(renamed).foreach { case (a, b) => op(fs.rename(a, b)) }
+        renamed.foreach { p =>
+          op { val in = fs.open(p); val b = in.read(); in.close(); b >= 0 }
+        }
+        renamed.foreach(p => op(fs.delete(p, false)))
+        Iterator.single((ops, fails))
+      }
+      .reduce { case ((o1, f1), (o2, f2)) => (o1 + o2, f1 + f2) }
+    val sec = (System.nanoTime() - t0) / 1e9
+    (ops, ops / sec, fails)
+  }
+
   /** One job of a synthetic load trace: `rows` of generated input run
     * through the [[loadGen]] selectivity shape.
     */

@@ -320,6 +320,38 @@ class ExamplesSpec extends AnyFunSuite {
     assert(graft.sources.TeraIO.dataBytes(spark, dir) == 4L * 1000000L)
   }
 
+  test("FileBench analog: every format lane reports positive MB/s and round-trips") {
+    import graft.jobs.LoadGen
+    val dir = Files.createTempDirectory("graft-filebench").toString + "/fb"
+    val mbps = LoadGen.fileBench(spark, dir, mb = 1)
+    assert(mbps.keySet == Set("txt_write", "txt_read", "seq_write",
+      "seq_read", "seq_blk_write", "seq_blk_read"))
+    assert(mbps.values.forall(_ > 0), s"non-positive lane: $mbps")
+    // the lanes wrote real data: both sequencefile variants read back
+    // the full record set
+    import graft.sources.sequencefile.SequenceFileIO
+    assert(SequenceFileIO.read(spark, s"$dir/seq").count() == 10000L)
+    assert(SequenceFileIO.read(spark, s"$dir/seq_blk").count() == 10000L)
+  }
+
+  test("Slive analog: mixed op load runs failure-free and cleans up") {
+    import graft.jobs.LoadGen
+    val dir = Files.createTempDirectory("graft-slive").toString + "/slive"
+    val (ops, rate, fails) =
+      LoadGen.slive(spark, dir, filesPerTask = 20, partitions = 4)
+    // mkdir + creates + ls + renames + reads + deletes per task
+    assert(ops == 4L * (4 * 20 + 2), s"op count $ops")
+    assert(fails == 0L, s"$fails slive ops failed")
+    assert(rate > 0)
+    // deletes removed every file; only the per-task dirs remain
+    val left = new java.io.File(dir).listFiles()
+    assert(left != null && left.forall(d =>
+      d.isDirectory && {
+        val fs = d.listFiles()
+        fs == null || fs.forall(f => f.getName.endsWith(".crc") || f.isDirectory)
+      }), s"slive files left behind")
+  }
+
   test("SleepJob analog schedules the requested map/reduce task counts") {
     import graft.jobs.LoadGen
     assert(LoadGen.sleepJob(spark, mapTasks = 4, mapMs = 1) == 4L)
