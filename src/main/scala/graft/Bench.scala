@@ -166,6 +166,14 @@ object Bench {
         if (fails > 0) -1.0 else rate
       }
       catch { case _: Throwable => -1.0 }
+    // BigMapOutput / ThreadedMapBenchmark analogs: binary-record shuffle
+    // MB/s and map-side external-sort MB/s
+    val bmoMbps =
+      try jobs.LoadGen.bigMapOutput(spark, s"$benchDir/bmo", mb = 64)._2
+      catch { case _: Throwable => -1.0 }
+    val tmbMbps =
+      try jobs.LoadGen.threadedMapBench(spark, mb = 64)._2
+      catch { case _: Throwable => -1.0 }
       finally {
         try sources.TeraIO.delete(spark, benchDir)
         catch { case _: Throwable => () }
@@ -187,7 +195,7 @@ object Bench {
       s""","dedup_scale":{"t1x":${fmt(t1, 3)},"t3x":${fmt(t3, 3)},"exponent":${fmt(e, 3)}}"""
     }.getOrElse("")
     val harnessJson =
-      s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)},"nnbench_create_ops_sec":${fmt(nnOps, 1)},"filebench_seq_read_mbps":${fmt(fbSeqRead, 1)},"slive_ops_sec":${fmt(sliveOps, 1)}}"""
+      s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)},"nnbench_create_ops_sec":${fmt(nnOps, 1)},"filebench_seq_read_mbps":${fmt(fbSeqRead, 1)},"slive_ops_sec":${fmt(sliveOps, 1)},"bigmap_shuffle_mbps":${fmt(bmoMbps, 1)},"threadedmap_sort_mbps":${fmt(tmbMbps, 1)}}"""
     val head =
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters,"failed":$failedJson"""
     // stdout gets the COMPACT line: the driver's tail capture truncated

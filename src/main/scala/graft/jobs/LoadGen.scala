@@ -231,6 +231,61 @@ object LoadGen {
     (ops, ops / sec, fails)
   }
 
+  /** BigMapOutput analog (hadoop-mapreduce-client-jobclient
+    * src/test/.../mapred/BigMapOutput.java:41,57-108: a big SequenceFile
+    * of random BytesWritable records run through identity map → shuffle
+    * → identity reduce): the MAP-OUTPUT/shuffle-path throughput probe —
+    * every byte of a large binary record set crosses the shuffle. Here:
+    * generate `mb` MB of deterministic pseudo-random 100-byte binary
+    * (key, value) records into a SequenceFile, then read → hash-
+    * repartition on key (the full shuffle) → write a SequenceFile back.
+    * Keys are md5-derived so runs are reproducible (the reference's
+    * Random keys make its own runs incomparable). Returns
+    * (shuffleSec, shuffleMbps) over the logical bytes.
+    */
+  def bigMapOutput(spark: SparkSession, workDir: String, mb: Int,
+                   partitions: Int = 8): (Double, Double) = {
+    val rows = mb.toLong * 10000L                     // 100 B/record
+    val in = s"$workDir/bmo_in"
+    val out = s"$workDir/bmo_out"
+    import graft.sources.sequencefile.SequenceFileIO
+    val gen = spark.range(0, rows, 1, partitions).select(
+      unhex(md5(col("id").cast("string"))).as("key"),          // 16 B
+      unhex(concat((0 until 6).map(i =>                         // 84 B
+        md5(concat(col("id").cast("string"), lit(s"_$i")))): _*)
+        .substr(1, 168)).as("value"))
+    SequenceFileIO.write(gen, in)
+    val t0 = System.nanoTime()
+    val shuffled = SequenceFileIO.read(spark, in)
+      .repartition(partitions, col("key"))
+    SequenceFileIO.write(shuffled, out)
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, rows * 100 / 1e6 / sec)
+  }
+
+  /** ThreadedMapBenchmark analog (hadoop-mapreduce-client-jobclient
+    * src/test/.../mapred/ThreadedMapBenchmark.java:54-71: random data
+    * per map, then a sort sized to force one vs many map-side spills):
+    * the MAP-SIDE SORT/spill probe. Spark's analog of the spill phase
+    * is the per-partition external sort, so the measured job is
+    * generate → sortWithinPartitions(key) — no shuffle; the cost is
+    * purely each task's in-memory/spill sort — with the same 100-byte
+    * records the reference generates. Spark sizes and spills its
+    * UnsafeExternalSorter automatically, which is exactly the
+    * "multiple threaded spills" knob the reference hand-tunes.
+    * Returns (sortSec, sortMbps).
+    */
+  def threadedMapBench(spark: SparkSession, mb: Int,
+                       partitions: Int = 8): (Double, Double) = {
+    val rows = mb.toLong * 10000L
+    val df = TeraSort.teraGen(spark, rows, partitions)
+    val t0 = System.nanoTime()
+    df.sortWithinPartitions(col("key"))
+      .write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, rows * 100 / 1e6 / sec)
+  }
+
   /** One job of a synthetic load trace: `rows` of generated input run
     * through the [[loadGen]] selectivity shape.
     */

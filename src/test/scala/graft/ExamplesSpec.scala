@@ -352,6 +352,27 @@ class ExamplesSpec extends AnyFunSuite {
       }), s"slive files left behind")
   }
 
+  test("BigMapOutput analog: binary records survive the identity shuffle byte-for-byte") {
+    import graft.jobs.LoadGen
+    import graft.sources.sequencefile.SequenceFileIO
+    val dir = Files.createTempDirectory("graft-bmo").toString + "/bmo"
+    val (sec, mbps) = LoadGen.bigMapOutput(spark, dir, mb = 1, partitions = 4)
+    assert(sec > 0 && mbps > 0)
+    // identity shuffle: the output multiset equals the input multiset
+    import org.apache.spark.sql.functions._
+    def sig(p: String) = SequenceFileIO.read(spark, p)
+      .select(expr("bit_xor(xxhash64(key, value))").as("h"),
+        count(lit(1)).as("n")).head()
+    assert(sig(s"$dir/bmo_out") == sig(s"$dir/bmo_in"))
+    assert(sig(s"$dir/bmo_in").getLong(1) == 10000L)
+  }
+
+  test("ThreadedMapBenchmark analog: map-side sort reports positive MB/s") {
+    import graft.jobs.LoadGen
+    val (sec, mbps) = LoadGen.threadedMapBench(spark, mb = 1, partitions = 4)
+    assert(sec > 0 && mbps > 0)
+  }
+
   test("SleepJob analog schedules the requested map/reduce task counts") {
     import graft.jobs.LoadGen
     assert(LoadGen.sleepJob(spark, mapTasks = 4, mapMs = 1) == 4L)
