@@ -168,6 +168,37 @@ object CleanQueries extends QueryModule {
       Classify.scoreDocs(d, "doc_id", "text", w)
     }),
 
+    // HTML -> text extraction: the web-crawl ingestion stage. The
+    // fixture corpus is plain text, so each doc is first wrapped in a
+    // deterministic page (head/title, script, entity-escaped prose
+    // paragraph, link-dense nav footer, comment) that the oracle
+    // replays verbatim — then operators/Html strips it back down and
+    // computes the boilerplate signals (anchor chars, link density,
+    // text ratio). Pure regexp projections: row-local, codegen'd,
+    // zero shuffle at any crawl size.
+    "html_extract" -> ((s, dir) => {
+      import graft.operators.Html
+      val id = col("doc_id").cast("string")
+      val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val page = concat(
+        lit("<html><head><title>Doc "), id, lit(" - "), col("source"),
+        lit("</title><style>p{margin:0}</style></head><body><script>var d="),
+        id, lit(";</script><h1>Doc "), id, lit("</h1><p>"), esc,
+        lit("</p><div class=\"nav\"><a href=\"/s/1\">more from "),
+        col("source"),
+        lit("</a>&nbsp;&amp; <a href=\"/a\">archive</a></div>" +
+          "<!-- footer --></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"), page.as("html"))
+        .select(col("doc_id"),
+          Html.title(col("html")).as("title"),
+          Html.extractText(col("html")).as("text"),
+          Html.anchorChars(col("html")).as("n_anchor"),
+          Html.linkDensity(col("html")).as("link_density"),
+          Html.textRatio(col("html")).as("text_ratio"))
+    }),
+
     // Curriculum binning: quality deciles via exact percentile cutoffs
     // (ONE bounded 9-double collect), then row-local bin assignment —
     // no ntile window, no global sort (see Sampling.binByCutoffs).
@@ -302,6 +333,55 @@ object CleanQueries extends QueryModule {
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM s
         |GROUP BY 1""".stripMargin,
+    "html_extract" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' - ' || source
+        |    || '</title><style>p{margin:0}</style></head><body><script>var d='
+        |    || CAST(doc_id AS VARCHAR) || ';</script><h1>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</h1><p>'
+        |    || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+        |    || '</p><div class="nav"><a href="/s/1">more from ' || source
+        |    || '</a>&nbsp;&amp; <a href="/a">archive</a></div><!-- footer --></body></html>' AS html
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, html,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<head\b[^>]*>.*?</head>', '', 'g'),
+        |      '(?is)<script\b[^>]*>.*?</script>', '', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style>', '', 'g'),
+        |      '(?is)<noscript\b[^>]*>.*?</noscript>', '', 'g'),
+        |      '(?is)<template\b[^>]*>.*?</template>', '', 'g'),
+        |      '(?s)<!--.*?-->', '', 'g'),
+        |      '(?i)<(?:br\s*/?|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol|/blockquote|/section|/article|/header|/footer|/pre)>', chr(10), 'g'),
+        |      '(?s)<[^>]*>', '', 'g') AS untagged
+        |  FROM p
+        |), x AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(untagged,
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |        '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS txt,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      regexp_extract_all(html, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+        |      a -> length(trim(regexp_replace(regexp_replace(a,
+        |             '(?s)<[^>]*>', '', 'g'), '\s+', ' ', 'g'))))), 0) AS BIGINT) AS n_anchor
+        |  FROM s
+        |)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS title,
+        |  txt AS text,
+        |  n_anchor,
+        |  CAST(n_anchor AS DOUBLE) / CAST(greatest(length(txt), 1) AS DOUBLE) AS link_density,
+        |  CAST(length(txt) AS DOUBLE) / CAST(greatest(length(html), 1) AS DOUBLE) AS text_ratio
+        |FROM x""".stripMargin,
     "quality_bins" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t

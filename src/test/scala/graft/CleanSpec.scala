@@ -17,6 +17,52 @@ class CleanSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.build("4")
   import spark.implicits._
 
+  // --- Html extraction --------------------------------------------
+
+  test("Html.extractText drops head/script/style/comments, breaks blocks, decodes entities") {
+    import graft.operators.Html
+    val page = "<html><head><title>T</title><style>p{}</style></head>" +
+      "<body><script>var x='<p>';</script><h1>Head</h1>" +
+      "<p>one&nbsp;&amp;\n  two</p><div>three &lt;tag&gt; &#39;q&#39;</div>" +
+      "<header>kept</header><!-- gone --><ul><li>item</li></ul></body></html>"
+    val out = Seq(page).toDF("h")
+      .select(Html.extractText(col("h")).as("t"),
+        Html.title(col("h")).as("title"))
+      .head()
+    // head dropped (title text NOT in body), <header> content kept,
+    // script body (with its embedded '<p>') dropped, entities decoded
+    assert(out.getString(0) == "Head one & two three <tag> 'q' kept item")
+    assert(out.getString(1) == "T")
+  }
+
+  test("Html.anchorChars/linkDensity/textRatio: anchor text counted, bounds hold") {
+    import graft.operators.Html
+    val page = "<body><p>words here</p>" +
+      "<a href='/x'>link <b>one</b></a><a>two</a><p>tail</p></body>"
+    val r = Seq(page, "<p>no links at all</p>", "").toDF("h")
+      .select(Html.anchorChars(col("h")).as("a"),
+        Html.linkDensity(col("h")).as("d"),
+        Html.textRatio(col("h")).as("r"))
+      .collect()
+    assert(r(0).getLong(0) == "link one".length + "two".length)
+    assert(r(0).getDouble(1) > 0 && r(0).getDouble(1) < 1)
+    assert(r(1).getLong(0) == 0L && r(1).getDouble(1) == 0.0)
+    assert(r(2).getLong(0) == 0L && r(2).getDouble(2) == 0.0)
+    // text_ratio of a markup-free string is 1.0
+    val plain = Seq("just prose").toDF("h")
+      .select(Html.textRatio(col("h"))).head().getDouble(0)
+    assert(plain == 1.0)
+  }
+
+  test("Html entity decode order: &amp;lt; stays a literal '&lt;' after decode") {
+    import graft.operators.Html
+    // the page ESCAPED '&lt;' as '&amp;lt;' — decoding &amp; last must
+    // yield the text '&lt;', never a second-round '<'
+    val out = Seq("<p>&amp;lt;</p>").toDF("h")
+      .select(Html.extractText(col("h"))).head().getString(0)
+    assert(out == "&lt;")
+  }
+
   // --- NfcNormalize expression ------------------------------------
 
   test("NfcNormalize: codegen and interpreted agree; composes NFD sequences") {

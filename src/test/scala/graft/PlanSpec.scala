@@ -274,6 +274,13 @@ class PlanSpec extends AnyFunSuite {
       s"URL counting must combine map-side:\n$p")
   }
 
+  test("html_extract is map-only: zero shuffles at any crawl size") {
+    val df = SparkEntry.queries("html_extract")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), s"html_extract should not shuffle:\n$p")
+  }
+
   test("comp_ratio is map-only: zero shuffles, deflated_size inside codegen") {
     val df = SparkEntry.queries("comp_ratio")(spark, dir)
     df.collect()
