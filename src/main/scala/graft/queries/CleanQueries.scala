@@ -199,6 +199,24 @@ object CleanQueries extends QueryModule {
           Html.textRatio(col("html")).as("text_ratio"))
     }),
 
+    // C4 line-level cleaning: the stage between HTML extraction and
+    // doc scoring. Fixture docs are single-line prose, so boilerplate
+    // lines (fragment, code/JS chrome, lorem ipsum) are appended
+    // deterministically; the filter must keep exactly the two real
+    // sentences. One map pass — no explode/shuffle/rejoin.
+    "c4_line_filter" -> ((s, dir) => {
+      val id = col("doc_id")
+      val page = concat(col("text"), lit(".\ntoo short\n"),
+        when(id % 2 === 0,
+          lit("function f() { return 1; } // javascript\n"))
+          .otherwise(lit("")),
+        lit("lorem ipsum dolor sit amet consectetur.\n" +
+          "This closing sentence has six proper words."))
+      val (clean, nLines, nKept) = TextOps.c4LineClean(page)
+      docs(s, dir).select(col("doc_id"), clean.as("clean"),
+        nLines.as("n_lines"), nKept.as("n_kept"))
+    }),
+
     // Curriculum binning: quality deciles via exact percentile cutoffs
     // (ONE bounded 9-double collect), then row-local bin assignment —
     // no ntile window, no global sort (see Sampling.binByCutoffs).
@@ -333,6 +351,29 @@ object CleanQueries extends QueryModule {
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM s
         |GROUP BY 1""".stripMargin,
+    "c4_line_filter" ->
+      """WITH p AS (
+        |  SELECT doc_id, text || '.' || chr(10) || 'too short' || chr(10)
+        |    || CASE WHEN doc_id % 2 = 0
+        |            THEN 'function f() { return 1; } // javascript' || chr(10)
+        |            ELSE '' END
+        |    || 'lorem ipsum dolor sit amet consectetur.' || chr(10)
+        |    || 'This closing sentence has six proper words.' AS raw
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, string_split(raw, chr(10)) AS lines,
+        |    list_filter(string_split(raw, chr(10)), x ->
+        |      regexp_matches(x, '[.!?"'']\s*$')
+        |      AND len(list_filter(string_split_regex(trim(x), '\s+'), w -> w <> '')) >= 3
+        |      AND NOT contains(lower(x), 'lorem ipsum')
+        |      AND NOT contains(lower(x), 'javascript')
+        |      AND NOT contains(x, '{')) AS kept
+        |  FROM p
+        |)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept
+        |FROM k""".stripMargin,
     "html_extract" ->
       """WITH p AS (
         |  SELECT doc_id,

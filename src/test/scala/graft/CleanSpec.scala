@@ -63,6 +63,31 @@ class CleanSpec extends AnyFunSuite {
     assert(out == "&lt;")
   }
 
+  // --- C4 line filter ---------------------------------------------
+
+  test("c4KeepLine: punctuation/min-words/blocklist rules, line accounting") {
+    val cases = Seq(
+      ("A proper sentence with words.", true),
+      ("Is this kept as well?", true),
+      ("he said \"stop.\"", true),         // closing quote after punct
+      ("no terminal punctuation", false),
+      ("Too few.", false),                  // < 3 words
+      ("Click here to enable JavaScript.", false),
+      ("if (x) { return y; }", false),      // brace + no terminal punct
+      ("Lorem Ipsum is filler text.", false),
+      ("   ", false))
+    val got = cases.map(_._1).toDF("l")
+      .select(graft.operators.TextOps.c4KeepLine(col("l")).as("k"))
+      .as[Boolean].collect().toSeq
+    assert(got == cases.map(_._2), cases.map(_._1).zip(got).mkString("; "))
+
+    val doc = "Keep this first sentence.\nnot this\nNor this one {x}.\nFinal line stays here."
+    val (clean, nl, nk) = graft.operators.TextOps.c4LineClean(lit(doc))
+    val r = spark.range(1).select(clean.as("c"), nl.as("l"), nk.as("k")).head()
+    assert(r.getString(0) == "Keep this first sentence.\nFinal line stays here.")
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L)
+  }
+
   // --- NfcNormalize expression ------------------------------------
 
   test("NfcNormalize: codegen and interpreted agree; composes NFD sequences") {

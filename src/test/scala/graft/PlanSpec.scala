@@ -281,6 +281,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"html_extract should not shuffle:\n$p")
   }
 
+  test("c4_line_filter is map-only: no explode, no shuffle, no rejoin") {
+    val df = SparkEntry.queries("c4_line_filter")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), s"c4_line_filter should not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"line split must not explode:\n$p")
+  }
+
   test("comp_ratio is map-only: zero shuffles, deflated_size inside codegen") {
     val df = SparkEntry.queries("comp_ratio")(spark, dir)
     df.collect()
