@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Redact, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Html, Redact, Sampling, Similarity, TextOps}
 
 /** The end-to-end training-data preparation pipeline, assembled from the
   * library's verified stages — the workload this engine exists for, and
@@ -40,7 +40,18 @@ object TrainingPipeline {
                     afterNearDup: Long, afterSemantic: Long, afterDecontam: Long,
                     mixtureRows: Long, chunks: Long, packs: Long)
 
-  /** `evalDocs`: the held-out evaluation corpus to decontaminate
+  /** `input`: the corpus frame — (doc_id, source, text)-shaped; None
+    * reads the `documents` table from `dir` (a crawl pipeline passes
+    * its own landing frame here).
+    *
+    * `ingestHtml` treats the text column as raw HTML and strips it to
+    * line-structured prose first ([[Html.extractLines]] — head/script/
+    * style dropped, block breaks preserved as newlines). `c4MinWords`
+    * then enables the C4 line gate ([[TextOps.c4LineClean]]) at that
+    * minimum word count. Both are row-local map passes — the crawl
+    * ingestion stages, ahead of every other stage.
+    *
+    * `evalDocs`: the held-out evaluation corpus to decontaminate
     * against — (id, text)-shaped. None skips the decontamination stage
     * (a real pipeline should always pass its eval suites; the spec
     * passes a slice of the corpus as a stand-in).
@@ -58,6 +69,9 @@ object TrainingPipeline {
     * projections — free at any scale.
     */
   def run(spark: SparkSession, dir: String,
+          input: Option[DataFrame] = None,
+          ingestHtml: Boolean = false,
+          c4MinWords: Option[Int] = None,
           lang: String = "en", minTokens: Int = 10,
           minQuality: Option[Double] = None,
           compRatioBounds: Option[(Double, Double)] = None,
@@ -73,13 +87,22 @@ object TrainingPipeline {
           scrubPii: Boolean = false,
           shardsOut: Option[String] = None,
           outShards: Int = 8): (DataFrame, Report) = {
-    val raw = Tables(spark, dir, "documents")
+    // 0. optional crawl ingestion: HTML -> line-structured prose, then
+    // the C4 line gate — both pure projections riding the first scan
+    val raw = {
+      val r0 = input.getOrElse(Tables(spark, dir, "documents"))
+      val r1 = if (ingestHtml)
+        r0.withColumn("text", Html.extractLines(col("text"))) else r0
+      c4MinWords.map(m =>
+        r1.withColumn("text", TextOps.c4LineClean(col("text"), m)._1))
+        .getOrElse(r1)
+    }
     val docs = {
       val n = if (normalize)
         raw.withColumn("text", TextOps.normalizeText(col("text"))) else raw
       if (scrubPii) n.withColumn("text", Redact.scrubPii(col("text"))) else n
     }
-    val input = docs.count()
+    val inputRows = docs.count()
 
     // 1. language + length (+ optional quality) gate (map-only) — the
     // DETECTED language, not the table's label column: the pipeline
@@ -261,7 +284,7 @@ object TrainingPipeline {
       (if (tokenBudgets.nonEmpty) Seq(budgeted) else Nil))
       .foreach(_.unpersist(false))
 
-    (packedOut, Report(input, afterFilter, afterExact, afterNearDup,
+    (packedOut, Report(inputRows, afterFilter, afterExact, afterNearDup,
       afterSemantic, afterDecontam, mixtureRows, chunks, packs))
   }
 }

@@ -67,6 +67,21 @@ object Html {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** [[extractText]] but PRESERVING line structure: block breaks become
+    * single newlines instead of dissolving into the whitespace collapse
+    * — the form the C4 line filter ([[TextOps.c4LineClean]]) needs
+    * downstream. Horizontal runs collapse to one space, newline runs
+    * (with surrounding spaces) to one newline, ends trimmed.
+    */
+  def extractLines(html: Column): Column = {
+    val dropped = dropBlocks.foldLeft(html)((c, p) => regexp_replace(c, p, ""))
+    val broken = regexp_replace(dropped, blockBreak, "\n")
+    val untagged = regexp_replace(broken, "(?s)<[^>]*>", "")
+    val decoded = decodeEntities(untagged)
+    trim(regexp_replace(regexp_replace(decoded, "[^\\S\\n]+", " "),
+      " ?\\n[ \\n]*", "\n"))
+  }
+
   /** `<title>` content (entity-decoded, whitespace-collapsed); empty
     * string when absent.
     */

@@ -391,6 +391,28 @@ class ExamplesSpec extends AnyFunSuite {
     assert(n > 150 && n < 350, s"selectivity off: $n")
   }
 
+  test("TrainingPipeline HTML ingest: wrapped corpus reduces to the plain-text run") {
+    import graft.jobs.TrainingPipeline
+    // every doc's prose as one period-terminated line (so the C4 gate
+    // keeps it), then the same corpus wrapped in page chrome the ingest
+    // stages must strip back off: identical reports == the HTML path
+    // recovered exactly the prose
+    val base = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("text", concat(col("text"), lit(".")))
+    val wrapped = base.withColumn("text", concat(
+      lit("<html><head><title>t</title><style>p{}</style></head><body><h1>Doc "),
+      col("doc_id").cast("string"), lit("</h1><p>"), col("text"),
+      lit("</p><div class=\"nav\"><a href=\"/x\">more from nav</a></div>" +
+        "<!-- chrome --></body></html>")))
+    val (_, rHtml) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      input = Some(wrapped), ingestHtml = true, c4MinWords = Some(3),
+      lang = "en", minTokens = 5, normalize = true)
+    val (_, rPlain) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      input = Some(base), lang = "en", minTokens = 5, normalize = true)
+    assert(rHtml == rPlain, s"HTML ingest diverged: $rHtml vs $rPlain")
+    assert(rHtml.packs > 0, s"ingest pipeline emptied out: $rHtml")
+  }
+
   test("TrainingPipeline composes the verified stages end-to-end") {
     import graft.jobs.TrainingPipeline
     // stand-in eval corpus: a fixed slice of the documents table
