@@ -58,11 +58,24 @@ object StreamingOps {
                      evalH1: Seq[Long] = Nil, k: Int = 3,
                      contamThreshold: Double = 0.8,
                      normalize: Boolean = false, scrubPii: Boolean = false,
+                     ingestHtml: Boolean = false,
+                     c4MinWords: Option[Int] = None,
                      dedupWatermark: Option[(String, String)] = None): DataFrame = {
-    import graft.operators.{Dedup, Redact, TextOps}
+    import graft.operators.{Dedup, Html, Redact, TextOps}
+    // crawl ingestion first (same stage-0 as TrainingPipeline.run):
+    // HTML -> line-structured prose, then the C4 line gate — stateless
+    // projections, so they stream as freely as they batch
+    val ingested = {
+      val h = if (ingestHtml)
+        docs.withColumn(textCol, Html.extractLines(col(textCol))) else docs
+      c4MinWords.map(m =>
+        h.withColumn(textCol, TextOps.c4LineClean(col(textCol), m)._1))
+        .getOrElse(h)
+    }
     val canon = {
       val n = if (normalize)
-        docs.withColumn(textCol, TextOps.normalizeText(col(textCol))) else docs
+        ingested.withColumn(textCol, TextOps.normalizeText(col(textCol)))
+      else ingested
       if (scrubPii) n.withColumn(textCol, Redact.scrubPii(col(textCol))) else n
     }
     val stops = TextOps.stopsFor.getOrElse(lang, TextOps.stopEn)

@@ -127,6 +127,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < docs.count())
   }
 
+  test("cleanDocStream HTML ingest: streamed page chrome strips to the batch result") {
+    val dir = Files.createTempDirectory("graft-stream-html").toString + "/docs"
+    // period-terminated prose wrapped in page chrome (the C4 gate must
+    // keep exactly the prose line and drop the h1/nav/comment lines)
+    val wrapped = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("text", concat(
+        lit("<html><head><title>t</title></head><body><h1>Doc "),
+        col("doc_id").cast("string"), lit("</h1><p>"), col("text"), lit("."),
+        lit("</p><div><a href=\"/x\">nav link here</a></div><!-- c --></body></html>")))
+    wrapped.write.parquet(dir)
+    def gates(df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.cleanDocStream(df, "text", lang = "en", minTokens = 5,
+        ingestHtml = true, c4MinWords = Some(3), normalize = true)
+    val schema = spark.read.parquet(dir).schema
+    val q = gates(spark.readStream.schema(schema).parquet(dir))
+      .writeStream.format("memory").queryName("cleanhtml")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("cleanhtml").select("digest").as[String].collect().toSeq
+    val batch = gates(wrapped).select("digest").as[String].collect().toSeq
+    assert(got.toSet == batch.toSet && got.nonEmpty,
+      "stream and batch HTML ingest disagree")
+    // the chrome really was stripped: no extracted text retains a tag
+    val tagged = spark.table("cleanhtml")
+      .filter(col("text").rlike("<[a-zA-Z/]")).count()
+    assert(tagged == 0, "HTML survived extraction")
+  }
+
   test("sessionizeWithTimeout flushes the open session when the watermark passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
