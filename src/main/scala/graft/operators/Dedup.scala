@@ -594,13 +594,15 @@ object Dedup {
     * its component — the clustering step that turns pairwise near-dup
     * evidence into dedup groups (keep one representative per cluster).
     *
-    * Each round is one join + one min-aggregation (all partial+final
-    * hash aggregates); `localCheckpoint` truncates the iterative plan's
-    * lineage so round N doesn't replay rounds 1..N-1. Rounds needed =
-    * graph diameter (near-dup clusters are shallow — a handful), with a
-    * convergence check so typical data stops after 2-3 rounds. The
-    * label result is iteration-order independent (min is idempotent/
-    * commutative), so any cluster, partitioning, or retry agrees.
+    * Each round is one edge join + one min-aggregation plus a pointer-
+    * doubling self-join on the label frame (label := label(label));
+    * `localCheckpoint` truncates the iterative plan's lineage so round
+    * N doesn't replay rounds 1..N-1. Doubling makes rounds scale with
+    * LOG of the component diameter — a 300-node chain converges in ~8
+    * rounds, not 300 — with a convergence check so typical data stops
+    * after 2-3. The label result is iteration-order independent (min is
+    * idempotent/commutative), so any cluster, partitioning, or retry
+    * agrees.
     */
   /** Lineage-truncation fault-tolerance trade: `localCheckpoint` (the
     * default) stores blocks on executors — fast, but an executor loss
@@ -659,10 +661,22 @@ object Dedup {
       // each node adopts the min of its own and its neighbors' labels
       val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min("label").as("nbr"))
-      val obsI = org.apache.spark.sql.Observation()
-      val next = ckpt(labels.join(nbrMin, Seq("id"), "left")
+      val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // pointer doubling: label := label(label). Every label value IS a
+      // node id (labels are mins over ids), so the self-join always
+      // resolves and label(y) <= y keeps the decrease monotone. Each
+      // round now covers 2x the path distance of plain propagation —
+      // rounds scale with log(diameter), not diameter, which is what a
+      // chain-shaped dup cluster (crawl mirror sprawl) hits at scale.
+      // The extra join is on the label frame itself: near-dup-graph
+      // sized, far smaller than the corpus.
+      val obsI = org.apache.spark.sql.Observation()
+      val next = ckpt(prop.join(
+          prop.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
         .observe(obsI, sumExpr))
       val nextSum = observedSum(obsI)
       converged = nextSum.compareTo(curSum) == 0

@@ -908,12 +908,20 @@ class OperatorSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
       9L -> 9L, 10L -> 9L))
-    // a path graph needs diameter-many propagation rounds to converge
+    // a path graph is the worst case for plain propagation
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
       .toDF("doc_a", "doc_b")
     val c2 = Dedup.connectedComponents(chain, "doc_a", "doc_b")
       .as[(Long, Long)].collect().toMap
     assert(c2.keySet == (1L to 6L).toSet && c2.values.toSet == Set(1L), c2.toString)
+    // pointer doubling: a 300-node path converges inside the default 20
+    // rounds (plain min-propagation needs diameter ≈ 300 rounds) — the
+    // chain-shaped dup cluster a crawl's mirror sprawl produces
+    val longChain = (1L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val c3 = Dedup.connectedComponents(longChain, "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(c3.length == 300 && c3.forall(_._2 == 1L),
+      s"long chain not fully labeled: ${c3.filter(_._2 != 1L).take(5).toSeq}")
   }
 
   test("ValueHistogram aggregator matches the composed two-level query") {
