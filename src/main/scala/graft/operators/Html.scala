@@ -78,8 +78,12 @@ object Html {
     val broken = regexp_replace(dropped, blockBreak, "\n")
     val untagged = regexp_replace(broken, "(?s)<[^>]*>", "")
     val decoded = decodeEntities(untagged)
-    trim(regexp_replace(regexp_replace(decoded, "[^\\S\\n]+", " "),
-      " ?\\n[ \\n]*", "\n"))
+    // regexp end-trim, not trim(): Spark's trim strips SPACES only, and
+    // the final block tag always leaves a trailing newline behind
+    regexp_replace(
+      regexp_replace(regexp_replace(decoded, "[^\\S\\n]+", " "),
+        " ?\\n[ \\n]*", "\n"),
+      "^\\s+|\\s+$", "")
   }
 
   /** `<title>` content (entity-decoded, whitespace-collapsed); empty

@@ -223,6 +223,59 @@ object LawsSpec extends Properties("graft.laws") {
         }
     }
 
+  // --- HTML extraction / C4 line cleaning --------------------------------
+
+  private val genWord: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(8).mkString)
+  private val genProse: Gen[String] =
+    Gen.nonEmptyListOf(genWord).map(_.take(20).mkString(" "))
+
+  property("html extractText recovers escaped prose from page chrome") =
+    forAll(Gen.listOfN(10, genProse)) { proses =>
+      val pages = proses.map { p =>
+        val esc = p.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        s"<html><head><title>t</title><style>p{}</style></head><body>" +
+          s"<script>var x=1;</script><p>$esc</p><!--c--></body></html>"
+      }
+      val got = pages.toDF("h")
+        .select(graft.operators.Html.extractText(col("h")).as("t"))
+        .as[String].collect().toSeq
+      got == proses
+    }
+
+  property("html extractLines preserves block structure as lines") =
+    forAll(Gen.listOfN(6, genProse)) { lines =>
+      val page = "<body>" + lines.map(l => s"<p>$l</p>").mkString + "</body>"
+      val got = Seq(page).toDF("h")
+        .select(graft.operators.Html.extractLines(col("h")).as("t"))
+        .as[String].head()
+      got == lines.mkString("\n")
+    }
+
+  private val genC4Line: Gen[String] = Gen.oneOf(
+    Gen.listOfN(5, genWord).map(_.mkString(" ") + "."),   // keepable prose
+    Gen.const("too short"),
+    Gen.const("var x = {1};"),
+    genWord.map(w => s"$w about lorem ipsum filler."),
+    Gen.listOfN(4, genWord).map(_.mkString(" ")))          // no terminal punct
+
+  property("c4LineClean is idempotent and emits a subsequence of input lines") =
+    forAll(Gen.listOfN(8, genC4Line)) { lines =>
+      def clean(doc: String): String = {
+        val (c, _, _) = graft.operators.TextOps.c4LineClean(lit(doc))
+        spark.range(1).select(c.as("c")).as[String].head()
+      }
+      val once = clean(lines.mkString("\n"))
+      val kept = if (once.isEmpty) Seq.empty[String] else once.split("\n").toSeq
+      // subsequence: cleaning only deletes lines, never edits or reorders
+      def isSubseq(sub: Seq[String], sup: Seq[String]): Boolean = {
+        var i = 0
+        for (s <- sup) if (i < sub.length && sub(i) == s) i += 1
+        i == sub.length
+      }
+      clean(once) == once && isSubseq(kept, lines)
+    }
+
   // --- BPE round-trip ----------------------------------------------------
 
   property("BPE encode always reconstructs the word") =
