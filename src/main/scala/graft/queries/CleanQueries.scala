@@ -199,6 +199,28 @@ object CleanQueries extends QueryModule {
           Html.textRatio(col("html")).as("text_ratio"))
     }),
 
+    // Word-blocklist (badwords) page filter: the C4/Dolma-style drop
+    // rule — a page containing ANY blocklisted token is excluded
+    // outright; the fraction rides along for threshold-based variants.
+    // The fixture corpus is clean, so blocklisted tokens are injected
+    // deterministically (the pii_scan damage discipline: id%4 adds one
+    // hit, id%6 adds two more). Counting reuses the same countIn
+    // expression the quality score uses — row-local, zero shuffle.
+    "badwords_filter" -> ((s, dir) => {
+      val id = col("doc_id")
+      val block = Seq("blockedone", "blockedtwo")
+      val damaged = concat(col("text"),
+        when(id % 4 === 0, lit(" blockedone")).otherwise(lit("")),
+        when(id % 6 === 0, lit(" blockedtwo and blockedone"))
+          .otherwise(lit("")))
+      docs(s, dir)
+        .select(id, toks(damaged).as("t"))
+        .select(id,
+          size(col("t")).cast("long").as("n_toks"),
+          TextOps.countIn(col("t"), block).as("n_bad"))
+        .withColumn("kept", (col("n_bad") === 0L).cast("bigint"))
+    }),
+
     // C4 line-level cleaning: the stage between HTML extraction and
     // doc scoring. Fixture docs are single-line prose, so boilerplate
     // lines (fragment, code/JS chrome, lorem ipsum) are appended
@@ -351,6 +373,21 @@ object CleanQueries extends QueryModule {
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM s
         |GROUP BY 1""".stripMargin,
+    "badwords_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' blockedone' ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0 THEN ' blockedtwo and blockedone' ELSE '' END AS t
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS toks
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_toks,
+        |  CAST(len(list_filter(toks, x -> x IN ('blockedone', 'blockedtwo'))) AS BIGINT) AS n_bad,
+        |  CAST(len(list_filter(toks, x -> x IN ('blockedone', 'blockedtwo'))) = 0 AS BIGINT) AS kept
+        |FROM tk""".stripMargin,
     "c4_line_filter" ->
       """WITH p AS (
         |  SELECT doc_id, text || '.' || chr(10) || 'too short' || chr(10)
