@@ -199,6 +199,43 @@ object CleanQueries extends QueryModule {
           Html.textRatio(col("html")).as("text_ratio"))
     }),
 
+    // Gopher document-level quality rules (the published rule set:
+    // word-count bounds, mean word length window, alphabetic-word
+    // fraction, bullet/ellipsis line fractions, stopword presence).
+    // Bullet and ellipsis lines are injected deterministically since
+    // the fixture has none. All row-local array expressions over one
+    // scan; the keep decision is the conjunction both engines replay.
+    "gopher_filter" -> ((s, dir) => {
+      val id = col("doc_id")
+      val damaged = concat(col("text"),
+        when(id % 5 === 0, lit("\n• bullet item listed")).otherwise(lit("")),
+        when(id % 7 === 0, lit("\nread the teaser more...")).otherwise(lit("")))
+      val t = toks(col("t"))
+      val lines = split(col("t"), "\n")
+      val nw = greatest(size(t), lit(1)).cast("long")
+      docs(s, dir)
+        .select(id, damaged.as("t"))
+        .select(id,
+          size(t).cast("long").as("n_words"),
+          (aggregate(transform(t, w => length(w).cast("long")),
+            lit(0L), (a, x) => a + x).cast("double") / nw).as("mean_word_len"),
+          (size(filter(t, w => w.rlike("[A-Za-z]"))).cast("double") / nw)
+            .as("frac_alpha"),
+          size(lines).cast("long").as("n_lines"),
+          size(filter(lines, l => l.rlike("^\\s*[•*-] "))).cast("long")
+            .as("n_bullet_lines"),
+          size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+            .as("n_ellipsis_lines"),
+          TextOps.countIn(t, TextOps.stopEn).as("n_stops"))
+        .withColumn("keep",
+          (col("n_words") >= 10L && col("n_words") <= 100000L &&
+            col("mean_word_len") >= 2.0 && col("mean_word_len") <= 12.0 &&
+            col("frac_alpha") >= 0.7 &&
+            col("n_bullet_lines") * 10L <= col("n_lines") * 9L &&
+            col("n_ellipsis_lines") * 10L <= col("n_lines") * 3L &&
+            col("n_stops") >= 1L).cast("bigint"))
+    }),
+
     // Word-blocklist (badwords) page filter: the C4/Dolma-style drop
     // rule — a page containing ANY blocklisted token is excluded
     // outright; the fraction rides along for threshold-based variants.
@@ -373,6 +410,39 @@ object CleanQueries extends QueryModule {
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM s
         |GROUP BY 1""".stripMargin,
+    "gopher_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '• bullet item listed' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'read the teaser more...' ELSE '' END AS t
+        |  FROM documents
+        |), x AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(t, '\s+'), w -> w <> '') AS toks,
+        |    string_split(t, chr(10)) AS lines
+        |  FROM d
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS DOUBLE)
+        |      / CAST(greatest(len(toks), 1) AS BIGINT) AS mean_word_len,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |      / CAST(greatest(len(toks), 1) AS BIGINT) AS frac_alpha,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[•*-] '))) AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS n_ellipsis_lines,
+        |    CAST(len(list_filter(toks, w -> w IN ('the','a','is','of','and'))) AS BIGINT) AS n_stops
+        |  FROM x
+        |)
+        |SELECT doc_id, n_words, mean_word_len, frac_alpha, n_lines,
+        |  n_bullet_lines, n_ellipsis_lines, n_stops,
+        |  CAST(n_words >= 10 AND n_words <= 100000
+        |   AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        |   AND frac_alpha >= 0.7
+        |   AND n_bullet_lines * 10 <= n_lines * 9
+        |   AND n_ellipsis_lines * 10 <= n_lines * 3
+        |   AND n_stops >= 1 AS BIGINT) AS keep
+        |FROM m""".stripMargin,
     "badwords_filter" ->
       """WITH d AS (
         |  SELECT doc_id, text

@@ -281,6 +281,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"html_extract should not shuffle:\n$p")
   }
 
+  test("gopher_filter is map-only: all rule metrics ride one scan") {
+    val df = SparkEntry.queries("gopher_filter")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), s"gopher_filter should not shuffle:\n$p")
+  }
+
   test("badwords_filter is map-only: blocklist membership rides the scan") {
     val df = SparkEntry.queries("badwords_filter")(spark, dir)
     df.collect()
