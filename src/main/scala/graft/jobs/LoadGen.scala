@@ -154,18 +154,23 @@ object LoadGen {
       format_string("k%09d", col("id")).as("key"),
       rpad(format_string("v%09d", col("id")), 90, "x").as("value"))
     val logicalMb = rows * 100 / 1e6
-    def timed(f: => Unit): Double = {
+    // the text lane serializes 102 B/record (tab + newline framing) —
+    // divide by what each lane actually moves or the per-format
+    // comparison is skewed ~2% in the text lane's favor
+    val txtMb = rows * 102 / 1e6
+    def timedAs(mbMoved: Double)(f: => Unit): Double = {
       val t0 = System.nanoTime()
       f
-      logicalMb / ((System.nanoTime() - t0) / 1e9)
+      mbMoved / ((System.nanoTime() - t0) / 1e9)
     }
+    def timed(f: => Unit): Double = timedAs(logicalMb)(f)
     import graft.sources.sequencefile.SequenceFileIO
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    out("txt_write") = timed {
+    out("txt_write") = timedAs(txtMb) {
       df.select(concat_ws("\t", col("key"), col("value")).as("value"))
         .write.mode("overwrite").text(s"$workDir/txt")
     }
-    out("txt_read") = timed {
+    out("txt_read") = timedAs(txtMb) {
       spark.read.text(s"$workDir/txt")
         .select(sum(length(col("value")))).head()
     }

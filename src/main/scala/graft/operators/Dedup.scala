@@ -661,9 +661,13 @@ object Dedup {
       // each node adopts the min of its own and its neighbors' labels
       val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min("label").as("nbr"))
+      // persisted: the self-join below references prop on BOTH sides —
+      // unpersisted, the edge-join + min-agg subplan would execute twice
+      // per round (exchange reuse dedupes the shuffles, not the probe)
       val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer doubling: label := label(label). Every label value IS a
       // node id (labels are mins over ids), so the self-join always
       // resolves and label(y) <= y keeps the decrease monotone. Each
@@ -679,6 +683,7 @@ object Dedup {
         .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
         .observe(obsI, sumExpr))
       val nextSum = observedSum(obsI)
+      prop.unpersist(false)
       converged = nextSum.compareTo(curSum) == 0
       curSum = nextSum
       labels = next

@@ -32,9 +32,8 @@ object Graphs {
     * ordinally in a handful of rounds; 3–10 is the working range). The
     * plan is left UNROLLED for small `iters` so Catalyst sees one
     * declarative tree; for `iters` ≳ 8 pass `checkpointEvery` > 0 to
-    * truncate lineage with `localCheckpoint` (same trade as
-    * connectedComponents — parameterize a reliable checkpoint dir
-    * upstream for cluster runs).
+    * truncate lineage, and on a cluster pass `checkpointDir` to use
+    * reliable-storage checkpoints (same trade as connectedComponents).
     *
     * Overflow bound: Σ contrib at one node < total mass ≤ |V|·scale, and
     * the update multiplies by 85 — keep |V|·scale·85 < 2⁶³ (at the
@@ -42,20 +41,33 @@ object Graphs {
     */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
                   iters: Int, scale: Long = 1000000L,
-                  checkpointEvery: Int = 0): DataFrame = {
+                  checkpointEvery: Int = 0,
+                  checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(scale >= 100L, "scale below 100 truncates the damping terms to 0")
+    // Same lineage-truncation fault-tolerance trade as
+    // connectedComponents: localCheckpoint (default) is fast but an
+    // executor loss mid-iteration loses blocks AND lineage; pass
+    // `checkpointDir` on a cluster run for reliable-storage checkpoints
+    // that survive executor failure.
+    var ckptDirSet = false
+    def ckpt(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (!ckptDirSet) { sc.setCheckpointDir(dir); ckptDirSet = true }
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
     // The three per-round invariants are materialized ONCE (eager
-    // localCheckpoint): without this every iteration re-scans the raw
+    // checkpoint): without this every iteration re-scans the raw
     // edge table and re-runs its distinct — linear-in-iters source I/O,
     // the wrong slope at 100 TB. After the checkpoint each round joins
     // executor-resident blocks only.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+    val e = ckpt(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct())
+    val nodes = ckpt(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val deg = ckpt(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     val baseAdd = (15L * scale) / 100L
     var pr = nodes.withColumn("pr", lit(scale))
     for (i <- 1 to iters) {
@@ -68,7 +80,7 @@ object Graphs {
         .select(col("node"),
           (lit(baseAdd) + expr("85 * coalesce(s, 0L) div 100")).as("pr"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-        pr = pr.localCheckpoint()
+        pr = ckpt(pr)
     }
     pr
   }

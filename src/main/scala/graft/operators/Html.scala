@@ -31,11 +31,15 @@ object Html {
     "(?is)<template\\b[^>]*>.*?</template>",
     "(?s)<!--.*?-->")
 
-  /** Block-level closers/voids that imply a text break — replaced with a
-    * newline so words from adjacent blocks don't fuse.
+  /** Block-level tags — OPENERS AND CLOSERS — that imply a text break,
+    * replaced with a newline so words from adjacent blocks never fuse.
+    * Openers matter for implied-closer markup (`<p>one<p>two` is valid
+    * HTML) and table cells (`<td>Price</td><td>100</td>` must not read
+    * 'Price100'). `\b` after the name keeps `<pre` from matching
+    * `<preview>`.
     */
   private val blockBreak =
-    "(?i)<(?:br\\s*/?|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol|/blockquote|/section|/article|/header|/footer|/pre)>"
+    "(?i)(?:<br\\s*/?>|</?(?:p|div|h[1-6]|li|tr|td|th|dt|dd|table|ul|ol|blockquote|section|article|header|footer|pre)\\b[^>]*>)"
 
   /** Minimal entity set (the ones HTML serializers actually emit for
     * text); numeric entities beyond `&#39;` are left as-is — rare in
@@ -55,17 +59,31 @@ object Html {
     regexp_replace(amp, "&amp;", "&")
   }
 
+  /** Dropped-block removal only — the shared first stage: what remains
+    * is the page's VISIBLE markup (anchors included), which is the
+    * right base both for text extraction and for boilerplate signals
+    * like [[anchorChars]] (counting anchors inside a dropped script or
+    * comment would misweight the page).
+    */
+  private def dropInvisible(html: Column): Column =
+    dropBlocks.foldLeft(html)((c, p) => regexp_replace(c, p, ""))
+
+  /** The shared strip chain after block-dropping: block tags to
+    * newlines, remaining tags removed, entities decoded. Both extract
+    * variants differ only in the final whitespace normalization.
+    */
+  private def strippedDecoded(html: Column): Column =
+    decodeEntities(
+      regexp_replace(
+        regexp_replace(dropInvisible(html), blockBreak, "\n"),
+        "(?s)<[^>]*>", ""))
+
   /** Strip an HTML fragment to whitespace-normalized text: drop
     * script/style/comment blocks, break on block boundaries, remove
     * remaining tags, decode entities, collapse whitespace.
     */
-  def extractText(html: Column): Column = {
-    val dropped = dropBlocks.foldLeft(html)((c, p) => regexp_replace(c, p, ""))
-    val broken = regexp_replace(dropped, blockBreak, "\n")
-    val untagged = regexp_replace(broken, "(?s)<[^>]*>", "")
-    val decoded = decodeEntities(untagged)
-    trim(regexp_replace(decoded, "\\s+", " "))
-  }
+  def extractText(html: Column): Column =
+    trim(regexp_replace(strippedDecoded(html), "\\s+", " "))
 
   /** [[extractText]] but PRESERVING line structure: block breaks become
     * single newlines instead of dissolving into the whitespace collapse
@@ -73,21 +91,18 @@ object Html {
     * downstream. Horizontal runs collapse to one space, newline runs
     * (with surrounding spaces) to one newline, ends trimmed.
     */
-  def extractLines(html: Column): Column = {
-    val dropped = dropBlocks.foldLeft(html)((c, p) => regexp_replace(c, p, ""))
-    val broken = regexp_replace(dropped, blockBreak, "\n")
-    val untagged = regexp_replace(broken, "(?s)<[^>]*>", "")
-    val decoded = decodeEntities(untagged)
+  def extractLines(html: Column): Column =
     // regexp end-trim, not trim(): Spark's trim strips SPACES only, and
     // the final block tag always leaves a trailing newline behind
     regexp_replace(
-      regexp_replace(regexp_replace(decoded, "[^\\S\\n]+", " "),
+      regexp_replace(
+        regexp_replace(strippedDecoded(html), "[^\\S\\n]+", " "),
         " ?\\n[ \\n]*", "\n"),
       "^\\s+|\\s+$", "")
-  }
 
   /** `<title>` content (entity-decoded, whitespace-collapsed); empty
-    * string when absent.
+    * string when absent. Reads the RAW html — the title lives inside
+    * the `<head>` block the text path drops.
     */
   def title(html: Column): Column =
     trim(regexp_replace(
@@ -95,13 +110,16 @@ object Html {
       "\\s+", " "))
 
   /** Total characters of anchor-enclosed text (tags inside the anchor
-    * stripped) — the numerator of link density. Sums over
-    * `regexp_extract_all`, so a page with no links is 0.
+    * stripped) — the numerator of link density. Anchors are extracted
+    * AFTER the invisible blocks are dropped: an `<a>` inside a script
+    * string or comment is not a rendered link and must not count.
+    * Sums over `regexp_extract_all`, so a page with no links is 0.
     */
   def anchorChars(html: Column): Column =
     coalesce(
       aggregate(
-        regexp_extract_all(html, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+        regexp_extract_all(dropInvisible(html),
+          lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
         lit(0L),
         (acc, a) => acc + length(trim(regexp_replace(
           regexp_replace(a, "(?s)<[^>]*>", ""), "\\s+", " ")))),
@@ -109,7 +127,9 @@ object Html {
 
   /** Link density = anchor-text chars / max(1, extracted-text chars).
     * The classic boilerplate signal: navigation/footer chrome is
-    * link-dense, article prose is not.
+    * link-dense, article prose is not. Both sides of the ratio now
+    * derive from the same visible markup, so the value stays in [0, 1]
+    * (anchor text IS part of the extracted text).
     */
   def linkDensity(html: Column): Column = {
     val total = greatest(length(extractText(html)).cast("long"), lit(1L))

@@ -495,16 +495,20 @@ object CleanQueries extends QueryModule {
         |), s AS (
         |  SELECT doc_id, html,
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(regexp_replace(regexp_replace(html,
+        |      regexp_replace(html,
         |      '(?is)<head\b[^>]*>.*?</head>', '', 'g'),
         |      '(?is)<script\b[^>]*>.*?</script>', '', 'g'),
         |      '(?is)<style\b[^>]*>.*?</style>', '', 'g'),
         |      '(?is)<noscript\b[^>]*>.*?</noscript>', '', 'g'),
         |      '(?is)<template\b[^>]*>.*?</template>', '', 'g'),
-        |      '(?s)<!--.*?-->', '', 'g'),
-        |      '(?i)<(?:br\s*/?|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol|/blockquote|/section|/article|/header|/footer|/pre)>', chr(10), 'g'),
-        |      '(?s)<[^>]*>', '', 'g') AS untagged
+        |      '(?s)<!--.*?-->', '', 'g') AS dropped
         |  FROM p
+        |), u AS (
+        |  SELECT doc_id, html, dropped,
+        |    regexp_replace(regexp_replace(dropped,
+        |      '(?i)(?:<br\s*/?>|</?(?:p|div|h[1-6]|li|tr|td|th|dt|dd|table|ul|ol|blockquote|section|article|header|footer|pre)\b[^>]*>)', chr(10), 'g'),
+        |      '(?s)<[^>]*>', '', 'g') AS untagged
+        |  FROM s
         |), x AS (
         |  SELECT doc_id, html,
         |    trim(regexp_replace(
@@ -513,10 +517,10 @@ object CleanQueries extends QueryModule {
         |        '&nbsp;', ' '), '&amp;', '&'),
         |      '\s+', ' ', 'g')) AS txt,
         |    CAST(coalesce(list_sum(list_transform(
-        |      regexp_extract_all(html, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+        |      regexp_extract_all(dropped, '(?is)<a\b[^>]*>(.*?)</a>', 1),
         |      a -> length(trim(regexp_replace(regexp_replace(a,
         |             '(?s)<[^>]*>', '', 'g'), '\s+', ' ', 'g'))))), 0) AS BIGINT) AS n_anchor
-        |  FROM s
+        |  FROM u
         |)
         |SELECT doc_id,
         |  trim(regexp_replace(
