@@ -78,6 +78,31 @@ object TextOps {
     (array_join(kept, "\n"), size(lines).cast("long"), size(kept).cast("long"))
   }
 
+  /** Gopher line-level repetition metrics (Rae et al. 2021 Table A1 —
+    * the duplicate-line complement to the n-gram metrics in
+    * [[Dedup.repetitionStats]]): fraction of non-empty lines that are
+    * repeats of an identical earlier line, and the fraction of line
+    * characters those repeats carry. A repeat count is just
+    * n − n_distinct (each value's first occurrence is the non-repeat),
+    * so both metrics are array_distinct arithmetic — row-local, no
+    * explode, no shuffle, and replayable in SQL list functions.
+    * Returns (n_lines, dup_line_frac, dup_line_char_frac).
+    */
+  def lineRepetition(text: Column): (Column, Column, Column) = {
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    val uniq = array_distinct(lines)
+    def chars(a: Column): Column =
+      aggregate(transform(a, l => length(l).cast("long")),
+        lit(0L), (x, y) => x + y)
+    val n = size(lines).cast("long")
+    val cAll = chars(lines)
+    (n,
+      (n - size(uniq).cast("long")).cast("double") /
+        greatest(n, lit(1L)).cast("double"),
+      (cAll - chars(uniq)).cast("double") /
+        greatest(cAll, lit(1L)).cast("double"))
+  }
+
   /** Canonical text normalization: Unicode NFC composition (the
     * codegen'd [[graft.functions.NfcNormalize]] expression), lowercase,
     * whitespace runs collapsed to single spaces, ends trimmed. Pure

@@ -199,6 +199,27 @@ object CleanQueries extends QueryModule {
           Html.textRatio(col("html")).as("text_ratio"))
     }),
 
+    // Gopher duplicate-LINE repetition metrics — the line-level
+    // complement to repetition_filter's n-gram lane. A promo line is
+    // injected 1-3 times by doc_id so repeats exist at every fixture
+    // scale; metrics are array_distinct arithmetic, map-only.
+    "repetition_lines" -> ((s, dir) => {
+      val id = col("doc_id")
+      val damaged = concat(col("text"), lit(".\n"),
+        lit("Repeated promo line here.\n"),
+        when(id % 2 === 0, lit("Repeated promo line here.\n"))
+          .otherwise(lit("")),
+        when(id % 3 === 0, lit("Repeated promo line here.\n"))
+          .otherwise(lit("")),
+        lit("Unique closing line."))
+      val (n, dupFrac, dupCharFrac) = TextOps.lineRepetition(col("t"))
+      docs(s, dir)
+        .select(id, damaged.as("t"))
+        .select(id, n.as("n_lines"), dupFrac.as("dup_line_frac"),
+          dupCharFrac.as("dup_line_char_frac"))
+        .withColumn("flagged", (col("dup_line_frac") > 0.3).cast("bigint"))
+    }),
+
     // Gopher document-level quality rules (the published rule set:
     // word-count bounds, mean word length window, alphabetic-word
     // fraction, bullet/ellipsis line fractions, stopword presence).
@@ -410,6 +431,29 @@ object CleanQueries extends QueryModule {
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM s
         |GROUP BY 1""".stripMargin,
+    "repetition_lines" ->
+      """WITH p AS (
+        |  SELECT doc_id, text || '.' || chr(10)
+        |    || 'Repeated promo line here.' || chr(10)
+        |    || CASE WHEN doc_id % 2 = 0 THEN 'Repeated promo line here.' || chr(10) ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN 'Repeated promo line here.' || chr(10) ELSE '' END
+        |    || 'Unique closing line.' AS t
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, list_filter(string_split(t, chr(10)), x -> x <> '') AS lines
+        |  FROM p
+        |), m AS (
+        |  SELECT doc_id, lines, list_distinct(lines) AS uniq,
+        |    CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS c_all,
+        |    CAST(coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS BIGINT) AS c_uniq
+        |  FROM l
+        |)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(lines) - len(uniq) AS DOUBLE) / CAST(greatest(len(lines), 1) AS BIGINT) AS dup_line_frac,
+        |  CAST(c_all - c_uniq AS DOUBLE) / CAST(greatest(c_all, 1) AS BIGINT) AS dup_line_char_frac,
+        |  CAST(CAST(len(lines) - len(uniq) AS DOUBLE) / CAST(greatest(len(lines), 1) AS BIGINT) > 0.3 AS BIGINT) AS flagged
+        |FROM m""".stripMargin,
     "gopher_filter" ->
       """WITH d AS (
         |  SELECT doc_id, text

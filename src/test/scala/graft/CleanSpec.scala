@@ -88,6 +88,24 @@ class CleanSpec extends AnyFunSuite {
     assert(r.getLong(1) == 4L && r.getLong(2) == 2L)
   }
 
+  // --- Line repetition --------------------------------------------
+
+  test("lineRepetition: repeats counted as n minus distinct, char-weighted") {
+    val doc = "aa.\nbb.\naa.\ncc."          // 4 lines, 'aa.' repeated once
+    val (n, f, cf) = graft.operators.TextOps.lineRepetition(lit(doc))
+    val r = spark.range(1).select(n.as("n"), f.as("f"), cf.as("cf")).head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 0.25)           // 1 repeat / 4 lines
+    assert(r.getDouble(2) == 3.0 / 12.0)     // 3 repeat chars / 12 total
+    // no repeats and the empty doc are both 0, not NaN/error
+    val (n2, f2, cf2) = graft.operators.TextOps.lineRepetition(lit("x.\ny."))
+    val r2 = spark.range(1).select(n2, f2.as("f"), cf2.as("cf")).head()
+    assert(r2.getDouble(1) == 0.0 && r2.getDouble(2) == 0.0)
+    val (_, f3, cf3) = graft.operators.TextOps.lineRepetition(lit(""))
+    val r3 = spark.range(1).select(f3.as("f"), cf3.as("cf")).head()
+    assert(r3.getDouble(0) == 0.0 && r3.getDouble(1) == 0.0)
+  }
+
   // --- NfcNormalize expression ------------------------------------
 
   test("NfcNormalize: codegen and interpreted agree; composes NFD sequences") {

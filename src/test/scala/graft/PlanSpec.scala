@@ -281,6 +281,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"html_extract should not shuffle:\n$p")
   }
 
+  test("repetition_lines is map-only: distinct arithmetic inside the array") {
+    val df = SparkEntry.queries("repetition_lines")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), s"repetition_lines should not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"line metrics must not explode:\n$p")
+  }
+
   test("gopher_filter is map-only: all rule metrics ride one scan") {
     val df = SparkEntry.queries("gopher_filter")(spark, dir)
     df.collect()
