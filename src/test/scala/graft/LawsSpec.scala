@@ -276,6 +276,18 @@ object LawsSpec extends Properties("graft.laws") {
       clean(once) == once && isSubseq(kept, lines)
     }
 
+  property("lineRepetition fractions are in [0,1) and zero iff no repeats") =
+    forAll(Gen.listOfN(8, Gen.oneOf("aa.", "bb.", "cc.", "dd.", "ee."))) { ls =>
+      val doc = ls.mkString("\n")
+      val (_, f, cf) = graft.operators.TextOps.lineRepetition(lit(doc))
+      val r = spark.range(1).select(f.as("f"), cf.as("cf")).head()
+      val hasRepeat = ls.distinct.size < ls.size
+      r.getDouble(0) >= 0 && r.getDouble(0) < 1 &&
+        r.getDouble(1) >= 0 && r.getDouble(1) < 1 &&
+        ((r.getDouble(0) > 0) == hasRepeat) &&
+        ((r.getDouble(1) > 0) == hasRepeat)
+    }
+
   // --- BPE round-trip ----------------------------------------------------
 
   property("BPE encode always reconstructs the word") =
