@@ -153,24 +153,24 @@ object LoadGen {
     val df = spark.range(rows).select(
       format_string("k%09d", col("id")).as("key"),
       rpad(format_string("v%09d", col("id")), 90, "x").as("value"))
+    // every lane reports LOGICAL MB/s — the same 100-byte (key, value)
+    // payload through each format — so the lanes compare "how fast does
+    // this format move the same records". Physical framing differs per
+    // format (tab+newline for text, record/sync headers for
+    // sequencefile) and is precisely part of what each lane pays.
     val logicalMb = rows * 100 / 1e6
-    // the text lane serializes 102 B/record (tab + newline framing) —
-    // divide by what each lane actually moves or the per-format
-    // comparison is skewed ~2% in the text lane's favor
-    val txtMb = rows * 102 / 1e6
-    def timedAs(mbMoved: Double)(f: => Unit): Double = {
+    def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
       f
-      mbMoved / ((System.nanoTime() - t0) / 1e9)
+      logicalMb / ((System.nanoTime() - t0) / 1e9)
     }
-    def timed(f: => Unit): Double = timedAs(logicalMb)(f)
     import graft.sources.sequencefile.SequenceFileIO
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    out("txt_write") = timedAs(txtMb) {
+    out("txt_write") = timed {
       df.select(concat_ws("\t", col("key"), col("value")).as("value"))
         .write.mode("overwrite").text(s"$workDir/txt")
     }
-    out("txt_read") = timedAs(txtMb) {
+    out("txt_read") = timed {
       spark.read.text(s"$workDir/txt")
         .select(sum(length(col("value")))).head()
     }

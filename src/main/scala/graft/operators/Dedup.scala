@@ -618,18 +618,7 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
-    // set the session dir exactly once per invocation (getCheckpointDir
-    // returns a scheme-qualified `dir`/<UUID> path, so string-matching
-    // it against `dir` is unreliable — a bare contains() would also
-    // claim sibling dirs like "/ckpt2" for "/ckpt")
-    var ckptDirSet = false
-    def ckpt(df: DataFrame): DataFrame = checkpointDir match {
-      case Some(dir) =>
-        val sc = df.sparkSession.sparkContext
-        if (!ckptDirSet) { sc.setCheckpointDir(dir); ckptDirSet = true }
-        df.checkpoint()
-      case None => df.localCheckpoint()
-    }
+    val ckpt = Checkpoints.maker(checkpointDir)
     val edges = ckpt(
       pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
         .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))

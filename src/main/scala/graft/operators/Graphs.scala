@@ -45,19 +45,8 @@ object Graphs {
                   checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(scale >= 100L, "scale below 100 truncates the damping terms to 0")
-    // Same lineage-truncation fault-tolerance trade as
-    // connectedComponents: localCheckpoint (default) is fast but an
-    // executor loss mid-iteration loses blocks AND lineage; pass
-    // `checkpointDir` on a cluster run for reliable-storage checkpoints
-    // that survive executor failure.
-    var ckptDirSet = false
-    def ckpt(df: DataFrame): DataFrame = checkpointDir match {
-      case Some(dir) =>
-        val sc = df.sparkSession.sparkContext
-        if (!ckptDirSet) { sc.setCheckpointDir(dir); ckptDirSet = true }
-        df.checkpoint()
-      case None => df.localCheckpoint()
-    }
+    // lineage-truncation fault-tolerance trade: see Checkpoints
+    val ckpt = Checkpoints.maker(checkpointDir)
     // The three per-round invariants are materialized ONCE (eager
     // checkpoint): without this every iteration re-scans the raw
     // edge table and re-runs its distinct — linear-in-iters source I/O,

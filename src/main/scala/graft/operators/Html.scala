@@ -35,11 +35,12 @@ object Html {
     * replaced with a newline so words from adjacent blocks never fuse.
     * Openers matter for implied-closer markup (`<p>one<p>two` is valid
     * HTML) and table cells (`<td>Price</td><td>100</td>` must not read
-    * 'Price100'). `\b` after the name keeps `<pre` from matching
-    * `<preview>`.
+    * 'Price100'). Every alternative takes attributes (`<br class=..>`
+    * must break like bare `<br>`); `\b` after the name keeps `<pre`
+    * from matching `<preview>`.
     */
   private val blockBreak =
-    "(?i)(?:<br\\s*/?>|</?(?:p|div|h[1-6]|li|tr|td|th|dt|dd|table|ul|ol|blockquote|section|article|header|footer|pre)\\b[^>]*>)"
+    "(?i)</?(?:br|p|div|h[1-6]|li|tr|td|th|dt|dd|table|ul|ol|blockquote|section|article|header|footer|pre)\\b[^>]*>"
 
   /** Minimal entity set (the ones HTML serializers actually emit for
     * text); numeric entities beyond `&#39;` are left as-is — rare in
@@ -110,10 +111,13 @@ object Html {
       "\\s+", " "))
 
   /** Total characters of anchor-enclosed text (tags inside the anchor
-    * stripped) — the numerator of link density. Anchors are extracted
-    * AFTER the invisible blocks are dropped: an `<a>` inside a script
-    * string or comment is not a rendered link and must not count.
-    * Sums over `regexp_extract_all`, so a page with no links is 0.
+    * stripped, entities DECODED — the extracted-text denominator is
+    * decoded, so an undecoded numerator would overcount entity-heavy
+    * chrome and break the [0,1] ratio) — the numerator of link
+    * density. Anchors are extracted AFTER the invisible blocks are
+    * dropped: an `<a>` inside a script string or comment is not a
+    * rendered link and must not count. Sums over
+    * `regexp_extract_all`, so a page with no links is 0.
     */
   def anchorChars(html: Column): Column =
     coalesce(
@@ -122,7 +126,8 @@ object Html {
           lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
         lit(0L),
         (acc, a) => acc + length(trim(regexp_replace(
-          regexp_replace(a, "(?s)<[^>]*>", ""), "\\s+", " ")))),
+          decodeEntities(regexp_replace(a, "(?s)<[^>]*>", "")),
+          "\\s+", " ")))),
       lit(0L))
 
   /** Link density = anchor-text chars / max(1, extracted-text chars).

@@ -550,7 +550,7 @@ object CleanQueries extends QueryModule {
         |), u AS (
         |  SELECT doc_id, html, dropped,
         |    regexp_replace(regexp_replace(dropped,
-        |      '(?i)(?:<br\s*/?>|</?(?:p|div|h[1-6]|li|tr|td|th|dt|dd|table|ul|ol|blockquote|section|article|header|footer|pre)\b[^>]*>)', chr(10), 'g'),
+        |      '(?i)</?(?:br|p|div|h[1-6]|li|tr|td|th|dt|dd|table|ul|ol|blockquote|section|article|header|footer|pre)\b[^>]*>', chr(10), 'g'),
         |      '(?s)<[^>]*>', '', 'g') AS untagged
         |  FROM s
         |), x AS (
@@ -562,8 +562,12 @@ object CleanQueries extends QueryModule {
         |      '\s+', ' ', 'g')) AS txt,
         |    CAST(coalesce(list_sum(list_transform(
         |      regexp_extract_all(dropped, '(?is)<a\b[^>]*>(.*?)</a>', 1),
-        |      a -> length(trim(regexp_replace(regexp_replace(a,
-        |             '(?s)<[^>]*>', '', 'g'), '\s+', ' ', 'g'))))), 0) AS BIGINT) AS n_anchor
+        |      a -> length(trim(regexp_replace(
+        |             replace(replace(replace(replace(replace(replace(
+        |               regexp_replace(a, '(?s)<[^>]*>', '', 'g'),
+        |               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |               '&nbsp;', ' '), '&amp;', '&'),
+        |             '\s+', ' ', 'g'))))), 0) AS BIGINT) AS n_anchor
         |  FROM u
         |)
         |SELECT doc_id,

@@ -276,8 +276,16 @@ object LawsSpec extends Properties("graft.laws") {
       clean(once) == once && isSubseq(kept, lines)
     }
 
+  // variable length from a 10-value pool: short draws are often
+  // repeat-free, so BOTH branches of the iff are actually exercised
+  // (8-from-5 would force a repeat by pigeonhole and leave the
+  // no-repeat direction vacuous)
+  private val genLines: Gen[List[String]] =
+    Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf((1 to 10).map(i => s"line $i."))))
+
   property("lineRepetition fractions are in [0,1) and zero iff no repeats") =
-    forAll(Gen.listOfN(8, Gen.oneOf("aa.", "bb.", "cc.", "dd.", "ee."))) { ls =>
+    forAll(genLines) { ls =>
       val doc = ls.mkString("\n")
       val (_, f, cf) = graft.operators.TextOps.lineRepetition(lit(doc))
       val r = spark.range(1).select(f.as("f"), cf.as("cf")).head()
