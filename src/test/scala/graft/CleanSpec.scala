@@ -33,6 +33,13 @@ class CleanSpec extends AnyFunSuite {
     // script body (with its embedded '<p>') dropped, entities decoded
     assert(out.getString(0) == "Head one & two three <tag> 'q' kept item")
     assert(out.getString(1) == "T")
+    // block boundaries never fuse words: attributed <br>, table cells,
+    // and implied-closer <p> all break (each was a found bug class)
+    val fuse = Seq("one<br class=\"clear\">two",
+      "<table><tr><td>Price</td><td>100</td></tr></table>",
+      "<p>one<p>two").toDF("h")
+      .select(Html.extractText(col("h"))).as[String].collect().toSeq
+    assert(fuse == Seq("one two", "Price 100", "one two"), fuse.toString)
   }
 
   test("Html.anchorChars/linkDensity/textRatio: anchor text counted, bounds hold") {
