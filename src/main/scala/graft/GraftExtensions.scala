@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(VectorExpressions.dotProductFunction)
     e.injectFunction(VectorExpressions.nearestCellsFunction)
     e.injectFunction(VectorExpressions.nearestCellIdsFunction)
+    e.injectFunction(VectorExpressions.nearestCentroidL2Function)
     e.injectFunction(TextExpressions.nfcNormalizeFunction)
     e.injectFunction(TextExpressions.wordTokensFunction)
     e.injectFunction(TextExpressions.wordShinglesFunction)

@@ -43,6 +43,11 @@ object Tables {
           "scala_udf"))
       scala.util.Try(
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "nearest_centroid_l2",
+          exprs => graft.functions.NearestCentroidL2(exprs(0), exprs(1)),
+          "scala_udf"))
+      scala.util.Try(
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           "nfc_normalize",
           exprs => graft.functions.NfcNormalize(exprs.head),
           "scala_udf"))

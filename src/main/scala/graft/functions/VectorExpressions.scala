@@ -311,6 +311,94 @@ case class NearestCellIds(first: Expression, second: Expression,
     copy(first = f, second = s, third = t, fourth = q)
 }
 
+/** Row-local nearest-centroid assignment in INTEGER arithmetic: returns
+  * `[cluster, dist]` where `cluster` is the 0-based index of the
+  * centroid with the smallest squared L2 distance to the input vector
+  * (first-min-wins on ties — lowest index) and `dist` that squared
+  * distance. Both the vector and the centroids are quantized longs
+  * (see Kmeans.quantize), so the distance is an exact integer sum —
+  * order-independent and replayable bit-for-bit by the SQL oracle,
+  * unlike any float formulation. The centroid table rides along as a
+  * reference object (k·dim longs, kilobytes): assignment is a pure
+  * projection — NO join, NO explode, NO shuffle between the scan and
+  * the cluster id, the Lloyd-iteration shape that survives 100 TB.
+  *
+  * Overflow bound: with |q| ≤ B the sum is ≤ dim·(2B)²; keep
+  * dim·4B² < 2⁶³ (at the default quantization scale 10⁶ and unit-range
+  * inputs, good to dim ~10⁶).
+  */
+@ExpressionDescription(
+  usage = "_FUNC_(vec, centroids) - [argmin-index, squared-L2-distance] of a long vector against foldable long centroids")
+case class NearestCentroidL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType, right.foldable) match {
+      case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _), true) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid_l2 needs (array<bigint>, foldable array<array<bigint>> centroids), got $other")
+    }
+
+  private lazy val centroids: Array[Array[Long]] = {
+    val arr = right.eval().asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getArray(i).toLongArray())
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var bestC = 0L
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val m = math.min(x.numElements(), cent.length)
+      var acc = 0L
+      var i = 0
+      while (i < m) {
+        val d = x.getLong(i) - cent(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; bestC = c.toLong }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(bestC, bestD))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val cb = ctx.addReferenceObj("centroids", centroids, "long[][]")
+      val bestC = ctx.freshName("bestC"); val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c"); val cent = ctx.freshName("cent")
+      val m = ctx.freshName("m"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |long $bestC = 0L;
+         |long $bestD = Long.MAX_VALUE;
+         |for (int $c = 0; $c < $cb.length; $c++) {
+         |  long[] $cent = $cb[$c];
+         |  int $m = java.lang.Math.min($a.numElements(), $cent.length);
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    long $d = $a.getLong($i) - $cent[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bestD) { $bestD = $acc; $bestC = (long) $c; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(new long[]{$bestC, $bestD});
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -332,6 +420,11 @@ object VectorExpressions {
     (children: Seq[Expression]) =>
       NearestCellIds(children(0), children(1), children(2), children(3)))
 
+  val nearestCentroidL2Function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nearest_centroid_l2"),
+    new ExpressionInfo(classOf[NearestCentroidL2].getName, "nearest_centroid_l2"),
+    (children: Seq[Expression]) => NearestCentroidL2(children(0), children(1)))
+
   /** Column form (resolved through the registered SQL function). */
   def dot_product(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("dot_product", a, b)
@@ -350,4 +443,10 @@ object VectorExpressions {
       org.apache.spark.sql.functions.typedLit(codebook),
       org.apache.spark.sql.functions.typedLit(ids),
       org.apache.spark.sql.functions.lit(n))
+
+  /** Column form: `[cluster, dist]` integer argmin against foldable
+    * long centroids. */
+  def nearest_centroid_l2(vec: Column, centroids: Seq[Seq[Long]]): Column =
+    org.apache.spark.sql.functions.call_function("nearest_centroid_l2", vec,
+      org.apache.spark.sql.functions.typedLit(centroids))
 }

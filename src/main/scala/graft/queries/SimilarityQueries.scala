@@ -115,7 +115,28 @@ object SimilarityQueries extends QueryModule {
     "quantize_embeddings" -> ((s, dir) =>
       Similarity.quantizeInt8(emb(s, dir), "vec_id", "embedding")
         .select(col("vec_id"), col("scale"),
-          concat_ws(",", col("qvec")).as("qcodes")))
+          concat_ws(",", col("qvec")).as("qcodes"))),
+
+    // Distributed k-means in fixed-point integer arithmetic (see
+    // operators/Kmeans): deterministic seedless init, 2 Lloyd rounds,
+    // final (cluster, squared-L2) assignment — every step
+    // order-independent, so the DuckDB oracle replays the full
+    // iteration history and hash-matches exactly. Assignment is a
+    // shuffle-free codegen'd projection; each update shuffles only
+    // k·dim partial sums.
+    "kmeans_clusters" -> ((s, dir) =>
+      graft.operators.Kmeans.fitAssign(emb(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2)),
+
+    // SemDeDup (cluster-then-prune): within each k-means cluster, mark
+    // vectors with a lower-id cluster-mate at cosine >= 0.3 as
+    // duplicates. The pair join is an equi-join ON CLUSTER — the
+    // candidate-bounding that makes embedding dedup feasible at scale;
+    // complements the LSH lane (dedup_embedding_blocked) with the
+    // partition-based blocking the SemDeDup paper uses.
+    "kmeans_semdedup" -> ((s, dir) =>
+      graft.operators.Kmeans.semDedup(emb(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2, threshold = 0.3))
   )
 
   // The deterministic multi-table LSH blocking + thresholded cosine
@@ -157,6 +178,61 @@ object SimilarityQueries extends QueryModule {
       |        (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) >= 0.3
       |)""".stripMargin
 
+  // Integer k-means replay (Kmeans.fitAssign, k=8, iters=2): quantize,
+  // seedless md5-ranked init, two full Lloyd rounds (assign d/a, update
+  // u/c — `//` truncates toward zero exactly like Scala Long division,
+  // empty clusters COALESCE to the previous centroid), then the final
+  // assignment `af(vec_id, cluster, dist)`. No leading WITH so
+  // consumers can extend the chain.
+  private val kmeansCte: String =
+    """kq AS (
+      |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), seed AS (
+      |  SELECT vec_id, q FROM kq ORDER BY md5(CAST(vec_id AS VARCHAR) || ':km') LIMIT 8
+      |), c0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, q AS v FROM seed
+      |), d1 AS (
+      |  SELECT kq.vec_id, c.j,
+      |         CAST(list_sum(list_transform(range(1, len(kq.q)+1), i -> (kq.q[i]-c.v[i])*(kq.q[i]-c.v[i]))) AS BIGINT) AS dist
+      |  FROM kq, c0 c
+      |), a1 AS (
+      |  SELECT vec_id, (array_agg(j ORDER BY dist, j))[1] AS cl FROM d1 GROUP BY vec_id
+      |), u1 AS (
+      |  SELECT a.cl AS j, t.i, CAST(SUM(kq.q[t.i]) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM kq JOIN a1 a USING (vec_id), UNNEST(range(1, len(kq.q)+1)) AS t(i)
+      |  GROUP BY a.cl, t.i
+      |), c1 AS (
+      |  SELECT c0.j, COALESCE(u.v, c0.v) AS v
+      |  FROM c0 LEFT JOIN (
+      |    SELECT j, list(s // n ORDER BY i) AS v FROM u1 GROUP BY j
+      |  ) u USING (j)
+      |), d2 AS (
+      |  SELECT kq.vec_id, c.j,
+      |         CAST(list_sum(list_transform(range(1, len(kq.q)+1), i -> (kq.q[i]-c.v[i])*(kq.q[i]-c.v[i]))) AS BIGINT) AS dist
+      |  FROM kq, c1 c
+      |), a2 AS (
+      |  SELECT vec_id, (array_agg(j ORDER BY dist, j))[1] AS cl FROM d2 GROUP BY vec_id
+      |), u2 AS (
+      |  SELECT a.cl AS j, t.i, CAST(SUM(kq.q[t.i]) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM kq JOIN a2 a USING (vec_id), UNNEST(range(1, len(kq.q)+1)) AS t(i)
+      |  GROUP BY a.cl, t.i
+      |), c2 AS (
+      |  SELECT c1.j, COALESCE(u.v, c1.v) AS v
+      |  FROM c1 LEFT JOIN (
+      |    SELECT j, list(s // n ORDER BY i) AS v FROM u2 GROUP BY j
+      |  ) u USING (j)
+      |), d3 AS (
+      |  SELECT kq.vec_id, c.j,
+      |         CAST(list_sum(list_transform(range(1, len(kq.q)+1), i -> (kq.q[i]-c.v[i])*(kq.q[i]-c.v[i]))) AS BIGINT) AS dist
+      |  FROM kq, c2 c
+      |), af AS (
+      |  SELECT vec_id,
+      |         (array_agg(j ORDER BY dist, j))[1] AS cluster,
+      |         (array_agg(dist ORDER BY dist, j))[1] AS dist
+      |  FROM d3 GROUP BY vec_id
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ann_cosine_topk" ->
       """WITH q AS (
@@ -187,6 +263,23 @@ object SimilarityQueries extends QueryModule {
     "dedup_embedding_blocked" ->
       s"""WITH $blockedPairsCte
         |SELECT vec_a, vec_b FROM p""".stripMargin,
+    "kmeans_clusters" ->
+      s"""WITH $kmeansCte
+        |SELECT vec_id, cluster, dist FROM af""".stripMargin,
+    "kmeans_semdedup" ->
+      s"""WITH $kmeansCte, ev AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), av AS (
+        |  SELECT a.vec_id, a.cluster, ev.v FROM af a JOIN ev USING (vec_id)
+        |), dup AS (
+        |  SELECT DISTINCT x.vec_id
+        |  FROM av x JOIN av y ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+        |  WHERE list_inner_product(x.v, y.v) /
+        |        (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))) >= 0.3
+        |)
+        |SELECT a.vec_id, a.cluster,
+        |       CAST(d.vec_id IS NULL AS BIGINT) AS keep
+        |FROM af a LEFT JOIN dup d USING (vec_id)""".stripMargin,
     // the blocked pairs feed the SAME transitive-closure + min-label
     // recursion the dedup_clusters oracle uses; keep = own min label
     "semantic_dedup" ->

@@ -56,6 +56,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(") || p.contains("WholeStageCodegen"), s"no codegen spans:\n$p")
   }
 
+  test("kmeans assignment is a shuffle-free codegen'd projection") {
+    // the per-iteration Lloyd assignment: scan -> nearest_centroid_l2
+    // with NO exchange — the property that keeps an iteration at one
+    // corpus scan at any size
+    val emb = Tables(spark, dir, "embeddings")
+    val cents = Seq(Array(1L, 2L), Array(3L, 4L))
+    val p = operators.Kmeans.assign(emb, "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assignment shuffles:\n$p")
+    // the expression prettyName renders as the lowercased class name
+    assert(p.contains("nearestcentroidl2"), s"expression not in plan:\n$p")
+  }
+
+  test("kmeans update aggregates in two phases (map-side combine)") {
+    // the k·dim partial sums must combine map-side: the shuffle carries
+    // k·dim rows per partition, not one row per (vector, dimension)
+    val emb = Tables(spark, dir, "embeddings")
+    import org.apache.spark.sql.functions._
+    val p = operators.Kmeans.assignQ(
+        emb.select(operators.Kmeans.quantize(col("embedding")).as("q")),
+        col("q"), Seq(Array.fill(4)(0L)))
+      .select(col("cluster"), posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("cluster"), col("d"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+  }
+
   test("wordcount pre-aggregates before the shuffle") {
     val p = plan("wordcount")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
