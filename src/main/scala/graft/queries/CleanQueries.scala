@@ -155,6 +155,19 @@ object CleanQueries extends QueryModule {
           octet_length(col("text")).cast("long").as("n_bytes"))
     }),
 
+    // DSIR importance weights (operators/Dsir): raw corpus = all
+    // documents, target = the en slice (the curated-reference proxy);
+    // hashed-unigram log-ratio λ table trained once (bounded, 1024
+    // longs), per-doc scores are exact fixed-point integer sums, and
+    // keep = per-token affinity above the exact corpus mean
+    // (cross-multiplied — no division, no floats). The oracle replays
+    // counts, λ (same ln→round discipline), scores, and the selection.
+    "dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Dsir.weights(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", b = 1024)
+    }),
+
     // Model-based quality filtering: the contrastive token classifier
     // (operators/Classify — fastText-lite, integer-exact). Trained here
     // on the corpus's own language labels (en = positive class) and
@@ -317,6 +330,42 @@ object CleanQueries extends QueryModule {
       " || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || '.1' ELSE '' END"
 
   def oracleSql: Map[String, String] = Map(
+    "dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+        |  FROM documents
+        |), bt AS (
+        |  SELECT doc_id, (('0x' || substring(md5(t), 1, 15))::BIGINT % 1024) AS f FROM toks
+        |), rc AS (
+        |  SELECT f, CAST(COUNT(*) AS BIGINT) AS r FROM bt GROUP BY f
+        |), tc AS (
+        |  SELECT f, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM bt JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY f
+        |), tot AS (
+        |  SELECT (SELECT COUNT(*) FROM bt JOIN documents USING (doc_id) WHERE lang = 'en') AS tt,
+        |         (SELECT COUNT(*) FROM bt) AS rr
+        |), lam AS (
+        |  SELECT b.f,
+        |         CAST(round(1000000.0 * (ln((COALESCE(tc.c, 0) + 1) / CAST(tot.tt + 1024 AS DOUBLE))
+        |                               - ln((COALESCE(rc.r, 0) + 1) / CAST(tot.rr + 1024 AS DOUBLE)))) AS BIGINT) AS lam
+        |  FROM (SELECT unnest(range(0, 1024)) AS f) b
+        |  CROSS JOIN tot
+        |  LEFT JOIN tc ON tc.f = b.f
+        |  LEFT JOIN rc ON rc.f = b.f
+        |), s AS (
+        |  SELECT bt.doc_id, CAST(SUM(lam.lam) AS BIGINT) AS logw, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM bt JOIN lam ON lam.f = bt.f GROUP BY bt.doc_id
+        |), w AS (
+        |  SELECT d.doc_id,
+        |         CAST(COALESCE(s.n, 0) AS BIGINT) AS n_toks,
+        |         CAST(COALESCE(s.logw, 0) AS BIGINT) AS logw_fp
+        |  FROM documents d LEFT JOIN s USING (doc_id)
+        |), tot2 AS (
+        |  SELECT CAST(SUM(logw_fp) AS HUGEINT) AS sl, CAST(SUM(n_toks) AS HUGEINT) AS sn FROM w
+        |)
+        |SELECT w.doc_id, w.n_toks, w.logw_fp,
+        |       CAST(CAST(w.logw_fp AS HUGEINT) * tot2.sn > tot2.sl * CAST(w.n_toks AS HUGEINT) AS BIGINT) AS keep
+        |FROM w CROSS JOIN tot2""".stripMargin,
     "classifier_score" ->
       """WITH feats AS (
         |  SELECT doc_id, lang = 'en' AS y,

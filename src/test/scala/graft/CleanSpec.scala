@@ -544,4 +544,55 @@ class CleanSpec extends AnyFunSuite {
         r.getDecimal(2).longValueExact(), r.getLong(3))).toSet
     assert(sm == Set((1L, 1L, 0L, 0L), (2L, 1L, 0L, 0L)))
   }
+
+  // --- DSIR importance resampling ---------------------------------
+
+  test("Dsir: target == raw makes every λ and every weight exactly 0") {
+    import graft.operators.Dsir
+    val d = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta"),
+      (3L, "")).toDF("doc_id", "text")
+    val lam = Dsir.logRatios(d, d, "text", b = 64)
+    assert(lam.forall(_ == 0L), s"nonzero λ for identical corpora: ${lam.toSeq.filter(_ != 0)}")
+    val w = Dsir.importanceWeights(d, "doc_id", "text", lam, 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(w.map(_._3).forall(_ == 0L))
+    assert(w.find(_._1 == 3L).get._2 == 0L, "empty doc must report 0 tokens")
+  }
+
+  test("Dsir separates a target vocabulary from an off-target one") {
+    import graft.operators.Dsir
+    // two disjoint vocabularies; target = the 'good' docs
+    val raw = ((1L to 10L).map(i => (i, "good fine nice words here")) ++
+      (11L to 20L).map(i => (i, "spam junk noise garbage stuff"))).toDF("doc_id", "text")
+    val out = Dsir.weights(raw, raw.filter(col("doc_id") <= 10), "doc_id", "text", b = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    (1L to 10L).foreach(i => assert(out(i) == 1L, s"target-like doc $i dropped"))
+    (11L to 20L).foreach(i => assert(out(i) == 0L, s"off-target doc $i kept"))
+  }
+
+  test("Dsir weights are partitioning-invariant (exact integer sums)") {
+    import graft.operators.Dsir
+    val raw = (1L to 40L).map(i =>
+      (i, if (i % 3 == 0) "aa bb cc dd" else "ee ff gg hh ii")).toDF("doc_id", "text")
+    val tgt = raw.filter(col("doc_id") % 3 === 0)
+    val a = Dsir.weights(raw, tgt, "doc_id", "text", b = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val b = Dsir.weights(raw.repartition(13), tgt.repartition(7), "doc_id", "text", b = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("Dsir.selectAboveMean is the exact cross-multiplied mean rule") {
+    import graft.operators.Dsir
+    val w = Seq((1L, 10L, 100L), (2L, 10L, -50L), (3L, 5L, 30L), (4L, 0L, 0L))
+      .toDF("doc_id", "n_toks", "logw_fp")
+    val out = Dsir.selectAboveMean(w).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    val (sl, sn) = (100L - 50L + 30L, 25L)
+    Seq((1L, 10L, 100L), (2L, 10L, -50L), (3L, 5L, 30L), (4L, 0L, 0L)).foreach {
+      case (id, n, lw) =>
+        val expect = if (BigInt(lw) * sn > BigInt(sl) * n) 1L else 0L
+        assert(out(id) == expect, s"doc $id: got ${out(id)}, expected $expect")
+    }
+  }
 }
