@@ -12,7 +12,8 @@ import graft.operators.{Dedup, Html, Redact, Sampling, Similarity, TextOps}
   *
   *   corpus → language/quality filter → exact dedup (representatives)
   *   → near-dup clustering (SimHash + connected components) → apply
-  *   → eval-set decontamination → token budgeting → mixture weighting
+  *   → eval-set decontamination → optional DSIR target-affinity
+  *   selection → token budgeting → mixture weighting
   *   → context-window chunking → sequence packing
   *   (→ optional sharded landing in deterministic shuffle order)
   *
@@ -38,7 +39,7 @@ object TrainingPipeline {
 
   case class Report(input: Long, afterFilter: Long, afterExact: Long,
                     afterNearDup: Long, afterSemantic: Long, afterDecontam: Long,
-                    mixtureRows: Long, chunks: Long, packs: Long)
+                    afterDsir: Long, mixtureRows: Long, chunks: Long, packs: Long)
 
   /** `input`: the corpus frame — (doc_id, source, text)-shaped; None
     * reads the `documents` table from `dir` (a crawl pipeline passes
@@ -55,6 +56,12 @@ object TrainingPipeline {
     * against — (id, text)-shaped. None skips the decontamination stage
     * (a real pipeline should always pass its eval suites; the spec
     * passes a slice of the corpus as a stand-in).
+    *
+    * `dsirTarget`: optional curated-reference corpus (text column)
+    * enabling the DSIR selection stage (4b) — documents whose hashed-
+    * unigram affinity to the target clears the corpus mean survive.
+    * The target gets the same normalize/scrubPii canonicalization as
+    * the corpus (model inputs must agree). None skips the stage.
     *
     * `embeddings`: optional (doc_id, embedding) frame enabling the
     * SemDeDup semantic-dedup stage (3b) — embedding-space clustering
@@ -81,6 +88,8 @@ object TrainingPipeline {
           budgetShards: Int = 8,
           evalDocs: Option[DataFrame] = None,
           contamThreshold: Double = 0.8,
+          dsirTarget: Option[DataFrame] = None,
+          dsirBuckets: Int = 1024,
           embeddings: Option[DataFrame] = None,
           semanticThreshold: Double = 0.3,
           normalize: Boolean = false,
@@ -225,6 +234,31 @@ object TrainingPipeline {
     }
     val afterDecontam = clean.count()
 
+    // 4b. optional DSIR target-affinity selection (operators/Dsir):
+    // train the hashed-unigram log-ratio model with the CLEANED corpus
+    // as raw and the caller's curated reference as target, keep
+    // documents whose per-token affinity clears the corpus mean. Two
+    // bounded (bucket, count) aggregations + one broadcast λ array;
+    // scoring is row-local — nothing here shuffles text (the keep-set
+    // semi-join is narrow doc_ids).
+    val selected = dsirTarget match {
+      case Some(tgtRaw) =>
+        require(tgtRaw.columns.contains("text"), "dsirTarget needs a text column")
+        val tgt = {
+          val n = if (normalize)
+            tgtRaw.withColumn("text", TextOps.normalizeText(col("text"))) else tgtRaw
+          if (scrubPii) n.withColumn("text", Redact.scrubPii(col("text"))) else n
+        }
+        val lam = graft.operators.Dsir.logRatios(clean, tgt, "text", dsirBuckets)
+        val keep = graft.operators.Dsir.selectAboveMean(
+          graft.operators.Dsir.importanceWeights(clean, "doc_id", "text",
+            lam, dsirBuckets))
+          .filter(col("keep") === 1L).select(col("doc_id"))
+        clean.join(keep, Seq("doc_id"), "left_semi")
+      case None => clean
+    }
+    val afterDsir = selected.count()
+
     // 5. dataset shaping. 5a: optional per-source TOKEN budgets (the
     // unit mixtures are really specified in) — hash-prefix sampling
     // over narrow (id, source, n_toks) rows (carried from stage 1, no
@@ -239,10 +273,10 @@ object TrainingPipeline {
     // unique doc chunks once and the replication happens on the
     // narrow chunk rows (no distinct, no rejoin, no text shuffle)
     val budgeted =
-      if (tokenBudgets.isEmpty) clean
-      else clean.join(
+      if (tokenBudgets.isEmpty) selected
+      else selected.join(
         Sampling.tokenBudgetSample(
-          clean.select(col("doc_id"), col("source"), col("n_toks")),
+          selected.select(col("doc_id"), col("source"), col("n_toks")),
           "source", "doc_id", col("n_toks"), tokenBudgets, budgetShards)
           .select(col("doc_id")),
         Seq("doc_id"), "left_semi")
@@ -285,6 +319,6 @@ object TrainingPipeline {
       .foreach(_.unpersist(false))
 
     (packedOut, Report(inputRows, afterFilter, afterExact, afterNearDup,
-      afterSemantic, afterDecontam, mixtureRows, chunks, packs))
+      afterSemantic, afterDecontam, afterDsir, mixtureRows, chunks, packs))
   }
 }

@@ -465,6 +465,17 @@ class ExamplesSpec extends AnyFunSuite {
     val (_, r3) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
       lang = "en", minTokens = 5)
     assert(r3.afterDecontam == r3.afterNearDup, s"skip path filtered rows: $r3")
+    // no DSIR target -> the selection stage is a pass-through
+    assert(r3.afterDsir == r3.afterDecontam, s"DSIR skip path filtered: $r3")
+    // with a target, above-mean selection keeps a strict nonempty subset
+    // (the corpus can't be entirely at-or-below its own mean unless all
+    // per-token scores are equal — not true of real text)
+    val tgt = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") % 3 === 0).select(col("text"))
+    val (_, rD) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      lang = "en", minTokens = 5, dsirTarget = Some(tgt))
+    assert(rD.afterDsir < rD.afterDecontam && rD.afterDsir > 0,
+      s"DSIR selection did not bite: $rD")
     // the quality gate tightens the filter monotonically: a modest
     // threshold keeps some docs, an absurd one keeps none
     val (_, rq) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
