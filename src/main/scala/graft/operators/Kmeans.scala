@@ -78,33 +78,73 @@ object Kmeans {
       .drop("kmcd")
   }
 
+  /** Long-vector element-wise sum: the update-step aggregator. Exact
+    * integer adds are associative and commutative, so map-side partials
+    * merge in any order to the identical result — each partition ships
+    * ONE k·dim partial per cluster, never a per-(vector, dimension)
+    * row (the posexplode alternative multiplies the corpus by dim
+    * before the combine — the wrong slope for high-dim embeddings). */
+  private case class LongVecSum(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    def zero: Array[Long] = new Array[Long](dim)
+    def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = {
+      var i = 0; while (i < dim && i < a.length) { b(i) += a(i); i += 1 }; b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0; while (i < dim) { a(i) += b(i); i += 1 }; a
+    }
+    def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.Encoders.kryo
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** The update-step aggregation: per-cluster element-wise vector sum +
+    * count over an assigned frame — k·dim longs per partition cross
+    * the shuffle (package-visible so PlanSpec pins the exact plan fit
+    * runs). */
+  private[graft] def updateSums(assigned: DataFrame, dim: Int): DataFrame =
+    assigned.groupBy(col("cluster"))
+      .agg(udaf(LongVecSum(dim)).apply(col("q")).as("s"),
+        count(lit(1)).as("n"))
+
   /** `iters` Lloyd rounds from the deterministic init; returns the final
-    * centroids. Each round: assignment projection, then per-cluster
-    * per-dimension long sums via posexplode + two-phase agg (map-side
-    * combine keeps the shuffle at k·dim rows per partition), then the
-    * truncating integer mean on the driver. */
+    * centroids. Each round: the shuffle-free assignment projection,
+    * then one [[LongVecSum]]-aggregated per-cluster vector sum (k·dim
+    * longs per partition cross the shuffle), then the truncating
+    * integer mean on the driver (a k·dim bounded artifact). The
+    * quantized corpus is persisted across rounds — without it every
+    * iteration re-scans the source (linear-in-iters I/O, the
+    * pageRankInt lesson). */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
           scale: Long = DefaultScale): Seq[Array[Long]] = {
     require(k >= 1 && iters >= 0, "need k >= 1 and iters >= 0")
     var cents = initCentroids(df, idCol, vecCol, k, scale)
     val dim = cents.headOption.map(_.length).getOrElse(0)
     val q = df.select(quantize(col(vecCol), scale).as("q"))
-    for (_ <- 1 to iters) {
-      val sums = assignQ(q, col("q"), cents)
-        .select(col("cluster"), posexplode(col("q")).as(Seq("d", "x")))
-        .groupBy(col("cluster"), col("d"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = cents.map(_.clone).toArray
-      sums.foreach { r =>
-        val c = r.getLong(0).toInt
-        val d = r.getInt(1)
-        if (c < k && d < dim)
-          next(c)(d) = r.getLong(2) / r.getLong(3) // truncates toward zero
+    val qp = if (iters > 1)
+      q.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else q
+    try {
+      for (_ <- 1 to iters) {
+        val sums = updateSums(assignQ(qp, col("q"), cents), dim).collect()
+        val next = cents.map(_.clone).toArray
+        sums.foreach { r =>
+          val c = r.getLong(0).toInt
+          val s = r.getSeq[Long](1)
+          val n = r.getLong(2)
+          if (c < k) {
+            var d = 0
+            while (d < dim && d < s.length) {
+              next(c)(d) = s(d) / n // truncates toward zero, like DuckDB //
+              d += 1
+            }
+          }
+        }
+        cents = next.toSeq
       }
-      cents = next.toSeq
-    }
-    cents
+      cents
+    } finally if (iters > 1) qp.unpersist(false)
   }
 
   /** fit + final assignment: (id, cluster, dist) for every row — the

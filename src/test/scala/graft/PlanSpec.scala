@@ -70,18 +70,19 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("kmeans update aggregates in two phases (map-side combine)") {
-    // the k·dim partial sums must combine map-side: the shuffle carries
-    // k·dim rows per partition, not one row per (vector, dimension)
+    // the centroid update must combine map-side: each partition ships
+    // one k·dim partial per cluster across the shuffle, never a row
+    // per vector — mirror of fit()'s per-iteration plan
     val emb = Tables(spark, dir, "embeddings")
     import org.apache.spark.sql.functions._
-    val p = operators.Kmeans.assignQ(
-        emb.select(operators.Kmeans.quantize(col("embedding")).as("q")),
-        col("q"), Seq(Array.fill(4)(0L)))
-      .select(col("cluster"), posexplode(col("q")).as(Seq("d", "x")))
-      .groupBy(col("cluster"), col("d"))
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val p = operators.Kmeans.updateSums(
+        operators.Kmeans.assignQ(
+          emb.select(operators.Kmeans.quantize(col("embedding")).as("q")),
+          col("q"), Seq(Array.fill(4)(0L), Array.fill(4)(1000000L))),
+        dim = 4)
       .queryExecution.executedPlan.toString
-    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+    assert(p.contains("partial_longvecsum") || p.contains("partial_count"),
+      s"no map-side combine:\n$p")
   }
 
   test("wordcount pre-aggregates before the shuffle") {
