@@ -155,6 +155,33 @@ object Kmeans {
     assign(df, vecCol, cents, scale).select(col(idCol), col("cluster"), col("dist"))
   }
 
+  /** SSL-prototype pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"): within each k-means cluster keep the `m` HARDEST
+    * examples — the farthest from their centroid. Prototypical
+    * examples near a centroid are the redundant ones in large corpora;
+    * keeping the hard margin is the paper's data-pruning metric.
+    * Emits (id, cluster, hard_rank 1..m).
+    *
+    * Scale: per-cluster selection through the bounded
+    * [[graft.functions.Aggregators.TopKByScore]] aggregator (map-side
+    * partials of ≤ m rows per (partition, cluster) — never a window
+    * over a cluster's full population). dist < 2⁵³ at the default
+    * quantization (64-dim unit vectors), so the double score is exact
+    * and the (dist desc, id asc) order is engine-replayable.
+    */
+  def pruneHard(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                iters: Int, m: Int,
+                scale: Long = DefaultScale): DataFrame = {
+    require(m >= 1, "need m >= 1 kept rows per cluster")
+    fitAssign(df, idCol, vecCol, k, iters, scale)
+      .groupBy(col("cluster"))
+      .agg(graft.functions.Aggregators.topKByScore(
+        col("dist").cast("double"), col(idCol).cast("long"), m).as("ids"))
+      .select(col("cluster"), posexplode(col("ids")).as(Seq("pos", idCol)))
+      .select(col(idCol), col("cluster"),
+        (col("pos") + 1).cast("long").as("hard_rank"))
+  }
+
   /** SemDeDup (Abbas et al. 2023), the cluster-then-prune shape: k-means
     * the embeddings, then WITHIN each cluster mark every vector that has
     * a lower-id cluster-mate with cosine ≥ `threshold` as a duplicate

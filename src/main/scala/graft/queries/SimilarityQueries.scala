@@ -136,7 +136,15 @@ object SimilarityQueries extends QueryModule {
     // partition-based blocking the SemDeDup paper uses.
     "kmeans_semdedup" -> ((s, dir) =>
       graft.operators.Kmeans.semDedup(emb(s, dir), "vec_id", "embedding",
-        k = 8, iters = 2, threshold = 0.3))
+        k = 8, iters = 2, threshold = 0.3)),
+
+    // SSL-prototype pruning: the 20 hardest (farthest-from-centroid)
+    // vectors per k-means cluster via the bounded top-k aggregator —
+    // no window over a cluster's population. The oracle replays the
+    // same (dist desc, id asc) order with row_number.
+    "kmeans_prune_hard" -> ((s, dir) =>
+      graft.operators.Kmeans.pruneHard(emb(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2, m = 20))
   )
 
   // The deterministic multi-table LSH blocking + thresholded cosine
@@ -266,6 +274,14 @@ object SimilarityQueries extends QueryModule {
     "kmeans_clusters" ->
       s"""WITH $kmeansCte
         |SELECT vec_id, cluster, dist FROM af""".stripMargin,
+    "kmeans_prune_hard" ->
+      s"""WITH $kmeansCte
+        |SELECT vec_id, cluster, CAST(rnk AS BIGINT) AS hard_rank
+        |FROM (
+        |  SELECT vec_id, cluster,
+        |         row_number() OVER (PARTITION BY cluster ORDER BY dist DESC, vec_id ASC) AS rnk
+        |  FROM af)
+        |WHERE rnk <= 20""".stripMargin,
     "kmeans_semdedup" ->
       s"""WITH $kmeansCte, ev AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

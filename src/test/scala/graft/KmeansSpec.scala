@@ -89,6 +89,21 @@ class KmeansSpec extends AnyFunSuite {
     }
   }
 
+  test("pruneHard keeps exactly the m farthest rows per cluster, rank-ordered") {
+    val df = blobs(dim = 4, perBlob = 20)
+    val full = Kmeans.fitAssign(df, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val kept = Kmeans.pruneHard(df, "vec_id", "embedding", k = 2, iters = 2, m = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(kept.length == 10)
+    kept.groupBy(_._2).foreach { case (c, rows) =>
+      val expect = full.filter(_._2 == c)
+        .sortBy { case (id, _, d) => (-d, id) }.take(5).map(_._1).toSeq
+      val got = rows.sortBy(_._3).map(_._1).toSeq
+      assert(got == expect, s"cluster $c kept $got, expected $expect")
+    }
+  }
+
   test("quantize matches round-half-away-from-zero at the default scale") {
     val df = Seq((0L, Seq(0.0000005f, -0.0000005f, 0.25f))).toDF("id", "v")
     val q = df.select(Kmeans.quantize(col("v")).as("q"))
