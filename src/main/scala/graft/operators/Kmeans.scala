@@ -70,6 +70,8 @@ object Kmeans {
   /** Assignment against an ALREADY-QUANTIZED long-vector column. */
   private[graft] def assignQ(df: DataFrame, q: Column,
                              centroids: Seq[Array[Long]]): DataFrame = {
+    require(centroids.nonEmpty,
+      "no centroids — fit/init on an empty corpus cannot seed k-means")
     val cd = graft.functions.VectorExpressions.nearest_centroid_l2(
       q, centroids.map(_.toSeq))
     df.withColumn("kmcd", cd)

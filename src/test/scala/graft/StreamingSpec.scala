@@ -453,4 +453,67 @@ class StreamingSpec extends AnyFunSuite {
     for ((id, sig) <- batch)
       assert(local(id).contains(sig), s"doc $id signature diverges")
   }
+
+  test("DSIR scoring is stream-transparent: trained λ scores a stream like batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dsir
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the daily-crawl shape: λ is the persisted model artifact (trained
+    // once on the historical corpus), incoming batches score row-locally
+    val hist = Seq((1L, "good fine text"), (2L, "spam junk noise"),
+      (3L, "good words"), (4L, "junk stuff")).toDF("doc_id", "text")
+    val lam = Dsir.logRatios(hist, hist.filter(col("doc_id") % 2 === 1), "text", 64)
+    val incoming = Seq((10L, "good fine words"), (11L, "junk noise stuff"),
+      (12L, ""))
+    val mem = MemoryStream[(Long, String)]
+    val q = Dsir.importanceWeights(
+      mem.toDS().toDF("doc_id", "text"), "doc_id", "text", lam, 64)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_stream")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val batch = Dsir.importanceWeights(
+        incoming.toDF("doc_id", "text"), "doc_id", "text", lam, 64)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch, "stream/batch DSIR scores diverge")
+      assert(streamed.exists(_._3 != 0L), "degenerate λ: all scores zero")
+    } finally q.stop()
+  }
+
+  test("k-means assignment is stream-transparent: fitted centroids assign a stream like batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Kmeans
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // fit is a batch job over the historical corpus; the centroid array
+    // is the model artifact and assignment is a pure projection, so a
+    // stream of new vectors clusters identically to a batch pass
+    val hist = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 10.0f else -10.0f
+      (i.toLong, Seq(base, base + 0.1f, base - 0.2f))
+    }.toDF("vec_id", "embedding")
+    val cents = Kmeans.fit(hist, "vec_id", "embedding", k = 2, iters = 2)
+    val incoming = Seq((100L, Seq(9.5f, 10.2f, 9.9f)), (101L, Seq(-9.8f, -10.1f, -10.0f)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Kmeans.assign(
+      mem.toDS().toDF("vec_id", "embedding"), "embedding", cents)
+      .select(col("vec_id"), col("cluster"), col("dist"))
+      .writeStream.format("memory").queryName("km_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("km_stream")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val batch = Kmeans.assign(
+        incoming.toDF("vec_id", "embedding"), "embedding", cents)
+        .select(col("vec_id"), col("cluster"), col("dist"))
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch, "stream/batch assignment diverges")
+      assert(streamed.map(_._2).distinct.size == 2,
+        "blob stream members not separated")
+    } finally q.stop()
+  }
 }
