@@ -250,10 +250,14 @@ object TrainingPipeline {
           if (scrubPii) n.withColumn("text", Redact.scrubPii(col("text"))) else n
         }
         val lam = graft.operators.Dsir.logRatios(clean, tgt, "text", dsirBuckets)
+        // the keep set pins as a NARROW doc_id frame: without it every
+        // downstream action re-tokenizes the cleaned corpus through
+        // importanceWeights plus the global-mean aggregate
         val keep = graft.operators.Dsir.selectAboveMean(
           graft.operators.Dsir.importanceWeights(clean, "doc_id", "text",
             lam, dsirBuckets))
           .filter(col("keep") === 1L).select(col("doc_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         clean.join(keep, Seq("doc_id"), "left_semi")
       case None => clean
     }

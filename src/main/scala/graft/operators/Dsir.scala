@@ -77,7 +77,13 @@ object Dsir {
                         lam: Array[Long], b: Int): DataFrame = {
     require(lam.length == b, s"λ table has ${lam.length} entries for $b buckets")
     val lamLit = typedLit(lam.toSeq)
-    df.select(col(id), Dedup.tokens(col(text)).as("dsir_t"))
+    // NULL text scores like empty text (n_toks 0, logw 0) — the oracle's
+    // LEFT JOIN + COALESCE contract; a bare tokens(null) would propagate
+    // null through size/aggregate and silently drop the doc from any
+    // keep-filter downstream
+    df.select(col(id),
+        coalesce(Dedup.tokens(col(text)),
+          array().cast("array<string>")).as("dsir_t"))
       .select(col(id),
         size(col("dsir_t")).cast("long").as("n_toks"),
         aggregate(col("dsir_t"), lit(0L),
@@ -94,9 +100,12 @@ object Dsir {
     * global aggregate, broadcast back; token-less documents never
     * clear the bar. */
   def selectAboveMean(weights: DataFrame): DataFrame = {
-    val tot = weights.agg(sum(col("logw_fp")).as("dsir_sl"),
-      sum(col("n_toks")).as("dsir_sn"))
+    // the global sums accumulate in decimal(38,0), not long: at the
+    // operator's own target scale (~2e13 tokens × ~5e5 mean |λ|) a
+    // LONG Σlogw overflows 2⁶³ while the oracle's HUGEINT does not
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tot = weights.agg(sum(dec(col("logw_fp"))).as("dsir_sl"),
+      sum(dec(col("n_toks"))).as("dsir_sn"))
     weights.crossJoin(broadcast(tot))
       .withColumn("keep",
         (dec(col("logw_fp")) * dec(col("dsir_sn")) >

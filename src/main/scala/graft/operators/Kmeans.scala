@@ -55,6 +55,7 @@ object Kmeans {
                     scale: Long = DefaultScale): Seq[Array[Long]] =
     df.select(col(idCol).cast("long").as("kmid"),
         quantize(col(vecCol), scale).as("q"))
+      .filter(col("q").isNotNull)
       .withColumn("hk", md5(concat(col("kmid").cast("string"), lit(":km"))))
       .orderBy("hk").limit(k)
       .select("kmid", "q").collect().toSeq
@@ -124,7 +125,12 @@ object Kmeans {
     require(k >= 1 && iters >= 0, "need k >= 1 and iters >= 0")
     var cents = initCentroids(df, idCol, vecCol, k, scale)
     val dim = cents.headOption.map(_.length).getOrElse(0)
+    // NULL vectors are skipped deterministically: a null q would reach
+    // LongVecSum as a null Seq (executor NPE, not a clear error).
+    // assign() on the fitted centroids still emits such rows — with
+    // null cluster/dist, the null-safe expression contract.
     val q = df.select(quantize(col(vecCol), scale).as("q"))
+      .filter(col("q").isNotNull)
     val qp = if (iters > 1)
       q.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else q
     try {
@@ -201,9 +207,15 @@ object Kmeans {
                iters: Int, threshold: Double,
                scale: Long = DefaultScale): DataFrame = {
     val cents = fit(df, idCol, vecCol, k, iters, scale)
+    // persisted: the assignment feeds BOTH pair-join sides and the
+    // final keep join — unpinned lineage would scan the source and
+    // re-run the centroid projection three times per action (released
+    // by the session's cache discipline, as with the dedup queries'
+    // shared intermediates)
     val a = assign(df, vecCol, cents, scale)
       .select(col(idCol).cast("long").as("kmid"), col(vecCol).as("kv"),
         col("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = a.select(col("kmid").as("ka"), col("kv").as("xa"), col("cluster"))
       .join(a.select(col("kmid").as("kb"), col("kv").as("xb"), col("cluster")),
         Seq("cluster"))

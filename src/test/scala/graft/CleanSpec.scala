@@ -559,6 +559,17 @@ class CleanSpec extends AnyFunSuite {
     assert(w.find(_._1 == 3L).get._2 == 0L, "empty doc must report 0 tokens")
   }
 
+  test("Dsir: NULL text scores like empty text (0 tokens, 0 weight, row kept)") {
+    import graft.operators.Dsir
+    val d = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val lam = Dsir.logRatios(d, d.filter(col("doc_id") === 1), "text", 32)
+    val byId = Dsir.importanceWeights(d, "doc_id", "text", lam, 32).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byId(2L) == ((0L, 0L)), s"null-text doc scored ${byId(2L)}")
+    assert(byId.contains(1L))
+  }
+
   test("Dsir separates a target vocabulary from an off-target one") {
     import graft.operators.Dsir
     // two disjoint vocabularies; target = the 'good' docs

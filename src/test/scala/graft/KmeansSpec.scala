@@ -104,6 +104,25 @@ class KmeansSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL vectors: skipped by fit, null-assigned by assign — never a crash") {
+    val withNull = Seq(
+      (0L, Some(Seq(1.0f, 0.0f))), (1L, Some(Seq(0.9f, 0.1f))),
+      (2L, None: Option[Seq[Float]]), (3L, Some(Seq(-1.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val cents = Kmeans.fit(withNull, "vec_id", "embedding", k = 2, iters = 2)
+    assert(cents.length == 2)
+    // the same fit as the null-free frame: the null row contributes nothing
+    val centsClean = Kmeans.fit(withNull.filter(col("embedding").isNotNull),
+      "vec_id", "embedding", k = 2, iters = 2)
+    assert(cents.map(_.toSeq) == centsClean.map(_.toSeq))
+    val rows = Kmeans.assign(withNull, "embedding", cents)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(rows(2L).isEmpty, "null vector must get a null cluster")
+    assert(rows.filterKeys(_ != 2L).values.forall(_.isDefined))
+  }
+
   test("quantize matches round-half-away-from-zero at the default scale") {
     val df = Seq((0L, Seq(0.0000005f, -0.0000005f, 0.25f))).toDF("id", "v")
     val q = df.select(Kmeans.quantize(col("v")).as("q"))
