@@ -38,10 +38,23 @@ object Dsir {
   def bucket(t: Column, b: Int): Column =
     pmod(Dedup.h1(t), lit(b.toLong))
 
-  /** Exact (bucket, count) table of a corpus's token occurrences —
-    * counts, not distinct presence: DSIR models token frequency. */
-  def bucketCounts(df: DataFrame, text: String, b: Int): DataFrame =
-    df.select(explode(Dedup.tokens(col(text))).as("t"))
+  /** The feature stream of a document, row-locally: unigram tokens,
+    * plus space-joined adjacent bigram strings when `bigrams` — the
+    * paper's hashed n-gram model (unigrams alone are the cheap
+    * variant; bigrams capture the word-order signal). NULL text
+    * features like empty text. */
+  private[graft] def featureTokens(text: Column, bigrams: Boolean): Column = {
+    val t = coalesce(Dedup.tokens(text), array().cast("array<string>"))
+    if (!bigrams) t
+    else concat(t, transform(TextOps.bigrams(t),
+      bg => concat_ws(" ", bg.getField("w1"), bg.getField("w2"))))
+  }
+
+  /** Exact (bucket, count) table of a corpus's feature occurrences —
+    * counts, not distinct presence: DSIR models feature frequency. */
+  def bucketCounts(df: DataFrame, text: String, b: Int,
+                   bigrams: Boolean = false): DataFrame =
+    df.select(explode(featureTokens(col(text), bigrams)).as("t"))
       .select(bucket(col("t"), b).as("f"))
       .groupBy("f").agg(count(lit(1)).as("c"))
 
@@ -52,10 +65,10 @@ object Dsir {
     * — new documents hashing there still score. Two bounded collects
     * (≤ b rows each). */
   def logRatios(raw: DataFrame, target: DataFrame, text: String,
-                b: Int): Array[Long] = {
+                b: Int, bigrams: Boolean = false): Array[Long] = {
     require(b >= 2, "need at least 2 hash buckets")
     def counts(df: DataFrame): (Map[Long, Long], Long) = {
-      val m = bucketCounts(df, text, b).collect()
+      val m = bucketCounts(df, text, b, bigrams).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       (m, m.values.sum)
     }
@@ -74,16 +87,17 @@ object Dsir {
     * `n_toks`. No join, no shuffle of text — the 100 TB scoring
     * shape. */
   def importanceWeights(df: DataFrame, id: String, text: String,
-                        lam: Array[Long], b: Int): DataFrame = {
+                        lam: Array[Long], b: Int,
+                        bigrams: Boolean = false): DataFrame = {
     require(lam.length == b, s"λ table has ${lam.length} entries for $b buckets")
     val lamLit = typedLit(lam.toSeq)
-    // NULL text scores like empty text (n_toks 0, logw 0) — the oracle's
-    // LEFT JOIN + COALESCE contract; a bare tokens(null) would propagate
-    // null through size/aggregate and silently drop the doc from any
-    // keep-filter downstream
-    df.select(col(id),
-        coalesce(Dedup.tokens(col(text)),
-          array().cast("array<string>")).as("dsir_t"))
+    // with bigrams, n_toks counts FEATURES (unigrams + bigrams) — the
+    // normalizer the mean-selection rule divides by must match the
+    // stream being summed. NULL text scores like empty text (n_toks 0,
+    // logw 0) — the oracle's LEFT JOIN + COALESCE contract; a bare
+    // tokens(null) would propagate null through size/aggregate and
+    // silently drop the doc from any keep-filter downstream
+    df.select(col(id), featureTokens(col(text), bigrams).as("dsir_t"))
       .select(col(id),
         size(col("dsir_t")).cast("long").as("n_toks"),
         aggregate(col("dsir_t"), lit(0L),
@@ -115,7 +129,8 @@ object Dsir {
 
   /** Train-score-select in one call (the query-surface convenience). */
   def weights(raw: DataFrame, target: DataFrame, id: String, text: String,
-              b: Int = 1024): DataFrame =
+              b: Int = 1024, bigrams: Boolean = false): DataFrame =
     selectAboveMean(
-      importanceWeights(raw, id, text, logRatios(raw, target, text, b), b))
+      importanceWeights(raw, id, text,
+        logRatios(raw, target, text, b, bigrams), b, bigrams))
 }

@@ -581,6 +581,25 @@ class CleanSpec extends AnyFunSuite {
     (11L to 20L).foreach(i => assert(out(i) == 0L, s"off-target doc $i kept"))
   }
 
+  test("Dsir bigram lane separates on word order where unigrams cannot") {
+    import graft.operators.Dsir
+    // identical unigram bags, opposite adjacency: "a b a b" vs "b a b a"
+    val raw = ((1L to 10L).map(i => (i, "a b a b")) ++
+      (11L to 20L).map(i => (i, "b a b a"))).toDF("doc_id", "text")
+    val tgt = raw.filter(col("doc_id") <= 10)
+    // unigram model: every doc has the same per-token score -> nobody is
+    // strictly above the mean, keep is all-zero
+    val uni = Dsir.weights(raw, tgt, "doc_id", "text", b = 64)
+      .collect().map(r => r.getLong(3))
+    assert(uni.forall(_ == 0L), "unigrams should not separate equal bags")
+    // bigram model: 'a b' adjacency dominates the target -> exactly the
+    // target-ordered docs clear the mean
+    val bi = Dsir.weights(raw, tgt, "doc_id", "text", b = 64, bigrams = true)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    (1L to 10L).foreach(i => assert(bi(i) == 1L, s"target-ordered doc $i dropped"))
+    (11L to 20L).foreach(i => assert(bi(i) == 0L, s"off-order doc $i kept"))
+  }
+
   test("Dsir weights are partitioning-invariant (exact integer sums)") {
     import graft.operators.Dsir
     val raw = (1L to 40L).map(i =>
