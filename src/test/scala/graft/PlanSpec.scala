@@ -85,6 +85,26 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side combine:\n$p")
   }
 
+  test("DSIR scoring is a shuffle-free projection over the corpus scan") {
+    // λ rides as a literal array: hash + index + sum happen row-locally,
+    // so scoring a 100 TB corpus is one embarrassingly-parallel scan
+    val d = Tables(spark, dir, "documents")
+    val p = operators.Dsir.importanceWeights(
+        d, "doc_id", "text", Array.fill(64)(1L), 64)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"DSIR scoring shuffles:\n$p")
+  }
+
+  test("kmeans semDedup candidate pairs come from a cluster equi-join, never all-pairs") {
+    val emb = Tables(spark, dir, "embeddings")
+    val df = operators.Kmeans.semDedup(emb, "vec_id", "embedding",
+      k = 4, iters = 1, threshold = 0.3)
+    df.collect() // AQE renders the final plan after execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in semDedup plan:\n$p")
+  }
+
   test("wordcount pre-aggregates before the shuffle") {
     val p = plan("wordcount")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
