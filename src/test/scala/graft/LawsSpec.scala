@@ -315,4 +315,41 @@ object LawsSpec extends Properties("graft.laws") {
         }
       }
     }
+
+  // --- integer k-means kernel --------------------------------------------
+
+  private val genVec: Gen[Seq[Float]] =
+    Gen.listOfN(6, Gen.chooseNum(-1.0f, 1.0f)).map(_.toSeq)
+
+  property("nearest_centroid_l2 returns the true argmin with lowest-index ties") =
+    forAll(Gen.listOfN(8, genVec), Gen.choose(1, 5)) { (vecs, k) =>
+      import graft.operators.Kmeans
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val cents = vecs.take(k).map(_.map(x =>
+        BigDecimal(x.toDouble * 1000000L)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+      val got = Kmeans.assign(df, "v", cents)
+        .select(col("id"), col("cluster"), col("dist")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      vecs.zipWithIndex.forall { case (v, i) =>
+        val q = v.map(x => BigDecimal(x.toDouble * 1000000L)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        val dists = cents.map(c => q.zip(c).map { case (a, b) =>
+          val d = a - b; d * d }.sum)
+        val best = dists.zipWithIndex.minBy { case (d, j) => (d, j) }
+        got(i.toLong) == ((best._2.toLong, best._1))
+      }
+    }
+
+  // --- DSIR bucketing ----------------------------------------------------
+
+  property("DSIR buckets are total and in range on arbitrary tokens") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty)).map(_.take(20)),
+      Gen.oneOf(2, 16, 64, 1024)) { (toks, b) =>
+      val got = toks.toDF("t")
+        .select(graft.operators.Dsir.bucket(col("t"), b).as("f"))
+        .as[Long].collect()
+      got.length == toks.length && got.forall(f => f >= 0 && f < b)
+    }
 }
