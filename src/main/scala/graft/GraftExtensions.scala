@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{CompressExpressions, TextExpressions, VectorExpressions}
+import graft.functions.{CompressExpressions, MediaExpressions, TextExpressions, VectorExpressions}
 
 /** Engine extensions, installed with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (done by
@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(TextExpressions.wordTokensFunction)
     e.injectFunction(TextExpressions.wordShinglesFunction)
     e.injectFunction(CompressExpressions.deflatedSizeFunction)
+    e.injectFunction(MediaExpressions.aHash64Function)
   }
 }

@@ -56,6 +56,11 @@ object Tables {
           "deflated_size",
           exprs => graft.functions.DeflatedSize(exprs.head),
           "scala_udf"))
+      scala.util.Try(
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "ahash64",
+          exprs => graft.functions.AHash64(exprs.head),
+          "scala_udf"))
     }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Average-hash (aHash) over binary content: 64 bytes sampled at
+  * positions ⌊i·n/64⌋ (i = 0..63), each emitting '1' iff its unsigned
+  * value strictly exceeds the sample mean (compared exactly as
+  * 64·v > Σv — no float division), '0' otherwise; empty content hashes
+  * to all zeros. The classic perceptual-hash recipe with raw bytes
+  * standing in for the 8×8 grayscale grid — a REAL kernel (unlike the
+  * declared-stub decode): with a codec the input column would be the
+  * decoded luma plane and nothing else changes. Deterministic, integer-
+  * exact, and SQL-replayable byte-for-byte via hex(blob) indexing.
+  */
+@ExpressionDescription(
+  usage = "_FUNC_(content) - 64-bit average-hash of binary content as a '0'/'1' string")
+case class AHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ahash64 needs binary content, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val out = new Array[Byte](64)
+    java.util.Arrays.fill(out, '0'.toByte)
+    val n = bytes.length
+    if (n > 0) {
+      val v = new Array[Long](64)
+      var total = 0L
+      var i = 0
+      while (i < 64) {
+        v(i) = bytes(((i.toLong * n) / 64).toInt) & 0xffL
+        total += v(i)
+        i += 1
+      }
+      i = 0
+      while (i < 64) {
+        if (v(i) * 64 > total) out(i) = '1'.toByte
+        i += 1
+      }
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out"); val n = ctx.freshName("n")
+      val v = ctx.freshName("v"); val total = ctx.freshName("total")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $out = new byte[64];
+         |java.util.Arrays.fill($out, (byte) '0');
+         |int $n = $c.length;
+         |if ($n > 0) {
+         |  long[] $v = new long[64];
+         |  long $total = 0L;
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    $v[$i] = $c[(int) (((long) $i * $n) / 64)] & 0xffL;
+         |    $total += $v[$i];
+         |  }
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    if ($v[$i] * 64 > $total) $out[$i] = (byte) '1';
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromBytes($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MediaExpressions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  val aHash64Function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ahash64"),
+    new ExpressionInfo(classOf[AHash64].getName, "ahash64"),
+    (children: Seq[Expression]) => AHash64(children.head))
+
+  /** Column form (resolved through the registered SQL function). */
+  def ahash64(content: Column): Column =
+    org.apache.spark.sql.functions.call_function("ahash64", content)
+}

@@ -141,6 +141,21 @@ object Multimodal {
     spark.createDataFrame(rdd, entropySchema)
   }
 
+  /** Perceptual-hash signatures over binary content: the codegen'd
+    * [[graft.functions.AHash64]] average-hash as a row-local projection
+    * — (doc_id, n_bytes, ahash). The image-dedup primitive (aHash over
+    * the 8×8 grayscale grid; here the raw bytes stand in for the
+    * decoded luma plane, so the kernel itself is REAL and the codec is
+    * the only stub). Near-dup pairs come from banded hamming over
+    * these signatures — rename `ahash` to `simhash` and reuse
+    * [[graft.operators.Dedup.simhashPairs]]'s band equi-join, the
+    * image-scale path (never all-pairs).
+    */
+  def aHash(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+      octet_length(col("content")).cast("long").as("n_bytes"),
+      graft.functions.MediaExpressions.ahash64(col("content")).as("ahash"))
+
   /** Frame sampling: n evenly spaced byte offsets per media item (the
     * video-frame-sample shape: one row per sampled frame).
     */

@@ -394,6 +394,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("AHash64: analytic patterns, empty content, and damage locality") {
+    import graft.multimodal.Multimodal
+    val rows = Seq(
+      (1L, Array.fill(128)(7.toByte)),                 // constant: no byte above mean
+      (2L, Array.empty[Byte]),                         // empty: all-zeros sentinel
+      // 64 bytes: value 200 at even positions, 0 at odd — samples hit
+      // every position exactly once, mean 100 -> alternating bits
+      (3L, Array.tabulate(64)(i => if (i % 2 == 0) 200.toByte else 0.toByte)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, b) =>
+        org.apache.spark.sql.Row(id, b,
+          org.apache.spark.sql.Row("application/octet-stream", b.length.toLong))
+      }), Multimodal.mediaSchema)
+    val h = Multimodal.aHash(media).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(h(1L) == "0" * 64, "constant bytes: nothing strictly above mean")
+    assert(h(2L) == "0" * 64, "empty content is the all-zeros sentinel")
+    assert(h(3L) == "10" * 32, s"alternating pattern: ${h(3L)}")
+    // damage locality: a length-preserving 3-byte overwrite flips at
+    // most 3 sampled bits plus any mean-boundary flips — planted
+    // near-dups stay within the banding threshold (the property the
+    // multimodal_ahash_pairs fixture damage relies on)
+    val base = Array.tabulate(640)(i => ((i * 37) % 251).toByte)
+    val dam = base.clone(); dam(100) = 0; dam(101) = 0; dam(102) = 0
+    val m2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq((10L, base), (11L, dam)).map { case (id, b) =>
+        org.apache.spark.sql.Row(id, b,
+          org.apache.spark.sql.Row("application/octet-stream", b.length.toLong))
+      }), Multimodal.mediaSchema)
+    val hd = Multimodal.aHash(m2).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val hamming = hd(10L).zip(hd(11L)).count { case (a, b) => a != b }
+    assert(hamming <= 3, s"3-byte damage flipped $hamming bits")
+  }
+
   test("Multimodal.byteEntropy exact on known patterns; resize updates meta and bounds content") {
     import graft.multimodal.Multimodal
     val rows = Seq(
