@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{CompressExpressions, MediaExpressions, TextExpressions, VectorExpressions}
+import graft.functions.{CompressExpressions, MatchExpressions, MediaExpressions, TextExpressions, VectorExpressions}
 
 /** Engine extensions, installed with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (done by
@@ -22,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(TextExpressions.wordShinglesFunction)
     e.injectFunction(CompressExpressions.deflatedSizeFunction)
     e.injectFunction(MediaExpressions.aHash64Function)
+    e.injectFunction(MatchExpressions.multiMatchCountsFunction)
   }
 }

@@ -61,6 +61,11 @@ object Tables {
           "ahash64",
           exprs => graft.functions.AHash64(exprs.head),
           "scala_udf"))
+      scala.util.Try(
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "multi_match_counts",
+          exprs => graft.functions.MultiMatchCounts(exprs(0), exprs(1)),
+          "scala_udf"))
     }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -1,0 +1,125 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Exact heavy hitters with a Misra-Gries candidate pass — the
+  * guaranteed-complete form of "which tokens dominate this corpus"
+  * (boilerplate markers, template artifacts, stop-phrase candidates).
+  *
+  * The naive plan — groupBy(token).count() then filter — shuffles the
+  * full token multiset: ~150 B tokens/TB of partial-aggregate state for
+  * a long-tail vocabulary. The two-pass shape bounds both passes:
+  *
+  *  1. CANDIDATES: a Misra-Gries summary of k counters, reduced
+  *     map-side per partition and merged to one bounded artifact. The
+  *     classic guarantee (Misra & Gries 1982; merge soundness per the
+  *     mergeable-summaries line of work): any token with true count
+  *     > n/(k+1) survives in the summary, so the candidate set is a
+  *     SUPERSET of every token above the n/k report threshold. Only
+  *     k counters ever cross the wire per partition.
+  *  2. VERIFY: exact counts of the <= k candidates only — an `isin`
+  *     filter rides the token stream, so the counting shuffle carries
+  *     just the candidate occurrences, then the threshold filter
+  *     drops the false positives the summary admitted.
+  *
+  * Net: output is EXACT (every token with cnt·k > n, with its exact
+  * count — no approximation survives to the result), at two bounded
+  * passes instead of one unbounded shuffle. SQL-replayable, so this is
+  * an oracle-checked lane, unlike the estimate-only sketches
+  * (Count-Min in [[TextOps.dfSketch]] covers the per-ITEM frequency
+  * query; Misra-Gries answers the inverse "which items are frequent").
+  */
+object Frequent {
+
+  /** Bounded Misra-Gries buffer: counters plus the processed-item tally
+    * (the tally rides along so the threshold pass needs no second scan
+    * for n).
+    */
+  final case class MgSummary(counts: Map[String, Long], n: Long)
+
+  // public: the kryo buffer encoder instantiates it reflectively
+  final class MgBuf {
+    val counts = new mutable.HashMap[String, Long]
+    var n = 0L
+  }
+
+  /** Misra-Gries over strings: k counters, decrement-all on overflow.
+    * Merge sums counterparts then re-bounds by subtracting the
+    * (k+1)-th largest count (the merge that keeps the n/(k+1)
+    * undercount bound). The buffer is O(k) regardless of input size
+    * or skew.
+    */
+  final case class MisraGries(k: Int)
+      extends Aggregator[String, MgBuf, MgSummary] {
+    def zero: MgBuf = new MgBuf
+
+    def reduce(b: MgBuf, a: String): MgBuf = {
+      b.n += 1
+      b.counts.get(a) match {
+        case Some(c) => b.counts.update(a, c + 1)
+        case None if b.counts.size < k => b.counts.update(a, 1L)
+        case None =>
+          // decrement-all: the O(k) step amortizes to O(1) per item
+          // (each decrement pays back an earlier increment)
+          val dead = mutable.ArrayBuffer.empty[String]
+          b.counts.foreach { case (t, c) =>
+            if (c == 1L) dead += t else b.counts.update(t, c - 1)
+          }
+          dead.foreach(b.counts.remove)
+      }
+      b
+    }
+
+    def merge(a: MgBuf, b: MgBuf): MgBuf = {
+      a.n += b.n
+      b.counts.foreach { case (t, c) =>
+        a.counts.update(t, a.counts.getOrElse(t, 0L) + c)
+      }
+      if (a.counts.size > k) {
+        // subtract the (k+1)-th largest count from all, drop <= 0
+        val thresh = a.counts.values.toArray.sortInPlace()(
+          Ordering[Long].reverse).apply(k)
+        val dead = mutable.ArrayBuffer.empty[String]
+        a.counts.foreach { case (t, c) =>
+          if (c <= thresh) dead += t else a.counts.update(t, c - thresh)
+        }
+        dead.foreach(a.counts.remove)
+      }
+      a
+    }
+
+    def finish(r: MgBuf): MgSummary = MgSummary(r.counts.toMap, r.n)
+    def bufferEncoder: Encoder[MgBuf] = Encoders.kryo[MgBuf]
+    // consumed driver-side only (bounded artifact): kryo round-trips it
+    def outputEncoder: Encoder[MgSummary] = Encoders.kryo[MgSummary]
+  }
+
+  /** The candidate pass as a bounded driver artifact: <= k counters + n.
+    * Exposed for specs and for callers composing their own verify pass.
+    */
+  def mgSummary(tokens: DataFrame, tokCol: String, k: Int): MgSummary = {
+    require(k >= 1, "need at least one counter")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    tokens.select(col(tokCol)).as[String]
+      .select(MisraGries(k).toColumn).head()
+  }
+
+  /** Exact heavy hitters: every token whose count exceeds n/k, with its
+    * exact count. `tokens` is the exploded token stream (one row per
+    * occurrence).
+    */
+  def heavyHitters(tokens: DataFrame, tokCol: String, k: Int): DataFrame = {
+    val s = mgSummary(tokens, tokCol, k)
+    val cands = s.counts.keys.toSeq.sorted
+    // soundness: MG keeps every token with count > n/(k+1) ⊇ > n/k
+    tokens.filter(col(tokCol).isin(cands: _*))
+      .groupBy(col(tokCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > lit(s.n))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed quantiles by value-counting — the corpus-statistics
+  * primitive behind length histograms, truncation-threshold picks and
+  * per-source length-distribution dashboards (the reference's histogram
+  * reporting lane, mapreduce/lib/aggregate/ValueHistogram.java:38-120,
+  * stops at min/median/max of value COUNTS; a curation pipeline needs
+  * arbitrary percentiles of the VALUES).
+  *
+  * Why not sort-based quantiles: a global sort of a 100 TB metric column
+  * shuffles every row. Integer metrics (token counts, line counts, byte
+  * sizes, scores on a fixed grid) have BOUNDED VALUE CARDINALITY, so the
+  * exact distribution is recoverable from a (group, value) -> count
+  * table: count per value (one partial-aggregated shuffle of the
+  * value-count pairs, never the rows), then a cumulative walk over the
+  * per-group distribution — the window runs over #distinct-values rows
+  * per group, not #rows. The result is EXACT (quantile_disc semantics:
+  * the smallest value whose cumulative count reaches ceil(q·n)), fully
+  * SQL-replayable, and insensitive to partitioning.
+  *
+  * Continuous doubles first quantize to a grid (pick the grid from the
+  * precision the decision needs — a drop-threshold never needs more than
+  * a few thousand distinct cells); the integer lane here is then exact
+  * over the quantized value, the same fixed-point discipline as the
+  * rest of the library.
+  */
+object Quantiles {
+
+  /** Exact per-group percentiles of an integral metric.
+    *
+    * Output: one row per (group, pct): the smallest `v` with
+    * cumCount(v) >= ceil(n * pct / 100) — DuckDB's `quantile_disc`
+    * lower-value convention, replayed oracle-side with the identical
+    * integer arithmetic (no float targets: `(n*pct + 99) div 100`).
+    *
+    * Plan shape (pinned in PlanSpec): partial+final aggregate to the
+    * value-count table, then one hash-partitioned window per group over
+    * that bounded table. The percentile fan-out (`explode`) happens
+    * AFTER the aggregation, on #distinct-values rows.
+    */
+  def exactPercentiles(df: DataFrame, groupCol: String, value: Column,
+                       pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1, 100]")
+    require(pcts.distinct.size == pcts.size, "duplicate percentile")
+    val vc = df.groupBy(col(groupCol), value.cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val byGroup = Window.partitionBy(groupCol)
+    val cum = vc
+      .withColumn("cum", sum(col("cnt")).over(byGroup.orderBy("v")))
+      .withColumn("n", sum(col("cnt")).over(byGroup))
+    // the row whose cumulative range (cum-cnt, cum] contains the target
+    // rank is unique per (group, pct): a filter selects it exactly
+    cum.select(col(groupCol), col("v"), col("cnt"), col("cum"), col("n"),
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"))
+      .withColumn("target", expr("(n * pct + 99) div 100"))
+      .filter(col("cum") >= col("target") &&
+        col("cum") - col("cnt") < col("target"))
+      .select(col(groupCol), col("pct"), col("v").as("val"))
+  }
+}

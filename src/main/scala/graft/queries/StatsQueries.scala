@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Frequent, Quantiles}
+
+/** Corpus-statistics workloads: exact distribution quantiles, exact
+  * heavy hitters, dictionary phrase matching. These are the profiling
+  * lanes a curation pipeline runs BEFORE choosing thresholds — what is
+  * the length distribution, which tokens dominate, how often do listed
+  * phrases occur — each shaped so the scan-side state is bounded no
+  * matter the corpus size.
+  */
+object StatsQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private def toks(c: Column): Column = Dedup.tokens(c)
+
+  /** The phrase dictionary for multi_match, shared with the oracle. The
+    * last term self-overlaps ("now now" in "now now now") to pin the
+    * leftmost-greedy non-overlap contract, and nests inside another
+    * term ("buy now now") to pin per-term independence.
+    */
+  private val matchTerms =
+    Seq("click here", "buy now now", "limited offer", "now now")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact per-source percentiles of document token counts — the
+    // distribution profile behind truncation/length-filter threshold
+    // picks. Value-count technique: the only full-width pass is the
+    // map-only tokenize+count; everything after runs on the bounded
+    // (source, n_toks)->count table (plan pinned in PlanSpec).
+    "quantile_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Quantiles.exactPercentiles(
+        d.select(col("source"),
+          size(toks(col("text"))).cast("long").as("n_toks")),
+        "source", col("n_toks"), Seq(10, 25, 50, 75, 90, 99))
+    }),
+
+    // Exact heavy hitters over the token stream: Misra-Gries candidate
+    // pass (bounded k-counter summary, map-side reduced) then an exact
+    // verify count of the <= k candidates — output is every token with
+    // cnt*k > n and its EXACT count, no approximation residue.
+    "heavy_hitters" -> ((s, dir) =>
+      Frequent.heavyHitters(
+        docs(s, dir).select(explode(toks(col("text"))).as("token")),
+        "token", k = 64)),
+
+    // Aho-Corasick dictionary matching: per-term non-overlapping phrase
+    // counts in one text pass (the blocklist shape regex alternation
+    // can't sustain at 10^4+ terms). Phrases are injected
+    // deterministically (the pii_scan damage discipline) since the
+    // fixture corpus is clean.
+    "multi_match" -> ((s, dir) => {
+      val id = col("doc_id")
+      val damaged = concat(col("text"),
+        when(id % 2 === 0, lit(" click here to buy now now")).otherwise(lit("")),
+        when(id % 3 === 0, lit(" limited offer click here")).otherwise(lit("")),
+        when(id % 5 === 0, lit(" buy now now now")).otherwise(lit("")))
+      docs(s, dir)
+        .select(id, graft.functions.MatchExpressions
+          .multi_match_counts(damaged, matchTerms).as("mc"))
+        .select(id,
+          element_at(col("mc"), 1).as("n_click"),
+          element_at(col("mc"), 2).as("n_buy"),
+          element_at(col("mc"), 3).as("n_offer"),
+          element_at(col("mc"), 4).as("n_nownow"))
+        .withColumn("n_hits",
+          col("n_click") + col("n_buy") + col("n_offer") + col("n_nownow"))
+        .withColumn("n_terms",
+          (col("n_click") > 0).cast("long") + (col("n_buy") > 0).cast("long") +
+            (col("n_offer") > 0).cast("long") + (col("n_nownow") > 0).cast("long"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "quantile_stats" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS v
+        |  FROM documents
+        |), vc AS (
+        |  SELECT source, v, COUNT(*) AS cnt FROM t GROUP BY source, v
+        |), c AS (
+        |  SELECT source, v, cnt,
+        |         SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY source) AS n
+        |  FROM vc
+        |)
+        |SELECT c.source, CAST(p.pct AS BIGINT) AS pct, CAST(c.v AS BIGINT) AS val
+        |FROM c CROSS JOIN (SELECT unnest([10, 25, 50, 75, 90, 99]) AS pct) p
+        |WHERE cum >= (n * pct + 99) // 100
+        |  AND cum - cnt < (n * pct + 99) // 100""".stripMargin,
+    "heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |), tot AS (SELECT COUNT(*) AS n FROM tk)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM tk CROSS JOIN tot
+        |GROUP BY token, n
+        |HAVING COUNT(*) * 64 > n""".stripMargin,
+    "multi_match" ->
+      """WITH d AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 2 = 0 THEN ' click here to buy now now' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' limited offer click here' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' buy now now now' ELSE '' END AS t
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(t, 'click here')) - 1 AS BIGINT) AS n_click,
+        |    CAST(len(string_split(t, 'buy now now')) - 1 AS BIGINT) AS n_buy,
+        |    CAST(len(string_split(t, 'limited offer')) - 1 AS BIGINT) AS n_offer,
+        |    CAST(len(string_split(t, 'now now')) - 1 AS BIGINT) AS n_nownow
+        |  FROM d
+        |)
+        |SELECT doc_id, n_click, n_buy, n_offer, n_nownow,
+        |       n_click + n_buy + n_offer + n_nownow AS n_hits,
+        |       CAST(n_click > 0 AS BIGINT) + CAST(n_buy > 0 AS BIGINT)
+        |         + CAST(n_offer > 0 AS BIGINT) + CAST(n_nownow > 0 AS BIGINT) AS n_terms
+        |FROM m""".stripMargin)
+}

@@ -352,4 +352,85 @@ object LawsSpec extends Properties("graft.laws") {
         .as[Long].collect()
       got.length == toks.length && got.forall(f => f >= 0 && f < b)
     }
+
+  // --- Misra-Gries heavy hitters -----------------------------------------
+
+  private val genTokenStream: Gen[List[String]] = for {
+    vocab <- Gen.chooseNum(1, 8)
+    n <- Gen.chooseNum(1, 120)
+    toks <- Gen.listOfN(n, Gen.chooseNum(0, vocab).map(i => s"t$i"))
+  } yield toks
+
+  property("MG summary keeps every token above n/(k+1) across partition merges") =
+    forAll(genTokenStream, Gen.oneOf(2, 4, 8)) { (toks, k) =>
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val s = graft.operators.Frequent.mgSummary(
+        toks.toDF("token").repartition(4), "token", k)
+      s.n == toks.size &&
+        exact.forall { case (t, c) =>
+          c <= s.n / (k + 1) || s.counts.contains(t)
+        } &&
+        // MG never overcounts: kept counters are lower bounds
+        s.counts.forall { case (t, c) => c <= exact.getOrElse(t, 0L) }
+    }
+
+  property("heavyHitters is the exact cnt*k > n set with exact counts") =
+    forAll(genTokenStream, Gen.oneOf(2, 4, 8)) { (toks, k) =>
+      val n = toks.size.toLong
+      val expect = toks.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * k > n }.toMap
+      val got = graft.operators.Frequent.heavyHitters(
+        toks.toDF("token").repartition(4), "token", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      got == expect
+    }
+
+  // --- Aho-Corasick multi-pattern counts ---------------------------------
+
+  private val genAbText: Gen[String] =
+    Gen.listOf(Gen.oneOf('a', 'b', ' ')).map(_.mkString)
+  private val genTerms: Gen[List[String]] = Gen.resize(4,
+    Gen.nonEmptyListOf(Gen.chooseNum(1, 4).flatMap(l =>
+      Gen.listOfN(l, Gen.oneOf('a', 'b', ' ')).map(_.mkString))))
+
+  // the oracle contract: independent leftmost-greedy non-overlapping
+  // occurrences per term (len(string_split(text, term)) - 1)
+  private def naiveCount(text: String, term: String): Long = {
+    var i = 0; var c = 0L
+    while ({ i = text.indexOf(term, i); i >= 0 }) { c += 1; i += term.length }
+    c
+  }
+
+  property("multi_match_counts equals per-term greedy non-overlap counts") =
+    forAll(Gen.listOfN(8, genAbText), genTerms) { (texts, terms) =>
+      val got = texts.toDF("t")
+        .select(graft.functions.MatchExpressions
+          .multi_match_counts(col("t"), terms).as("c"))
+        .as[Seq[Long]].collect()
+      texts.zip(got).forall { case (t, cs) =>
+        cs == terms.map(naiveCount(t, _))
+      }
+    }
+
+  // --- Exact value-count percentiles -------------------------------------
+
+  private val genGrouped: Gen[List[(String, Long)]] = Gen.nonEmptyListOf(for {
+    g <- Gen.oneOf("g1", "g2", "g3")
+    v <- Gen.chooseNum(0L, 20L)
+  } yield (g, v)).map(_.take(60))
+
+  property("exactPercentiles matches the sorted-rank definition per group") =
+    forAll(genGrouped, Gen.someOf(Seq(1, 10, 50, 90, 100)).suchThat(_.nonEmpty)) {
+      (rows, pcts) =>
+        val got = graft.operators.Quantiles.exactPercentiles(
+          rows.toDF("g", "v").repartition(3), "g", col("v"), pcts.toSeq)
+          .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        rows.groupBy(_._1).forall { case (g, grp) =>
+          val sorted = grp.map(_._2).sorted
+          pcts.forall { p =>
+            val target = (sorted.size.toLong * p + 99) / 100
+            got((g, p.toLong)) == sorted((target - 1).toInt)
+          }
+        }
+    }
 }

@@ -500,4 +500,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
     assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
   }
+
+  test("quantile_stats windows over the value-count table, never raw rows") {
+    val p = plan("quantile_stats")
+    // printed top-down: the percentile fan-out (Generate) and the
+    // cumulative Window must sit ABOVE the value-count HashAggregate —
+    // per-group window input is #distinct-values rows, not #docs
+    assert(p.contains("Window"), s"no window:\n$p")
+    assert(p.indexOf("Window") < p.indexOf("HashAggregate"),
+      s"window runs below the value-count aggregate:\n$p")
+    assert(p.indexOf("Generate") < p.indexOf("HashAggregate"),
+      s"percentile fan-out below the aggregate (explodes raw rows):\n$p")
+    // two-phase value-count: partial rides the token scan
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+  }
+
+  test("heavy_hitters verify pass: candidate filter before one count shuffle") {
+    val p = plan("heavy_hitters")
+    // the exact pass shuffles only candidate occurrences: the IN filter
+    // sits below the partial aggregate, and the single Exchange carries
+    // <= k distinct keys
+    // >10 candidates optimize to the hash-set form, rendered INSET
+    assert(p.contains(" INSET "), s"no candidate filter:\n$p")
+    assert(p.indexOf("HashAggregate") < p.indexOf(" INSET "),
+      s"filter above the aggregate:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+  }
+
+  test("multi_match is map-only: one automaton pass, zero shuffles") {
+    val p = plan("multi_match")
+    assert(!p.contains("Exchange"), s"multi_match shuffles:\n$p")
+    assert(p.contains("multimatchcounts"), s"expression not in plan:\n$p")
+  }
 }
