@@ -378,11 +378,25 @@ object Dedup {
   def fuzzyDecontaminate(corpus: DataFrame, eval: DataFrame,
                          id: String, text: String, k: Int,
                          numPerm: Int, rowsPerBand: Int, threshold: Double,
-                         maxBucket: Int = 0): DataFrame = {
-    val ch = shingleHashTable(corpus, id, text, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val eh = shingleHashTable(eval, id, text, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                         maxBucket: Int = 0): DataFrame =
+    fuzzyDecontaminateFromHashes(
+      shingleHashTable(corpus, id, text, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      shingleHashTable(eval, id, text, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      id, numPerm, rowsPerBand, threshold, maxBucket)
+
+  /** The hash-level form of [[fuzzyDecontaminate]]: when the eval set
+    * IS a slice of the corpus (the common leakage audit), derive both
+    * sides by filtering ONE persisted shingle-hash table instead of
+    * shingling from two source scans — the [[evalOverlapFromHashes]]
+    * discipline. Callers own persistence of `ch`/`eh` (each feeds the
+    * signature build, the size count, and the verify join).
+    */
+  def fuzzyDecontaminateFromHashes(ch: DataFrame, eh: DataFrame,
+                                   id: String, numPerm: Int,
+                                   rowsPerBand: Int, threshold: Double,
+                                   maxBucket: Int = 0): DataFrame = {
     val cBands = bandTable(minhashSignaturesFromHashes(ch, id, numPerm), id,
       numPerm, rowsPerBand, maxBucket)
     val eBands = bandTable(minhashSignaturesFromHashes(eh, id, numPerm), id,

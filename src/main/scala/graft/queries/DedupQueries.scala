@@ -157,10 +157,14 @@ object DedupQueries extends QueryModule {
     // scale — % 97 splits zero pairs at sf0.01 and the check goes
     // vacuous.
     "decontaminate_fuzzy" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.fuzzyDecontaminate(
-        d.filter(col("doc_id") % 20 =!= 0), d.filter(col("doc_id") % 20 === 0),
-        "doc_id", "text", k = 3, numPerm = 16, rowsPerBand = 4,
+      // one shingle scan for both sides: corpus/eval are filters of the
+      // same persisted hash table (the evalOverlapFromHashes discipline)
+      val hs = Dedup.shingleHashTable(docs(s, dir), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.fuzzyDecontaminateFromHashes(
+        hs.filter(col("doc_id") % 20 =!= 0),
+        hs.filter(col("doc_id") % 20 === 0),
+        "doc_id", numPerm = 16, rowsPerBand = 4,
         threshold = 0.5, maxBucket = MaxBucket)
     }),
 
