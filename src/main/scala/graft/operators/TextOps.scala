@@ -178,6 +178,38 @@ object TextOps {
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
 
+  /** Collocation (multi-word-expression) mining by pointwise mutual
+    * information, division-free: a bigram is a collocation when its
+    * observed count beats `lift`× the independence expectation,
+    * c12/N >= lift · (c1/N)(c2/N)  ⇔  c12·N >= lift·c1·c2 — the
+    * cross-multiplied form stays in exact integer arithmetic (DECIMAL
+    * products, no float logs, no division), so any engine replays it
+    * bit-for-bit. The emitted (c12, c1, c2, n) give the consumer the
+    * exact lift ratio to rank by.
+    *
+    * Scale shape: everything derives from ONE bigram-count aggregation
+    * — head counts, tail counts and the total are re-aggregations of
+    * the (w1, w2, c12) table (vocab²-bounded), never second passes
+    * over the corpus; the enrich joins broadcast the vocab-sized count
+    * tables. `minCount` drops the hapax tail before the joins.
+    */
+  def collocations(df: org.apache.spark.sql.DataFrame, text: String,
+                   minCount: Long, lift: Long = 8L
+                  ): org.apache.spark.sql.DataFrame = {
+    val c12 = bigramCounts(df, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val heads = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val tails = c12.groupBy("w2").agg(sum(col("c12")).as("c2"))
+    val total = c12.agg(sum(col("c12")).as("n"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    c12.filter(col("c12") >= minCount)
+      .join(broadcast(heads), "w1")
+      .join(broadcast(tails), "w2")
+      .crossJoin(broadcast(total))
+      .filter(dec(col("c12")) * col("n") >= lit(lift) * dec(col("c1")) * col("c2"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"), col("n"))
+  }
+
   /** Per-document bigram-frequency statistics against the corpus bigram
     * table — the fluency/quality signal of an n-gram LM filter reduced
     * to exact integer aggregates (SQL-replayable; the float-log

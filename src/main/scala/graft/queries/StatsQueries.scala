@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Frequent, Quantiles}
+import graft.operators.{Dedup, Frequent, Quantiles, TextOps}
 
 /** Corpus-statistics workloads: exact distribution quantiles, exact
   * heavy hitters, dictionary phrase matching. These are the profiling
@@ -50,6 +50,21 @@ object StatsQueries extends QueryModule {
       Frequent.heavyHitters(
         docs(s, dir).select(explode(toks(col("text"))).as("token")),
         "token", k = 64)),
+
+    // Collocation mining: bigrams whose count beats 8x the independence
+    // expectation (cross-multiplied exact-integer PMI — no float logs).
+    // The fixture text is near-random (max observed lift ~1.6), so
+    // collocated phrases are injected deterministically; the operator
+    // must find exactly those and nothing else.
+    "collocations" -> ((s, dir) => {
+      val id = col("doc_id")
+      val damaged = concat(col("text"),
+        when(id % 3 === 0, lit(" neural network training")).otherwise(lit("")),
+        when(id % 4 === 0, lit(" machine learning rocks")).otherwise(lit("")))
+      TextOps.collocations(
+        docs(s, dir).select(id, damaged.as("text")), "text",
+        minCount = 5L, lift = 8L)
+    }),
 
     // Aho-Corasick dictionary matching: per-term non-overlapping phrase
     // counts in one text pass (the blocklist shape regex alternation
@@ -104,6 +119,26 @@ object StatsQueries extends QueryModule {
         |FROM tk CROSS JOIN tot
         |GROUP BY token, n
         |HAVING COUNT(*) * 64 > n""".stripMargin,
+    "collocations" ->
+      """WITH d AS (
+        |  SELECT text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' neural network training' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' machine learning rocks' ELSE '' END AS t
+        |  FROM documents
+        |), tk AS (
+        |  SELECT list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS toks FROM d
+        |), bg AS (
+        |  SELECT toks[i] AS w1, toks[i+1] AS w2
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+        |), c12 AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+        |), h AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |t2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM c12 GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM c12)
+        |SELECT w1, w2, c12, c1, c2, n.n AS n
+        |FROM c12 JOIN h USING (w1) JOIN t2 USING (w2) CROSS JOIN n
+        |WHERE c12 >= 5
+        |  AND CAST(c12 AS HUGEINT) * n.n >= 8 * CAST(c1 AS HUGEINT) * c2""".stripMargin,
     "multi_match" ->
       """WITH d AS (
         |  SELECT doc_id, text

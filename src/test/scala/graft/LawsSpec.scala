@@ -412,6 +412,35 @@ object LawsSpec extends Properties("graft.laws") {
       }
     }
 
+  // --- Collocations (cross-multiplied PMI) -------------------------------
+
+  private val genCorpus: Gen[List[String]] = Gen.nonEmptyListOf(
+    Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" "))))
+    .map(_.take(15))
+
+  property("collocations returns exactly the pairs beating lift x independence") =
+    forAll(genCorpus, Gen.oneOf(1L, 2L), Gen.oneOf(1L, 2L, 4L)) {
+      (texts, minCount, lift) =>
+        val bigs = texts.flatMap(t =>
+          t.split("\\s+").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+            .map(p => (p(0), p(1))).toList)
+        val c12 = bigs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val c1 = bigs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val c2 = bigs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val n = bigs.size.toLong
+        val expect = c12.collect {
+          case ((a, b), c) if c >= minCount &&
+            (BigInt(c) * n) >= (BigInt(lift) * c1(a) * c2(b)) =>
+            (a, b) -> (c, c1(a), c2(b), n)
+        }.toMap
+        val got = graft.operators.TextOps.collocations(
+          texts.toDF("text").repartition(3), "text", minCount, lift)
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+        got == expect
+    }
+
   // --- Exact value-count percentiles -------------------------------------
 
   private val genGrouped: Gen[List[(String, Long)]] = Gen.nonEmptyListOf(for {

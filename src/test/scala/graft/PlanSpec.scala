@@ -534,4 +534,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"multi_match shuffles:\n$p")
     assert(p.contains("multimatchcounts"), s"expression not in plan:\n$p")
   }
+
+  test("collocations derives all counts from one persisted bigram table") {
+    // heads/tails/total re-aggregate the (w1,w2,c12) cache and broadcast
+    // back onto it: the corpus bigram explode (Generate) happens in the
+    // ONE plan branch that builds the cache, never per count table
+    val df = SparkEntry.queries("collocations")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // all four consumers (filtered pairs, heads, tails, total) read the
+    // cache — the explode executes once inside the single materialization
+    // (each branch PRINTS the cached subtree, so count cache hits, not
+    // Generate occurrences)
+    val cacheHits = "InMemoryTableScan".r.findAllIn(p).size
+    assert(cacheHits >= 4, s"only $cacheHits branches read the bigram cache:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"count tables not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vocab-sized join shuffled:\n$p")
+  }
 }
