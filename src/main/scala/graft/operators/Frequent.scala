@@ -59,18 +59,7 @@ object Frequent {
 
     def reduce(b: MgBuf, a: String): MgBuf = {
       b.n += 1
-      b.counts.get(a) match {
-        case Some(c) => b.counts.update(a, c + 1)
-        case None if b.counts.size < k => b.counts.update(a, 1L)
-        case None =>
-          // decrement-all: the O(k) step amortizes to O(1) per item
-          // (each decrement pays back an earlier increment)
-          val dead = mutable.ArrayBuffer.empty[String]
-          b.counts.foreach { case (t, c) =>
-            if (c == 1L) dead += t else b.counts.update(t, c - 1)
-          }
-          dead.foreach(b.counts.remove)
-      }
+      mgAdd(b.counts, k, a)
       b
     }
 
@@ -97,6 +86,26 @@ object Frequent {
     // consumed driver-side only (bounded artifact): kryo round-trips it
     def outputEncoder: Encoder[MgSummary] = Encoders.kryo[MgSummary]
   }
+
+  /** One Misra-Gries update of a counter map bounded at k entries —
+    * the kernel shared by the batch Aggregator and the streaming
+    * running-heavy-hitters state
+    * ([[graft.streaming.StreamingOps.runningHeavyHitters]]).
+    */
+  private[graft] def mgAdd(counts: mutable.HashMap[String, Long], k: Int,
+                           a: String): Unit =
+    counts.get(a) match {
+      case Some(c) => counts.update(a, c + 1)
+      case None if counts.size < k => counts.update(a, 1L)
+      case None =>
+        // decrement-all: the O(k) step amortizes to O(1) per item
+        // (each decrement pays back an earlier increment)
+        val dead = mutable.ArrayBuffer.empty[String]
+        counts.foreach { case (t, c) =>
+          if (c == 1L) dead += t else counts.update(t, c - 1)
+        }
+        dead.foreach(counts.remove)
+    }
 
   /** The candidate pass as a bounded driver artifact: <= k counters + n.
     * Exposed for specs and for callers composing their own verify pass.

@@ -306,6 +306,51 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class STok(shard: String, token: String)
+  final case class HHSnapshot(shard: String, token: String, cnt: Long, n: Long)
+
+  /** Running Misra-Gries heavy-hitter CANDIDATES per shard — the
+    * streaming form of [[graft.operators.Frequent]]'s candidate pass.
+    * State per shard is k counters + the item tally, FOREVER (like the
+    * HLL state of [[runningDistinct]]: fixed-size summary, unbounded
+    * stream); each micro-batch that touches a shard re-emits the
+    * shard's refreshed snapshot (Update mode).
+    *
+    * Guarantee carried over from batch MG: a token hashes to exactly
+    * ONE shard, so its global count equals its shard count, and any
+    * token with count > n_shard/(k+1) >= is retained — the union of
+    * shard snapshots is a superset of every token above n/(k+1)
+    * globally (n_shard <= n). Kept counts are lower bounds; a batch
+    * verify pass over the candidates ([[graft.operators.Frequent
+    * .heavyHitters]] step 2) exactifies them on demand.
+    */
+  class RunningHeavyHittersProcessor(k: Int)
+      extends StatefulProcessor[String, STok, HHSnapshot] {
+    @transient private var st: ValueState[(Long, Map[String, Long])] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Map[String, Long])]("mg",
+        Encoders.product[(Long, Map[String, Long])], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[STok],
+                                 tv: TimerValues): Iterator[HHSnapshot] = {
+      val (n0, m0) = if (st.exists()) st.get() else (0L, Map.empty[String, Long])
+      val m = scala.collection.mutable.HashMap.from(m0)
+      var n = n0
+      rows.foreach { r => n += 1; graft.operators.Frequent.mgAdd(m, k, r.token) }
+      st.update((n, m.toMap))
+      m.toSeq.map { case (t, c) => HHSnapshot(key, t, c, n) }.iterator
+    }
+  }
+
+  /** Streaming sharded heavy-hitter candidates (RocksDB state store,
+    * like [[runningAgg]]).
+    */
+  def runningHeavyHitters(toks: Dataset[STok], k: Int): Dataset[HHSnapshot] = {
+    import toks.sparkSession.implicits._
+    toks.groupByKey(_.shard)
+      .transformWithState(new RunningHeavyHittersProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class EvW(user_id: Long, us: Long, ts: java.sql.Timestamp)
 
   /** [[sessionize]] plus EventTimeTimeout: when the stream's watermark

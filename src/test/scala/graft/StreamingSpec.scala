@@ -231,6 +231,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming heavy-hitter candidates cover the exact heavy set across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDBStateStore {
+      val mem = MemoryStream[StreamingOps.STok]
+      val k = 3
+      val q = StreamingOps.runningHeavyHitters(mem.toDS(), k)
+        .writeStream.format("memory").queryName("running_hh")
+        .outputMode("update").start()
+      def shardOf(t: String) = "s" + (math.abs(t.hashCode) % 2)
+      def toks(ts: String*) = ts.map(t => StreamingOps.STok(shardOf(t), t))
+      val b1 = Seq("x", "x", "y", "z", "x", "w", "x")
+      val b2 = Seq("x", "y", "y", "y", "q", "x", "y")
+      try {
+        mem.addData(toks(b1: _*): _*)
+        q.processAllAvailable()
+        mem.addData(toks(b2: _*): _*)
+        q.processAllAvailable()
+        val rows = spark.table("running_hh")
+          .as[StreamingOps.HHSnapshot].collect()
+        // final snapshot per shard = the rows carrying its latest tally
+        val lastN = rows.groupBy(_.shard).view.mapValues(_.map(_.n).max).toMap
+        val last = rows.filter(r => r.n == lastN(r.shard))
+        val all = b1 ++ b2
+        val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        // completeness: every token above its shard's n/(k+1) survives
+        // in the shard's final MG state (state carried across batches)
+        all.groupBy(shardOf).foreach { case (shard, sToks) =>
+          val n = sToks.size.toLong
+          assert(lastN(shard) == n, s"$shard tally $n vs ${lastN(shard)}")
+          sToks.distinct.foreach { t =>
+            if (sToks.count(_ == t).toLong > n / (k + 1))
+              assert(last.exists(r => r.shard == shard && r.token == t),
+                s"heavy token $t missing from $shard's final snapshot")
+          }
+        }
+        // MG counters never overcount: kept counts are lower bounds
+        last.foreach(r => assert(r.cnt <= exact(r.token),
+          s"${r.token} overcounted: ${r.cnt} > ${exact(r.token)}"))
+      } finally q.stop()
+    }
+  }
+
   test("streaming distinct equals the batch HLL estimate past sparse mode") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
