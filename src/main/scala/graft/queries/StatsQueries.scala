@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Frequent, Quantiles, TextOps}
+import graft.operators.{Dedup, Frequent, Quantiles, Snapshots, TextOps}
 
 /** Corpus-statistics workloads: exact distribution quantiles, exact
   * heavy hitters, dictionary phrase matching. These are the profiling
@@ -50,6 +50,21 @@ object StatsQueries extends QueryModule {
       Frequent.heavyHitters(
         docs(s, dir).select(explode(toks(col("text"))).as("token")),
         "token", k = 64)),
+
+    // Crawl-over-crawl snapshot diff: per-doc added/removed/changed/
+    // unchanged status. Old and new snapshots are deterministic slices
+    // of the fixture (id%7 missing from old, id%13 missing from new,
+    // id%5 content-bumped in old), so every status class is populated
+    // at every scale and the oracle replays the construction.
+    "snapshot_diff" -> ((s, dir) => {
+      val id = col("doc_id")
+      val d = docs(s, dir)
+      val oldSnap = d.filter(id % 7 =!= 0)
+        .select(id, when(id % 5 === 0, concat(col("text"), lit(" v1")))
+          .otherwise(col("text")).as("text"))
+      val newSnap = d.filter(id % 13 =!= 0)
+      Snapshots.diff(oldSnap, newSnap, "doc_id", "text")
+    }),
 
     // Collocation mining: bigrams whose count beats 8x the independence
     // expectation (cross-multiplied exact-integer PMI — no float logs).
@@ -119,6 +134,20 @@ object StatsQueries extends QueryModule {
         |FROM tk CROSS JOIN tot
         |GROUP BY token, n
         |HAVING COUNT(*) * 64 > n""".stripMargin,
+    "snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |         md5(text || CASE WHEN doc_id % 5 = 0 THEN ' v1' ELSE '' END) AS h_old
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |), n AS (
+        |  SELECT doc_id, md5(text) AS h_new FROM documents WHERE doc_id % 13 <> 0
+        |)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN h_old <> h_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     "collocations" ->
       """WITH d AS (
         |  SELECT text

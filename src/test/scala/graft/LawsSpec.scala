@@ -412,6 +412,30 @@ object LawsSpec extends Properties("graft.laws") {
       }
     }
 
+  // --- Snapshot diff -----------------------------------------------------
+
+  private val genSnap: Gen[Map[Long, String]] = Gen.mapOf(for {
+    id <- Gen.chooseNum(0L, 15L)
+    t <- Gen.oneOf("alpha", "beta", "gamma", "delta")
+  } yield id -> t)
+
+  property("snapshot diff labels every id by the full-outer contract") =
+    forAll(genSnap, genSnap) { (o, n) =>
+      val got = graft.operators.Snapshots.diff(
+        o.toSeq.toDF("id", "text"), n.toSeq.toDF("id", "text"), "id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val ids = o.keySet ++ n.keySet
+      got.keySet == ids && ids.forall { i =>
+        val e = (o.get(i), n.get(i)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(a), Some(b)) if a != b => "changed"
+          case _ => "unchanged"
+        }
+        got(i) == e
+      }
+    }
+
   // --- Collocations (cross-multiplied PMI) -------------------------------
 
   private val genCorpus: Gen[List[String]] = Gen.nonEmptyListOf(
