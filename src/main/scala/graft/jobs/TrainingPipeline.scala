@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Html, Redact, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Html, Redact, Sampling, Similarity, Snapshots, TextOps}
 
 /** The end-to-end training-data preparation pipeline, assembled from the
   * library's verified stages — the workload this engine exists for, and
@@ -68,6 +68,14 @@ object TrainingPipeline {
     * over the near-dup survivors at cosine >= `semanticThreshold`;
     * None skips the stage. Docs without an embedding row are kept.
     *
+    * `previousSnapshot`: the PREVIOUS crawl's raw corpus frame —
+    * (doc_id, text)-shaped, same raw form as `input`. When present,
+    * stage 0a keeps only documents whose content is `added` or
+    * `changed` relative to it ([[Snapshots.diff]] — a hash-narrow
+    * full-outer join, ahead of every transform), so a recurring
+    * pipeline pays for its delta, not the whole crawl. `Report.input`
+    * counts the post-delta rows. None processes the full corpus.
+    *
     * `normalize` canonicalizes text FIRST (NFC + lower + whitespace
     * collapse): byte-unequal spellings of identical text must converge
     * before any digest-based dedup sees them. `scrubPii` redacts
@@ -77,6 +85,7 @@ object TrainingPipeline {
     */
   def run(spark: SparkSession, dir: String,
           input: Option[DataFrame] = None,
+          previousSnapshot: Option[DataFrame] = None,
           ingestHtml: Boolean = false,
           c4MinWords: Option[Int] = None,
           lang: String = "en", minTokens: Int = 10,
@@ -99,7 +108,15 @@ object TrainingPipeline {
     // 0. optional crawl ingestion: HTML -> line-structured prose, then
     // the C4 line gate — both pure projections riding the first scan
     val raw = {
-      val r0 = input.getOrElse(Tables(spark, dir, "documents"))
+      val rAll = input.getOrElse(Tables(spark, dir, "documents"))
+      // 0a. optional delta gate: only docs added/changed vs the previous
+      // crawl proceed (runs on RAW text — both snapshots pre-transform)
+      val r0 = previousSnapshot.map { prev =>
+        val keep = Snapshots.diff(prev, rAll, "doc_id", "text")
+          .filter(col("status").isin("added", "changed"))
+          .select(col("doc_id"))
+        rAll.join(keep, Seq("doc_id"), "left_semi")
+      }.getOrElse(rAll)
       val r1 = if (ingestHtml)
         r0.withColumn("text", Html.extractLines(col("text"))) else r0
       c4MinWords.map(m =>

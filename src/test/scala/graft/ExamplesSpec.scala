@@ -413,6 +413,28 @@ class ExamplesSpec extends AnyFunSuite {
     assert(rHtml.packs > 0, s"ingest pipeline emptied out: $rHtml")
   }
 
+  test("TrainingPipeline delta gate processes exactly the added+changed docs") {
+    import graft.jobs.TrainingPipeline
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.Tables(spark, dir, "documents")
+    // previous crawl: ids %5==0 absent (-> added now), %3==0 had other
+    // content (-> changed now); everything else byte-identical
+    val prev = d.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" old-rev"))).otherwise(col("text")))
+    val (_, r) = TrainingPipeline.run(spark, dir,
+      previousSnapshot = Some(prev), lang = "en", minTokens = 5)
+    val expected = d.filter(col("doc_id") % 5 === 0 ||
+      (col("doc_id") % 3 === 0)).count()
+    assert(r.input == expected, s"delta gate kept ${r.input}, want $expected")
+    // an identical previous snapshot drains the pipeline to zero —
+    // every stage must tolerate the empty frame
+    val (_, rSame) = TrainingPipeline.run(spark, dir,
+      previousSnapshot = Some(d), lang = "en", minTokens = 5)
+    assert(rSame.input == 0 && rSame.packs == 0,
+      s"identical snapshot should process nothing: $rSame")
+  }
+
   test("TrainingPipeline composes the verified stages end-to-end") {
     import graft.jobs.TrainingPipeline
     // stand-in eval corpus: a fixed slice of the documents table
