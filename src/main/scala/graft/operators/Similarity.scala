@@ -218,14 +218,41 @@ object Similarity {
   def ivfTopK(base: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nCells: Int = 0, nProbe: Int = 0, rep: Int = 3,
               iters: Int = 3): DataFrame = {
-    val cellCount = if (nCells > 0) nCells else autoCells(estimateRows(base))
-    val probeCount = if (nProbe > 0) nProbe else math.max(2, cellCount / 4)
-    val cb = trainCodebook(base, idCol, vecCol, cellCount, iters)
+    val (cb, assigned) = buildIvfIndex(base, idCol, vecCol, nCells, rep, iters)
+    probeIvf(cb, assigned, queries, idCol, vecCol, k, nProbe)
+  }
 
+  /** The IVF index as a PERSISTENT artifact: the trained codebook (a
+    * bounded driver-side list — cells × dim doubles) plus the
+    * replicated cell-assignment table, (cell, n_id, nv)-shaped. The
+    * incremental-ANN discipline of [[Dedup.buildIndex]]: a serving
+    * pipeline trains/assigns ONCE over the base corpus, persists the
+    * assignment table (parquet partitioned by cell at scale), and runs
+    * every subsequent query batch through [[probeIvf]] — which touches
+    * the index only via one equi-join, never re-clustering or
+    * re-scanning the base vectors.
+    */
+  def buildIvfIndex(base: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int = 0, rep: Int = 3, iters: Int = 3
+                   ): (Seq[(Long, Array[Double])], DataFrame) = {
+    val cellCount = if (nCells > 0) nCells else autoCells(estimateRows(base))
+    val cb = trainCodebook(base, idCol, vecCol, cellCount, iters)
     val assigned = assignCells(
       base.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("nv")),
       "n_id", "nv", cb, rep)
+    (cb, assigned)
+  }
 
+  /** Probe a prebuilt IVF index ([[buildIvfIndex]]): rank the codebook
+    * row-locally per query, broadcast the (query, cell) probe list onto
+    * the assignment table, verify by exact cosine, keep top-k. Same
+    * result as [[ivfTopK]] with the index's parameters (training and
+    * assignment are deterministic).
+    */
+  def probeIvf(cb: Seq[(Long, Array[Double])], assigned: DataFrame,
+               queries: DataFrame, idCol: String, vecCol: String,
+               k: Int, nProbe: Int = 0): DataFrame = {
+    val probeCount = if (nProbe > 0) nProbe else math.max(2, cb.size / 4)
     val q = queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("qv"))
     val cellScores = array(cb.map { case (id, av) =>
       struct(dot(col("qv"), typedLit(av.toSeq)).as("s"), lit(id).as("cell"))

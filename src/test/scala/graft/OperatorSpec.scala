@@ -793,6 +793,26 @@ class OperatorSpec extends AnyFunSuite {
       s"missed ${bf.diff(ivf)}")
   }
 
+  test("Similarity: a persisted IVF index probes to the one-shot ivfTopK result") {
+    // index/probe split (the serving shape): train+assign once, then a
+    // query batch touches the index via one equi-join only — results
+    // must be identical to the fused call with the same parameters
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val fused = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 16, 4, rep = 4)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val (cb, assigned) = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      nCells = 16, rep = 4)
+    val idx = assigned.persist()
+    try {
+      val probed = Similarity.probeIvf(cb, idx, q, "vec_id", "embedding", 5,
+        nProbe = 4)
+        .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+      assert(probed == fused,
+        s"probe diverged from fused: ${probed.diff(fused)} / ${fused.diff(probed)}")
+    } finally idx.unpersist(false)
+  }
+
   test("Similarity.cosinePairsBlocked finds near-dup pairs without the all-pairs join") {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     // the fixture has no planted vector dups: use the sim of the 40th
