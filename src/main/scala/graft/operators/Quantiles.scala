@@ -42,6 +42,21 @@ object Quantiles {
     * that bounded table. The percentile fan-out (`explode`) happens
     * AFTER the aggregation, on #distinct-values rows.
     */
+  /** The rank rule shared by the distributed lane and the streaming
+    * value-count state ([[graft.streaming.StreamingOps
+    * .runningPercentiles]]): smallest value whose cumulative count
+    * reaches ceil(n·pct/100), over (value -> count) pairs.
+    */
+  private[graft] def localPercentile(counts: Iterable[(Long, Long)],
+                                     pct: Int): Long = {
+    val sorted = counts.toSeq.sortBy(_._1)
+    val n = sorted.iterator.map(_._2).sum
+    val target = (n * pct + 99) / 100
+    var cum = 0L
+    sorted.find { case (_, c) => cum += c; cum >= target }
+      .getOrElse(throw new IllegalArgumentException("empty distribution"))._1
+  }
+
   def exactPercentiles(df: DataFrame, groupCol: String, value: Column,
                        pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),

@@ -351,6 +351,49 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class PctSnapshot(k: String, pct: Long, v: Long, n: Long)
+
+  /** Running EXACT percentiles per key over an integral metric — the
+    * streaming form of [[graft.operators.Quantiles.exactPercentiles]]
+    * (same rank rule, same bounded-cardinality contract: state per key
+    * is the value->count map, so metrics must be discrete/quantized —
+    * doc token counts, line counts, byte sizes). Each micro-batch that
+    * touches a key re-emits the key's refreshed percentile snapshot;
+    * after any prefix of the stream the snapshot equals the batch
+    * operator run on the same rows (spec'd).
+    */
+  class RunningPercentilesProcessor(pcts: Seq[Int])
+      extends StatefulProcessor[String, KV, PctSnapshot] {
+    // value-count pairs (top-level MapType is not a supported state
+    // encoding; an array of (v, cnt) structs is)
+    @transient private var st: ValueState[Seq[(Long, Long)]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Seq[(Long, Long)]]("vc",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]](),
+        TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[KV],
+                                 tv: TimerValues): Iterator[PctSnapshot] = {
+      val m = scala.collection.mutable.HashMap.empty[Long, Long]
+      if (st.exists()) st.get().foreach { case (v, c) => m.update(v, c) }
+      rows.foreach(r => m.update(r.v, m.getOrElse(r.v, 0L) + 1L))
+      st.update(m.toSeq)
+      val n = m.valuesIterator.sum
+      pcts.map(p => PctSnapshot(key, p.toLong,
+        graft.operators.Quantiles.localPercentile(m, p), n)).iterator
+    }
+  }
+
+  /** Streaming per-key exact percentiles (RocksDB state store, like
+    * [[runningAgg]]).
+    */
+  def runningPercentiles(events: Dataset[KV],
+                         pcts: Seq[Int]): Dataset[PctSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.k)
+      .transformWithState(new RunningPercentilesProcessor(pcts),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class EvW(user_id: Long, us: Long, ts: java.sql.Timestamp)
 
   /** [[sessionize]] plus EventTimeTimeout: when the stream's watermark

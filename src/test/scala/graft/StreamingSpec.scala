@@ -274,6 +274,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming percentiles equal the batch operator after every prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDBStateStore {
+      val mem = MemoryStream[StreamingOps.KV]
+      val pcts = Seq(10, 50, 90)
+      val q = StreamingOps.runningPercentiles(mem.toDS(), pcts)
+        .writeStream.format("memory").queryName("running_pct")
+        .outputMode("update").start()
+      val b1 = Seq(("a", 3L), ("a", 7L), ("a", 7L), ("b", 1L))
+      val b2 = Seq(("a", 100L), ("b", 2L), ("b", 2L), ("a", 3L))
+      try {
+        mem.addData(b1.map(StreamingOps.KV.tupled): _*)
+        q.processAllAvailable()
+        mem.addData(b2.map(StreamingOps.KV.tupled): _*)
+        q.processAllAvailable()
+        val rows = spark.table("running_pct")
+          .as[StreamingOps.PctSnapshot].collect()
+        val lastN = rows.groupBy(_.k).view.mapValues(_.map(_.n).max).toMap
+        val streamed = rows.filter(r => r.n == lastN(r.k))
+          .map(r => (r.k, r.pct) -> r.v).toMap
+        val batch = graft.operators.Quantiles.exactPercentiles(
+          (b1 ++ b2).toDF("g", "v"), "g", col("v"), pcts)
+          .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(streamed == batch, s"stream $streamed vs batch $batch")
+      } finally q.stop()
+    }
+  }
+
   test("streaming distinct equals the batch HLL estimate past sparse mode") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
