@@ -131,4 +131,71 @@ object Frequent {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * k > lit(s.n))
   }
+
+  /** GROUPED Misra-Gries: one bounded summary PER KEY (per-domain
+    * boilerplate tokens, per-language stop candidates). Same buffer and
+    * guarantees as [[MisraGries]], finishing to a decodable struct so
+    * the summaries stay a distributed column — no driver artifact, any
+    * number of groups.
+    */
+  final case class MisraGriesRows(k: Int)
+      extends Aggregator[String, MgBuf, Seq[(String, Long)]] {
+    def zero: MgBuf = new MgBuf
+    def reduce(b: MgBuf, a: String): MgBuf = {
+      b.n += 1
+      mgAdd(b.counts, k, a)
+      b
+    }
+    def merge(a: MgBuf, b: MgBuf): MgBuf = {
+      a.n += b.n
+      b.counts.foreach { case (t, c) =>
+        a.counts.update(t, a.counts.getOrElse(t, 0L) + c)
+      }
+      if (a.counts.size > k) {
+        val thresh = a.counts.values.toArray.sortInPlace()(
+          Ordering[Long].reverse).apply(k)
+        val dead = mutable.ArrayBuffer.empty[String]
+        a.counts.foreach { case (t, c) =>
+          if (c <= thresh) dead += t else a.counts.update(t, c - thresh)
+        }
+        dead.foreach(a.counts.remove)
+      }
+      // stable output order (merge order is partition-dependent)
+      a
+    }
+    def finish(r: MgBuf): Seq[(String, Long)] =
+      (("", r.n) +: r.counts.toSeq.sortBy(_._1))  // slot 0 carries n
+    def bufferEncoder: Encoder[MgBuf] = Encoders.kryo[MgBuf]
+    def outputEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+  }
+
+  /** Exact per-group heavy hitters: for each group, every token with
+    * within-group count > n_g/k and its exact count. Two bounded
+    * passes, both fully distributed: a grouped MG candidate aggregation
+    * (state O(k) per group), then the exact verify count of the
+    * exploded (group, candidate) pairs semi-joined back onto the token
+    * stream.
+    */
+  def heavyHittersPerGroup(tokens: DataFrame, groupCol: String,
+                           tokCol: String, k: Int): DataFrame = {
+    require(k >= 1, "need at least one counter")
+    val spark = tokens.sparkSession
+    val mg = org.apache.spark.sql.functions.udaf(MisraGriesRows(k))
+    val summaries = tokens.groupBy(col(groupCol))
+      .agg(mg(col(tokCol)).as("s"))
+    // slot 0 of the summary carries the group tally; the rest are
+    // candidate (token, lower-bound) counters
+    val nPerGroup = summaries.select(col(groupCol),
+      col("s").getItem(0).getField("_2").as("n"))
+    val cands = summaries.select(col(groupCol),
+        explode(slice(col("s"), 2, k)).as("c"))
+      .select(col(groupCol), col("c._1").as(tokCol))
+    tokens.join(cands, Seq(groupCol, tokCol), "left_semi")
+      .groupBy(col(groupCol), col(tokCol))
+      .agg(count(lit(1)).as("cnt"))
+      .join(nPerGroup, Seq(groupCol))
+      .filter(col("cnt") * k > col("n"))
+      .select(col(groupCol), col(tokCol), col("cnt"))
+  }
 }

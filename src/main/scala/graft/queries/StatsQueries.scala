@@ -66,6 +66,15 @@ object StatsQueries extends QueryModule {
       Snapshots.diff(oldSnap, newSnap, "doc_id", "text")
     }),
 
+    // Per-group exact heavy hitters: each source's dominant tokens (the
+    // per-domain boilerplate profile). Grouped MG candidates (bounded
+    // state per group, no driver artifact) + exact verify counts.
+    "heavy_hitters_by_source" -> ((s, dir) =>
+      Frequent.heavyHittersPerGroup(
+        docs(s, dir).select(col("source"),
+          explode(toks(col("text"))).as("token")),
+        "source", "token", k = 32)),
+
     // Collocation mining: bigrams whose count beats 8x the independence
     // expectation (cross-multiplied exact-integer PMI — no float logs).
     // The fixture text is near-random (max observed lift ~1.6), so
@@ -134,6 +143,16 @@ object StatsQueries extends QueryModule {
         |FROM tk CROSS JOIN tot
         |GROUP BY token, n
         |HAVING COUNT(*) * 64 > n""".stripMargin,
+    "heavy_hitters_by_source" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |), tot AS (SELECT source, COUNT(*) AS n FROM tk GROUP BY source)
+        |SELECT tk.source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM tk JOIN tot USING (source)
+        |GROUP BY tk.source, token, n
+        |HAVING COUNT(*) * 32 > n""".stripMargin,
     "snapshot_diff" ->
       """WITH o AS (
         |  SELECT doc_id,

@@ -385,6 +385,20 @@ object LawsSpec extends Properties("graft.laws") {
       got == expect
     }
 
+  property("heavyHittersPerGroup is the exact per-group cnt*k > n set") =
+    forAll(genTokenStream, genTokenStream, Gen.oneOf(2, 4, 8)) { (ta, tb, k) =>
+      val rows = ta.map(("ga", _)) ++ tb.map(("gb", _))
+      val expect = rows.groupBy(_._1).flatMap { case (g, grp) =>
+        val n = grp.size.toLong
+        grp.map(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+          .collect { case (t, c) if c * k > n => (g, t) -> c }
+      }.toMap
+      val got = graft.operators.Frequent.heavyHittersPerGroup(
+        rows.toDF("g", "token").repartition(4), "g", "token", k)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      got == expect
+    }
+
   // --- Aho-Corasick multi-pattern counts ---------------------------------
 
   private val genAbText: Gen[String] =
