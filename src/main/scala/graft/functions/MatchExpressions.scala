@@ -108,7 +108,18 @@ case class MultiMatchCounts(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType, right.foldable) match {
       case (StringType, ArrayType(StringType, _), true) =>
-        TypeCheckResult.TypeCheckSuccess
+        // the dictionary is foldable: validate it at ANALYSIS time so a
+        // null/empty term is one clear planning error, not a per-task
+        // NPE retry loop on every executor
+        val arr = right.eval().asInstanceOf[ArrayData]
+        if (arr == null || arr.numElements() == 0)
+          TypeCheckResult.TypeCheckFailure(
+            "multi_match_counts needs a non-empty terms dictionary")
+        else if ((0 until arr.numElements()).exists(i => arr.isNullAt(i) ||
+            arr.getUTF8String(i).numChars() == 0))
+          TypeCheckResult.TypeCheckFailure(
+            "multi_match_counts terms must be non-null and non-empty")
+        else TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"multi_match_counts needs (string, foldable array<string> terms), got $other")
     }

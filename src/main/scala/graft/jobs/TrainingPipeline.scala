@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Html, Redact, Sampling, Similarity, Snapshots, TextOps}
+import graft.operators.{Dedup, Html, Redact, Sampling, Similarity, TextOps}
 
 /** The end-to-end training-data preparation pipeline, assembled from the
   * library's verified stages — the workload this engine exists for, and
@@ -71,10 +71,12 @@ object TrainingPipeline {
     * `previousSnapshot`: the PREVIOUS crawl's raw corpus frame —
     * (doc_id, text)-shaped, same raw form as `input`. When present,
     * stage 0a keeps only documents whose content is `added` or
-    * `changed` relative to it ([[Snapshots.diff]] — a hash-narrow
-    * full-outer join, ahead of every transform), so a recurring
-    * pipeline pays for its delta, not the whole crawl. `Report.input`
-    * counts the post-delta rows. None processes the full corpus.
+    * `changed` relative to it — one hash-narrow anti-join on
+    * (id, content hash) ahead of every transform (the join form of
+    * [[graft.operators.Snapshots.diff]]'s added+changed slice), so a
+    * recurring pipeline pays for its delta, not the whole crawl.
+    * `Report.input` counts the post-delta rows. None processes the
+    * full corpus.
     *
     * `normalize` canonicalizes text FIRST (NFC + lower + whitespace
     * collapse): byte-unequal spellings of identical text must converge
@@ -111,11 +113,17 @@ object TrainingPipeline {
       val rAll = input.getOrElse(Tables(spark, dir, "documents"))
       // 0a. optional delta gate: only docs added/changed vs the previous
       // crawl proceed (runs on RAW text — both snapshots pre-transform)
+      // one anti-join on (id, content-hash) keeps exactly the
+      // added+changed docs — a single pass over the new crawl (the
+      // full-outer diff + semi-join-back shape scans it twice);
+      // null-safe <=> so a present-but-null-text doc compares as a
+      // content state
       val r0 = previousSnapshot.map { prev =>
-        val keep = Snapshots.diff(prev, rAll, "doc_id", "text")
-          .filter(col("status").isin("added", "changed"))
-          .select(col("doc_id"))
-        rAll.join(keep, Seq("doc_id"), "left_semi")
+        val prevH = prev.select(col("doc_id").as("p_id"),
+          md5(col("text")).as("p_h"))
+        rAll.join(prevH,
+          col("doc_id") === col("p_id") && md5(col("text")) <=> col("p_h"),
+          "left_anti")
       }.getOrElse(rAll)
       val r1 = if (ingestHtml)
         r0.withColumn("text", Html.extractLines(col("text"))) else r0

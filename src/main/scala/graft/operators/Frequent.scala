@@ -63,23 +63,7 @@ object Frequent {
       b
     }
 
-    def merge(a: MgBuf, b: MgBuf): MgBuf = {
-      a.n += b.n
-      b.counts.foreach { case (t, c) =>
-        a.counts.update(t, a.counts.getOrElse(t, 0L) + c)
-      }
-      if (a.counts.size > k) {
-        // subtract the (k+1)-th largest count from all, drop <= 0
-        val thresh = a.counts.values.toArray.sortInPlace()(
-          Ordering[Long].reverse).apply(k)
-        val dead = mutable.ArrayBuffer.empty[String]
-        a.counts.foreach { case (t, c) =>
-          if (c <= thresh) dead += t else a.counts.update(t, c - thresh)
-        }
-        dead.foreach(a.counts.remove)
-      }
-      a
-    }
+    def merge(a: MgBuf, b: MgBuf): MgBuf = mgMerge(a, b, k)
 
     def finish(r: MgBuf): MgSummary = MgSummary(r.counts.toMap, r.n)
     def bufferEncoder: Encoder[MgBuf] = Encoders.kryo[MgBuf]
@@ -106,6 +90,28 @@ object Frequent {
         }
         dead.foreach(counts.remove)
     }
+
+  /** Misra-Gries summary merge (Agarwal et al.'s mergeable form): sum
+    * counterpart counters, then re-bound by subtracting the (k+1)-th
+    * largest count and dropping <= 0 — keeps the n/(k+1) undercount
+    * bound. Shared by the global and grouped aggregators.
+    */
+  private def mgMerge(a: MgBuf, b: MgBuf, k: Int): MgBuf = {
+    a.n += b.n
+    b.counts.foreach { case (t, c) =>
+      a.counts.update(t, a.counts.getOrElse(t, 0L) + c)
+    }
+    if (a.counts.size > k) {
+      val thresh = a.counts.values.toArray.sortInPlace()(
+        Ordering[Long].reverse).apply(k)
+      val dead = mutable.ArrayBuffer.empty[String]
+      a.counts.foreach { case (t, c) =>
+        if (c <= thresh) dead += t else a.counts.update(t, c - thresh)
+      }
+      dead.foreach(a.counts.remove)
+    }
+    a
+  }
 
   /** The candidate pass as a bounded driver artifact: <= k counters + n.
     * Exposed for specs and for callers composing their own verify pass.
@@ -146,25 +152,11 @@ object Frequent {
       mgAdd(b.counts, k, a)
       b
     }
-    def merge(a: MgBuf, b: MgBuf): MgBuf = {
-      a.n += b.n
-      b.counts.foreach { case (t, c) =>
-        a.counts.update(t, a.counts.getOrElse(t, 0L) + c)
-      }
-      if (a.counts.size > k) {
-        val thresh = a.counts.values.toArray.sortInPlace()(
-          Ordering[Long].reverse).apply(k)
-        val dead = mutable.ArrayBuffer.empty[String]
-        a.counts.foreach { case (t, c) =>
-          if (c <= thresh) dead += t else a.counts.update(t, c - thresh)
-        }
-        dead.foreach(a.counts.remove)
-      }
-      // stable output order (merge order is partition-dependent)
-      a
-    }
+    def merge(a: MgBuf, b: MgBuf): MgBuf = mgMerge(a, b, k)
+    // sorted for a stable output order (merge order is
+    // partition-dependent); slot 0 carries the group tally
     def finish(r: MgBuf): Seq[(String, Long)] =
-      (("", r.n) +: r.counts.toSeq.sortBy(_._1))  // slot 0 carries n
+      (("", r.n) +: r.counts.toSeq.sortBy(_._1))
     def bufferEncoder: Encoder[MgBuf] = Encoders.kryo[MgBuf]
     def outputEncoder: Encoder[Seq[(String, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
@@ -180,10 +172,12 @@ object Frequent {
   def heavyHittersPerGroup(tokens: DataFrame, groupCol: String,
                            tokCol: String, k: Int): DataFrame = {
     require(k >= 1, "need at least one counter")
-    val spark = tokens.sparkSession
     val mg = org.apache.spark.sql.functions.udaf(MisraGriesRows(k))
+    // bounded at #groups x (k+1) rows, but derived twice below (tallies
+    // + candidates): persist so the token-stream aggregation runs once
     val summaries = tokens.groupBy(col(groupCol))
       .agg(mg(col(tokCol)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // slot 0 of the summary carries the group tally; the rest are
     // candidate (token, lower-bound) counters
     val nPerGroup = summaries.select(col(groupCol),

@@ -218,8 +218,13 @@ object Similarity {
   def ivfTopK(base: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nCells: Int = 0, nProbe: Int = 0, rep: Int = 3,
               iters: Int = 3): DataFrame = {
-    val (cb, assigned) = buildIvfIndex(base, idCol, vecCol, nCells, rep, iters)
-    probeIvf(cb, assigned, queries, idCol, vecCol, k, nProbe)
+    // default nProbe derives from the REQUESTED cell count (pre-split
+    // behavior), not cb.size — the codebook can train smaller than
+    // requested on tiny bases
+    val cellCount = if (nCells > 0) nCells else autoCells(estimateRows(base))
+    val (cb, assigned) = buildIvfIndex(base, idCol, vecCol, cellCount, rep, iters)
+    probeIvf(cb, assigned, queries, idCol, vecCol, k,
+      if (nProbe > 0) nProbe else math.max(2, cellCount / 4))
   }
 
   /** The IVF index as a PERSISTENT artifact: the trained codebook (a

@@ -24,13 +24,18 @@ object Snapshots {
     */
   def diff(oldDf: DataFrame, newDf: DataFrame, id: String,
            text: String): DataFrame = {
-    val o = oldDf.select(col(id), md5(col(text)).as("h_old"))
-    val n = newDf.select(col(id), md5(col(text)).as("h_new"))
+    // presence flags, not hash nullity, decide added/removed: a doc
+    // PRESENT with null text (failed fetch) must compare as a content
+    // state, never masquerade as absent
+    val o = oldDf.select(col(id), md5(col(text)).as("h_old"),
+      lit(1).as("in_old"))
+    val n = newDf.select(col(id), md5(col(text)).as("h_new"),
+      lit(1).as("in_new"))
     o.join(n, Seq(id), "full_outer")
       .select(col(id),
-        when(col("h_old").isNull, "added")
-          .when(col("h_new").isNull, "removed")
-          .when(col("h_old") =!= col("h_new"), "changed")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(!(col("h_old") <=> col("h_new")), "changed")
           .otherwise("unchanged").as("status"))
   }
 

@@ -164,7 +164,7 @@ object StatsQueries extends QueryModule {
         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
         |       WHEN n.doc_id IS NULL THEN 'removed'
-        |       WHEN h_old <> h_new THEN 'changed'
+        |       WHEN h_old IS DISTINCT FROM h_new THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     "collocations" ->

@@ -428,9 +428,11 @@ object LawsSpec extends Properties("graft.laws") {
 
   // --- Snapshot diff -----------------------------------------------------
 
-  private val genSnap: Gen[Map[Long, String]] = Gen.mapOf(for {
+  // null text = a PRESENT doc with a null body (failed fetch): it must
+  // compare as a content state, never read as absent
+  private val genSnap: Gen[Map[Long, Option[String]]] = Gen.mapOf(for {
     id <- Gen.chooseNum(0L, 15L)
-    t <- Gen.oneOf("alpha", "beta", "gamma", "delta")
+    t <- Gen.option(Gen.oneOf("alpha", "beta", "gamma", "delta"))
   } yield id -> t)
 
   property("snapshot diff labels every id by the full-outer contract") =

@@ -1053,6 +1053,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(ent(-3L) - 8.0) < 1e-12, s"uniform bytes: ${ent(-3L)}")
   }
 
+  test("multi_match_counts rejects null/empty dictionary terms at analysis time") {
+    // the dictionary is foldable: a bad term must fail planning with a
+    // clear message, not NPE per task on every executor
+    val df = Seq("some text").toDF("t")
+    val eNull = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(org.apache.spark.sql.functions.call_function(
+        "multi_match_counts", col("t"),
+        array(lit("ok"), lit(null).cast("string")))).collect()
+    }
+    assert(eNull.getMessage.contains("non-null"), eNull.getMessage)
+    val eEmpty = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(org.apache.spark.sql.functions.call_function(
+        "multi_match_counts", col("t"), array(lit("")))).collect()
+    }
+    assert(eEmpty.getMessage.contains("non-null and non-empty"), eEmpty.getMessage)
+  }
+
   test("Dedup.simhash: near-dup pairs have small hamming distance") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val sig = Dedup.simhash(docs, "doc_id", "text")
