@@ -123,7 +123,11 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         run(d1) // untimed warmup of the probe's codegen
-        val t1 = run(d1); val t3 = run(d3)
+        // median of 3 interleaved pairs: single ~1.5s samples made the
+        // exponent swing 0.44-0.90 run to run on an idle box
+        val pairs = Seq.fill(3)((run(d1), run(d3)))
+        val t1 = Bench.median(pairs.map(_._1))
+        val t3 = Bench.median(pairs.map(_._2))
         Some((t1, t3, math.log(t3 / t1) / math.log(3.0)))
       } catch { case e: Throwable =>
         // a missing probe must read as a failure, not silent absence
