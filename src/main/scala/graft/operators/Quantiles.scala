@@ -58,12 +58,26 @@ object Quantiles {
   }
 
   def exactPercentiles(df: DataFrame, groupCol: String, value: Column,
-                       pcts: Seq[Int]): DataFrame = {
+                       pcts: Seq[Int]): DataFrame =
+    exactWeightedPercentiles(df, groupCol, value, lit(1L), pcts)
+
+  /** WEIGHTED exact percentiles: the smallest value whose cumulative
+    * WEIGHT reaches ceil(totalWeight · pct / 100). With weight = token
+    * count and value = document length, the p50 answers "what length
+    * covers half the corpus's token mass" — the budgeting/packing
+    * statistic (unweighted percentiles over-represent short docs).
+    * Weights must be non-negative integers; same value-count scale
+    * shape as the unweighted lane.
+    */
+  def exactWeightedPercentiles(df: DataFrame, groupCol: String,
+                               value: Column, weight: Column,
+                               pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       "percentiles must be in [1, 100]")
     require(pcts.distinct.size == pcts.size, "duplicate percentile")
     val vc = df.groupBy(col(groupCol), value.cast("long").as("v"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(weight.cast("long")).as("cnt"))
+      .filter(col("cnt") > 0)
     val byGroup = Window.partitionBy(groupCol)
     val cum = vc
       .withColumn("cum", sum(col("cnt")).over(byGroup.orderBy("v")))

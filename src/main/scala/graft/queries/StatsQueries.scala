@@ -66,6 +66,18 @@ object StatsQueries extends QueryModule {
       Snapshots.diff(oldSnap, newSnap, "doc_id", "text")
     }),
 
+    // Token-mass-weighted length percentiles: the smallest doc length
+    // covering pct% of each source's TOKEN mass (weight = value =
+    // n_toks) — the budgeting statistic; unweighted percentiles
+    // over-represent short docs.
+    "quantile_weighted" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nToks = size(toks(col("text"))).cast("long")
+      Quantiles.exactWeightedPercentiles(
+        d.select(col("source"), nToks.as("n_toks")),
+        "source", col("n_toks"), col("n_toks"), Seq(25, 50, 75, 90))
+    }),
+
     // Per-group exact heavy hitters: each source's dominant tokens (the
     // per-domain boilerplate profile). Grouped MG candidates (bounded
     // state per group, no driver artifact) + exact verify counts.
@@ -143,6 +155,23 @@ object StatsQueries extends QueryModule {
         |FROM tk CROSS JOIN tot
         |GROUP BY token, n
         |HAVING COUNT(*) * 64 > n""".stripMargin,
+    "quantile_weighted" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS v
+        |  FROM documents
+        |), vc AS (
+        |  SELECT source, v, SUM(v) AS cnt FROM t GROUP BY source, v HAVING SUM(v) > 0
+        |), c AS (
+        |  SELECT source, v, cnt,
+        |         SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY source) AS n
+        |  FROM vc
+        |)
+        |SELECT c.source, CAST(p.pct AS BIGINT) AS pct, CAST(c.v AS BIGINT) AS val
+        |FROM c CROSS JOIN (SELECT unnest([25, 50, 75, 90]) AS pct) p
+        |WHERE cum >= (n * pct + 99) // 100
+        |  AND cum - cnt < (n * pct + 99) // 100""".stripMargin,
     "heavy_hitters_by_source" ->
       """WITH tk AS (
         |  SELECT source,

@@ -488,6 +488,27 @@ object LawsSpec extends Properties("graft.laws") {
     v <- Gen.chooseNum(0L, 20L)
   } yield (g, v)).map(_.take(60))
 
+  property("exactWeightedPercentiles equals the expand-by-weight sorted rank") =
+    forAll(Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("g1", "g2")
+      v <- Gen.chooseNum(0L, 12L)
+      w <- Gen.chooseNum(0L, 3L)
+    } yield (g, v, w)).map(_.take(40)),
+      Gen.someOf(Seq(10, 50, 90, 100)).suchThat(_.nonEmpty)) { (rows, pcts) =>
+      val expanded = rows.flatMap { case (g, v, w) => Seq.fill(w.toInt)((g, v)) }
+      val got = graft.operators.Quantiles.exactWeightedPercentiles(
+        rows.toDF("g", "v", "w").repartition(3), "g", col("v"), col("w"),
+        pcts.toSeq)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      expanded.groupBy(_._1).forall { case (g, grp) =>
+        val sorted = grp.map(_._2).sorted
+        pcts.forall { p =>
+          val target = (sorted.size.toLong * p + 99) / 100
+          got.get((g, p.toLong)).contains(sorted((target - 1).toInt))
+        }
+      } && got.keySet.map(_._1) == expanded.map(_._1).toSet
+    }
+
   property("exactPercentiles matches the sorted-rank definition per group") =
     forAll(genGrouped, Gen.someOf(Seq(1, 10, 50, 90, 100)).suchThat(_.nonEmpty)) {
       (rows, pcts) =>

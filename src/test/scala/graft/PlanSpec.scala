@@ -535,6 +535,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("multimatchcounts"), s"expression not in plan:\n$p")
   }
 
+  test("heavy_hitters_by_source aggregates the token stream once") {
+    // tallies and candidate explode both derive from the persisted
+    // grouped-MG summaries: the token-stream UDAF aggregation must hit
+    // the cache in both branches, never re-run
+    val df = SparkEntry.queries("heavy_hitters_by_source")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val cacheHits = "InMemoryTableScan".r.findAllIn(p).size
+    assert(cacheHits >= 2, s"only $cacheHits summary-cache reads:\n$p")
+    assert(p.contains("partial_count"), s"verify pass lacks map-side combine:\n$p")
+  }
+
   test("collocations derives all counts from one persisted bigram table") {
     // heads/tails/total re-aggregate the (w1,w2,c12) cache and broadcast
     // back onto it: the corpus bigram explode (Generate) happens in the
