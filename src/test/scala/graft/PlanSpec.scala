@@ -511,8 +511,10 @@ class PlanSpec extends AnyFunSuite {
       s"window runs below the value-count aggregate:\n$p")
     assert(p.indexOf("Generate") < p.indexOf("HashAggregate"),
       s"percentile fan-out below the aggregate (explodes raw rows):\n$p")
-    // two-phase value-count: partial rides the token scan
-    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    // two-phase value-count: partial rides the token scan (sum(1) since
+    // the weighted generalization; count(1) before it)
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no map-side combine:\n$p")
   }
 
   test("heavy_hitters verify pass: candidate filter before one count shuffle") {
