@@ -178,6 +178,53 @@ object TextOps {
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
 
+  /** Corpus-wide template-line document frequency: for every non-blank
+    * line (exact string), the number of DISTINCT documents containing
+    * it. Lines repeated across many documents are boilerplate
+    * (subscribe banners, copyright footers, nav chrome) — the
+    * line-level complement of the span/shingle dedup lanes, and the
+    * detection half of the CCNet/Dolma "strip lines shared by many
+    * pages" rule. One narrow shuffle: (id, line) distinct pairs.
+    */
+  def templateLineDf(df: org.apache.spark.sql.DataFrame, id: String,
+                     text: String): org.apache.spark.sql.DataFrame =
+    df.select(col(id), explode(split(col(text), "\n")).as("line"))
+      .filter(trim(col("line")) =!= "")
+      .distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+
+  /** Strip template lines (df >= minDf over [[templateLineDf]] computed
+    * per DISTINCT doc) and report per-doc accounting. Two phases:
+    *  1. the df pass — (doc, line) distinct pairs, one narrow shuffle;
+    *     the hot set collects to the driver as a BOUNDED artifact
+    *     (template lines are few by nature; `maxLines` enforces it,
+    *     the codebook/BPE-merges discipline).
+    *  2. the strip — a MAP-ONLY projection: every line filter runs
+    *     row-locally against the broadcast hot array; document text
+    *     never rides a shuffle.
+    * Output: (id, n_lines, n_template, text_clean). Lines compare
+    * EXACTLY (no trim) for membership; blank lines are never hot.
+    */
+  def stripTemplateLines(df: org.apache.spark.sql.DataFrame, id: String,
+                         text: String, minDf: Long,
+                         maxLines: Int = 10000
+                        ): org.apache.spark.sql.DataFrame = {
+    val hot = templateLineDf(df, id, text).filter(col("df") >= minDf)
+      .select("line").collect().map(_.getString(0)).sorted
+    require(hot.length <= maxLines,
+      s"${hot.length} template lines exceed maxLines=$maxLines — raise " +
+        "minDf (a corpus whose hot-line set is unbounded is telling you " +
+        "the lines are content, not template)")
+    val hotArr = typedLit(hot.toSeq)
+    val lines = split(col(text), "\n")
+    df.select(col(id),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => array_contains(hotArr, l))).cast("long")
+        .as("n_template"),
+      array_join(filter(lines, l => !array_contains(hotArr, l)), "\n")
+        .as("text_clean"))
+  }
+
   /** Collocation (multi-word-expression) mining by pointwise mutual
     * information, division-free: a bigram is a collocation when its
     * observed count beats `lift`× the independence expectation,

@@ -83,6 +83,23 @@ object CleanQueries extends QueryModule {
     // perplexity lane is spec-verified; see TextOps.perplexity).
     "lm_score" -> ((s, dir) => TextOps.lmScore(docs(s, dir), "doc_id", "text")),
 
+    // Template-line strip: the CCNet/Dolma "drop lines shared by many
+    // pages" rule — line-df pass on (doc, line) distinct pairs, hot set
+    // collected (bounded artifact), strip is a MAP-ONLY projection so
+    // document text never rides a shuffle. Boilerplate lines are
+    // injected deterministically (the pii_scan damage discipline).
+    "template_strip" -> ((s, dir) => {
+      val id = col("doc_id")
+      val damaged = concat(col("text"),
+        when(id % 2 === 0, lit("\nSUBSCRIBE NOW for updates"))
+          .otherwise(lit("")),
+        when(id % 3 === 0, lit("\n(c) example.com all rights reserved"))
+          .otherwise(lit("")))
+      TextOps.stripTemplateLines(
+        docs(s, dir).select(id, damaged.as("text")), "doc_id", "text",
+        minDf = 5L)
+    }),
+
     // BPE subword tokenization: merges trained on the corpus word-
     // frequency table (vocabulary-scale, one (word,count) shuffle +
     // bounded collect; see operators/Bpe), applied as a map-only
@@ -414,6 +431,26 @@ object CleanQueries extends QueryModule {
         |       CAST(length(messy) AS BIGINT) AS n_before,
         |       CAST(length(norm) AS BIGINT) AS n_after
         |FROM n""".stripMargin,
+    "template_strip" ->
+      """WITH d AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'SUBSCRIBE NOW for updates' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '(c) example.com all rights reserved' ELSE '' END AS t
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d
+        |), ldf AS (
+        |  SELECT line, COUNT(DISTINCT doc_id) AS df
+        |  FROM l WHERE trim(line) <> '' GROUP BY line
+        |), hot AS (
+        |  SELECT COALESCE(list(line ORDER BY line), []::VARCHAR[]) AS hl
+        |  FROM ldf WHERE df >= 5
+        |)
+        |SELECT doc_id,
+        |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(string_split(t, chr(10)), x -> list_contains(hl, x))) AS BIGINT) AS n_template,
+        |  array_to_string(list_filter(string_split(t, chr(10)), x -> NOT list_contains(hl, x)), chr(10)) AS text_clean
+        |FROM d CROSS JOIN hot""".stripMargin,
     "lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t

@@ -452,6 +452,33 @@ object LawsSpec extends Properties("graft.laws") {
       }
     }
 
+  // --- Template-line strip -----------------------------------------------
+
+  private val genLineDocs: Gen[List[String]] = Gen.nonEmptyListOf(
+    Gen.listOf(Gen.oneOf("aa bb", "subscribe now", "(c) footer", "", "  "))
+      .map(_.take(5).mkString("\n"))).map(_.take(12))
+
+  property("stripTemplateLines drops exactly the >= minDf lines") =
+    forAll(genLineDocs, Gen.oneOf(1L, 2L, 3L)) { (texts, minDf) =>
+      val linesOf = (t: String) => t.split("\n", -1).toSeq
+      val dfCount = texts.zipWithIndex
+        .flatMap { case (t, i) =>
+          linesOf(t).filter(_.trim.nonEmpty).distinct.map(l => (i, l))
+        }
+        .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val hot = dfCount.collect { case (l, c) if c >= minDf => l }.toSet
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.TextOps.stripTemplateLines(
+        rows.toDF("id", "text").repartition(3), "id", "text", minDf)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      rows.forall { case (i, t) =>
+        val ls = linesOf(t)
+        got(i) == ((ls.size.toLong, ls.count(hot).toLong,
+          ls.filterNot(hot).mkString("\n")))
+      }
+    }
+
   // --- Collocations (cross-multiplied PMI) -------------------------------
 
   private val genCorpus: Gen[List[String]] = Gen.nonEmptyListOf(

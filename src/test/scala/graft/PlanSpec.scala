@@ -537,6 +537,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("multimatchcounts"), s"expression not in plan:\n$p")
   }
 
+  test("template_strip strips map-only: hot lines ride as a broadcast literal") {
+    // the df pass collects the bounded hot set at plan-build time; the
+    // RETURNED plan is the strip itself — one projection over the scan,
+    // document text never shuffles
+    val p = plan("template_strip")
+    assert(!p.contains("Exchange"), s"strip shuffles:\n$p")
+  }
+
   test("heavy_hitters_by_source aggregates the token stream once") {
     // tallies and candidate explode both derive from the persisted
     // grouped-MG summaries: the token-stream UDAF aggregation must hit
