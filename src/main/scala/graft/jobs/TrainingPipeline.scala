@@ -78,6 +78,13 @@ object TrainingPipeline {
     * `Report.input` counts the post-delta rows. None processes the
     * full corpus.
     *
+    * `templateMinDf`: when set, stage 0c strips corpus-wide template
+    * lines (exact lines appearing in >= that many distinct documents —
+    * subscribe banners, footers) after HTML extraction and before the
+    * C4 line gate: one narrow (doc, line)-distinct detection pass, hot
+    * set bounded+collected, strip map-only
+    * ([[TextOps.templateHotLines]]/[[TextOps.stripLinesIn]]).
+    *
     * `normalize` canonicalizes text FIRST (NFC + lower + whitespace
     * collapse): byte-unequal spellings of identical text must converge
     * before any digest-based dedup sees them. `scrubPii` redacts
@@ -89,6 +96,7 @@ object TrainingPipeline {
           input: Option[DataFrame] = None,
           previousSnapshot: Option[DataFrame] = None,
           ingestHtml: Boolean = false,
+          templateMinDf: Option[Long] = None,
           c4MinWords: Option[Int] = None,
           lang: String = "en", minTokens: Int = 10,
           minQuality: Option[Double] = None,
@@ -127,9 +135,16 @@ object TrainingPipeline {
       }.getOrElse(rAll)
       val r1 = if (ingestHtml)
         r0.withColumn("text", Html.extractLines(col("text"))) else r0
+      // 0c. optional template-line strip: detection is the one
+      // corpus-wide pass in the ingestion stages (narrow shuffle of
+      // (doc, line) distinct pairs); the strip itself rides the scan
+      val r1b = templateMinDf.map { m =>
+        val hot = TextOps.templateHotLines(r1, "doc_id", "text", m)
+        r1.withColumn("text", TextOps.stripLinesIn(col("text"), hot))
+      }.getOrElse(r1)
       c4MinWords.map(m =>
-        r1.withColumn("text", TextOps.c4LineClean(col("text"), m)._1))
-        .getOrElse(r1)
+        r1b.withColumn("text", TextOps.c4LineClean(col("text"), m)._1))
+        .getOrElse(r1b)
     }
     val docs = {
       val n = if (normalize)

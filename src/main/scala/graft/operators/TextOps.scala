@@ -209,13 +209,7 @@ object TextOps {
                          text: String, minDf: Long,
                          maxLines: Int = 10000
                         ): org.apache.spark.sql.DataFrame = {
-    val hot = templateLineDf(df, id, text).filter(col("df") >= minDf)
-      .select("line").collect().map(_.getString(0)).sorted
-    require(hot.length <= maxLines,
-      s"${hot.length} template lines exceed maxLines=$maxLines — raise " +
-        "minDf (a corpus whose hot-line set is unbounded is telling you " +
-        "the lines are content, not template)")
-    val hotArr = typedLit(hot.toSeq)
+    val hotArr = typedLit(templateHotLines(df, id, text, minDf, maxLines))
     val lines = split(col(text), "\n")
     df.select(col(id),
       size(lines).cast("long").as("n_lines"),
@@ -223,6 +217,29 @@ object TextOps {
         .as("n_template"),
       array_join(filter(lines, l => !array_contains(hotArr, l)), "\n")
         .as("text_clean"))
+  }
+
+  /** The detection half as a driver artifact: the sorted hot-line list
+    * (bounded by `maxLines`). Callers compose their own strip — e.g.
+    * [[stripLinesIn]] to rewrite a text column IN PLACE, keeping every
+    * other column (the TrainingPipeline form).
+    */
+  def templateHotLines(df: org.apache.spark.sql.DataFrame, id: String,
+                       text: String, minDf: Long,
+                       maxLines: Int = 10000): Seq[String] = {
+    val hot = templateLineDf(df, id, text).filter(col("df") >= minDf)
+      .select("line").collect().map(_.getString(0)).sorted
+    require(hot.length <= maxLines,
+      s"${hot.length} template lines exceed maxLines=$maxLines — raise " +
+        "minDf (a corpus whose hot-line set is unbounded is telling you " +
+        "the lines are content, not template)")
+    hot.toSeq
+  }
+
+  /** Map-only strip of the listed lines from a text column. */
+  def stripLinesIn(text: Column, hot: Seq[String]): Column = {
+    val hotArr = typedLit(hot)
+    array_join(filter(split(text, "\n"), l => !array_contains(hotArr, l)), "\n")
   }
 
   /** Collocation (multi-word-expression) mining by pointwise mutual

@@ -413,6 +413,25 @@ class ExamplesSpec extends AnyFunSuite {
     assert(rHtml.packs > 0, s"ingest pipeline emptied out: $rHtml")
   }
 
+  test("TrainingPipeline template strip: boilerplate-injected corpus reduces to the clean run") {
+    import graft.jobs.TrainingPipeline
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.Tables(spark, dir, "documents")
+    // every doc gains a corpus-wide banner line; half also a footer —
+    // stage 0c must strip both exactly, leaving the clean corpus
+    val damaged = base.withColumn("text", concat(col("text"),
+      lit("\nSUBSCRIBE NOW to this banner"),
+      when(col("doc_id") % 2 === 0, lit("\n(c) footer example line"))
+        .otherwise(lit(""))))
+    val (_, rStrip) = TrainingPipeline.run(spark, dir,
+      input = Some(damaged), templateMinDf = Some(5L),
+      lang = "en", minTokens = 5)
+    val (_, rPlain) = TrainingPipeline.run(spark, dir,
+      input = Some(base), lang = "en", minTokens = 5)
+    assert(rStrip == rPlain, s"template strip diverged: $rStrip vs $rPlain")
+    assert(rStrip.packs > 0, s"strip pipeline emptied out: $rStrip")
+  }
+
   test("TrainingPipeline delta gate processes exactly the added+changed docs") {
     import graft.jobs.TrainingPipeline
     val dir = "/root/testdata/sf0.001"
