@@ -440,6 +440,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("template-line strip is stream-transparent given the detected hot set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // detection (templateHotLines) is a batch artifact over the landed
+    // corpus; the strip column is a pure projection, so applying the
+    // broadcast hot set to an incoming stream equals the batch strip
+    val corpus = Seq(
+      (1L, "body one\nSUBSCRIBE NOW\nmore text"),
+      (2L, "body two\nSUBSCRIBE NOW"),
+      (3L, "body three\nSUBSCRIBE NOW\n(c) footer"),
+      (4L, "body four\n(c) footer"))
+    val hot = graft.operators.TextOps.templateHotLines(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", minDf = 2L)
+    assert(hot == Seq("(c) footer", "SUBSCRIBE NOW"), hot.toString)
+    val mem = MemoryStream[(Long, String)]
+    def strip(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.operators.TextOps.stripLinesIn(col("text"), hot).as("clean"))
+    val q = strip(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("strip_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(corpus: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("strip_stream")
+        .as[(Long, String)].collect().toMap
+      val batch = strip(corpus.toDF("doc_id", "text"))
+        .as[(Long, String)].collect().toMap
+      assert(streamed == batch, "stream/batch strip diverges")
+      assert(streamed(1L) == "body one\nmore text")
+      assert(streamed(3L) == "body three")
+    } finally q.stop()
+  }
+
   test("text cleaning (normalize + PII scrub) is stream-transparent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
