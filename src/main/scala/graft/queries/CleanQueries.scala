@@ -83,6 +83,30 @@ object CleanQueries extends QueryModule {
     // perplexity lane is spec-verified; see TextOps.perplexity).
     "lm_score" -> ((s, dir) => TextOps.lmScore(docs(s, dir), "doc_id", "text")),
 
+    // Mojibake screen: UTF-8-bytes-decoded-as-Latin-1/cp1252 artifacts
+    // ("Ã©" for é, "â€™" for ', U+FFFD replacement chars) — the
+    // encoding-damage gate of crawl cleaning. Counting is the
+    // Aho-Corasick dictionary expression (one codegen'd text pass,
+    // string_split-replayable); artifacts are injected
+    // deterministically since the fixture is clean ASCII.
+    "mojibake_scan" -> ((s, dir) => {
+      val id = col("doc_id")
+      val damaged = concat(col("text"),
+        when(id % 4 === 0, lit(" caffÃ© latte")).otherwise(lit("")),
+        when(id % 6 === 0, lit(" weâ€™re done")).otherwise(lit("")),
+        when(id % 9 === 0, lit(" bad�char")).otherwise(lit("")))
+      docs(s, dir)
+        .select(id, graft.functions.MatchExpressions.multi_match_counts(
+          damaged, Seq("Ã", "â€", "�")).as("mc"))
+        .select(id,
+          element_at(col("mc"), 1).as("n_latin1"),
+          element_at(col("mc"), 2).as("n_cp1252"),
+          element_at(col("mc"), 3).as("n_replacement"))
+        .withColumn("flagged",
+          (col("n_latin1") + col("n_cp1252") + col("n_replacement") > 0)
+            .cast("long"))
+    }),
+
     // Template-line strip: the CCNet/Dolma "drop lines shared by many
     // pages" rule — line-df pass on (doc, line) distinct pairs, hot set
     // collected (bounded artifact), strip is a MAP-ONLY projection so
@@ -431,6 +455,22 @@ object CleanQueries extends QueryModule {
         |       CAST(length(messy) AS BIGINT) AS n_before,
         |       CAST(length(norm) AS BIGINT) AS n_after
         |FROM n""".stripMargin,
+    "mojibake_scan" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' caffÃ© latte' ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0 THEN ' weâ€™re done' ELSE '' END
+        |    || CASE WHEN doc_id % 9 = 0 THEN ' bad�char' ELSE '' END AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(string_split(t, 'Ã')) - 1 AS BIGINT) AS n_latin1,
+        |  CAST(len(string_split(t, 'â€')) - 1 AS BIGINT) AS n_cp1252,
+        |  CAST(len(string_split(t, '�')) - 1 AS BIGINT) AS n_replacement,
+        |  CAST((len(string_split(t, 'Ã')) - 1)
+        |     + (len(string_split(t, 'â€')) - 1)
+        |     + (len(string_split(t, '�')) - 1) > 0 AS BIGINT) AS flagged
+        |FROM d""".stripMargin,
     "template_strip" ->
       """WITH d AS (
         |  SELECT doc_id, text
