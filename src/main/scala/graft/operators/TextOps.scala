@@ -115,6 +115,32 @@ object TextOps {
     trim(regexp_replace(lower(graft.functions.TextExpressions.nfc_normalize(c)),
       "\\s+", " "))
 
+  /** Mojibake REPAIR (the fix half of the mojibake_scan screen): text
+    * whose UTF-8 bytes were once decoded as Latin-1 ("Ã©" for é,
+    * "â€™" for ’) is recoded back — re-encode as ISO-8859-1, re-decode
+    * as UTF-8. The repair is guarded twice, so clean text is untouched:
+    *  - only strings showing an artifact lead pair (Â/Ã/â followed by
+    *    a high Latin-1 char — the C2/C3/E2 UTF-8 lead bytes) are
+    *    candidates; pure-ASCII and ordinary accented text pass through.
+    *  - the recode is kept only if it introduced no U+FFFD (the
+    *    re-decode found well-formed UTF-8) and no '?' substitution
+    *    (every char was Latin-1-encodable) — otherwise the "artifact"
+    *    was genuine text and the original survives.
+    * Known tradeoff of every mojibake heuristic: genuine text that
+    * legitimately contains Ã/Â/â immediately followed by a high
+    * Latin-1 char is indistinguishable from damage; the guard keeps it
+    * only when the recode also fails. Row-local; not SQL-replayable
+    * (no charset recode in SQL), so the contract is law-checked:
+    * fix(damage(s)) == s and fix(clean) == clean (LawsSpec).
+    */
+  def fixMojibake(c: Column): Column = {
+    val repaired = decode(encode(c, "ISO-8859-1"), "UTF-8")
+    when(c.rlike("[\u00C2\u00C3\u00E2][\u0080-\u00FF]") &&
+        !repaired.contains("�") &&
+        !(repaired.contains("?") && !c.contains("?")),
+      repaired).otherwise(c)
+  }
+
   /** Unicode script composition per document — the script-filter
     * signal of multilingual pipelines (keep pages whose dominant
     * script matches the target language; drop mixed-script spam).

@@ -452,6 +452,32 @@ object LawsSpec extends Properties("graft.laws") {
       }
     }
 
+  // --- Mojibake repair -----------------------------------------------------
+
+  private val genAccented: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    1 -> Gen.oneOf(' ', '.', ','),
+    3 -> Gen.oneOf('é', 'è', 'ü', 'ñ', 'ç', '€', '’', '“')))
+    .map(_.take(40).mkString)
+
+  property("fixMojibake(damage(s)) restores s; clean text is untouched") =
+    forAll(Gen.listOfN(6, genAccented)) { texts =>
+      // damage = the classic accident: UTF-8 bytes re-read as Latin-1
+      val damaged = texts.map(s =>
+        new String(s.getBytes("UTF-8"), java.nio.charset.StandardCharsets.ISO_8859_1))
+      val gotFixed = damaged.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+        .select(col("id"), graft.operators.TextOps.fixMojibake(col("t")).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val gotClean = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+        .select(col("id"), graft.operators.TextOps.fixMojibake(col("t")).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      texts.zipWithIndex.forall { case (s, i) =>
+        gotFixed(i.toLong) == s && gotClean(i.toLong) == s
+      }
+    }
+
   // --- Template-line strip -----------------------------------------------
 
   private val genLineDocs: Gen[List[String]] = Gen.nonEmptyListOf(
