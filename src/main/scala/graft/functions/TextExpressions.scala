@@ -120,6 +120,121 @@ case class WordTokens(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** The mojibake-repair kernel: "sloppy windows-1252" recode, the ftfy
+  * discipline. Text whose UTF-8 bytes were once mis-decoded as Latin-1
+  * OR windows-1252 ("Ã©" for é, "â€™" with a real € for ’) is mapped
+  * back to bytes — cp1252's 0x80–0x9F specials (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹
+  * Œ Ž ' ' " " • – — ˜ ™ š › œ ž Ÿ) by their cp1252 byte, every other
+  * char ≤ U+00FF by Latin-1 identity (covering cp1252's five undefined
+  * slots, which a strict Java cp1252 encoder would reject) — then
+  * strictly re-decoded as UTF-8.
+  *
+  * Failure is NEVER an exception and never a substitution character:
+  * any char outside the sloppy-cp1252 range (the string mixes damage
+  * with genuine non-Latin text) or any byte sequence that is not
+  * well-formed UTF-8 (the "artifacts" were genuine Latin-1 text) falls
+  * back to the ORIGINAL string wholesale. Spark's own encode/decode
+  * are unusable here: on Spark 4 they THROW on malformed input unless
+  * a legacy conf substitutes '?'/U+FFFD, and both behaviors corrupt
+  * the guard (a genuine '?' in the input masks the substitution).
+  */
+object MojibakeKernel {
+  // cp1252 bytes 0x80–0x9F decoded: 27 specials + 5 identity slots.
+  private val cp1252High: Array[Char] = Array(
+    '\u20AC', '\u0081', '\u201A', '\u0192', '\u201E', '\u2026', '\u2020', '\u2021',
+    '\u02C6', '\u2030', '\u0160', '\u2039', '\u0152', '\u008D', '\u017D', '\u008F',
+    '\u0090', '\u2018', '\u2019', '\u201C', '\u201D', '\u2022', '\u2013', '\u2014',
+    '\u02DC', '\u2122', '\u0161', '\u203A', '\u0153', '\u009D', '\u017E', '\u0178')
+
+  /** char → sloppy-cp1252 byte as 0..255, or -1 if unencodable. */
+  private def byteOf(c: Char): Int = {
+    if (c <= 'ÿ') c.toInt
+    else {
+      var i = 0
+      while (i < 32) {
+        if (cp1252High(i) == c) return 0x80 + i
+        i += 1
+      }
+      -1
+    }
+  }
+
+  /** Candidate pre-check: an artifact lead pair — Â/Ã/â (the decoded
+    * C2/C3/E2 UTF-8 lead bytes of Latin text and general punctuation)
+    * followed by a char that maps to a high sloppy-cp1252 byte. Clean
+    * ASCII and ordinary accented text short-circuit here for free.
+    */
+  private def looksDamaged(s: String): Boolean = {
+    val n = s.length - 1
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == 'Â' || c == 'Ã' || c == 'â') {
+        val b = byteOf(s.charAt(i + 1))
+        if (b >= 0x80) return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  private val utf8Strict = new ThreadLocal[java.nio.charset.CharsetDecoder] {
+    override def initialValue(): java.nio.charset.CharsetDecoder =
+      java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+  }
+
+  def repair(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (!looksDamaged(s)) return u
+    val bytes = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val b = byteOf(s.charAt(i))
+      if (b < 0) return u // mixed with genuine non-Latin text: keep original
+      bytes(i) = b.toByte
+      i += 1
+    }
+    try {
+      val dec = utf8Strict.get()
+      dec.reset()
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (out == s) u else UTF8String.fromString(out)
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => u // genuine Latin-1 text
+    }
+  }
+}
+
+/** Column-level mojibake repair over [[MojibakeKernel.repair]] — a
+  * codegen'd row-local projection (stays inside whole-stage codegen;
+  * the kernel itself is one array pass + one strict UTF-8 decode).
+  */
+@ExpressionDescription(
+  usage = "_FUNC_(str) - repair Latin-1/cp1252 mojibake; unrepairable text passes through")
+case class FixMojibake(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fix_mojibake needs a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    MojibakeKernel.repair(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MojibakeKernel$$.MODULE$$.repair($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Word k-gram shingles straight from text: tokenize (as [[WordTokens]])
   * then join each k consecutive tokens with a single space — the fused,
   * codegen'd form of `wordShingles(tokens(text), k)`. NULL text yields
@@ -231,4 +346,12 @@ object TextExpressions {
   def word_shingles(text: Column, k: Int): Column =
     org.apache.spark.sql.functions.call_function("word_shingles", text,
       org.apache.spark.sql.functions.lit(k))
+
+  val fixMojibakeFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("fix_mojibake"),
+    new ExpressionInfo(classOf[FixMojibake].getName, "fix_mojibake"),
+    (children: Seq[Expression]) => FixMojibake(children.head))
+
+  def fix_mojibake(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("fix_mojibake", c)
 }

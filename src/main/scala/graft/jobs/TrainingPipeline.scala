@@ -133,13 +133,21 @@ object TrainingPipeline {
           col("doc_id") === col("p_id") && md5(col("text")) <=> col("p_h"),
           "left_anti")
       }.getOrElse(rAll)
-      val r1 = if (ingestHtml)
-        r0.withColumn("text", Html.extractLines(col("text"))) else r0
+      val extract = (d: DataFrame) => if (ingestHtml)
+        d.withColumn("text", Html.extractLines(col("text"))) else d
+      val r1 = extract(r0)
       // 0c. optional template-line strip: detection is the one
       // corpus-wide pass in the ingestion stages (narrow shuffle of
-      // (doc, line) distinct pairs); the strip itself rides the scan
+      // (doc, line) distinct pairs); the strip itself rides the scan.
+      // Detection runs on the FULL crawl (pre-delta) even when the
+      // delta gate is on: line document-frequency counted over only
+      // added/changed docs would make a fixed minDf calibrated for the
+      // whole crawl silently under-detect on small deltas (a banner on
+      // every page stays below minDf). The strip still applies to the
+      // delta only.
       val r1b = templateMinDf.map { m =>
-        val hot = TextOps.templateHotLines(r1, "doc_id", "text", m)
+        val detectOn = if (previousSnapshot.isDefined) extract(rAll) else r1
+        val hot = TextOps.templateHotLines(detectOn, "doc_id", "text", m)
         r1.withColumn("text", TextOps.stripLinesIn(col("text"), hot))
       }.getOrElse(r1)
       c4MinWords.map(m =>

@@ -96,9 +96,15 @@ object Classify {
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_terms"),
         sum(coalesce(col("w"), lit(0).cast("decimal(38,0)")))
-          .cast("decimal(38,0)").as("score"))
-      // BIGINT 0/1 rather than BOOLEAN: engine-portable (the driver's
-      // result hashing canonicalizes integers but not booleans).
-      .withColumn("pred", (col("score") > 0).cast("long"))
+          .cast("decimal(38,0)").as("score_dec"))
+      // BIGINT 0/1 rather than BOOLEAN, and score as STRING: both
+      // engine-portable carriers (the driver's result hashing
+      // canonicalizes integers but not booleans, and a DECIMAL(38,0)
+      // survives some drivers as float64 — the string form of an exact
+      // integer is representation-stable at any magnitude).
+      .withColumn("pred", (col("score_dec") > 0).cast("long"))
+      .withColumn("score", col("score_dec").cast("string"))
+      .drop("score_dec")
+      .select(col(id), col("n_terms"), col("score"), col("pred"))
   }
 }

@@ -66,8 +66,12 @@ object Quantiles {
     * count and value = document length, the p50 answers "what length
     * covers half the corpus's token mass" — the budgeting/packing
     * statistic (unweighted percentiles over-represent short docs).
-    * Weights must be non-negative integers; same value-count scale
-    * shape as the unweighted lane.
+    * Weights must be non-negative integers — ENFORCED at runtime (a
+    * negative weight makes the cumulative sums non-monotonic, so the
+    * (cum-cnt, cum] range filter silently returns zero or duplicate
+    * rows per (group, pct); failing loud inside the aggregate beats a
+    * wrong percentile). Same value-count scale shape as the unweighted
+    * lane.
     */
   def exactWeightedPercentiles(df: DataFrame, groupCol: String,
                                value: Column, weight: Column,
@@ -75,8 +79,13 @@ object Quantiles {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       "percentiles must be in [1, 100]")
     require(pcts.distinct.size == pcts.size, "duplicate percentile")
+    val w = weight.cast("long")
+    // guard lives INSIDE the summed expression so it cannot be pruned
+    val wChecked = when(w >= 0 || w.isNull, w).otherwise(raise_error(concat(
+      lit("exactWeightedPercentiles: negative weight "), w.cast("string")))
+      .cast("long"))
     val vc = df.groupBy(col(groupCol), value.cast("long").as("v"))
-      .agg(sum(weight.cast("long")).as("cnt"))
+      .agg(sum(wChecked).as("cnt"))
       .filter(col("cnt") > 0)
     val byGroup = Window.partitionBy(groupCol)
     val cum = vc

@@ -116,30 +116,33 @@ object TextOps {
       "\\s+", " "))
 
   /** Mojibake REPAIR (the fix half of the mojibake_scan screen): text
-    * whose UTF-8 bytes were once decoded as Latin-1 ("Ã©" for é,
-    * "â€™" for ’) is recoded back — re-encode as ISO-8859-1, re-decode
-    * as UTF-8. The repair is guarded twice, so clean text is untouched:
-    *  - only strings showing an artifact lead pair (Â/Ã/â followed by
-    *    a high Latin-1 char — the C2/C3/E2 UTF-8 lead bytes) are
-    *    candidates; pure-ASCII and ordinary accented text pass through.
-    *  - the recode is kept only if it introduced no U+FFFD (the
-    *    re-decode found well-formed UTF-8) and no '?' substitution
-    *    (every char was Latin-1-encodable) — otherwise the "artifact"
-    *    was genuine text and the original survives.
+    * whose UTF-8 bytes were once mis-decoded as Latin-1 ("\u00C3\u00A9"
+    * for \u00E9) OR as windows-1252 ("\u00E2\u20AC\u2122" with a real
+    * \u20AC for \u2019) is recoded back via the "sloppy cp1252" byte map
+    * and a strict UTF-8 re-decode — the codegen'd
+    * [[graft.functions.FixMojibake]] kernel. Guarantees:
+    *  - only strings showing an artifact lead pair (\u00C2/\u00C3/\u00E2
+    *    followed by a high sloppy-cp1252 char — the C2/C3/E2 UTF-8 lead
+    *    bytes) are candidates; pure-ASCII and ordinary accented text
+    *    pass through untouched.
+    *  - the recode is kept only when the WHOLE string maps to bytes
+    *    (chars <= U+00FF or cp1252 specials) that re-decode as
+    *    well-formed UTF-8; otherwise — mixed genuine non-Latin text, or
+    *    "artifacts" that were genuine Latin-1 — the original survives.
+    *    The kernel never throws and never substitutes '?'/U+FFFD
+    *    (Spark's own encode/decode do one or the other on Spark 4,
+    *    which is why this is a custom expression, not a composition).
     * Known tradeoff of every mojibake heuristic: genuine text that
-    * legitimately contains Ã/Â/â immediately followed by a high
-    * Latin-1 char is indistinguishable from damage; the guard keeps it
-    * only when the recode also fails. Row-local; not SQL-replayable
-    * (no charset recode in SQL), so the contract is law-checked:
-    * fix(damage(s)) == s and fix(clean) == clean (LawsSpec).
+    * legitimately contains one of the lead chars immediately followed
+    * by a high cp1252 char is indistinguishable from damage; the guard
+    * keeps it only when the recode also fails. Row-local; not
+    * SQL-replayable (no charset recode in SQL), so the contract is
+    * law-checked: fix(damage(s)) == s for BOTH damage decoders,
+    * fix(clean) == clean, and mixed damage+non-Latin text falls back
+    * unchanged (LawsSpec).
     */
-  def fixMojibake(c: Column): Column = {
-    val repaired = decode(encode(c, "ISO-8859-1"), "UTF-8")
-    when(c.rlike("[\u00C2\u00C3\u00E2][\u0080-\u00FF]") &&
-        !repaired.contains("�") &&
-        !(repaired.contains("?") && !c.contains("?")),
-      repaired).otherwise(c)
-  }
+  def fixMojibake(c: Column): Column =
+    graft.functions.TextExpressions.fix_mojibake(c)
 
   /** Unicode script composition per document — the script-filter
     * signal of multilingual pipelines (keep pages whose dominant
@@ -253,8 +256,11 @@ object TextOps {
   def templateHotLines(df: org.apache.spark.sql.DataFrame, id: String,
                        text: String, minDf: Long,
                        maxLines: Int = 10000): Seq[String] = {
+    // limit(maxLines + 1) bounds the driver transfer BEFORE the guard:
+    // a mis-set minDf on a huge corpus must fail with the require
+    // message below, not a driver OOM fetching the unbounded hot set.
     val hot = templateLineDf(df, id, text).filter(col("df") >= minDf)
-      .select("line").collect().map(_.getString(0)).sorted
+      .select("line").limit(maxLines + 1).collect().map(_.getString(0)).sorted
     require(hot.length <= maxLines,
       s"${hot.length} template lines exceed maxLines=$maxLines — raise " +
         "minDf (a corpus whose hot-line set is unbounded is telling you " +

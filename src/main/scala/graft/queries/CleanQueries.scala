@@ -424,7 +424,7 @@ object CleanQueries extends QueryModule {
         |  GROUP BY feature, n_pos, n_neg
         |)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-        |       CAST(SUM(w) AS DECIMAL(38,0)) AS score,
+        |       CAST(CAST(SUM(w) AS DECIMAL(38,0)) AS VARCHAR) AS score,
         |       CAST(SUM(w) > 0 AS BIGINT) AS pred
         |FROM feats JOIN w USING (feature)
         |GROUP BY doc_id""".stripMargin,

@@ -516,7 +516,7 @@ class CleanSpec extends AnyFunSuite {
     assert(wm == Map("good" -> 4L, "fine" -> 0L, "bad" -> 0L, "awful" -> -4L))
     val scored = Classify.scoreDocs(docs, "doc_id", "text", w)
     val sm = scored.collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDecimal(2).longValueExact(),
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2).toLong,
         r.getLong(3)))).toMap
     assert(sm == Map(
       1L -> ((2L, 4L, 1L)), 2L -> ((2L, 4L, 1L)),
@@ -541,7 +541,7 @@ class CleanSpec extends AnyFunSuite {
       .toSeq == Seq(("0", 0L)))
     val sm = Classify.scoreDocs(docs, "doc_id", "text", w, hashBuckets = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1),
-        r.getDecimal(2).longValueExact(), r.getLong(3))).toSet
+        r.getString(2).toLong, r.getLong(3))).toSet
     assert(sm == Set((1L, 1L, 0L, 0L), (2L, 1L, 0L, 0L)))
   }
 

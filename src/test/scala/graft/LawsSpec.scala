@@ -478,6 +478,36 @@ object LawsSpec extends Properties("graft.laws") {
       }
     }
 
+  property("fixMojibake also reverses windows-1252 mis-decodes (euro/quote family)") =
+    forAll(Gen.listOfN(6, genAccented)) { texts =>
+      // the OTHER classic accident: UTF-8 bytes re-read as cp1252, so
+      // '’' becomes "â€™" with a REAL euro sign —
+      // not Latin-1-reversible, only the sloppy-cp1252 map repairs it
+      val damaged = texts.map(s => new String(s.getBytes("UTF-8"), "windows-1252"))
+      val got = damaged.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+        .select(col("id"), graft.operators.TextOps.fixMojibake(col("t")).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      texts.zipWithIndex.forall { case (s, i) => got(i.toLong) == s }
+    }
+
+  property("fixMojibake never throws and falls back on mixed/garbage input") =
+    forAll(Gen.listOfN(4, genAccented)) { texts =>
+      // mixed damage + genuine non-Latin text, artifact pairs whose
+      // Latin-1 bytes are invalid UTF-8, and clean CJK: all must pass
+      // through UNCHANGED (pre-Spark-4 encode/decode would throw here)
+      val fixed: Seq[String] = Seq(
+        "caffÃ© latte ’ done 中文", // damage + curly quote + CJK
+        "x ÃÿÃ y", // artifact pair, bytes C3 FF C3: invalid UTF-8
+        "Â", // bare lead char, no pair
+        "price 5€ ok?") ++ texts.map(_ + " 世界 Ã©")
+      val got = fixed.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+        .select(col("id"), graft.operators.TextOps.fixMojibake(col("t")).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      fixed.zipWithIndex.forall { case (s, i) => got(i.toLong) == s }
+    }
+
   // --- Template-line strip -----------------------------------------------
 
   private val genLineDocs: Gen[List[String]] = Gen.nonEmptyListOf(
