@@ -10,11 +10,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * positions ⌊i·n/64⌋ (i = 0..63), each emitting '1' iff its unsigned
   * value strictly exceeds the sample mean (compared exactly as
   * 64·v > Σv — no float division), '0' otherwise; empty content hashes
-  * to all zeros. The classic perceptual-hash recipe with raw bytes
-  * standing in for the 8×8 grayscale grid — a REAL kernel (unlike the
-  * declared-stub decode): with a codec the input column would be the
-  * decoded luma plane and nothing else changes. Deterministic, integer-
-  * exact, and SQL-replayable byte-for-byte via hex(blob) indexing.
+  * to all zeros. The classic perceptual-hash recipe over raw bytes
+  * (byte-level near-dup for any media type); feed it the decoded luma
+  * plane (Multimodal.resize output) for pixel-level similarity — the
+  * kernel is the same. Deterministic, integer-exact, and SQL-replayable
+  * byte-for-byte via hex(blob) indexing.
   */
 @ExpressionDescription(
   usage = "_FUNC_(content) - 64-bit average-hash of binary content as a '0'/'1' string")

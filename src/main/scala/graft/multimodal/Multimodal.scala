@@ -7,17 +7,24 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column plumbing for training-data
   * pipelines: media as opaque `binary` content plus typed metadata.
   *
-  * The container has no codec libraries, so the DECODE step is a
-  * clearly-marked deterministic STUB (`fakeDecode`) — the Spark-side
-  * plumbing (schema, binary columns, per-partition batch processing,
-  * feature extraction shape) is real and tested. Swap `fakeDecode` for
-  * a JNI/codec call in production; nothing else changes.
+  * The image lanes are REAL: decode and resize parse actual PNG/JPEG
+  * bytes through `javax.imageio` (JDK-built-in codecs — no external
+  * libraries), and [[fabricateImages]] synthesizes genuine PNGs whose
+  * dimensions and pixel values are doc_id-determined, so a SQL oracle
+  * replays the full decode round-trip analytically (a correct answer
+  * PROVES the deflate-compressed IDAT stream was parsed back to exact
+  * pixels). Undecodable content — truncated files, non-image bytes —
+  * yields NULL features / passes through resize untouched; it never
+  * throws (corrupt media is in-domain for a crawl corpus).
   *
   * Scale notes: content stays binary end-to-end (no base64 round trip);
-  * decode runs in mapPartitions so a real decoder amortizes setup per
+  * decode runs in mapPartitions so decoder setup amortizes per
   * partition, exactly how a Pandas-UDF batch would on PySpark.
   */
 object Multimodal {
+
+  // never spill ImageIO scratch to disk temp files on executors
+  javax.imageio.ImageIO.setUseCache(false)
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -37,28 +44,111 @@ object Multimodal {
         lit("application/octet-stream").as("mime"),
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB decoder: deterministic pseudo-dimensions from the byte length.
-    * A real implementation would parse the container header here.
+  /** Deterministic REAL-PNG fixture dimensions for `doc_id` — shared by
+    * [[fabricateImages]] and the analytic multimodal_decode oracle.
     */
-  private[multimodal] def fakeDecode(content: Array[Byte]): (Long, Int, Int) = {
-    val n = content.length.toLong
-    (n, (64 + n % 577).toInt, (64 + (n * 31) % 343).toInt)
+  def fixtureDims(docId: Long): (Int, Int) =
+    ((8 + docId % 24).toInt, (8 + (docId * 7) % 16).toInt)
+
+  /** Every 10th-ish doc carries NON-image bytes (its text), pinning the
+    * undecodable-content fallback in the same driver-checked query.
+    */
+  def fixtureIsImage(docId: Long): Boolean = docId % 10 != 7
+
+  /** Synthesize a media table of GENUINE PNGs from the documents table:
+    * grayscale, dims = [[fixtureDims]], pixel (x, y) = (x + y + doc_id)
+    * mod 256 — every byte of the output is a real deflate-compressed
+    * PNG that only a real decoder can invert. Docs failing
+    * [[fixtureIsImage]] get their raw text bytes (mime octet-stream)
+    * instead: in-domain corrupt/mislabeled media.
+    */
+  def fabricateImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select("doc_id", "text").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Long]("doc_id")
+        if (fixtureIsImage(id)) {
+          val (w, h) = fixtureDims(id)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, ((x + y + id) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          val bytes = baos.toByteArray
+          Row(id, bytes, Row("image/png", bytes.length.toLong))
+        } else {
+          val bytes = Option(r.getAs[String]("text")).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Row(id, bytes, Row("application/octet-stream", bytes.length.toLong))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** REAL image decode: `ImageIO.read` over the content bytes (PNG,
+    * JPEG, GIF, BMP — the JDK's built-in readers). Null for anything no
+    * reader accepts; never throws.
+    */
+  private[multimodal] def decodeImage(content: Array[Byte]
+                                     ): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    catch { case _: Exception => null }
+
+  /** Luma of pixel (x, y): the single band of a grayscale image, the
+    * floor-mean of the first three bands (RGB; alpha ignored) otherwise
+    * — integer arithmetic, so features replay exactly.
+    */
+  private def lumaAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
+    val raster = img.getRaster
+    if (raster.getNumBands == 1) raster.getSample(x, y, 0)
+    else (raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
+      raster.getSample(x, y, 2)) / 3
   }
 
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false)))
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sum_luma", LongType, nullable = true)))
 
-  /** Per-partition decode + feature extraction over binary content. */
+  /** Per-partition REAL decode + feature extraction over binary
+    * content: (width, height, sum of integer pixel lumas) per item,
+    * NULLs where no JDK reader accepts the bytes. sum_luma is an exact
+    * integer, so an oracle that knows the pixel law replays it — a
+    * match proves the full decode round trip, not just a header parse.
+    */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("doc_id", "content").rdd.mapPartitions { it =>
-      // real decoders initialize per-partition state here (codec ctx)
+      // ImageIO reader instances are created per call; setUseCache(false)
+      // at object init keeps decode entirely in-memory on executors
       it.map { r =>
-        val (n, w, h) = fakeDecode(r.getAs[Array[Byte]]("content"))
-        Row(r.getAs[Long]("doc_id"), n, w, h)
+        val id = r.getAs[Long]("doc_id")
+        val content = r.getAs[Array[Byte]]("content")
+        val img = decodeImage(content)
+        if (img == null) Row(id, content.length.toLong, null, null, null)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += lumaAt(img, x, y); x += 1 }
+            y += 1
+          }
+          Row(id, content.length.toLong, w, h, sum)
+        }
       }
     }
     spark.createDataFrame(rdd, featureSchema)
@@ -70,34 +160,50 @@ object Multimodal {
     StructField("meta", StructType(Seq(
       StructField("mime", StringType, nullable = false),
       StructField("n_bytes", LongType, nullable = false),
-      StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false))), nullable = false)))
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true))), nullable = false)))
 
-  /** Resize plumbing: decode → scale → re-encode, per partition. The
-    * scale kernel is the STUB (deterministic byte subsampling standing
-    * in for a pixel resampler); the surrounding shape — binary in,
-    * binary out, metadata updated to the target dims, per-partition
-    * batch loop — is the real contract a codec-backed implementation
-    * drops into.
+  /** REAL resize: decode → nearest-neighbor luma resample → PNG
+    * re-encode, per partition. The resample rule is exact integer
+    * arithmetic — out(x, y) = in(x·srcW div dstW, y·srcH div dstH) —
+    * so downstream [[decodeFeatures]] output over a known source is
+    * analytically replayable (the multimodal_resize oracle). Output is
+    * always grayscale PNG (luma per [[lumaAt]]); undecodable content
+    * passes through untouched with NULL dims — never a throw, never a
+    * drop (screening is [[byteEntropy]]'s job, not the resizer's).
     */
   def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     require(targetW > 0 && targetH > 0, "target dims must be positive")
     val spark = media.sparkSession
-    // long area: 46341² already overflows Int, which would silently
-    // collapse every item to 1 byte
-    val targetArea = targetW.toLong * targetH
     val rdd = media.select("doc_id", "content", "meta.mime").rdd.mapPartitions { it =>
-      // real resizers initialize codec/scaler state once per partition
       it.map { r =>
+        val id = r.getAs[Long]("doc_id")
         val content = r.getAs[Array[Byte]]("content")
-        // STUB kernel: proportional byte subsample to the target "area";
-        // empty content (truncated/corrupt media is in-domain — that is
-        // what byteEntropy screens for) stays empty
-        val outLen = math.min(content.length.toLong, targetArea / 64).toInt
-        val out = Array.tabulate(outLen)(i =>
-          content((i.toLong * content.length / outLen).toInt))
-        Row(r.getAs[Long]("doc_id"), out,
-          Row(r.getAs[String]("mime"), out.length.toLong, targetW, targetH))
+        val img = decodeImage(content)
+        if (img == null)
+          Row(id, content, Row(r.getAs[String]("mime"), content.length.toLong,
+            null, null))
+        else {
+          val (sw, sh) = (img.getWidth, img.getHeight)
+          val out = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = out.getRaster
+          var y = 0
+          while (y < targetH) {
+            val sy = (y.toLong * sh / targetH).toInt
+            var x = 0
+            while (x < targetW) {
+              raster.setSample(x, y, 0,
+                lumaAt(img, (x.toLong * sw / targetW).toInt, sy))
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          val bytes = baos.toByteArray
+          Row(id, bytes, Row("image/png", bytes.length.toLong, targetW, targetH))
+        }
       }
     }
     spark.createDataFrame(rdd, resizeSchema)
@@ -144,9 +250,10 @@ object Multimodal {
   /** Perceptual-hash signatures over binary content: the codegen'd
     * [[graft.functions.AHash64]] average-hash as a row-local projection
     * — (doc_id, n_bytes, ahash). The image-dedup primitive (aHash over
-    * the 8×8 grayscale grid; here the raw bytes stand in for the
-    * decoded luma plane, so the kernel itself is REAL and the codec is
-    * the only stub). Near-dup pairs come from banded hamming over
+    * the 8×8 grayscale grid; this lane hashes the RAW bytes — useful as
+    * byte-level near-dup for any media type; compose with [[resize]] +
+    * the decoded luma plane when pixel-level similarity is wanted).
+    * Near-dup pairs come from banded hamming over
     * these signatures — rename `ahash` to `simhash` and reuse
     * [[graft.operators.Dedup.simhashPairs]]'s band equi-join, the
     * image-scale path (never all-pairs).

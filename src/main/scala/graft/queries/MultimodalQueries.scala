@@ -6,15 +6,23 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
 
-/** Multimodal plumbing queries: binary content fabricated from document
-  * text (no codecs in the container — see Multimodal scaladoc), decode
-  * stub + frame sampling over real binary columns. The oracle recomputes
-  * the deterministic features from octet_length.
+/** Multimodal queries. Two fixture lanes:
+  *  - byte lanes (ahash, entropy, frames): binary content fabricated
+  *    from document text — the kernels treat bytes as bytes.
+  *  - image lanes (decode, resize): GENUINE PNGs synthesized per doc
+  *    (dims and gradient pixels are doc_id-determined, every ~10th doc
+  *    deliberately non-image), decoded back through javax.imageio. The
+  *    oracle recomputes width/height/sum_luma from the doc_id pixel law
+  *    — a match proves the real deflate/PNG round trip, since nothing
+  *    short of decoding the IDAT stream recovers the pixel sums.
   */
 object MultimodalQueries extends QueryModule {
 
   private def media(s: SparkSession, dir: String): DataFrame =
     Multimodal.fabricate(Tables(s, dir, "documents"))
+
+  private def images(s: SparkSession, dir: String): DataFrame =
+    Multimodal.fabricateImages(Tables(s, dir, "documents"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // perceptual-hash signatures (codegen'd ahash64, row-local): the
@@ -46,7 +54,17 @@ object MultimodalQueries extends QueryModule {
         "doc_id", maxDist = 3, maxBucket = 1000)
     }),
 
-    "multimodal_decode" -> ((s, dir) => Multimodal.decodeFeatures(media(s, dir))),
+    // REAL image decode over real PNG bytes; n_bytes (the deflate
+    // output size) is codec-dependent, so the declared columns are the
+    // analytically-replayable ones
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(images(s, dir))
+        .select("doc_id", "width", "height", "sum_luma")),
+    // REAL resize (nearest-neighbor luma resample + PNG re-encode),
+    // verified through a second real decode of the resized bytes
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.decodeFeatures(Multimodal.resize(images(s, dir), 16, 12))
+        .select("doc_id", "width", "height", "sum_luma")),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(media(s, dir), 4)),
     // byte-entropy screen over binary content — a REAL feature (no
     // codec): float-log accumulation has no exact SQL replay, so the
@@ -120,12 +138,50 @@ object MultimodalQueries extends QueryModule {
         |       CAST(bit_count(xor(sig_a::BIT, sig_b::BIT)) AS BIGINT) AS hamming
         |FROM cand
         |WHERE bit_count(xor(sig_a::BIT, sig_b::BIT)) <= 3""".stripMargin,
+    // the pixel law of fabricateImages: w = 8 + id%24, h = 8 + (7id)%16,
+    // luma(x,y) = (x+y+id)%256; non-image docs (id%10=7) are all-NULL.
+    // range() cannot take lateral column args in DuckDB, so the grid is
+    // the fixed 32x24 superset filtered per doc.
     "multimodal_decode" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
-        |  CAST(64 + (octet_length(encode(text)) * 31) % 343 AS INTEGER) AS height
-        |FROM documents""".stripMargin,
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(8 + doc_id % 24 AS INTEGER) AS w,
+        |         CAST(8 + (doc_id * 7) % 16 AS INTEGER) AS h
+        |  FROM documents
+        |), xs AS (SELECT unnest(range(0, 32)) AS x),
+        |   ys AS (SELECT unnest(range(0, 24)) AS y),
+        |px AS (
+        |  SELECT doc_id, SUM((xs.x + ys.y + doc_id) % 256) AS s
+        |  FROM dims, xs, ys
+        |  WHERE xs.x < dims.w AND ys.y < dims.h
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE d.w END AS width,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE d.h END AS height,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(p.s AS BIGINT) END AS sum_luma
+        |FROM dims d JOIN px p USING (doc_id)""".stripMargin,
+    // nearest-neighbor law: out(x,y) = luma((x*w) div 16, (y*h) div 12)
+    // of the source gradient, re-decoded from the resized PNG
+    "multimodal_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(8 + doc_id % 24 AS INTEGER) AS w,
+        |         CAST(8 + (doc_id * 7) % 16 AS INTEGER) AS h
+        |  FROM documents
+        |), xs AS (SELECT unnest(range(0, 16)) AS x),
+        |   ys AS (SELECT unnest(range(0, 12)) AS y),
+        |px AS (
+        |  SELECT doc_id,
+        |         SUM(((xs.x * w) // 16 + (ys.y * h) // 12 + doc_id) % 256) AS s
+        |  FROM dims, xs, ys
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(16 AS INTEGER) END AS width,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(12 AS INTEGER) END AS height,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(p.s AS BIGINT) END AS sum_luma
+        |FROM dims d JOIN px p USING (doc_id)""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

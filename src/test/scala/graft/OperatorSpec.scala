@@ -428,7 +428,7 @@ class OperatorSpec extends AnyFunSuite {
     assert(hamming <= 3, s"3-byte damage flipped $hamming bits")
   }
 
-  test("Multimodal.byteEntropy exact on known patterns; resize updates meta and bounds content") {
+  test("Multimodal.byteEntropy exact on known patterns; non-image content passes resize with NULL dims") {
     import graft.multimodal.Multimodal
     val rows = Seq(
       (1L, Array.tabulate(256 * 4)(i => (i % 256).toByte)),          // uniform -> 8 bits
@@ -446,16 +446,62 @@ class OperatorSpec extends AnyFunSuite {
     assert(ent(2L) == 0.0)
     assert(math.abs(ent(3L) - 1.0) < 1e-12)
     assert(ent(4L) == 0.0, "empty content must not divide by zero")
+    // none of these byte patterns is an image: resize must pass every
+    // item through UNCHANGED with NULL dims (no throw, no drop)
     val resized = Multimodal.resize(media, targetW = 32, targetH = 32).collect()
       .map(r => r.getLong(0) ->
-        ((r.getAs[Array[Byte]](1).length, r.getStruct(2).getInt(2), r.getStruct(2).getInt(3))))
-      .toMap
+        ((r.getAs[Array[Byte]](1).toSeq, r.getStruct(2).isNullAt(2),
+          r.getStruct(2).isNullAt(3)))).toMap
     rows.foreach { case (id, b) =>
-      val (len, w, h) = resized(id)
-      assert(w == 32 && h == 32, "meta must carry the target dims")
-      assert(len == math.min(b.length, 32 * 32 / 64),
-        s"resized content out of bounds for $id: $len")
+      val (content, wNull, hNull) = resized(id)
+      assert(wNull && hNull, s"non-image $id must report NULL dims")
+      assert(content == b.toSeq, s"non-image $id content must pass through")
     }
+  }
+
+  test("Multimodal: real PNG round trip — decode recovers exact dims and pixel sums; resize is exact nearest-neighbor") {
+    import graft.multimodal.Multimodal
+    val docs = Seq(
+      (0L, "ignored"), (5L, "ignored"), (17L, "this row is NOT an image"),
+      (23L, "ignored"), (40L, "ignored")).toDF("doc_id", "text")
+    val imgs = Multimodal.fabricateImages(docs)
+    // the fixture is genuinely PNG: magic bytes on every image row
+    imgs.collect().foreach { r =>
+      val b = r.getAs[Array[Byte]]("content")
+      val id = r.getLong(0)
+      if (Multimodal.fixtureIsImage(id))
+        assert(b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte,
+          s"doc $id is not a PNG")
+    }
+    def law(id: Long): (Int, Int, Long) = {
+      val (w, h) = Multimodal.fixtureDims(id)
+      val sum = (for { x <- 0 until w; y <- 0 until h } yield (x + y + id) % 256).sum
+      (w, h, sum)
+    }
+    val dec = Multimodal.decodeFeatures(imgs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq(0L, 5L, 23L, 40L).foreach { id =>
+      val (w, h, sum) = law(id)
+      val r = dec(id)
+      assert(r.getInt(2) == w && r.getInt(3) == h,
+        s"doc $id: got ${r.getInt(2)}x${r.getInt(3)}, law says ${w}x$h")
+      assert(r.getLong(4) == sum, s"doc $id: sum_luma ${r.getLong(4)} != $sum")
+    }
+    assert(dec(17L).isNullAt(2) && dec(17L).isNullAt(4),
+      "non-image doc must decode to NULL features")
+    // resize law: out(x,y) = in((x*w) div 16, (y*h) div 12)
+    val res = Multimodal.decodeFeatures(Multimodal.resize(imgs, 16, 12))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(0L, 5L, 23L, 40L).foreach { id =>
+      val (w, h) = Multimodal.fixtureDims(id)
+      val expect = (for { x <- 0 until 16; y <- 0 until 12 }
+        yield (x * w / 16 + y * h / 12 + id) % 256).sum
+      val r = res(id)
+      assert(r.getInt(2) == 16 && r.getInt(3) == 12)
+      assert(r.getLong(4) == expect,
+        s"doc $id resized sum_luma ${r.getLong(4)} != $expect")
+    }
+    assert(res(17L).isNullAt(2), "non-image passthrough re-decodes as NULL")
   }
 
   test("Sampling.tokenBudgetSample keeps hash-prefix documents within per-shard budgets") {
