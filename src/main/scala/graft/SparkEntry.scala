@@ -17,7 +17,7 @@ object SparkEntry {
     Seq(CoreQueries, TextQueries, EventQueries, DedupQueries,
       SimilarityQueries, ToolQueries, MultimodalQueries, JobQueries,
       DbQueries, PipelineQueries, RetrievalQueries, CleanQueries,
-      GraphQueries, StatsQueries)
+      GraphQueries, StatsQueries, StreamingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

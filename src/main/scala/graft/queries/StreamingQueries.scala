@@ -1,0 +1,155 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+
+/** Driver-visible STREAMING queries: each entry actually executes a
+  * Structured Streaming job (file source over the sf parquet → memory
+  * sink, `processAllAvailable`) and returns the final result for the
+  * rows/hash check. The stream-transparency law (StreamingSpec pins
+  * batch ≡ stream for every lane here) is what makes a BATCH DuckDB
+  * oracle valid for a streaming execution — the oracle replays the
+  * batch semantics, the query proves the streaming run reproduces them.
+  *
+  * Result determinism discipline: streaming dedup keeps an
+  * arrival-dependent representative row, so declared outputs project to
+  * the arrival-independent payload (content digests, per-key
+  * aggregates), never to "whichever row survived".
+  */
+object StreamingQueries extends QueryModule {
+
+  private val runSeq = new AtomicInteger(0)
+
+  /** Run `stream` to completion into a memory sink and return the
+    * accumulated table. Unique sink name per call so repeated runs in
+    * one session (Verify then Bench) never collide.
+    */
+  private def runToTable(stream: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_sink_${runSeq.incrementAndGet()}"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    stream.sparkSession.table(name)
+  }
+
+  private def docStream(s: SparkSession, dir: String): DataFrame = {
+    // the file-stream source only accepts a DIRECTORY to monitor; the
+    // sf table is a single parquet file, so link/copy it into a fresh
+    // temp dir (a production feed would already be a directory of
+    // arriving part files — this shim exists only for the fixture)
+    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    tmp.toFile.deleteOnExit()
+    val dst = tmp.resolve("documents.parquet")
+    try java.nio.file.Files.createSymbolicLink(dst, src)
+    catch { case _: Exception =>
+      java.nio.file.Files.copy(src, dst)
+    }
+    val schema = s.read.parquet(src.toString).schema
+    s.readStream.schema(schema).parquet(tmp.toString)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the ingest-time document-cleaning chain (lang + min-token +
+    // quality gates, then exact content dedup) EXECUTED AS A STREAM;
+    // output = the kept content set (digest + token count), which is
+    // arrival-order-independent even though the surviving row ids are
+    // not
+    "streaming_clean" -> ((s, dir) => {
+      val cleaned = StreamingOps.cleanDocStream(docStream(s, dir), "text",
+        lang = "en", minTokens = 5, minQuality = Some(0.1))
+      runToTable(cleaned, "append")
+        .select(col("digest"),
+          size(graft.operators.Dedup.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+        .distinct()
+    }),
+
+    // per-source token-length histogram aggregated WITH STREAMING STATE
+    // (transformWithState value-count percentiles); the declared output
+    // is the final running-percentile snapshot per source, which the
+    // stream-transparency law makes equal to the batch exact
+    // percentiles
+    "streaming_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      // transformWithState requires the RocksDB state store (the
+      // HDFS-backed provider has no column families); scope the conf
+      // to this run and restore after
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val toks = docStream(s, dir)
+        .select(col("source").as("k"),
+          size(graft.operators.Dedup.tokens(col("text"))).cast("long").as("v"))
+        .as[StreamingOps.KV]
+      val snaps =
+        try runToTable(
+          StreamingOps.runningPercentiles(toks, pcts = Seq(50, 90)).toDF(),
+          "update")
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      // last snapshot per (source, pct) — n grows monotonically, so
+      // rank-by-n-desc row 1 is the full-corpus state — equal to the
+      // batch exact percentiles by the stream-transparency law. (A
+      // window, not a self-join: the memory-sink view resolves to the
+      // same attribute ids on both sides and the join won't analyze.)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k", "pct").orderBy(col("n").desc)
+      snaps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("k").as("source"), col("pct"), col("n").as("n_docs"),
+          col("v").as("val"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // batch replay of the streamed gates: en-stopword plurality vote,
+    // >= 5 tokens, 0.5*stop_ratio + 0.05*avg_token_len >= 0.1, then
+    // DISTINCT content digest (the stream's exact-dedup contract)
+    "streaming_clean" ->
+      """WITH t AS (
+        |  SELECT text, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), f AS (
+        |  SELECT text, t,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(t, x -> x IN ('the','a','is','of','and'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ein'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(t, x -> x IN ('le','la','les','des','une'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(t, x -> x IN ('el','los','las','una','y'))) AS BIGINT) AS s_es,
+        |    CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS sum_tok_len
+        |  FROM t
+        |)
+        |SELECT DISTINCT md5(text) AS digest, n_tokens
+        |FROM f
+        |WHERE s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+        |  AND n_tokens >= 5
+        |  AND 0.5 * (s_en / n_tokens) + 0.05 * (sum_tok_len / n_tokens) >= 0.1""".stripMargin,
+    // batch replay of the running-percentile state: exact value-count
+    // percentiles (smallest value whose cumulative count reaches
+    // ceil(n*pct/100)) over the full corpus per source
+    "streaming_percentiles" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS v
+        |  FROM documents
+        |), vc AS (
+        |  SELECT source, v, COUNT(*) AS cnt FROM d GROUP BY source, v
+        |), c AS (
+        |  SELECT source, v, cnt,
+        |         SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY source) AS n
+        |  FROM vc
+        |)
+        |SELECT source, CAST(p.pct AS BIGINT) AS pct, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(MIN(CASE WHEN cum >= (n * p.pct + 99) // 100 THEN v END) AS BIGINT) AS val
+        |FROM c, (VALUES (50), (90)) p(pct)
+        |GROUP BY source, p.pct, n""".stripMargin
+  )
+}
