@@ -100,40 +100,74 @@ object Bench {
     // ln(t3/t1)/ln 3 → 1.0 is perfect linear scaling; < 1 means the
     // fixed per-job floor still amortizes at this corpus size (t = f +
     // c·n), > 1 would flag a superlinear stage.
-    val dedupScale =
+    // ---- scale probes (shared discipline) ----------------------------
+    // time a lane on the corpus and a 3× self-replication (ids shifted
+    // past the real range so keys stay distinct), median of 3
+    // interleaved pairs (single ~1.5s samples made exponents swing
+    // 0.44-0.90 run to run on an idle box). exponent = ln(t3/t1)/ln 3:
+    // 1.0 is perfect linear scaling, < 1 means the fixed per-job floor
+    // still amortizes at this corpus size, > 1 flags a superlinear
+    // stage. Pair/banding stages are excluded everywhere — a replicated
+    // corpus is dup-dense by construction, which would measure output
+    // explosion, not scan scaling.
+    import org.apache.spark.sql.functions._
+    def replicate3(df: org.apache.spark.sql.DataFrame,
+                   idCol: String): org.apache.spark.sql.DataFrame = {
+      val shift = df.agg(max(col(idCol))).head().getLong(0) + 1L
+      (0 until 3).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i * shift)))
+        .reduce(_.unionByName(_))
+    }
+    def scaleProbe(label: String, d1: org.apache.spark.sql.DataFrame,
+                   d3: org.apache.spark.sql.DataFrame)(
+                   lane: org.apache.spark.sql.DataFrame => Unit
+                  ): Option[(Double, Double, Double)] =
       try {
-        import org.apache.spark.sql.functions._
-        val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(col("doc_id"), col("text"))
-        // shift replicas past the actual id range — a fixed offset would
-        // silently collide (and de-dup) on fixtures with larger ids
-        val shift = d1.agg(max(col("doc_id"))).head().getLong(0) + 1L
-        val d3 = (0 until 3).map(i =>
-          d1.select((col("doc_id") + lit(i * shift)).as("doc_id"), col("text")))
-          .reduce(_.unionByName(_))
         def run(df: org.apache.spark.sql.DataFrame): Double = {
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          operators.Dedup.simhash(df, "doc_id", "text")
-            .write.format("noop").mode("overwrite").save()
-          operators.Dedup.fingerprints(df, "doc_id", "text", 3, 4)
-            .write.format("noop").mode("overwrite").save()
-          operators.Dedup.exact(df, "doc_id", "text")
-            .write.format("noop").mode("overwrite").save()
+          lane(df)
           (System.nanoTime() - t0) / 1e9
         }
         run(d1) // untimed warmup of the probe's codegen
-        // median of 3 interleaved pairs: single ~1.5s samples made the
-        // exponent swing 0.44-0.90 run to run on an idle box
         val pairs = Seq.fill(3)((run(d1), run(d3)))
         val t1 = Bench.median(pairs.map(_._1))
         val t3 = Bench.median(pairs.map(_._2))
         Some((t1, t3, math.log(t3 / t1) / math.log(3.0)))
       } catch { case e: Throwable =>
         // a missing probe must read as a failure, not silent absence
-        System.err.println(s"[bench] dedup_scale probe failed: $e")
+        System.err.println(s"[bench] $label scale probe failed: $e")
         None
       }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val docs3 = replicate3(docs1, "doc_id")
+    val dedupScale = scaleProbe("dedup", docs1, docs3) { df =>
+      noop(operators.Dedup.simhash(df, "doc_id", "text"))
+      noop(operators.Dedup.fingerprints(df, "doc_id", "text", 3, 4))
+      noop(operators.Dedup.exact(df, "doc_id", "text"))
+    }
+    // k-means: fit (2 Lloyd rounds of partial integer sums) + the
+    // shuffle-free assignment — linear in points even when replicas are
+    // identical vectors; semDedup's in-cluster pair join is the
+    // excluded dup-dense stage
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val emb3 = replicate3(emb1, "vec_id")
+    val kmeansScale = scaleProbe("kmeans", emb1, emb3) { df =>
+      noop(operators.Kmeans.fitAssign(df, "vec_id", "embedding",
+        k = 8, iters = 2))
+    }
+    // DSIR: the raw corpus grows, the curated target (and so the
+    // 1024-bucket λ table) stays fixed — the production shape; scoring
+    // is the row-local lane under test
+    val dsirTarget = docs1.filter(col("lang") === "en")
+    val dsirScale = scaleProbe("dsir", docs1, docs3) { df =>
+      noop(operators.Dsir.weights(df, dsirTarget, "doc_id", "text", b = 1024))
+    }
 
     // reference benchmark harnesses (MRBench.java:173-233 avg latency;
     // TestDFSIO.java:88-103 sequential MB/s), sized small enough to not
@@ -195,9 +229,13 @@ object Bench {
         s""","sf_small":"$sd","queries_small":${jm(sq.map { case (k, v) => k -> fmt(v, 3) })}"""
       case _ => ""
     }
-    val scaleJson = dedupScale.map { case (t1, t3, e) =>
-      s""","dedup_scale":{"t1x":${fmt(t1, 3)},"t3x":${fmt(t3, 3)},"exponent":${fmt(e, 3)}}"""
-    }.getOrElse("")
+    def scaleEntry(name: String, p: Option[(Double, Double, Double)]): String =
+      p.map { case (t1, t3, e) =>
+        s""","$name":{"t1x":${fmt(t1, 3)},"t3x":${fmt(t3, 3)},"exponent":${fmt(e, 3)}}"""
+      }.getOrElse("")
+    val scaleJson = scaleEntry("dedup_scale", dedupScale) +
+      scaleEntry("kmeans_scale", kmeansScale) +
+      scaleEntry("dsir_scale", dsirScale)
     val harnessJson =
       s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)},"nnbench_create_ops_sec":${fmt(nnOps, 1)},"filebench_seq_read_mbps":${fmt(fbSeqRead, 1)},"slive_ops_sec":${fmt(sliveOps, 1)},"bigmap_shuffle_mbps":${fmt(bmoMbps, 1)},"threadedmap_sort_mbps":${fmt(tmbMbps, 1)}}"""
     val head =

@@ -36,6 +36,22 @@ object StreamingQueries extends QueryModule {
     stream.sparkSession.table(name)
   }
 
+  /** transformWithState requires the RocksDB state store (the
+    * HDFS-backed provider has no column families); scope the conf to
+    * the body and restore after.
+    */
+  private def withRocksDB[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private def docStream(s: SparkSession, dir: String): DataFrame = {
     // the file-stream source only accepts a DIRECTORY to monitor; the
     // sf table is a single parquet file, so link/copy it into a fresh
@@ -76,25 +92,15 @@ object StreamingQueries extends QueryModule {
     // percentiles
     "streaming_percentiles" -> ((s, dir) => {
       import s.implicits._
-      // transformWithState requires the RocksDB state store (the
-      // HDFS-backed provider has no column families); scope the conf
-      // to this run and restore after
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val toks = docStream(s, dir)
         .select(col("source").as("k"),
           size(graft.operators.Dedup.tokens(col("text"))).cast("long").as("v"))
         .as[StreamingOps.KV]
-      val snaps =
-        try runToTable(
+      val snaps = withRocksDB(s) {
+        runToTable(
           StreamingOps.runningPercentiles(toks, pcts = Seq(50, 90)).toDF(),
           "update")
-        finally prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
+      }
       // last snapshot per (source, pct) — n grows monotonically, so
       // rank-by-n-desc row 1 is the full-corpus state — equal to the
       // batch exact percentiles by the stream-transparency law. (A
@@ -105,6 +111,43 @@ object StreamingQueries extends QueryModule {
       snaps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("k").as("source"), col("pct"), col("n").as("n_docs"),
           col("v").as("val"))
+    }),
+
+    // sharded Misra-Gries heavy-hitter CANDIDATES maintained as
+    // streaming state, then the exact batch verify pass — the
+    // production split (the stream narrows an unbounded token space to
+    // <= shards·k candidates; the verify is a cheap filtered count).
+    // Soundness makes the output deterministic: every token with
+    // global cnt·k > n survives its shard's summary (shard count =
+    // global count, shard n <= global n), and the verify filter
+    // discards arrival-dependent extras — so the result is EXACTLY the
+    // batch heavy-hitter set, despite MG state being order-dependent.
+    "streaming_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = docStream(s, dir)
+        .select(explode(graft.operators.Dedup.tokens(col("text"))).as("token"))
+        .select(pmod(hash(col("token")), lit(8)).cast("string").as("shard"),
+          col("token"))
+        .as[StreamingOps.STok]
+      val snaps = withRocksDB(s) {
+        runToTable(StreamingOps.runningHeavyHitters(toks, k = 64).toDF(),
+          "update")
+      }
+      // final summary per shard = rows of its last (largest-n) snapshot
+      val byShard = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+      val cands = snaps
+        .withColumn("maxn", max(col("n")).over(byShard))
+        .filter(col("n") === col("maxn"))
+        .select("token").distinct()
+      // exact verify over the batch table (Frequent.heavyHitters step 2)
+      val tk = graft.Tables(s, dir, "documents")
+        .select(explode(graft.operators.Dedup.tokens(col("text"))).as("token"))
+      val tot = tk.agg(count(lit(1)).as("n"))
+      tk.join(broadcast(cands), Seq("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") * 64 > col("n"))
+        .select(col("token"), col("cnt"))
     })
   )
 
@@ -150,6 +193,18 @@ object StreamingQueries extends QueryModule {
         |SELECT source, CAST(p.pct AS BIGINT) AS pct, CAST(n AS BIGINT) AS n_docs,
         |  CAST(MIN(CASE WHEN cum >= (n * p.pct + 99) // 100 THEN v END) AS BIGINT) AS val
         |FROM c, (VALUES (50), (90)) p(pct)
-        |GROUP BY source, p.pct, n""".stripMargin
+        |GROUP BY source, p.pct, n""".stripMargin,
+    // the exact heavy-hitter law (same as the batch heavy_hitters
+    // oracle at k=64): the streamed MG candidates + verify must land on
+    // exactly this set
+    "streaming_heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |), tot AS (SELECT COUNT(*) AS n FROM tk)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM tk CROSS JOIN tot
+        |GROUP BY token, n
+        |HAVING COUNT(*) * 64 > n""".stripMargin
   )
 }
