@@ -263,6 +263,42 @@ object Multimodal {
       octet_length(col("content")).cast("long").as("n_bytes"),
       graft.functions.MediaExpressions.ahash64(col("content")).as("ahash"))
 
+  private val lumaSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("luma", BinaryType, nullable = true)))
+
+  /** REAL decode to the raw row-major luma plane — one byte per pixel
+    * (the [[lumaAt]] rule), NULL for undecodable content. This is the
+    * bridge from codec bytes to pixel-level operators: compose with
+    * [[resize]] to a fixed grid first and any byte-plane kernel
+    * (ahash64, byteEntropy) becomes a PIXEL kernel — e.g. resize(8, 8)
+    * → ahash64(luma) is the textbook perceptual average-hash.
+    */
+  def lumaPlane(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "content").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val img = decodeImage(r.getAs[Array[Byte]]("content"))
+        if (img == null) Row(id, null, null, null)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val out = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { out(y * w + x) = lumaAt(img, x, y).toByte; x += 1 }
+            y += 1
+          }
+          Row(id, w, h, out)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, lumaSchema)
+  }
+
   /** Frame sampling: n evenly spaced byte offsets per media item (the
     * video-frame-sample shape: one row per sampled frame).
     */

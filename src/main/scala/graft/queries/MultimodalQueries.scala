@@ -65,6 +65,18 @@ object MultimodalQueries extends QueryModule {
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.resize(images(s, dir), 16, 12))
         .select("doc_id", "width", "height", "sum_luma")),
+    // the TEXTBOOK perceptual average-hash, now over real pixels:
+    // resize to the 8x8 luma grid (real decode + resample + re-decode),
+    // then ahash64 over the 64-byte plane — non-image content drops
+    // (no pixels, no hash). The oracle replays the whole chain from
+    // the doc_id pixel law.
+    "multimodal_phash" -> ((s, dir) => {
+      val small = Multimodal.resize(images(s, dir), 8, 8)
+      Multimodal.lumaPlane(small)
+        .filter(col("luma").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.MediaExpressions.ahash64(col("luma")).as("phash"))
+    }),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(media(s, dir), 4)),
     // byte-entropy screen over binary content — a REAL feature (no
     // codec): float-log accumulation has no exact SQL replay, so the
@@ -182,6 +194,26 @@ object MultimodalQueries extends QueryModule {
         |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(12 AS INTEGER) END AS height,
         |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(p.s AS BIGINT) END AS sum_luma
         |FROM dims d JOIN px p USING (doc_id)""".stripMargin,
+    // 8x8 nearest-neighbor luma law: pixel i (row-major, x = i%8,
+    // y = i//8) = ((x*w) div 8 + (y*h) div 8 + id) mod 256; bit = 1 iff
+    // 64*v > sum over the grid (the exact ahash64 integer-mean rule)
+    "multimodal_phash" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(8 + doc_id % 24 AS INTEGER) AS w,
+        |         CAST(8 + (doc_id * 7) % 16 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 10 != 7
+        |), px AS (
+        |  SELECT doc_id, i.i AS i,
+        |         ((((i.i % 8) * w) // 8) + (((i.i // 8) * h) // 8) + doc_id) % 256 AS v
+        |  FROM dims, (SELECT unnest(range(0, 64)) AS i) i
+        |), tt AS (
+        |  SELECT doc_id, SUM(v) AS tot FROM px GROUP BY doc_id
+        |)
+        |SELECT px.doc_id,
+        |       string_agg(CASE WHEN v * 64 > tt.tot THEN '1' ELSE '0' END, '' ORDER BY i) AS phash
+        |FROM px JOIN tt USING (doc_id)
+        |GROUP BY px.doc_id""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

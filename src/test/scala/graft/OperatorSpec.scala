@@ -502,6 +502,17 @@ class OperatorSpec extends AnyFunSuite {
         s"doc $id resized sum_luma ${r.getLong(4)} != $expect")
     }
     assert(res(17L).isNullAt(2), "non-image passthrough re-decodes as NULL")
+    // luma plane: raw row-major pixel bytes, exact per position
+    val lp = Multimodal.lumaPlane(imgs).collect().map(r => r.getLong(0) -> r).toMap
+    Seq(0L, 23L).foreach { id =>
+      val (w, h) = Multimodal.fixtureDims(id)
+      val bytes = lp(id).getAs[Array[Byte]]("luma")
+      assert(lp(id).getInt(1) == w && bytes.length == w * h)
+      for { x <- 0 until w; y <- 0 until h }
+        assert((bytes(y * w + x) & 0xff) == ((x + y + id) % 256).toInt,
+          s"doc $id pixel ($x,$y)")
+    }
+    assert(lp(17L).isNullAt(3), "non-image has no luma plane")
   }
 
   test("Sampling.tokenBudgetSample keeps hash-prefix documents within per-shard budgets") {
