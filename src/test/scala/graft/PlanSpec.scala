@@ -223,6 +223,19 @@ class PlanSpec extends AnyFunSuite {
       s"a shuffle partitions on span text:\n${shuffles.mkString("\n")}")
   }
 
+  test("snapshot_diff joins hash-narrow: no text column crosses an exchange") {
+    val df = SparkEntry.queries("snapshot_diff")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"snapshot diff must stay an equi-join:\n$p")
+    // both sides reduce to (id, md5, presence) BEFORE the full-outer
+    // join — a shuffle carrying `text` would ship the whole crawl twice
+    val shuffles = "Exchange [^\\n]*".r.findAllIn(p).toSeq
+    assert(shuffles.nonEmpty && shuffles.forall(!_.contains("text#")),
+      s"a shuffle carries document text:\n${shuffles.mkString("\n")}")
+  }
+
   test("chunk_docs, mixture_sample, topic_assign, split_assign are map-only: zero shuffles") {
     for (name <- Seq("chunk_docs", "mixture_sample", "topic_assign", "split_assign")) {
       val df = SparkEntry.queries(name)(spark, dir)
