@@ -100,4 +100,80 @@ object Quantiles {
         col("cum") - col("cnt") < col("target"))
       .select(col(groupCol), col("pct"), col("v").as("val"))
   }
+
+  // ---- log-histogram quantile sketch (unbounded-cardinality metrics) --
+
+  /** Log-histogram bucket id of a NON-NEGATIVE integral metric — the
+    * DDSketch idea (relative-error quantiles from a log-binned
+    * histogram) made DETERMINISTIC and engine-portable by integer-only
+    * binning: no float `log` whose last-bit rounding could disagree
+    * between engines at a bucket boundary.
+    *
+    *  - x in [0, 16): id = x (the exact small-value lane)
+    *  - x >= 16:      id = (l-4)*16 + (x >> (l-4)), l = floor(log2 x)
+    *                  computed as length(bin(x)) - 1 — 16 sub-buckets
+    *                  per octave, so bucket width / lower bound <= 1/16
+    *
+    * Monotone in x, total bucket count <= 16·60 + 16 for any long, and
+    * every step (bin-string length, shifts) is exact integer arithmetic
+    * a SQL oracle replays byte-for-byte. Negative input raises (sizes
+    * and counts are the domain; silently bucketing a negative would
+    * return a wrong quantile).
+    */
+  def logBucket(c: Column): Column = {
+    val x = c.cast("long")
+    val l = (length(bin(x)) - 1).cast("int")
+    when(x < 0, raise_error(concat(lit("logBucket: negative value "),
+        x.cast("string"))).cast("long"))
+      .when(x < 16, x)
+      // call_function: the functions.shiftright overload takes a static
+      // Int, but the shift amount here is per-row
+      .otherwise(((l - 4) * 16).cast("long") +
+        call_function("shiftright", x, l - 4))
+  }
+
+  /** Lower bound of bucket `id` — the deterministic quantile estimate
+    * (true value lies in [low, low·17/16) for the big lane; exact in
+    * the small lane).
+    */
+  def bucketLow(id: Column): Column = {
+    val q = (id / 16).cast("int") // id >= 16 ⇒ octave index + 1
+    when(id < 16, id)
+      .otherwise(call_function("shiftleft",
+        id - ((q - 1) * 16).cast("long"), q - 1))
+  }
+
+  /** Per-group quantile ESTIMATES of an unbounded-cardinality
+    * non-negative metric (byte sizes, latencies, char counts — anything
+    * whose distinct-value count would blow up [[exactPercentiles]]'s
+    * value-count state). Same rank rule as the exact lane, walked over
+    * the log-histogram: the answer is the LOWER BOUND of the bucket
+    * containing the true percentile, so
+    * `est <= true < est·(1 + 1/16)` (exact below 16).
+    *
+    * The histogram is a (group, bucket) -> count table — bounded at
+    * ~976 buckets per group for any long — and MERGEABLE by plain
+    * count addition (shards, snapshots, streaming micro-batches: the
+    * HLL-rollup discipline). Composing [[logBucket]] with the
+    * streaming value-count state ([[graft.streaming.StreamingOps
+    * .runningPercentiles]]) bounds its per-key state the same way.
+    */
+  def logHistQuantiles(df: DataFrame, groupCol: String, value: Column,
+                       pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1, 100]")
+    require(pcts.distinct.size == pcts.size, "duplicate percentile")
+    val vc = df.groupBy(col(groupCol), logBucket(value).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val byGroup = Window.partitionBy(groupCol)
+    val cum = vc
+      .withColumn("cum", sum(col("cnt")).over(byGroup.orderBy("b")))
+      .withColumn("n", sum(col("cnt")).over(byGroup))
+    cum.select(col(groupCol), col("b"), col("cnt"), col("cum"), col("n"),
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"))
+      .withColumn("target", expr("(n * pct + 99) div 100"))
+      .filter(col("cum") >= col("target") &&
+        col("cum") - col("cnt") < col("target"))
+      .select(col(groupCol), col("pct"), bucketLow(col("b")).as("est"))
+  }
 }

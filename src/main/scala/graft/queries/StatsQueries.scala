@@ -42,6 +42,19 @@ object StatsQueries extends QueryModule {
         "source", col("n_toks"), Seq(10, 25, 50, 75, 90, 99))
     }),
 
+    // Log-histogram quantile SKETCH over document byte sizes — the
+    // unbounded-cardinality complement to quantile_stats (byte sizes
+    // have too many distinct values for exact value-counting at 100 TB;
+    // the log bins cap the state at ~976 buckets per group with a
+    // <= 1/16 relative-error bound). Deterministic integer binning
+    // (length-of-binary + shifts, no float log), so the oracle replays
+    // the sketch bit-for-bit.
+    "quantile_sketch" -> ((s, dir) =>
+      Quantiles.logHistQuantiles(
+        docs(s, dir).select(col("source"),
+          octet_length(col("text")).cast("long").as("n_bytes")),
+        "source", col("n_bytes"), Seq(50, 90, 99))),
+
     // Exact heavy hitters over the token stream: Misra-Gries candidate
     // pass (bounded k-counter summary, map-side reduced) then an exact
     // verify count of the <= k candidates — output is every token with
@@ -129,6 +142,34 @@ object StatsQueries extends QueryModule {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // the sketch's integer bin law: id = x below 16, else
+    // (l-4)*16 + (x >> (l-4)) with l = length(bin(x)) - 1; estimate =
+    // bucket lower bound ((id - (id//16 - 1)*16) << (id//16 - 1))
+    "quantile_sketch" ->
+      """WITH d AS (
+        |  SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS x
+        |  FROM documents
+        |), bk AS (
+        |  SELECT source,
+        |         CASE WHEN x < 16 THEN x
+        |              ELSE (length(bin(x)) - 1 - 4) * 16
+        |                   + (x >> (length(bin(x)) - 1 - 4)) END AS b
+        |  FROM d
+        |), vc AS (
+        |  SELECT source, b, COUNT(*) AS cnt FROM bk GROUP BY source, b
+        |), c AS (
+        |  SELECT source, b, cnt,
+        |         SUM(cnt) OVER (PARTITION BY source ORDER BY b) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY source) AS n
+        |  FROM vc
+        |)
+        |SELECT c.source, CAST(p.pct AS BIGINT) AS pct,
+        |       CAST(CASE WHEN b < 16 THEN b
+        |                 ELSE (b - (b // 16 - 1) * 16) << (b // 16 - 1)
+        |            END AS BIGINT) AS est
+        |FROM c, (VALUES (50), (90), (99)) p(pct)
+        |WHERE cum >= (n * pct + 99) // 100
+        |  AND cum - cnt < (n * pct + 99) // 100""".stripMargin,
     "quantile_stats" ->
       """WITH t AS (
         |  SELECT source,

@@ -606,4 +606,52 @@ object LawsSpec extends Properties("graft.laws") {
           }
         }
     }
+
+  // --- Log-histogram quantile sketch -------------------------------------
+
+  private val genWide: Gen[List[(String, Long)]] = Gen.nonEmptyListOf(for {
+    g <- Gen.oneOf("g1", "g2")
+    // span the exact small lane, boundary octaves, and wide magnitudes
+    v <- Gen.oneOf(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 100000L),
+      Gen.oneOf(15L, 16L, 17L, 31L, 32L, 1L << 40, (1L << 40) + 12345L))
+  } yield (g, v)).map(_.take(50))
+
+  property("logHistQuantiles: est <= true percentile < est * 17/16 (exact below 16)") =
+    forAll(genWide, Gen.someOf(Seq(1, 50, 90, 100)).suchThat(_.nonEmpty)) {
+      (rows, pcts) =>
+        val got = graft.operators.Quantiles.logHistQuantiles(
+          rows.toDF("g", "v").repartition(3), "g", col("v"), pcts.toSeq)
+          .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        rows.groupBy(_._1).forall { case (g, grp) =>
+          val sorted = grp.map(_._2).sorted
+          pcts.forall { p =>
+            val target = (sorted.size.toLong * p + 99) / 100
+            val truth = sorted((target - 1).toInt)
+            val est = got((g, p.toLong))
+            if (truth < 16) est == truth
+            else est <= truth && truth < est + (est >> 4) + 1
+          }
+        }
+    }
+
+  property("logBucket is monotone and its histogram merges by count addition") =
+    forAll(genWide, genWide) { (a, b) =>
+      import graft.operators.Quantiles
+      def hist(rows: List[(String, Long)]): Map[(String, Long), Long] =
+        rows.toDF("g", "v")
+          .groupBy(col("g"), Quantiles.logBucket(col("v")).as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val (ha, hb, hu) = (hist(a), hist(b), hist(a ++ b))
+      // mergeability: union histogram = bucket-wise sum of the parts
+      val merged = (ha.keySet ++ hb.keySet).map(k =>
+        k -> (ha.getOrElse(k, 0L) + hb.getOrElse(k, 0L))).toMap
+      // monotonicity: bucket ids sort like the values they bin
+      val ids = a.map(_._2).sorted.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }
+        .toDF("i", "v")
+        .select(col("i"), Quantiles.logBucket(col("v")).as("b"))
+        .collect().sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+      hu == merged && ids == ids.sorted
+    }
 }

@@ -530,6 +530,18 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side combine:\n$p")
   }
 
+  test("quantile_sketch windows over the bounded bucket histogram, never raw rows") {
+    val p = plan("quantile_sketch")
+    // same discipline as quantile_stats, with the log-bucket projection
+    // riding the scan: the window input is <= ~976 buckets per group
+    assert(p.contains("Window"), s"no window:\n$p")
+    assert(p.indexOf("Window") < p.indexOf("HashAggregate"),
+      s"window runs below the bucket-count aggregate:\n$p")
+    assert(p.indexOf("Generate") < p.indexOf("HashAggregate"),
+      s"percentile fan-out below the aggregate (explodes raw rows):\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+  }
+
   test("heavy_hitters verify pass: candidate filter before one count shuffle") {
     val p = plan("heavy_hitters")
     // the exact pass shuffles only candidate occurrences: the IN filter
