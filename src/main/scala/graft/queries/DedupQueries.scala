@@ -54,7 +54,7 @@ object DedupQueries extends QueryModule {
   }
 
   // Shared oracle CTE: distinct word-3-gram shingles per doc.
-  private val shingleCte =
+  private[queries] val shingleCte =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
       |  FROM documents

@@ -113,6 +113,52 @@ object StreamingQueries extends QueryModule {
           col("v").as("val"))
     }),
 
+    // the quantile SKETCH under streaming state: logBucket bounds an
+    // unbounded-cardinality metric (byte sizes) to <= ~976 ids, the
+    // running value-count percentile state walks the bucketed
+    // distribution, and bucketLow maps the answer back — monotone
+    // binning + the shared rank rule make the streamed estimate equal
+    // the batch sketch's (quantile_sketch), which the oracle replays
+    "streaming_quantile_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val bucketed = docStream(s, dir)
+        .select(col("source").as("k"),
+          graft.operators.Quantiles.logBucket(octet_length(col("text")))
+            .as("v"))
+        .as[StreamingOps.KV]
+      val snaps = withRocksDB(s) {
+        runToTable(
+          StreamingOps.runningPercentiles(bucketed, pcts = Seq(50, 90, 99))
+            .toDF(),
+          "update")
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k", "pct").orderBy(col("n").desc)
+      snaps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("k").as("source"), col("pct"),
+          graft.operators.Quantiles.bucketLow(col("v")).as("est"))
+    }),
+
+    // the ingest-time NEAR-DUP gate: the corpus slice is minhash-indexed
+    // once IN BATCH (the persisted artifact), the incoming slice is
+    // STREAMED through the index probe — row-local signatures/banding,
+    // stream-static equi-join on (band, bh), row-local signature-
+    // agreement verify. Output (new_id, corpus_id, n_agree,
+    // est_jaccard) is arrival-independent, so the batch probe oracle
+    // replays it exactly (stream side uncapped: the gate caps only the
+    // INDEX buckets at build time)
+    "streaming_dedup_gate" -> ((s, dir) => {
+      val d = graft.Tables(s, dir, "documents")
+      val idx = graft.operators.Dedup.buildMinhashIndex(
+        d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        k = 3, numPerm = 16, rowsPerBand = 4, maxBucket = 1000)
+      val incoming = docStream(s, dir).filter(col("doc_id") % 3 === 0)
+      runToTable(
+        StreamingOps.streamDedupGate(incoming, "doc_id", "text", idx,
+          threshold = 0.5),
+        "append")
+    }),
+
     // sharded Misra-Gries heavy-hitter CANDIDATES maintained as
     // streaming state, then the exact batch verify pass — the
     // production split (the stream narrows an unbounded token space to
@@ -194,6 +240,72 @@ object StreamingQueries extends QueryModule {
         |  CAST(MIN(CASE WHEN cum >= (n * p.pct + 99) // 100 THEN v END) AS BIGINT) AS val
         |FROM c, (VALUES (50), (90)) p(pct)
         |GROUP BY source, p.pct, n""".stripMargin,
+    // the batch quantile_sketch law over the same metric: integer
+    // log-binning, rank walk, bucket lower bound
+    "streaming_quantile_sketch" ->
+      """WITH d AS (
+        |  SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS x
+        |  FROM documents
+        |), bk AS (
+        |  SELECT source,
+        |         CASE WHEN x < 16 THEN x
+        |              ELSE (length(bin(x)) - 1 - 4) * 16
+        |                   + (x >> (length(bin(x)) - 1 - 4)) END AS b
+        |  FROM d
+        |), vc AS (
+        |  SELECT source, b, COUNT(*) AS cnt FROM bk GROUP BY source, b
+        |), c AS (
+        |  SELECT source, b, cnt,
+        |         SUM(cnt) OVER (PARTITION BY source ORDER BY b) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY source) AS n
+        |  FROM vc
+        |)
+        |SELECT c.source, CAST(p.pct AS BIGINT) AS pct,
+        |       CAST(CASE WHEN b < 16 THEN b
+        |                 ELSE (b - (b // 16 - 1) * 16) << (b // 16 - 1)
+        |            END AS BIGINT) AS est
+        |FROM c, (VALUES (50), (90), (99)) p(pct)
+        |WHERE cum >= (n * pct + 99) // 100
+        |  AND cum - cnt < (n * pct + 99) // 100""".stripMargin,
+    // the batch minhash-probe law (incremental_dedup's oracle, minus
+    // the probe-side bucket cap the streaming gate does not apply —
+    // only the INDEX side is capped at build)
+    "streaming_dedup_gate" -> (DedupQueries.shingleCte +
+      """, hh AS (
+        |  SELECT doc_id,
+        |         ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h1,
+        |         ('0x' || substring(md5(sh), 17, 15))::BIGINT AS h2
+        |  FROM sh
+        |), m AS (
+        |  SELECT doc_id, i,
+        |         min((h1 % 1000000007 + i * (h2 % 1000000007)) % 1000000007) AS s
+        |  FROM hh, (SELECT unnest(range(0, 16)) AS i)
+        |  GROUP BY doc_id, i
+        |), sigs AS (
+        |  SELECT doc_id, list(s ORDER BY i) AS sig FROM m GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |         md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS bh
+        |  FROM m GROUP BY doc_id, i // 4
+        |), bc AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+        |bb AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+        |bkc AS (
+        |  SELECT b.* FROM bc b
+        |  JOIN (SELECT band, bh FROM bc GROUP BY band, bh HAVING COUNT(*) <= 1000) ok
+        |    USING (band, bh)
+        |), cand AS (
+        |  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+        |  FROM bb b JOIN bkc c USING (band, bh)
+        |), ag AS (
+        |  SELECT cand.new_id, cand.corpus_id,
+        |         len(list_filter(range(1, 17), i -> x.sig[i] = y.sig[i])) AS n_agree
+        |  FROM cand
+        |  JOIN sigs x ON x.doc_id = cand.new_id
+        |  JOIN sigs y ON y.doc_id = cand.corpus_id
+        |)
+        |SELECT new_id, corpus_id, CAST(n_agree AS BIGINT) AS n_agree,
+        |       CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
+        |FROM ag WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.5""".stripMargin),
     // the exact heavy-hitter law (same as the batch heavy_hitters
     // oracle at k=64): the streamed MG candidates + verify must land on
     // exactly this set
