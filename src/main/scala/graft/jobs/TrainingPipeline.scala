@@ -85,6 +85,21 @@ object TrainingPipeline {
     * set bounded+collected, strip map-only
     * ([[TextOps.templateHotLines]]/[[TextOps.stripLinesIn]]).
     *
+    * `fixEncoding`: stage 0b — repair Latin-1/cp1252 mojibake
+    * ([[TextOps.fixMojibake]], the guarded sloppy-cp1252 recode kernel)
+    * right after HTML extraction, BEFORE template detection, dedup and
+    * tokenization: encoding damage otherwise splits identical content
+    * into distinct digests and garbles the token stream. Row-local,
+    * never throws, unrepairable text passes through.
+    *
+    * `classifierWeights`: optional trained token-weight table
+    * ([[graft.operators.Classify.trainTokenWeights]] output — the
+    * persisted model artifact) enabling stage 1c, the model-based
+    * quality gate: only documents the classifier scores POSITIVE
+    * survive (fastText-filter shape: broadcast weights, row-local
+    * features, one aggregation). `Report.afterFilter` counts
+    * post-classifier survivors. None skips the stage.
+    *
     * `normalize` canonicalizes text FIRST (NFC + lower + whitespace
     * collapse): byte-unequal spellings of identical text must converge
     * before any digest-based dedup sees them. `scrubPii` redacts
@@ -96,9 +111,11 @@ object TrainingPipeline {
           input: Option[DataFrame] = None,
           previousSnapshot: Option[DataFrame] = None,
           ingestHtml: Boolean = false,
+          fixEncoding: Boolean = false,
           templateMinDf: Option[Long] = None,
           c4MinWords: Option[Int] = None,
           lang: String = "en", minTokens: Int = 10,
+          classifierWeights: Option[DataFrame] = None,
           minQuality: Option[Double] = None,
           compRatioBounds: Option[(Double, Double)] = None,
           maxRepetition: Option[Double] = None,
@@ -133,8 +150,15 @@ object TrainingPipeline {
           col("doc_id") === col("p_id") && md5(col("text")) <=> col("p_h"),
           "left_anti")
       }.getOrElse(rAll)
-      val extract = (d: DataFrame) => if (ingestHtml)
-        d.withColumn("text", Html.extractLines(col("text"))) else d
+      // 0b. optional mojibake repair rides the same scan — BEFORE
+      // template detection and every digest: encoding damage otherwise
+      // splits identical content into distinct hashes
+      val extract = (d: DataFrame) => {
+        val h = if (ingestHtml)
+          d.withColumn("text", Html.extractLines(col("text"))) else d
+        if (fixEncoding)
+          h.withColumn("text", TextOps.fixMojibake(col("text"))) else h
+      }
       val r1 = extract(r0)
       // 0c. optional template-line strip: detection is the one
       // corpus-wide pass in the ingestion stages (narrow shuffle of
@@ -196,12 +220,21 @@ object TrainingPipeline {
       if (maxRepetition.isDefined)
         gated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else gated
-    val filtered = maxRepetition.map { r =>
+    val ruleGated = maxRepetition.map { r =>
       gateInput.join(
         Dedup.repetitionStats(gateInput, "doc_id", "text", n = 2)
           .filter(col("dup_gram_frac") > r).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
     }.getOrElse(gateInput)
+    // 1c. optional model-based quality gate: broadcast the trained
+    // weight table, score row-locally, keep positive-class docs — the
+    // fastText-filter stage between the rule gates and dedup
+    val filtered = classifierWeights.map { w =>
+      val keep = graft.operators.Classify
+        .scoreDocs(ruleGated, "doc_id", "text", w)
+        .filter(col("pred") === 1).select("doc_id")
+      ruleGated.join(keep, Seq("doc_id"), "left_semi")
+    }.getOrElse(ruleGated)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterFilter = filtered.count()
     if (maxRepetition.isDefined) gateInput.unpersist(false)

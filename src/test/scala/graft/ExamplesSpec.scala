@@ -432,6 +432,55 @@ class ExamplesSpec extends AnyFunSuite {
     assert(rStrip.packs > 0, s"strip pipeline emptied out: $rStrip")
   }
 
+  test("TrainingPipeline fixEncoding: a mojibake-damaged corpus reduces to the clean run") {
+    import graft.jobs.TrainingPipeline
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.Tables(spark, dir, "documents")
+    // damage = the classic accident applied to whole documents: UTF-8
+    // bytes re-read as Latin-1. The fixture is ASCII, so plant accented
+    // content first to make the repair non-vacuous, then damage every
+    // third doc — stage 0b must recode them back so digests converge
+    // with the clean run
+    val accented = base.withColumn("text",
+      concat(col("text"), lit(" caffé crème menü")))
+    val damage = udf((s: String) =>
+      new String(s.getBytes("UTF-8"), java.nio.charset.StandardCharsets.ISO_8859_1))
+    val damaged = accented.withColumn("text",
+      when(col("doc_id") % 3 === 0, damage(col("text"))).otherwise(col("text")))
+    val (_, rFix) = TrainingPipeline.run(spark, dir,
+      input = Some(damaged), fixEncoding = true, lang = "en", minTokens = 5)
+    val (_, rClean) = TrainingPipeline.run(spark, dir,
+      input = Some(accented), lang = "en", minTokens = 5)
+    assert(rFix == rClean, s"encoding repair diverged: $rFix vs $rClean")
+    assert(rFix.packs > 0, s"repair pipeline emptied out: $rFix")
+  }
+
+  test("TrainingPipeline classifier gate keeps exactly the positive-scored docs") {
+    import graft.jobs.TrainingPipeline
+    import graft.operators.Classify
+    // synthetic corpus with PROVABLE scores: every doc passes the en
+    // rule gate; even docs carry `cleanword` (positive class), odd docs
+    // `spamword`. Trained weights give cleanword +N_pos*N_neg and
+    // spamword -N_pos*N_neg, each doc's unique doc<i> token adds the
+    // same sign, shared stopwords weigh 0 — so score sign == class,
+    // and stage 1c must keep exactly the even ids
+    import spark.implicits._
+    val docs = (0L until 40L).toSeq.map(i =>
+      (i, "s0", s"the a is of and doc$i " +
+        (if (i % 2 == 0) "cleanword" else "spamword")))
+      .toDF("doc_id", "source", "text")
+    val w = Classify.trainTokenWeights(docs, "doc_id", "text",
+      col("doc_id") % 2 === 0)
+    val (_, rGate) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      input = Some(docs), classifierWeights = Some(w),
+      lang = "en", minTokens = 5)
+    val (_, rPlain) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      input = Some(docs), lang = "en", minTokens = 5)
+    assert(rPlain.afterFilter == 40, s"rule gates should keep all: $rPlain")
+    assert(rGate.input == 40 && rGate.afterFilter == 20,
+      s"classifier gate must keep exactly the 20 positive docs: $rGate")
+  }
+
   test("TrainingPipeline delta gate processes exactly the added+changed docs") {
     import graft.jobs.TrainingPipeline
     val dir = "/root/testdata/sf0.001"
