@@ -118,11 +118,16 @@ object Bench {
         df.withColumn(idCol, col(idCol) + lit(i * shift)))
         .reduce(_.unionByName(_))
     }
-    def scaleProbe(label: String, d1: org.apache.spark.sql.DataFrame,
-                   d3: org.apache.spark.sql.DataFrame)(
+    // fixture setup runs INSIDE the probe's try (mk thunk): a missing
+    // table, absent column, or empty fixture (max(id) null) must read
+    // as that probe's failure line, never abort the whole bench
+    def scaleProbe(label: String,
+                   mk: () => (org.apache.spark.sql.DataFrame,
+                              org.apache.spark.sql.DataFrame))(
                    lane: org.apache.spark.sql.DataFrame => Unit
                   ): Option[(Double, Double, Double)] =
       try {
+        val (d1, d3) = mk()
         def run(df: org.apache.spark.sql.DataFrame): Double = {
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
@@ -141,11 +146,13 @@ object Bench {
       }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    def docsPair(): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"))
+      (d1, replicate3(d1, "doc_id"))
+    }
 
-    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"), col("lang"))
-    val docs3 = replicate3(docs1, "doc_id")
-    val dedupScale = scaleProbe("dedup", docs1, docs3) { df =>
+    val dedupScale = scaleProbe("dedup", docsPair) { df =>
       noop(operators.Dedup.simhash(df, "doc_id", "text"))
       noop(operators.Dedup.fingerprints(df, "doc_id", "text", 3, 4))
       noop(operators.Dedup.exact(df, "doc_id", "text"))
@@ -154,19 +161,23 @@ object Bench {
     // shuffle-free assignment — linear in points even when replicas are
     // identical vectors; semDedup's in-cluster pair join is the
     // excluded dup-dense stage
-    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-    val emb3 = replicate3(emb1, "vec_id")
-    val kmeansScale = scaleProbe("kmeans", emb1, emb3) { df =>
+    val kmeansScale = scaleProbe("kmeans", () => {
+      val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      (e1, replicate3(e1, "vec_id"))
+    }) { df =>
       noop(operators.Kmeans.fitAssign(df, "vec_id", "embedding",
         k = 8, iters = 2))
     }
     // DSIR: the raw corpus grows, the curated target (and so the
     // 1024-bucket λ table) stays fixed — the production shape; scoring
     // is the row-local lane under test
-    val dsirTarget = docs1.filter(col("lang") === "en")
-    val dsirScale = scaleProbe("dsir", docs1, docs3) { df =>
-      noop(operators.Dsir.weights(df, dsirTarget, "doc_id", "text", b = 1024))
+    val dsirScale = scaleProbe("dsir", docsPair) { df =>
+      noop(operators.Dsir.weights(df,
+        df.sparkSession.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"))
+          .filter(col("lang") === "en"),
+        "doc_id", "text", b = 1024))
     }
 
     // reference benchmark harnesses (MRBench.java:173-233 avg latency;

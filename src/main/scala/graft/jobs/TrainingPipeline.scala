@@ -220,7 +220,7 @@ object TrainingPipeline {
       if (maxRepetition.isDefined)
         gated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else gated
-    val ruleGated = maxRepetition.map { r =>
+    val ruleGated0 = maxRepetition.map { r =>
       gateInput.join(
         Dedup.repetitionStats(gateInput, "doc_id", "text", n = 2)
           .filter(col("dup_gram_frac") > r).select(col("doc_id")),
@@ -228,7 +228,15 @@ object TrainingPipeline {
     }.getOrElse(gateInput)
     // 1c. optional model-based quality gate: broadcast the trained
     // weight table, score row-locally, keep positive-class docs — the
-    // fastText-filter stage between the rule gates and dedup
+    // fastText-filter stage between the rule gates and dedup.
+    // ruleGated feeds BOTH the scorer and the semi-join's left side, so
+    // it is pinned for the gate's lifetime — unpinned lineage would
+    // re-run the corpus scan + tokenize + langID twice (the stage-1b
+    // discipline)
+    val ruleGated =
+      if (classifierWeights.isDefined)
+        ruleGated0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else ruleGated0
     val filtered = classifierWeights.map { w =>
       val keep = graft.operators.Classify
         .scoreDocs(ruleGated, "doc_id", "text", w)
@@ -238,6 +246,7 @@ object TrainingPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterFilter = filtered.count()
     if (maxRepetition.isDefined) gateInput.unpersist(false)
+    if (classifierWeights.isDefined) ruleGated.unpersist(false)
 
     // 2. exact dedup to representatives (16-byte digests shuffle)
     val reps = Dedup.exact(filtered, "doc_id", "text").select(col("keep_id").as("doc_id"))

@@ -104,13 +104,23 @@ object Multimodal {
     try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
     catch { case _: Exception => null }
 
-  /** Luma of pixel (x, y): the single band of a grayscale image, the
-    * floor-mean of the first three bands (RGB; alpha ignored) otherwise
-    * — integer arithmetic, so features replay exactly.
+  /** Luma of pixel (x, y) — integer arithmetic, so features replay
+    * exactly. Branches by decoded representation (all of which
+    * ImageIO's built-in readers produce for in-domain crawl media):
+    *  - indexed color (GIF, palette PNG): resolve through the palette
+    *    via getRGB — the raw raster sample is a palette INDEX, not a
+    *    luma, and two visually identical images with permuted palettes
+    *    must hash alike;
+    *  - 1 or 2 bands (gray, gray+alpha): band 0 is the luma;
+    *  - 3+ bands (RGB, RGBA): floor-mean of the first three.
+    * Never throws on any band count.
     */
   private def lumaAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
     val raster = img.getRaster
-    if (raster.getNumBands == 1) raster.getSample(x, y, 0)
+    if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+    } else if (raster.getNumBands <= 2) raster.getSample(x, y, 0)
     else (raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
       raster.getSample(x, y, 2)) / 3
   }

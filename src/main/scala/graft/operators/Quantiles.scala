@@ -79,11 +79,17 @@ object Quantiles {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       "percentiles must be in [1, 100]")
     require(pcts.distinct.size == pcts.size, "duplicate percentile")
-    val w = weight.cast("long")
-    // guard lives INSIDE the summed expression so it cannot be pruned
-    val wChecked = when(w >= 0 || w.isNull, w).otherwise(raise_error(concat(
-      lit("exactWeightedPercentiles: negative weight "), w.cast("string")))
-      .cast("long"))
+    // guard the ORIGINAL column, before the long cast: casting first
+    // would truncate -0.5 to 0 (guard never fires) and 2.7 to 2
+    // (silently wrong weighted ranks). Integrality = the value survives
+    // the long round trip. Lives INSIDE the summed expression so it
+    // cannot be pruned.
+    val wOk = weight.isNull ||
+      (weight >= 0 &&
+        weight.cast("double") === weight.cast("long").cast("double"))
+    val wChecked = when(wOk, weight.cast("long")).otherwise(raise_error(concat(
+      lit("exactWeightedPercentiles: weight must be a non-negative integer, got "),
+      weight.cast("string"))).cast("long"))
     val vc = df.groupBy(col(groupCol), value.cast("long").as("v"))
       .agg(sum(wChecked).as("cnt"))
       .filter(col("cnt") > 0)

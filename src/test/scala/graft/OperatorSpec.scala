@@ -515,6 +515,72 @@ class OperatorSpec extends AnyFunSuite {
     assert(lp(17L).isNullAt(3), "non-image has no luma plane")
   }
 
+  test("Multimodal decode handles gray+alpha and indexed-color without throwing; palette permutations hash alike") {
+    import graft.multimodal.Multimodal
+    import java.awt.image.{BufferedImage, ComponentColorModel, DataBuffer, IndexColorModel}
+    def png(img: BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    // gray+alpha (PNG color type 4): decodes to a 2-band raster — the
+    // crash case the never-throws contract forbids
+    val cs = java.awt.color.ColorSpace.getInstance(java.awt.color.ColorSpace.CS_GRAY)
+    val cm = new ComponentColorModel(cs, true, false,
+      java.awt.Transparency.TRANSLUCENT, DataBuffer.TYPE_BYTE)
+    val gaRaster = cm.createCompatibleWritableRaster(4, 3)
+    val ga = new BufferedImage(cm, gaRaster, false, null)
+    for { x <- 0 until 4; y <- 0 until 3 } {
+      gaRaster.setSample(x, y, 0, (10 * x + y) % 256)
+      gaRaster.setSample(x, y, 1, 255)
+    }
+    // indexed color with two PERMUTED palettes over the same visual
+    // image: identical pixels must give identical luma sums
+    def indexed(palette: Array[Int], pix: (Int, Int) => Int): BufferedImage = {
+      val (r, g, b) = (palette.map(v => v.toByte), palette.map(v => v.toByte),
+        palette.map(v => v.toByte))
+      val icm = new IndexColorModel(8, palette.length, r, g, b)
+      val img = new BufferedImage(4, 3, BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for { x <- 0 until 4; y <- 0 until 3 }
+        img.getRaster.setSample(x, y, 0, pix(x, y))
+      img
+    }
+    val palA = Array(17, 99, 200) // index i -> gray palA(i)
+    val palB = Array(200, 17, 99) // same grays, permuted slots
+    val imgA = indexed(palA, (x, y) => (x + y) % 3)
+    // pick B's indices so the VISUAL gray matches A's at every pixel
+    val bIndexOfGray = palB.zipWithIndex.map { case (v, i) => v -> i }.toMap
+    val imgB = indexed(palB, (x, y) => bIndexOfGray(palA((x + y) % 3)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        (1L, png(ga)), (2L, png(imgA)), (3L, png(imgB))).map { case (id, b) =>
+        org.apache.spark.sql.Row(id, b, org.apache.spark.sql.Row("image/png", b.length.toLong))
+      }), Multimodal.mediaSchema)
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val gaSum = (for { x <- 0 until 4; y <- 0 until 3 } yield (10 * x + y) % 256).sum
+    assert(feats(1L).getLong(4) == gaSum,
+      s"gray+alpha luma: ${feats(1L).getLong(4)} != $gaSum")
+    assert(feats(2L).getLong(4) == feats(3L).getLong(4),
+      "permuted palettes must decode to identical luma sums")
+    val expIndexed = (for { x <- 0 until 4; y <- 0 until 3 } yield palA((x + y) % 3)).sum
+    assert(feats(2L).getLong(4) == expIndexed,
+      s"indexed luma must resolve through the palette: ${feats(2L).getLong(4)} != $expIndexed")
+  }
+
+  test("exactWeightedPercentiles rejects negative and fractional weights loudly") {
+    import graft.operators.Quantiles
+    def run(w: Double): Unit =
+      Quantiles.exactWeightedPercentiles(
+        Seq(("g", 5L, w), ("g", 7L, 1.0)).toDF("g", "v", "w"),
+        "g", col("v"), col("w"), Seq(50)).collect()
+    run(2.0) // integral doubles are fine
+    val eNeg = intercept[Exception] { run(-0.5) } // cast-first would pass it as 0
+    assert(eNeg.getMessage.contains("non-negative integer"), eNeg.getMessage)
+    val eFrac = intercept[Exception] { run(2.7) } // cast-first would truncate to 2
+    assert(eFrac.getMessage.contains("non-negative integer"), eFrac.getMessage)
+  }
+
   test("Sampling.tokenBudgetSample keeps hash-prefix documents within per-shard budgets") {
     val df = spark.range(0, 1000).select(col("id").as("doc_id"),
       concat(lit("s"), (col("id") % 2).cast("string")).as("source"),
