@@ -63,6 +63,63 @@ object CoreQueries extends QueryModule {
           count(lit(1)).as("n_rows"))
     }),
 
+    // Shipping-priority top-k (TPC-H Q3 shape): segment + date filters
+    // push to both scans, the order/lineitem join shuffles only
+    // survivors, and the top 10 rides TakeOrderedAndProject (per-
+    // partition heads + one driver merge — never a global sort).
+    // Deterministic under ties via the unique orderkey.
+    "q3_shipping" -> ((s, dir) => {
+      val cut = to_timestamp(lit("1998-06-01"))
+      val c = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders").filter(col("o_orderdate") < cut)
+      val li = Tables(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount")))).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Forecasting-revenue filter agg (TPC-H Q6 shape): every predicate
+    // reaches the parquet scan, no join, one partial+final aggregate —
+    // the canonical pushdown probe. Exact cents: the discount band is
+    // an integer-cent comparison, never a float epsilon.
+    "q6_revenue" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val disc = cents(col("l_discount"))
+      li.filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          disc.between(5L, 7L) && col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice")) * disc).as("revenue_e4"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Returned-item reporting (TPC-H Q10 shape): one order-date quarter
+    // + returnflag filter, nation broadcast, top 20 customers by lost
+    // revenue with the unique custkey as tie-break.
+    "q10_returns" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-04-01")))
+      val li = Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          cents(col("c_acctbal")).as("acctbal_c"), col("n_name"))
+        .agg(sum(cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount")))).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // CompositeInputFormat `inner(...)` (mapreduce/lib/join/
     // InnerJoinRecordReader.java:54): key in every source.
     "join_inner" -> ((s, dir) => {
@@ -235,6 +292,47 @@ object CoreQueries extends QueryModule {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY n_name""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |       o_orderpriority,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS revenue_e4
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, orderdate, o_orderpriority
+        |ORDER BY revenue_e4 DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q6_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name,
+        |       CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_c,
+        |       n_name,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS revenue_e4
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, acctbal_c, n_name
+        |ORDER BY revenue_e4 DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
     "join_inner" ->
       """SELECT s_suppkey, s_name, n_name, r_name
         |FROM supplier

@@ -223,6 +223,28 @@ class PlanSpec extends AnyFunSuite {
       s"a shuffle partitions on span text:\n${shuffles.mkString("\n")}")
   }
 
+  test("q3/q10 top-k rides TakeOrderedAndProject, never a global sort") {
+    for (name <- Seq("q3_shipping", "q10_returns")) {
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name should TakeOrderedAndProject:\n$p")
+      assert(!p.contains("Sort [revenue"), s"$name global-sorts:\n$p")
+    }
+  }
+
+  test("q6_revenue pushes every predicate to the scan; no join anywhere") {
+    val p = plan("q6_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"ship-date filter not pushed:\n$p")
+    assert(!p.contains("Join"), s"q6 must be scan+filter+agg only:\n$p")
+    assert(p.contains("partial"), s"no map-side combine:\n$p")
+  }
+
+  test("q10_returns broadcasts nation") {
+    val p = plan("q10_returns")
+    assert(p.contains("BroadcastHashJoin"), s"nation should broadcast:\n$p")
+  }
+
   test("snapshot_diff joins hash-narrow: no text column crosses an exchange") {
     val df = SparkEntry.queries("snapshot_diff")(spark, dir)
     df.collect()
