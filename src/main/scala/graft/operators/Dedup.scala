@@ -317,6 +317,57 @@ object Dedup {
       .select("new_id", "corpus_id", "n_agree", "est_jaccard")
   }
 
+  /** Persist a [[MinhashIndex]] as parquet artifacts —
+    * `path/{signatures,bands,meta}` — the serving form: build once over
+    * the corpus, [[loadMinhashIndex]] per probe job, [[appendMinhashIndex]]
+    * per accepted crawl batch. Meta is a 1-row parquet (no side-channel
+    * config files to drift from the data).
+    */
+  def saveMinhashIndex(index: MinhashIndex, path: String): Unit = {
+    val spark = index.signatures.sparkSession
+    import spark.implicits._
+    index.signatures.write.mode("overwrite").parquet(s"$path/signatures")
+    index.bands.write.mode("overwrite").parquet(s"$path/bands")
+    Seq((index.k, index.numPerm, index.rowsPerBand))
+      .toDF("k", "num_perm", "rows_per_band")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): MinhashIndex = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    MinhashIndex(
+      spark.read.parquet(s"$path/signatures"),
+      spark.read.parquet(s"$path/bands"),
+      m.getAs[Int]("k"), m.getAs[Int]("num_perm"),
+      m.getAs[Int]("rows_per_band"))
+  }
+
+  /** The daily-crawl APPEND: sign/band `docs` with the saved index's
+    * own parameters and parquet-append — the index never rebuilds and
+    * the corpus is never rescanned. Callers append the batch's
+    * SURVIVORS (after [[probeMinhashIndex]] + anti-join of flagged
+    * near-dups), so appended content is novel by construction. Build-
+    * time bucket caps are not re-applied across appends (that would
+    * need a global bands re-read); a probe-side `maxBucket` keeps
+    * degenerate buckets out of every future probe join regardless.
+    */
+  def appendMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, docs: DataFrame, id: String,
+                         text: String): Unit = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (k, n, rpb) = (m.getAs[Int]("k"), m.getAs[Int]("num_perm"),
+      m.getAs[Int]("rows_per_band"))
+    val sig = minhashSignaturesFromHashes(shingleHashTable(docs, id, text, k),
+      id, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sig.write.mode("append").parquet(s"$path/signatures")
+      bandTable(sig, id, n, rpb, maxBucket = 0)
+        .write.mode("append").parquet(s"$path/bands")
+    } finally sig.unpersist(false)
+  }
+
   /** ROW-LOCAL minhash signature as an array<long> of length `numPerm` —
     * the same Carter-Wegman values [[minhashSignaturesFromHashes]]
     * aggregates, computed entirely inside one row (shingle → md5 halves

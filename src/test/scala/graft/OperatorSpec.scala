@@ -297,15 +297,14 @@ class OperatorSpec extends AnyFunSuite {
     val idx = Dedup.buildMinhashIndex(corpus, "doc_id", "text",
       k = 3, numPerm = 16, rowsPerBand = 4)
 
-    // the index is a persistable ARTIFACT: write both frames to parquet,
-    // read them back, and probe the restored index — the operational
-    // contract (build once, probe every future batch)
+    // the index is a persistable ARTIFACT: save/load round trip, then
+    // probe the restored index — the operational contract (build once,
+    // probe every future batch)
     val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
-    idx.signatures.write.mode("overwrite").parquet(s"$dir/sig")
-    idx.bands.write.mode("overwrite").parquet(s"$dir/bands")
-    val restored = Dedup.MinhashIndex(
-      spark.read.parquet(s"$dir/sig"), spark.read.parquet(s"$dir/bands"),
-      idx.k, idx.numPerm, idx.rowsPerBand)
+    Dedup.saveMinhashIndex(idx, dir)
+    val restored = Dedup.loadMinhashIndex(spark, dir)
+    assert(restored.k == idx.k && restored.numPerm == idx.numPerm &&
+      restored.rowsPerBand == idx.rowsPerBand)
 
     for (ix <- Seq(idx, restored)) {
       val hits = Dedup.probeMinhashIndex(batch, "doc_id", "text", ix,
@@ -320,6 +319,52 @@ class OperatorSpec extends AnyFunSuite {
       assert(!hits.exists(h => h._2 == 20L || h._2 == 30L),
         s"unrelated corpus docs must not match: $hits")
     }
+
+    // the daily-crawl APPEND: accepted batch docs join the saved index
+    // without a rebuild, and the extended index equals a fresh build
+    // over the union (signatures/banding are deterministic)
+    Dedup.appendMinhashIndex(spark, dir, batch.filter(col("doc_id") === 103L),
+      "doc_id", "text")
+    val extended = Dedup.loadMinhashIndex(spark, dir)
+    val probe2 = Seq((201L,
+      "fresh never seen content sharing nothing with the existing corpus"))
+      .toDF("doc_id", "text")
+    val hits2 = Dedup.probeMinhashIndex(probe2, "doc_id", "text", extended,
+        threshold = 0.5)
+      .select("new_id", "corpus_id", "n_agree")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hits2.contains((201L, 103L, 16L)),
+      s"re-crawl of an appended doc must flag against it: $hits2")
+    val fresh = Dedup.buildMinhashIndex(
+      corpus.unionByName(batch.filter(col("doc_id") === 103L)),
+      "doc_id", "text", k = 3, numPerm = 16, rowsPerBand = 4)
+    assert(extended.signatures.orderBy("doc_id").collect().toSeq ==
+      fresh.signatures.orderBy("doc_id").collect().toSeq,
+      "appended index must equal the fresh union build")
+  }
+
+  test("Similarity IVF index save/load round trip probes identically") {
+    import graft.operators.Similarity
+    val base = (0L until 60L).toSeq.map(i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = (100L until 104L).toSeq.map(i =>
+      (i, Array.tabulate(8)(d => ((i + d) % 11).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (cb, assigned) = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+      nCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.saveIvfIndex(cb, assigned, dir)
+    val (cb2, assigned2) = Similarity.loadIvfIndex(spark, dir)
+    assert(cb2.map { case (c, v) => (c, v.toSeq) } ==
+      cb.sortBy(_._1).map { case (c, v) => (c, v.toSeq) })
+    def run(c: Seq[(Long, Array[Double])],
+            a: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Similarity.probeIvf(c, a, queries, "vec_id", "embedding", k = 3)
+        .select(col("q_id"), col("n_id"))
+        .as[(Long, Long)].collect().toSet
+    assert(run(cb2, assigned2) == run(cb, assigned),
+      "restored index must probe identically")
   }
 
   test("Graphs.pageRankInt matches hand-computed rounds; deterministic; dangling mass drops") {
