@@ -273,6 +273,107 @@ object Multimodal {
       octet_length(col("content")).cast("long").as("n_bytes"),
       graft.functions.MediaExpressions.ahash64(col("content")).as("ahash"))
 
+  /** Deterministic REAL-WAV fixture law for `doc_id` — shared by
+    * [[fabricateAudio]] and the analytic multimodal_audio oracle:
+    * mono 16-bit PCM at 8 kHz, frame count 256 + (id mod 512), sample
+    * i = ((i · (3 + id mod 5)) mod 2003) − 1001.
+    */
+  def audioFrames(docId: Long): Int = (256 + docId % 512).toInt
+  def audioSample(docId: Long, i: Int): Int =
+    (((i.toLong * (3 + docId % 5)) % 2003) - 1001).toInt
+
+  /** Synthesize a media table of GENUINE WAV files (RIFF container,
+    * PCM16 little-endian — written through `javax.sound.sampled`, the
+    * JDK's real audio stack) from the documents table; docs failing
+    * [[fixtureIsImage]] carry their text bytes instead, as in
+    * [[fabricateImages]]. PCM is lossless, so a decoder that truly
+    * parses the container recovers the exact integer samples.
+    */
+  def fabricateAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select("doc_id", "text").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Long]("doc_id")
+        if (fixtureIsImage(id)) {
+          val n = audioFrames(id)
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = audioSample(id, i)
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          val bytes = baos.toByteArray
+          Row(id, bytes, Row("audio/wav", bytes.length.toLong))
+        } else {
+          val bytes = Option(r.getAs[String]("text")).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Row(id, bytes, Row("application/octet-stream", bytes.length.toLong))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("sum_abs", LongType, nullable = true),
+    StructField("max_abs", LongType, nullable = true)))
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` over the
+    * content (WAV/AIFF/AU — the JDK's built-in readers), then exact
+    * integer amplitude stats over the PCM16 samples. NULLs for content
+    * no reader accepts or non-16-bit encodings; never throws. The
+    * audio-corpus screening shape: silence/clipping detection is a
+    * filter on (sum_abs, max_abs), duration bucketing on n_frames.
+    */
+  def decodeAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "content").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val content = r.getAs[Array[Byte]]("content")
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(content))
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16) Row(id, null, null, null, null, null)
+          else {
+            val bytes = ais.readAllBytes()
+            val le = !fmt.isBigEndian
+            var (sum, maxAbs) = (0L, 0L)
+            var i = 0
+            while (i + 1 < bytes.length) {
+              val s =
+                if (le) ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+                else ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+              val a = math.abs(s.toLong)
+              sum += a
+              if (a > maxAbs) maxAbs = a
+              i += 2
+            }
+            val frames = bytes.length.toLong / (2L * fmt.getChannels)
+            Row(id, fmt.getSampleRate.toInt, fmt.getChannels.toInt,
+              frames, sum, maxAbs)
+          }
+        } catch {
+          case _: Exception => Row(id, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioSchema)
+  }
+
   private val lumaSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = true),

@@ -77,6 +77,14 @@ object MultimodalQueries extends QueryModule {
         .select(col("doc_id"),
           graft.functions.MediaExpressions.ahash64(col("luma")).as("phash"))
     }),
+    // REAL audio decode over real WAV bytes (javax.sound.sampled):
+    // exact integer amplitude stats recovered from the PCM16 stream —
+    // the oracle replays them from the doc_id waveform law, so a match
+    // proves the RIFF container was truly parsed. Non-audio docs
+    // decode to NULLs.
+    "multimodal_audio" -> ((s, dir) =>
+      Multimodal.decodeAudioFeatures(
+        Multimodal.fabricateAudio(Tables(s, dir, "documents")))),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(media(s, dir), 4)),
     // byte-entropy screen over binary content — a REAL feature (no
     // codec): float-log accumulation has no exact SQL replay, so the
@@ -214,6 +222,27 @@ object MultimodalQueries extends QueryModule {
         |       string_agg(CASE WHEN v * 64 > tt.tot THEN '1' ELSE '0' END, '' ORDER BY i) AS phash
         |FROM px JOIN tt USING (doc_id)
         |GROUP BY px.doc_id""".stripMargin,
+    // the waveform law: n = 256 + id%512 frames, sample i =
+    // ((i*(3+id%5)) mod 2003) - 1001, mono 8 kHz PCM16
+    "multimodal_audio" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(256 + doc_id % 512 AS BIGINT) AS n,
+        |         3 + doc_id % 5 AS m
+        |  FROM documents
+        |), smp AS (
+        |  SELECT doc_id, abs((i.i * m) % 2003 - 1001) AS a
+        |  FROM d, (SELECT unnest(range(0, 768)) AS i) i
+        |  WHERE i.i < d.n
+        |), agg AS (
+        |  SELECT doc_id, SUM(a) AS s, MAX(a) AS mx FROM smp GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(8000 AS INTEGER) END AS sample_rate,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(1 AS INTEGER) END AS channels,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE d.n END AS n_frames,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(agg.s AS BIGINT) END AS sum_abs,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(agg.mx AS BIGINT) END AS max_abs
+        |FROM d JOIN agg USING (doc_id)""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -560,6 +560,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(lp(17L).isNullAt(3), "non-image has no luma plane")
   }
 
+  test("Multimodal audio: real WAV round trip recovers exact PCM16 amplitude stats") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((0L, "x"), (9L, "x"), (17L, "this one is NOT audio"))
+      .toDF("doc_id", "text")
+    val wavs = Multimodal.fabricateAudio(docs)
+    // genuinely RIFF/WAVE containers on every audio row
+    wavs.collect().foreach { r =>
+      val (id, b) = (r.getLong(0), r.getAs[Array[Byte]]("content"))
+      if (Multimodal.fixtureIsImage(id))
+        assert(b.length > 12 && new String(b.take(4), "US-ASCII") == "RIFF" &&
+          new String(b.slice(8, 12), "US-ASCII") == "WAVE", s"doc $id not WAV")
+    }
+    val got = Multimodal.decodeAudioFeatures(wavs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq(0L, 9L).foreach { id =>
+      val n = Multimodal.audioFrames(id)
+      val samples = (0 until n).map(i => math.abs(Multimodal.audioSample(id, i).toLong))
+      val r = got(id)
+      assert(r.getInt(1) == 8000 && r.getInt(2) == 1 && r.getLong(3) == n.toLong)
+      assert(r.getLong(4) == samples.sum, s"doc $id sum_abs")
+      assert(r.getLong(5) == samples.max, s"doc $id max_abs")
+    }
+    assert(got(17L).isNullAt(1) && got(17L).isNullAt(4),
+      "non-audio content must decode to NULL features, never throw")
+  }
+
   test("Multimodal decode handles gray+alpha and indexed-color without throwing; palette permutations hash alike") {
     import graft.multimodal.Multimodal
     import java.awt.image.{BufferedImage, ComponentColorModel, DataBuffer, IndexColorModel}
