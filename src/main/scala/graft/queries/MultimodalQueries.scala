@@ -85,6 +85,14 @@ object MultimodalQueries extends QueryModule {
     "multimodal_audio" -> ((s, dir) =>
       Multimodal.decodeAudioFeatures(
         Multimodal.fabricateAudio(Tables(s, dir, "documents")))),
+    // REAL video-shaped lane: per-doc frame STREAMS (concatenated
+    // genuine PNGs, the MJPEG shape) — extraction finds the signature
+    // boundaries in raw bytes and every frame truly decodes; one row
+    // per frame with exact luma sums the oracle replays from the
+    // per-frame pixel law. Non-media docs emit one all-NULL row.
+    "multimodal_video" -> ((s, dir) =>
+      Multimodal.decodeFrameStream(
+        Multimodal.fabricateFrameStream(Tables(s, dir, "documents")))),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(media(s, dir), 4)),
     // byte-entropy screen over binary content — a REAL feature (no
     // codec): float-log accumulation has no exact SQL replay, so the
@@ -243,6 +251,31 @@ object MultimodalQueries extends QueryModule {
         |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(agg.s AS BIGINT) END AS sum_abs,
         |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(agg.mx AS BIGINT) END AS max_abs
         |FROM d JOIN agg USING (doc_id)""".stripMargin,
+    // per-frame pixel law: frame f of doc id = the decode gradient
+    // shifted by f, dims from the shared fixture law
+    "multimodal_video" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(8 + doc_id % 24 AS INTEGER) AS w,
+        |         CAST(8 + (doc_id * 7) % 16 AS INTEGER) AS h,
+        |         CAST(2 + doc_id % 4 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 10 != 7
+        |), xs AS (SELECT unnest(range(0, 32)) AS x),
+        |   ys AS (SELECT unnest(range(0, 24)) AS y),
+        |   fs AS (SELECT unnest(range(0, 6)) AS f),
+        |px AS (
+        |  SELECT doc_id, fs.f AS f,
+        |         SUM((xs.x + ys.y + doc_id + fs.f) % 256) AS s
+        |  FROM dims, xs, ys, fs
+        |  WHERE xs.x < dims.w AND ys.y < dims.h AND fs.f < dims.nf
+        |  GROUP BY doc_id, fs.f
+        |)
+        |SELECT d.doc_id, CAST(p.f AS INTEGER) AS frame_idx,
+        |       d.w AS width, d.h AS height, CAST(p.s AS BIGINT) AS sum_luma
+        |FROM dims d JOIN px p USING (doc_id)
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS INTEGER), NULL, NULL, NULL
+        |FROM documents WHERE doc_id % 10 = 7""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
