@@ -62,6 +62,38 @@ object Multimodal {
     * [[fixtureIsImage]] get their raw text bytes (mime octet-stream)
     * instead: in-domain corrupt/mislabeled media.
     */
+  /** One gradient frame of the fixture law: gray pixel (x, y) =
+    * (x + y + base) mod 256, PNG-encoded. Shared by the image and
+    * frame-stream fabricators so the fixture law and the SQL oracles
+    * cannot desynchronize.
+    */
+  private def grayGradientPng(w: Int, h: Int, base: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((x + y + base) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** The shared non-media fallback row: the doc's text bytes,
+    * octet-stream mime (in-domain corrupt/mislabeled media).
+    */
+  private def textBytesRow(id: Long, text: String): Row = {
+    val bytes = Option(text).getOrElse("")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Row(id, bytes, Row("application/octet-stream", bytes.length.toLong))
+  }
+
   def fabricateImages(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val rdd = docs.select("doc_id", "text").rdd.mapPartitions { it =>
@@ -69,27 +101,9 @@ object Multimodal {
         val id = r.getAs[Long]("doc_id")
         if (fixtureIsImage(id)) {
           val (w, h) = fixtureDims(id)
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val raster = img.getRaster
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              raster.setSample(x, y, 0, ((x + y + id) % 256).toInt)
-              x += 1
-            }
-            y += 1
-          }
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", baos)
-          val bytes = baos.toByteArray
+          val bytes = grayGradientPng(w, h, id)
           Row(id, bytes, Row("image/png", bytes.length.toLong))
-        } else {
-          val bytes = Option(r.getAs[String]("text")).getOrElse("")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          Row(id, bytes, Row("application/octet-stream", bytes.length.toLong))
-        }
+        } else textBytesRow(id, r.getAs[String]("text"))
       }
     }
     spark.createDataFrame(rdd, mediaSchema)
@@ -138,6 +152,21 @@ object Multimodal {
     * integer, so an oracle that knows the pixel law replays it — a
     * match proves the full decode round trip, not just a header parse.
     */
+  /** Total integer luma over an image — the ONE luma-sum law, shared by
+    * the image and frame-stream lanes so they cannot diverge.
+    */
+  private def sumLuma(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += lumaAt(img, x, y); x += 1 }
+      y += 1
+    }
+    sum
+  }
+
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("doc_id", "content").rdd.mapPartitions { it =>
@@ -146,19 +175,13 @@ object Multimodal {
       it.map { r =>
         val id = r.getAs[Long]("doc_id")
         val content = r.getAs[Array[Byte]]("content")
-        val img = decodeImage(content)
-        if (img == null) Row(id, content.length.toLong, null, null, null)
-        else {
-          val (w, h) = (img.getWidth, img.getHeight)
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { sum += lumaAt(img, x, y); x += 1 }
-            y += 1
-          }
-          Row(id, content.length.toLong, w, h, sum)
-        }
+        // null content (metadata row without bytes) = undecodable, not
+        // a crash: the never-throws contract covers the column, not
+        // just malformed bytes
+        val img = if (content == null) null else decodeImage(content)
+        val nBytes = if (content == null) 0L else content.length.toLong
+        if (img == null) Row(id, nBytes, null, null, null)
+        else Row(id, nBytes, img.getWidth, img.getHeight, sumLuma(img))
       }
     }
     spark.createDataFrame(rdd, featureSchema)
@@ -312,11 +335,7 @@ object Multimodal {
             javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
           val bytes = baos.toByteArray
           Row(id, bytes, Row("audio/wav", bytes.length.toLong))
-        } else {
-          val bytes = Option(r.getAs[String]("text")).getOrElse("")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          Row(id, bytes, Row("application/octet-stream", bytes.length.toLong))
-        }
+        } else textBytesRow(id, r.getAs[String]("text"))
       }
     }
     spark.createDataFrame(rdd, mediaSchema)
@@ -395,28 +414,12 @@ object Multimodal {
           val baos = new java.io.ByteArrayOutputStream()
           var f = 0
           while (f < videoFrames(id)) {
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-            val raster = img.getRaster
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                raster.setSample(x, y, 0, ((x + y + id + f) % 256).toInt)
-                x += 1
-              }
-              y += 1
-            }
-            javax.imageio.ImageIO.write(img, "png", baos)
+            baos.write(grayGradientPng(w, h, id + f))
             f += 1
           }
           val bytes = baos.toByteArray
           Row(id, bytes, Row("video/x-png-stream", bytes.length.toLong))
-        } else {
-          val bytes = Option(r.getAs[String]("text")).getOrElse("")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          Row(id, bytes, Row("application/octet-stream", bytes.length.toLong))
-        }
+        } else textBytesRow(id, r.getAs[String]("text"))
       }
     }
     spark.createDataFrame(rdd, mediaSchema)
@@ -463,23 +466,15 @@ object Multimodal {
       it.flatMap { r =>
         val id = r.getAs[Long]("doc_id")
         val content = r.getAs[Array[Byte]]("content")
-        val offs = pngOffsets(content)
+        // null content = no extractable frame (same contract as the
+        // image/audio lanes: visible NULL row, never a throw)
+        val offs = if (content == null) Seq.empty else pngOffsets(content)
         if (offs.isEmpty) Seq(Row(id, 0, null, null, null))
         else offs.zipWithIndex.map { case (start, idx) =>
           val end = if (idx + 1 < offs.length) offs(idx + 1) else content.length
           val img = decodeImage(java.util.Arrays.copyOfRange(content, start, end))
           if (img == null) Row(id, idx, null, null, null)
-          else {
-            val (w, h) = (img.getWidth, img.getHeight)
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { sum += lumaAt(img, x, y); x += 1 }
-              y += 1
-            }
-            Row(id, idx, w, h, sum)
-          }
+          else Row(id, idx, img.getWidth, img.getHeight, sumLuma(img))
         }
       }
     }

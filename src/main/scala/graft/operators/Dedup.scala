@@ -317,55 +317,67 @@ object Dedup {
       .select("new_id", "corpus_id", "n_agree", "est_jaccard")
   }
 
-  /** Persist a [[MinhashIndex]] as parquet artifacts —
-    * `path/{signatures,bands,meta}` — the serving form: build once over
-    * the corpus, [[loadMinhashIndex]] per probe job, [[appendMinhashIndex]]
-    * per accepted crawl batch. Meta is a 1-row parquet (no side-channel
-    * config files to drift from the data).
+  /** Persist a [[MinhashIndex]] as parquet — `path/{signatures,meta}`.
+    * ONE data table by design: the band table is a pure projection of
+    * the signatures, so it is re-derived at [[loadMinhashIndex]] time
+    * (lazy lineage — the probe's band join evaluates it exactly once,
+    * the same scan cost as reading a second persisted table). Two
+    * tables would make [[appendMinhashIndex]] a non-atomic two-write
+    * commit: a crash between them leaves a doc whose re-crawls silently
+    * pass every future dedup gate. Meta (a 1-row parquet — no
+    * side-channel config to drift from the data) records the minhash
+    * parameters, the BUILD-time bucket cap, and the id column name, so
+    * append can fail fast / realign instead of writing mixed-schema
+    * part files that parquet append would accept and the reader would
+    * then quietly null out.
     */
-  def saveMinhashIndex(index: MinhashIndex, path: String): Unit = {
+  def saveMinhashIndex(index: MinhashIndex, path: String, id: String,
+                       maxBucket: Int = 0): Unit = {
     val spark = index.signatures.sparkSession
     import spark.implicits._
+    require(index.signatures.columns.contains(id),
+      s"id column '$id' not in index signatures " +
+        s"(${index.signatures.columns.mkString(", ")})")
     index.signatures.write.mode("overwrite").parquet(s"$path/signatures")
-    index.bands.write.mode("overwrite").parquet(s"$path/bands")
-    Seq((index.k, index.numPerm, index.rowsPerBand))
-      .toDF("k", "num_perm", "rows_per_band")
+    Seq((index.k, index.numPerm, index.rowsPerBand, maxBucket, id))
+      .toDF("k", "num_perm", "rows_per_band", "max_bucket", "id_col")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Restore the index: signatures deduped on the id (a crashed append
+    * retried is thereby IDEMPOTENT — duplicate signature rows collapse
+    * before any probe sees them), bands derived with the saved
+    * parameters and cap.
+    */
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String): MinhashIndex = {
     val m = spark.read.parquet(s"$path/meta").head()
-    MinhashIndex(
-      spark.read.parquet(s"$path/signatures"),
-      spark.read.parquet(s"$path/bands"),
-      m.getAs[Int]("k"), m.getAs[Int]("num_perm"),
+    val (k, n, rpb) = (m.getAs[Int]("k"), m.getAs[Int]("num_perm"),
       m.getAs[Int]("rows_per_band"))
+    val idCol = m.getAs[String]("id_col")
+    val sig = spark.read.parquet(s"$path/signatures").dropDuplicates(idCol)
+    MinhashIndex(sig, bandTable(sig, idCol, n, rpb,
+      m.getAs[Int]("max_bucket")), k, n, rpb)
   }
 
-  /** The daily-crawl APPEND: sign/band `docs` with the saved index's
-    * own parameters and parquet-append — the index never rebuilds and
-    * the corpus is never rescanned. Callers append the batch's
-    * SURVIVORS (after [[probeMinhashIndex]] + anti-join of flagged
-    * near-dups), so appended content is novel by construction. Build-
-    * time bucket caps are not re-applied across appends (that would
-    * need a global bands re-read); a probe-side `maxBucket` keeps
-    * degenerate buckets out of every future probe join regardless.
+  /** The daily-crawl APPEND: sign `docs` with the saved index's own
+    * parameters and parquet-append the ONE signatures table — the index
+    * never rebuilds and the corpus is never rescanned. A retry after a
+    * crash is safe (load dedups on id); a mismatched id column realigns
+    * to the saved name rather than corrupting the parquet schema.
+    * Callers append the batch's SURVIVORS (after [[probeMinhashIndex]]
+    * + anti-join of flagged near-dups), so appended content is novel by
+    * construction.
     */
   def appendMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, docs: DataFrame, id: String,
                          text: String): Unit = {
     val m = spark.read.parquet(s"$path/meta").head()
-    val (k, n, rpb) = (m.getAs[Int]("k"), m.getAs[Int]("num_perm"),
-      m.getAs[Int]("rows_per_band"))
-    val sig = minhashSignaturesFromHashes(shingleHashTable(docs, id, text, k),
-      id, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      sig.write.mode("append").parquet(s"$path/signatures")
-      bandTable(sig, id, n, rpb, maxBucket = 0)
-        .write.mode("append").parquet(s"$path/bands")
-    } finally sig.unpersist(false)
+    val (k, n) = (m.getAs[Int]("k"), m.getAs[Int]("num_perm"))
+    val idCol = m.getAs[String]("id_col")
+    minhashSignaturesFromHashes(shingleHashTable(docs, id, text, k), id, n)
+      .withColumnRenamed(id, idCol)
+      .write.mode("append").parquet(s"$path/signatures")
   }
 
   /** ROW-LOCAL minhash signature as an array<long> of length `numPerm` —

@@ -301,7 +301,7 @@ class OperatorSpec extends AnyFunSuite {
     // probe the restored index — the operational contract (build once,
     // probe every future batch)
     val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
-    Dedup.saveMinhashIndex(idx, dir)
+    Dedup.saveMinhashIndex(idx, dir, "doc_id")
     val restored = Dedup.loadMinhashIndex(spark, dir)
     assert(restored.k == idx.k && restored.numPerm == idx.numPerm &&
       restored.rowsPerBand == idx.rowsPerBand)
@@ -341,6 +341,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(extended.signatures.orderBy("doc_id").collect().toSeq ==
       fresh.signatures.orderBy("doc_id").collect().toSeq,
       "appended index must equal the fresh union build")
+
+    // a crashed-append RETRY re-appends the same batch: load must dedup
+    // so the probe neither duplicates hits nor changes the result
+    Dedup.appendMinhashIndex(spark, dir, batch.filter(col("doc_id") === 103L),
+      "doc_id", "text")
+    val retried = Dedup.loadMinhashIndex(spark, dir)
+    assert(retried.signatures.count() == fresh.signatures.count(),
+      "retried append must collapse to one signature row per doc")
+    val hits3 = Dedup.probeMinhashIndex(probe2, "doc_id", "text", retried,
+        threshold = 0.5)
+      .select("new_id", "corpus_id", "n_agree")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hits3.size == hits3.distinct.size && hits3.toSet == hits2,
+      s"retry must not duplicate or change hits: $hits3")
   }
 
   test("Similarity IVF index save/load round trip probes identically") {
