@@ -81,6 +81,56 @@ object Sampling {
       .withColumn("copy_id", explode(sequence(lit(0L), col("n_copies") - 1)))
       .drop("n_copies")
 
+  /** Temperature-sampling mixture at α = 1/2 — the multilingual/
+    * multi-source balancing staple (upsample small strata toward a
+    * √size-proportional share, downsample the head) — with the kept
+    * multiset EXACT and engine-portable. The float formulation
+    * (rate ∝ n^(α−1)/Σn^α) dies on cross-engine float summation order,
+    * so the law here is integer end-to-end:
+    *
+    *   w_s  = floor(sqrt(n_s))          (IEEE sqrt is exact floor for
+    *                                     n_s ≪ 2^52; both engines agree)
+    *   rate_s = w_s·N / (Σw · n_s)      as the exact rational (num, den)
+    *   n_copies = num div den  +  [hk < t_s],
+    *   t_s  = ((num mod den) · 2^52) div den   (BigInt, driver-side)
+    *
+    * so every per-row decision is one LONG comparison against a
+    * precomputed integer threshold — the DSIR cross-multiplication
+    * discipline — and a SQL oracle replays it bit-for-bit in HUGEINT.
+    * Corpus-size preserving in expectation (Σ rate_s·n_s = N up to the
+    * ≤2^-52 threshold floor). The per-stratum count collect is a
+    * bounded driver artifact (#strata rows). Output = input rows +
+    * `copy_id`, like [[mixtureSample]].
+    */
+  def temperatureMixture(df: DataFrame, strataCol: String,
+                         idCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureMixture: empty corpus")
+    require(counts.values.forall(_ < (1L << 40)),
+      "stratum too large for the exact isqrt law (>= 2^40 rows/stratum)")
+    def isqrt(v: Long): Long = math.sqrt(v.toDouble).toLong
+    val total = BigInt(counts.values.sum)
+    val sw = BigInt(counts.values.map(isqrt).sum)
+    val twoTo52 = BigInt(1) << 52
+    val plan = counts.map { case (s, n) =>
+      val num = BigInt(isqrt(n)) * total
+      val den = sw * BigInt(n)
+      s -> ((num / den).toLong, ((num % den) * twoTo52 / den).toLong)
+    }
+    val base = plan.foldLeft(lit(0L)) { case (acc, (s, (b, _))) =>
+      when(col(strataCol) === s, lit(b)).otherwise(acc)
+    }
+    val thr = plan.foldLeft(lit(0L)) { case (acc, (s, (_, t))) =>
+      when(col(strataCol) === s, lit(t)).otherwise(acc)
+    }
+    df.withColumn("n_copies",
+        base + when(hashKey(col(idCol)) < thr, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_id", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
+  }
+
   /** The copy-multiplicity half of [[mixtureSample]]: adds `n_copies`
     * and drops rows weighted to zero, WITHOUT exploding replicas. Lets
     * a pipeline defer the explosion past cheaper-per-row stages — e.g.

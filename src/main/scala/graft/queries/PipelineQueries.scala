@@ -57,6 +57,15 @@ object PipelineQueries extends QueryModule {
         "source", "doc_id",
         rates = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0))),
 
+    // temperature mixture at α = 1/2: √size-proportional rebalancing
+    // with the exact integer-threshold law (see Sampling
+    // .temperatureMixture) — small sources upsample, the head
+    // downsamples, and the kept multiset replays bit-for-bit in SQL
+    "temperature_mixture" -> ((s, dir) =>
+      Sampling.temperatureMixture(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        "source", "doc_id")),
+
     // token-budget sampling: mixtures are specified in TOKENS per
     // source — keep each (source, shard)'s hash-ordered document
     // prefix until the shard's share of the budget is spent; sources
@@ -181,6 +190,35 @@ object PipelineQueries extends QueryModule {
         |)
         |SELECT doc_id, source, unnest(range(0, n_copies)) AS copy_id
         |FROM c WHERE n_copies > 0""".stripMargin,
+    // the integer temperature law: w = floor(sqrt(n)), base = num//den,
+    // threshold = ((num mod den) * 2^52) // den, keep iff hk < threshold
+    "temperature_mixture" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        |), t AS (
+        |  SELECT CAST(SUM(n) AS HUGEINT) AS total,
+        |         CAST(SUM(CAST(floor(sqrt(n)) AS BIGINT)) AS HUGEINT) AS sw
+        |  FROM c
+        |), p AS (
+        |  SELECT source,
+        |         CAST(floor(sqrt(n)) AS HUGEINT) * total AS num,
+        |         sw * CAST(n AS HUGEINT) AS den
+        |  FROM c, t
+        |), q AS (
+        |  SELECT source, CAST(num // den AS BIGINT) AS base,
+        |         CAST(((num % den) * 4503599627370496) // den AS BIGINT) AS thr
+        |  FROM p
+        |), d AS (
+        |  SELECT doc_id, source,
+        |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS hk
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, d.source,
+        |         base + (CASE WHEN hk < thr THEN 1 ELSE 0 END) AS n_copies
+        |  FROM d JOIN q ON d.source = q.source
+        |)
+        |SELECT doc_id, source, unnest(range(0, n_copies)) AS copy_id
+        |FROM k WHERE n_copies > 0""".stripMargin,
     "token_budget_sample" ->
       """WITH t AS (
         |  SELECT doc_id, source,
