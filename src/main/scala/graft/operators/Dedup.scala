@@ -554,6 +554,31 @@ object Dedup {
       .withColumn("contaminated", col("contam_ratio") >= threshold)
   }
 
+  /** Per-eval-SET contamination report — the "which benchmark leaked"
+    * accounting a release checklist needs: overlap ratios for EVERY
+    * eval suite in one corpus pass. `evalSets` is a tagged hash table
+    * (eval_set, h1) — the union of per-suite [[shingleHashTable]]
+    * outputs with a literal suite name. Plan: the corpus hash table is
+    * scanned once (n_grams) and joined once against the BROADCAST
+    * tagged set (suites are small by definition; a suite too big to
+    * broadcast belongs in [[evalOverlapBloom]] as its own gate);
+    * per-(doc, suite) hit counts aggregate on the narrow join output.
+    * Emits one row per (doc, suite) WITH at least one hit — the report
+    * form; the gate form anti-joins the flagged ids.
+    */
+  def evalOverlapBySet(hashes: DataFrame, evalSets: DataFrame,
+                       id: String, threshold: Double): DataFrame = {
+    val e = evalSets.select(col("eval_set"), col("h1")).distinct()
+    val tot = hashes.groupBy(col(id)).agg(count(lit(1)).as("n_grams"))
+    val hit = hashes.join(broadcast(e), Seq("h1"))
+      .groupBy(col(id), col("eval_set")).agg(count(lit(1)).as("n_hit"))
+    hit.join(tot, Seq(id))
+      .withColumn("contam_ratio", col("n_hit").cast("double") / col("n_grams"))
+      .withColumn("contaminated", col("contam_ratio") >= threshold)
+      .select(col(id), col("eval_set"), col("n_grams"), col("n_hit"),
+        col("contam_ratio"), col("contaminated"))
+  }
+
   /** The 100 TB form of [[evalOverlapFromHashes]]: when the eval-suite
     * n-gram set outgrows an exact broadcast set (billions of hashes),
     * ship a Bloom filter instead. Built distributed

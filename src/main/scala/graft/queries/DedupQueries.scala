@@ -148,6 +148,21 @@ object DedupQueries extends QueryModule {
         "doc_id", threshold = 0.8)
     }),
 
+    // per-eval-SET contamination report: overlap ratios for every
+    // suite in one corpus pass (two deterministic mock suites — the
+    // doc_id % 97 and % 89 slices); corpus hash table scanned once,
+    // tagged suite hashes broadcast, one row per (doc, suite) hit
+    "decontaminate_by_set" -> ((s, dir) => {
+      val hs = Dedup.shingleHashTable(docs(s, dir), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sets =
+        hs.filter(col("doc_id") % 97 === 0)
+          .select(lit("suite_a").as("eval_set"), col("h1"))
+          .unionByName(hs.filter(col("doc_id") % 89 === 0)
+            .select(lit("suite_b").as("eval_set"), col("h1")))
+      Dedup.evalOverlapBySet(hs, sets, "doc_id", threshold = 0.8)
+    }),
+
     // FUZZY decontamination: near-dup (MinHash-banded) matches between
     // the training slice and the eval slice — catches paraphrased
     // contamination that exact n-gram membership (decontaminate) misses.
@@ -463,6 +478,25 @@ object DedupQueries extends QueryModule {
         |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams AS contam_ratio,
         |       (CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams) >= 0.8 AS contaminated
         |FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id""".stripMargin),
+    "decontaminate_by_set" -> (shingleCte +
+      """, hsh AS (
+        |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h1 FROM sh
+        |), ev AS (
+        |  SELECT DISTINCT 'suite_a' AS eval_set, h1 FROM hsh WHERE doc_id % 97 = 0
+        |  UNION
+        |  SELECT DISTINCT 'suite_b' AS eval_set, h1 FROM hsh WHERE doc_id % 89 = 0
+        |), tot AS (
+        |  SELECT doc_id, COUNT(*) AS n_grams FROM hsh GROUP BY doc_id
+        |), hit AS (
+        |  SELECT doc_id, eval_set, COUNT(*) AS n_hit
+        |  FROM hsh JOIN ev USING (h1) GROUP BY doc_id, eval_set
+        |)
+        |SELECT h.doc_id, h.eval_set,
+        |       CAST(t.n_grams AS BIGINT) AS n_grams,
+        |       CAST(h.n_hit AS BIGINT) AS n_hit,
+        |       CAST(h.n_hit AS DOUBLE) / t.n_grams AS contam_ratio,
+        |       (CAST(h.n_hit AS DOUBLE) / t.n_grams) >= 0.8 AS contaminated
+        |FROM hit h JOIN tot t ON h.doc_id = t.doc_id""".stripMargin),
     "simhash_pairs" ->
       raw"""WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
