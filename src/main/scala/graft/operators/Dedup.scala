@@ -558,11 +558,13 @@ object Dedup {
     * accounting a release checklist needs: overlap ratios for EVERY
     * eval suite in one corpus pass. `evalSets` is a tagged hash table
     * (eval_set, h1) — the union of per-suite [[shingleHashTable]]
-    * outputs with a literal suite name. Plan: the corpus hash table is
-    * scanned once (n_grams) and joined once against the BROADCAST
-    * tagged set (suites are small by definition; a suite too big to
-    * broadcast belongs in [[evalOverlapBloom]] as its own gate);
-    * per-(doc, suite) hit counts aggregate on the narrow join output.
+    * outputs with a literal suite name. Plan: `hashes` feeds two
+    * branches (the n_grams totals and the broadcast hit join) — PERSIST
+    * it, exactly as with [[evalOverlapFromHashes]], or the shingle+hash
+    * pipeline runs twice; the tagged set BROADCASTS (suites are small
+    * by definition; a suite too big to broadcast belongs in
+    * [[evalOverlapBloom]] as its own gate) and per-(doc, suite) hit
+    * counts aggregate on the narrow join output.
     * Emits one row per (doc, suite) WITH at least one hit — the report
     * form; the gate form anti-joins the flagged ids.
     */

@@ -104,28 +104,46 @@ object Sampling {
     */
   def temperatureMixture(df: DataFrame, strataCol: String,
                          idCol: String): DataFrame = {
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(counts.nonEmpty, "temperatureMixture: empty corpus")
-    require(counts.values.forall(_ < (1L << 40)),
+    require(!df.columns.contains("n_copies") && !df.columns.contains("copy_id"),
+      "mixture weighting reserves working columns n_copies/copy_id " +
+        "(re-weighting a previous mixture output would silently clobber them)")
+    val countRows = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect()
+    require(countRows.nonEmpty, "temperatureMixture: empty corpus")
+    require(countRows.forall(!_.isNullAt(0)),
+      "temperatureMixture: NULL stratum — a null key would be counted " +
+        "in the totals but silently dropped from the output; filter or " +
+        "coalesce the strata column first")
+    require(countRows.forall(_.getLong(1) < (1L << 40)),
       "stratum too large for the exact isqrt law (>= 2^40 rows/stratum)")
     def isqrt(v: Long): Long = math.sqrt(v.toDouble).toLong
-    val total = BigInt(counts.values.sum)
-    val sw = BigInt(counts.values.map(isqrt).sum)
+    val total = BigInt(countRows.map(_.getLong(1)).sum)
+    val sw = BigInt(countRows.map(r => isqrt(r.getLong(1))).sum)
     val twoTo52 = BigInt(1) << 52
-    val plan = counts.map { case (s, n) =>
-      val num = BigInt(isqrt(n)) * total
-      val den = sw * BigInt(n)
-      s -> ((num / den).toLong, ((num % den) * twoTo52 / den).toLong)
+    // (stratum, base, threshold) as a tiny BROADCAST table, not a
+    // when-chain: works for any strata type and any cardinality (a
+    // domain-strata corpus has tens of thousands of values — a chain
+    // that deep blows codegen's method limit and the analyzer's stack)
+    val spark = df.sparkSession
+    val planRows = countRows.map { r =>
+      val n = BigInt(r.getLong(1))
+      val num = BigInt(isqrt(r.getLong(1))) * total
+      val den = sw * n
+      org.apache.spark.sql.Row(r.get(0), (num / den).toLong,
+        ((num % den) * twoTo52 / den).toLong)
     }
-    val base = plan.foldLeft(lit(0L)) { case (acc, (s, (b, _))) =>
-      when(col(strataCol) === s, lit(b)).otherwise(acc)
-    }
-    val thr = plan.foldLeft(lit(0L)) { case (acc, (s, (_, t))) =>
-      when(col(strataCol) === s, lit(t)).otherwise(acc)
-    }
-    df.withColumn("n_copies",
-        base + when(hashKey(col(idCol)) < thr, 1L).otherwise(0L))
+    val planDf = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(planRows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        df.schema(strataCol).copy(name = strataCol),
+        org.apache.spark.sql.types.StructField("__tm_base",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__tm_thr",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    df.join(broadcast(planDf), Seq(strataCol))
+      .withColumn("n_copies", col("__tm_base") +
+        when(hashKey(col(idCol)) < col("__tm_thr"), 1L).otherwise(0L))
+      .drop("__tm_base", "__tm_thr")
       .filter(col("n_copies") > 0)
       .withColumn("copy_id", explode(sequence(lit(0L), col("n_copies") - 1)))
       .drop("n_copies")

@@ -697,6 +697,20 @@ class OperatorSpec extends AnyFunSuite {
     // 100), the head downsamples (60/70 of 3700 ≈ 3171 < 3600) —
     // deterministic for these fixed ids since got equals the law
     assert(got("tail") > 100L && got("head") < 3600L, got.toString)
+    // non-string strata work (the plan table carries the input type)
+    val intStrata = Seq((1L, 7), (2L, 7), (3L, 9)).toDF("doc_id", "topic")
+    assert(Sampling.temperatureMixture(intStrata, "topic", "doc_id")
+      .columns.contains("copy_id"))
+    // guards fail fast: re-weighting a mixture output would clobber
+    // copy_id; a NULL stratum would be counted but silently dropped
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(out, "source", "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(
+        Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("doc_id", "source"),
+        "source", "doc_id")
+    }
   }
 
   test("Sampling.tokenBudgetSample keeps hash-prefix documents within per-shard budgets") {
