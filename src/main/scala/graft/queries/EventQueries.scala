@@ -181,6 +181,16 @@ object EventQueries extends QueryModule {
         .select(col("event_id"), col("sess_id"))
     }),
 
+    // Funnel correlation (view -> purchase within 1 hour, same user):
+    // the BATCH execution of the streaming followWithin operator — the
+    // watermark calls are no-ops on a batch frame, so the exact code
+    // path the stream-stream interval join runs is what the oracle
+    // checks here (the stream side is spec'd for state eviction).
+    "funnel_within" -> ((s, dir) =>
+      graft.streaming.StreamingOps.followWithin(ev(s, dir),
+        firstType = "view", thenType = "purchase",
+        within = "1 hour", watermark = "2 hours")),
+
     // Skew-safe join surfaced as a query: event_type is the textbook
     // hot key (60k rows over 5 values); the salted plan scatters each
     // hot key over `salt` buckets so no single task owns a key. Results
@@ -223,6 +233,14 @@ object EventQueries extends QueryModule {
       """SELECT event_type,
         |  CAST(LEAST(COUNT(DISTINCT props), 50) AS BIGINT) AS capped_props
         |FROM events GROUP BY event_type""".stripMargin,
+    "funnel_within" ->
+      """SELECT a.user_id,
+        |       CAST(a.event_id AS BIGINT) AS a_id,
+        |       CAST(b.event_id AS BIGINT) AS b_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin,
     "asof_join" ->
       """WITH p AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us
