@@ -365,6 +365,61 @@ object TextOps {
       .distinct()
       .stat.countMinSketch(col("w"), eps, confidence, seed = 42)
 
+  /** Corpus-wide exact paragraph dedup, KEEP-FIRST (the RefinedWeb /
+    * MassiveText rule: a paragraph repeated anywhere in the corpus
+    * survives only at its first occurrence — ordered by (doc id,
+    * position) — and every later occurrence is cut, including repeats
+    * INSIDE one document). The keep-first semantics are what
+    * distinguish this from [[stripTemplateLines]]: template stripping
+    * removes a hot line from EVERY document once its df crosses a
+    * threshold, while paragraph dedup always preserves exactly one
+    * copy of the content, so no text is lost from the corpus — the
+    * dedup rule for body prose, where the template rule is for chrome.
+    *
+    * Scale shape (the span/exact-dedup discipline): document text
+    * never rides the dedup shuffle. Phase 1 explodes to NARROW
+    * (id, pos, h1, h2) rows — 128-bit md5 halves of the paragraph, the
+    * [[graft.operators.Dedup]] portable-hash convention — and finds
+    * each hash's winner with one min-aggregation. Phase 2 reduces the
+    * losers to a per-doc drop-position list (doc-count-scale, narrow)
+    * and rewrites the text MAP-ONLY with an index-aware array filter
+    * against that list, joined back on id. Whitespace-only paragraphs
+    * are separators, not content — never hashed, never dropped.
+    *
+    * Output: (id, n_paras, n_dropped, text_clean), text_clean joining
+    * kept paragraphs with `sep`.
+    */
+  def paragraphDedup(df: org.apache.spark.sql.DataFrame, id: String,
+                     text: String, sep: String = "\n\n"
+                    ): org.apache.spark.sql.DataFrame = {
+    val paras = split(col(text), java.util.regex.Pattern.quote(sep))
+    // narrow (id, pos, h1, h2) stream — the only frame the dedup
+    // aggregation shuffles
+    val hashed = df
+      .select(col(id), posexplode(paras).as(Seq("pos", "para")))
+      .filter(trim(col("para")) =!= "")
+      .select(col(id), col("pos"),
+        graft.operators.Dedup.h1(col("para")).as("h1"),
+        graft.operators.Dedup.h2(col("para")).as("h2"))
+    // first occurrence per 128-bit hash: min over the (id, pos) struct
+    // (lexicographic = corpus order)
+    val winners = hashed.groupBy(col("h1"), col("h2"))
+      .agg(min(struct(col(id), col("pos"))).as("w"))
+    // every non-winning occurrence, folded to one drop-list per doc
+    val drops = hashed.join(winners, Seq("h1", "h2"))
+      .filter(struct(col(id), col("pos")) =!= col("w"))
+      .groupBy(col(id)).agg(collect_set(col("pos")).as("drop_pos"))
+    // map-only rewrite: re-split row-locally, cut the dropped indexes
+    df.join(drops, Seq(id), "left")
+      .select(col(id),
+        size(paras).cast("long").as("n_paras"),
+        coalesce(size(col("drop_pos")), lit(0)).cast("long").as("n_dropped"),
+        array_join(
+          filter(paras, (p, i) =>
+            !array_contains(coalesce(col("drop_pos"), array().cast("array<int>")), i)),
+          sep).as("text_clean"))
+  }
+
   /** Sketch-estimated rare-token scoring, same output shape as the
     * exact rare_token_score query. CMS error is ONE-SIDED (estimate >=
     * true count), so a token can only look more common than it is: the

@@ -124,6 +124,28 @@ object CleanQueries extends QueryModule {
         minDf = 5L)
     }),
 
+    // Paragraph dedup, keep-first (RefinedWeb/MassiveText): a
+    // paragraph repeated anywhere in the corpus survives only at its
+    // first (doc, position) occurrence — the body-prose complement of
+    // template_strip's threshold rule. Paragraph structure is injected
+    // deterministically (shared boilerplate paragraphs on id strides
+    // plus a self-repeat stride), since the fixture is single-line;
+    // the fixture's natural full-text duplicates then exercise the
+    // cross-doc keep-first path on the body paragraphs too.
+    "paragraph_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val damaged = concat(
+        when(id % 2 === 0, lit("JOIN OUR NEWSLETTER TODAY\n\n"))
+          .otherwise(lit("")),
+        col("text"),
+        when(id % 3 === 0, lit("\n\n(c) Example Corp - all rights reserved"))
+          .otherwise(lit("")),
+        when(id % 7 === 0, concat(lit("\n\n"), col("text")))
+          .otherwise(lit("")))
+      TextOps.paragraphDedup(
+        docs(s, dir).select(id, damaged.as("text")), "doc_id", "text")
+    }),
+
     // BPE subword tokenization: merges trained on the corpus word-
     // frequency table (vocabulary-scale, one (word,count) shuffle +
     // bounded collect; see operators/Bpe), applied as a map-only
@@ -491,6 +513,33 @@ object CleanQueries extends QueryModule {
         |  CAST(len(list_filter(string_split(t, chr(10)), x -> list_contains(hl, x))) AS BIGINT) AS n_template,
         |  array_to_string(list_filter(string_split(t, chr(10)), x -> NOT list_contains(hl, x)), chr(10)) AS text_clean
         |FROM d CROSS JOIN hot""".stripMargin,
+    "paragraph_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'JOIN OUR NEWSLETTER TODAY' || chr(10) || chr(10) ELSE '' END
+        |    || text
+        |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || '(c) Example Corp - all rights reserved' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || chr(10) || text ELSE '' END AS t
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps FROM d
+        |), p AS (
+        |  SELECT doc_id, i AS pos, ps[i] AS para, len(ps) AS n
+        |  FROM sp, LATERAL (SELECT unnest(range(1, len(ps) + 1)) AS i) r
+        |), ranked AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM p WHERE trim(para) <> ''
+        |), drops AS (
+        |  SELECT doc_id, pos FROM ranked WHERE rn > 1
+        |)
+        |SELECT p.doc_id,
+        |       CAST(MAX(p.n) AS BIGINT) AS n_paras,
+        |       CAST(COUNT(drops.pos) AS BIGINT) AS n_dropped,
+        |       COALESCE(string_agg(p.para, chr(10) || chr(10) ORDER BY p.pos)
+        |                FILTER (WHERE drops.pos IS NULL), '') AS text_clean
+        |FROM p LEFT JOIN drops USING (doc_id, pos)
+        |GROUP BY p.doc_id""".stripMargin,
     "lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t

@@ -204,6 +204,33 @@ object EventQueries extends QueryModule {
         .select(col("event_id"), col("event_type"), col("type_n"))
     }),
 
+    // Cohort retention (the classic product-analytics matrix): users
+    // cohorted by their first-activity week, counted in every later
+    // week they return, keyed by period = whole weeks since cohort.
+    // Scale shape: ONE shuffle by user_id does all the per-user work —
+    // min(week) and the distinct-week set in the same aggregation
+    // (a user's distinct weeks are timeline-bounded, so collect_set is
+    // a bounded buffer, the codebook discipline) — then the matrix is
+    // a count over (cohort, period), narrow rows. No window function:
+    // `min(w) OVER (PARTITION BY user)` would re-shuffle full activity
+    // rows; the agg form carries one row per user. Both week
+    // truncations are Monday-aligned so the day gap is an exact
+    // multiple of 7 and the period division is exact.
+    "cohort_retention" -> ((s, dir) => {
+      val wk = date_trunc("week", col("ts")).cast("date")
+      ev(s, dir)
+        .select(col("user_id"), wk.as("w"))
+        .groupBy("user_id")
+        .agg(min(col("w")).as("c"), collect_set(col("w")).as("weeks"))
+        .select(col("c"), explode(col("weeks")).as("w"))
+        .select(col("c"),
+          (datediff(col("w"), col("c")) / 7).cast("long").as("period"))
+        .groupBy(col("c"), col("period"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(date_format(col("c"), "yyyy-MM-dd").as("cohort"),
+          col("period"), col("n_users"))
+    }),
+
     // JSON field extraction from the props column (semi-structured scan).
     "json_extract" -> ((s, dir) => {
       val k = get_json_object(col("props"), "$.k").cast("long")
@@ -241,6 +268,18 @@ object EventQueries extends QueryModule {
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'view' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin,
+    "cohort_retention" ->
+      """WITH pu AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        |  FROM events GROUP BY 1, 2
+        |), c AS (
+        |  SELECT user_id, w, MIN(w) OVER (PARTITION BY user_id) AS c
+        |  FROM pu
+        |)
+        |SELECT strftime(c, '%Y-%m-%d') AS cohort,
+        |       CAST(date_diff('day', c, w) // 7 AS BIGINT) AS period,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "asof_join" ->
       """WITH p AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us

@@ -654,4 +654,46 @@ object LawsSpec extends Properties("graft.laws") {
         .collect().sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
       hu == merged && ids == ids.sorted
     }
+
+  // --- paragraph dedup (keep-first) ----------------------------------
+
+  // docs drawn from a SMALL paragraph pool so cross-doc and within-doc
+  // repeats are the common case, plus blank paragraphs as separators
+  private val genParaDocs: Gen[List[(Long, String)]] = {
+    val pool = Vector("alpha beta", "gamma", "delta epsilon zeta", "eta",
+      "theta iota kappa", " ", "")
+    val genDoc = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(pool)).map(_.mkString("\n\n")))
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, genDoc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+  }
+
+  private def runParaDedup(rows: List[(Long, String)]
+                          ): Map[Long, (Long, Long, String)] =
+    graft.operators.TextOps.paragraphDedup(
+        rows.toDF("id", "text").repartition(3), "id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+
+  property("paragraphDedup keeps exactly the first occurrence of every distinct paragraph") =
+    forAll(genParaDocs) { rows =>
+      val out = runParaDedup(rows)
+      // reference: scan corpus in (id, pos) order, keep first sighting
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      val expect = rows.map { case (id, t) =>
+        val paras = t.split(java.util.regex.Pattern.quote("\n\n"), -1)
+        val keep = paras.map(p => p.trim.isEmpty || seen.add(p))
+        id -> (paras.length.toLong, keep.count(!_).toLong,
+          paras.zip(keep).collect { case (p, true) => p }.mkString("\n\n"))
+      }.toMap
+      rows.forall { case (id, _) => out(id) == expect(id) }
+    }
+
+  property("paragraphDedup is idempotent: a second pass drops nothing") =
+    forAll(genParaDocs) { rows =>
+      val cleaned = runParaDedup(rows).toList
+        .map { case (id, (_, _, t)) => (id, t) }
+      runParaDedup(cleaned).forall { case (_, (_, nDropped, _)) => nDropped == 0L }
+    }
 }

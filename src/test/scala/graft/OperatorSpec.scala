@@ -1308,6 +1308,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(ent(-3L) - 8.0) < 1e-12, s"uniform bytes: ${ent(-3L)}")
   }
 
+  test("cohort_retention: period 0 is the cohort census and dominates every later period") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("cohort_retention")(spark, dir)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 >= 0))
+    val byCohort = rows.groupBy(_._1)
+    // every user is active in their own first week, so period 0 exists
+    // and equals the cohort size — an upper bound on every later period
+    byCohort.foreach { case (c, rs) =>
+      val p0 = rs.find(_._2 == 0L)
+      assert(p0.isDefined, s"cohort $c missing period 0")
+      rs.foreach(r => assert(r._3 <= p0.get._3,
+        s"cohort $c period ${r._2} count ${r._3} exceeds census ${p0.get._3}"))
+    }
+    // conservation: matrix total = distinct (user, week) pairs
+    val totalPairs = Tables(spark, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .distinct().count()
+    assert(rows.map(_._3).sum == totalPairs,
+      s"matrix total ${rows.map(_._3).sum} != distinct pairs $totalPairs")
+  }
+
   test("multi_match_counts rejects null/empty dictionary terms at analysis time") {
     // the dictionary is foldable: a bad term must fail planning with a
     // clear message, not NPE per task on every executor

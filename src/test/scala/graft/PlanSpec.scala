@@ -223,6 +223,19 @@ class PlanSpec extends AnyFunSuite {
       s"a shuffle partitions on span text:\n${shuffles.mkString("\n")}")
   }
 
+  test("paragraph_dedup shuffles 128-bit hashes and doc ids — never paragraph text") {
+    val df = SparkEntry.queries("paragraph_dedup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"paragraph dedup must stay an equi-join:\n$p")
+    // winner agg and loser rejoin key on (h1, h2); the rewrite join keys
+    // on doc_id — no exchange may partition on the paragraph string
+    val shuffles = "Exchange [^\\n]*".r.findAllIn(p).toSeq
+    assert(shuffles.nonEmpty && shuffles.forall(!_.contains("para#")),
+      s"a shuffle partitions on paragraph text:\n${shuffles.mkString("\n")}")
+  }
+
   test("q3/q10 top-k rides TakeOrderedAndProject, never a global sort") {
     for (name <- Seq("q3_shipping", "q10_returns")) {
       val p = plan(name)
