@@ -85,6 +85,13 @@ object TrainingPipeline {
     * set bounded+collected, strip map-only
     * ([[TextOps.templateHotLines]]/[[TextOps.stripLinesIn]]).
     *
+    * `dedupParagraphs`: stage 0d — keep-first paragraph dedup
+    * ([[TextOps.dedupParagraphsIn]], the RefinedWeb rule): a paragraph
+    * repeated anywhere in the (post-strip) corpus survives only at its
+    * first (doc, position) occurrence. One narrow hash shuffle, map-only
+    * rewrite; runs after the line-level stages since their cuts change
+    * paragraph boundaries.
+    *
     * `fixEncoding`: stage 0b — repair Latin-1/cp1252 mojibake
     * ([[TextOps.fixMojibake]], the guarded sloppy-cp1252 recode kernel)
     * right after HTML extraction, BEFORE template detection, dedup and
@@ -114,6 +121,7 @@ object TrainingPipeline {
           fixEncoding: Boolean = false,
           templateMinDf: Option[Long] = None,
           c4MinWords: Option[Int] = None,
+          dedupParagraphs: Boolean = false,
           lang: String = "en", minTokens: Int = 10,
           classifierWeights: Option[DataFrame] = None,
           minQuality: Option[Double] = None,
@@ -174,9 +182,19 @@ object TrainingPipeline {
         val hot = TextOps.templateHotLines(detectOn, "doc_id", "text", m)
         r1.withColumn("text", TextOps.stripLinesIn(col("text"), hot))
       }.getOrElse(r1)
-      c4MinWords.map(m =>
+      val r1c = c4MinWords.map(m =>
         r1b.withColumn("text", TextOps.c4LineClean(col("text"), m)._1))
         .getOrElse(r1b)
+      // 0d. optional keep-first paragraph dedup (RefinedWeb rule):
+      // every repeated paragraph survives only at its first (doc, pos)
+      // occurrence — the body-prose complement of the template strip's
+      // threshold rule. One narrow (id, pos, hash) shuffle; the rewrite
+      // is map-only. Runs AFTER template strip and line cleaning (their
+      // cuts change paragraph boundaries) and, under the delta gate,
+      // over the delta only — cross-snapshot paragraph history needs a
+      // persisted index, the minhash-index pattern, out of scope here.
+      if (dedupParagraphs)
+        TextOps.dedupParagraphsIn(r1c, "doc_id", "text") else r1c
     }
     val docs = {
       val n = if (normalize)

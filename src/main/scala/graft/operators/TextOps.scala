@@ -393,8 +393,33 @@ object TextOps {
                      text: String, sep: String = "\n\n"
                     ): org.apache.spark.sql.DataFrame = {
     val paras = split(col(text), java.util.regex.Pattern.quote(sep))
-    // narrow (id, pos, h1, h2) stream — the only frame the dedup
-    // aggregation shuffles
+    df.join(paragraphDropLists(df, id, text, sep), Seq(id), "left")
+      .select(col(id),
+        size(paras).cast("long").as("n_paras"),
+        coalesce(size(col("drop_pos")), lit(0)).cast("long").as("n_dropped"),
+        cutParagraphs(paras, sep).as("text_clean"))
+  }
+
+  /** [[paragraphDedup]] rewriting the text column IN PLACE, every other
+    * column untouched — the TrainingPipeline form (the stripLinesIn
+    * analog for the keep-first rule).
+    */
+  def dedupParagraphsIn(df: org.apache.spark.sql.DataFrame, id: String,
+                        text: String, sep: String = "\n\n"
+                       ): org.apache.spark.sql.DataFrame =
+    df.join(paragraphDropLists(df, id, text, sep), Seq(id), "left")
+      .withColumn(text,
+        cutParagraphs(split(col(text), java.util.regex.Pattern.quote(sep)), sep))
+      .drop("drop_pos")
+
+  /** The dedup decision as a per-doc drop-position list (doc-count-
+    * scale, narrow): phase 1 of the keep-first rule. Only (id, pos,
+    * 128-bit hash) rows ever shuffle.
+    */
+  private def paragraphDropLists(df: org.apache.spark.sql.DataFrame,
+                                 id: String, text: String, sep: String
+                                ): org.apache.spark.sql.DataFrame = {
+    val paras = split(col(text), java.util.regex.Pattern.quote(sep))
     val hashed = df
       .select(col(id), posexplode(paras).as(Seq("pos", "para")))
       .filter(trim(col("para")) =!= "")
@@ -406,19 +431,17 @@ object TextOps {
     val winners = hashed.groupBy(col("h1"), col("h2"))
       .agg(min(struct(col(id), col("pos"))).as("w"))
     // every non-winning occurrence, folded to one drop-list per doc
-    val drops = hashed.join(winners, Seq("h1", "h2"))
+    hashed.join(winners, Seq("h1", "h2"))
       .filter(struct(col(id), col("pos")) =!= col("w"))
       .groupBy(col(id)).agg(collect_set(col("pos")).as("drop_pos"))
-    // map-only rewrite: re-split row-locally, cut the dropped indexes
-    df.join(drops, Seq(id), "left")
-      .select(col(id),
-        size(paras).cast("long").as("n_paras"),
-        coalesce(size(col("drop_pos")), lit(0)).cast("long").as("n_dropped"),
-        array_join(
-          filter(paras, (p, i) =>
-            !array_contains(coalesce(col("drop_pos"), array().cast("array<int>")), i)),
-          sep).as("text_clean"))
   }
+
+  /** Map-only phase 2: re-split row-locally, cut the dropped indexes. */
+  private def cutParagraphs(paras: Column, sep: String): Column =
+    array_join(
+      filter(paras, (p, i) =>
+        !array_contains(coalesce(col("drop_pos"), array().cast("array<int>")), i)),
+      sep)
 
   /** Sketch-estimated rare-token scoring, same output shape as the
     * exact rare_token_score query. CMS error is ONE-SIDED (estimate >=
