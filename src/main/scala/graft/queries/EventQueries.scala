@@ -231,6 +231,28 @@ object EventQueries extends QueryModule {
           col("period"), col("n_users"))
     }),
 
+    // Z-order layout key (the Delta/Iceberg OPTIMIZE ZORDER kernel):
+    // user_id and event time quantized onto 16-bit lanes against
+    // driver-collected bounds (one min/max agg, four longs — the
+    // bounded-artifact discipline), then Morton-interleaved row-locally
+    // (shifts/ands/ors, whole-stage codegen; plan-pinned map-only).
+    // `Layout.zorderBy` range-partitions on this key so parquet
+    // min/max stats prune on BOTH dimensions; the key itself is what
+    // the oracle replays bit-for-bit.
+    "zorder_key" -> ((s, dir) => {
+      import graft.operators.Layout
+      val e = ev(s, dir)
+      val us = unix_micros(col("ts"))
+      val b = e.agg(min(col("user_id")), max(col("user_id")),
+        min(us), max(us)).head()
+      val (ulo, uhi, tlo, thi) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      e.select(col("event_id"),
+        Layout.zvalue(Seq(
+          Layout.quantizeLinear(col("user_id"), ulo, uhi),
+          Layout.quantizeLinear(us, tlo, thi))).as("z"))
+    }),
+
     // JSON field extraction from the props column (semi-structured scan).
     "json_extract" -> ((s, dir) => {
       val k = get_json_object(col("props"), "$.k").cast("long")
@@ -268,6 +290,26 @@ object EventQueries extends QueryModule {
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'view' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin,
+    "zorder_key" -> {
+      // the interleave as 32 explicit bit terms — column 0 (user lane)
+      // owns even positions, column 1 (time lane) odd, matching
+      // Layout.zvalue's j * k + ci placement
+      val terms = (0 until 16).flatMap(j => Seq(
+        s"(((qx >> $j) & 1) << ${2 * j})",
+        s"(((qy >> $j) & 1) << ${2 * j + 1})"))
+      s"""WITH b AS (
+         |  SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+         |         MIN(epoch_us(ts)) AS tlo, MAX(epoch_us(ts)) AS thi
+         |  FROM events
+         |), q AS (
+         |  SELECT event_id,
+         |    (user_id - ulo) * 65535 // GREATEST(uhi - ulo, 1) AS qx,
+         |    (epoch_us(ts) - tlo) * 65535 // GREATEST(thi - tlo, 1) AS qy
+         |  FROM events, b
+         |)
+         |SELECT event_id, CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+         |FROM q""".stripMargin
+    },
     "cohort_retention" ->
       """WITH pu AS (
         |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w

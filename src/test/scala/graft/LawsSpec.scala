@@ -655,6 +655,50 @@ object LawsSpec extends Properties("graft.laws") {
       hu == merged && ids == ids.sorted
     }
 
+  // --- z-order layout kernel -----------------------------------------
+
+  private def zRef(xs: Seq[Long], bits: Int): Long = {
+    val k = xs.size
+    var z = 0L
+    for ((x, ci) <- xs.zipWithIndex; j <- 0 until bits)
+      z |= (((x & ((1L << bits) - 1)) >> j) & 1L) << (j * k + ci)
+    z
+  }
+
+  private val genCoord: Gen[Long] = Gen.chooseNum(0L, 65535L)
+
+  property("zvalue equals the reference Morton interleave (2 and 3 columns)") =
+    forAll(Gen.listOfN(12, Gen.zip(genCoord, genCoord, genCoord))) { pts =>
+      val df = pts.toDF("x", "y", "w")
+      val got2 = df.select(graft.operators.Layout.zvalue(
+        Seq(col("x"), col("y")), 16).as("z")).as[Long].collect().toSeq
+      val got3 = df.select(graft.operators.Layout.zvalue(
+        Seq(col("x"), col("y"), col("w")), 16).as("z")).as[Long].collect().toSeq
+      got2 == pts.map(p => zRef(Seq(p._1, p._2), 16)) &&
+        got3 == pts.map(p => zRef(Seq(p._1, p._2, p._3), 16))
+    }
+
+  property("zvalue is monotone in each coordinate with the others fixed") =
+    forAll(genCoord, Gen.listOfN(10, genCoord)) { (fixed, xs) =>
+      val sorted = xs.sorted
+      val zx = sorted.map(x => zRef(Seq(x, fixed), 16))
+      val zy = sorted.map(y => zRef(Seq(fixed, y), 16))
+      zx == zx.sorted && zy == zy.sorted
+    }
+
+  property("quantizeLinear floors exactly like the oracle's integer division") =
+    forAll(Gen.chooseNum(-1000000L, 1000000L), Gen.chooseNum(0L, 3000000L),
+           Gen.listOfN(8, Gen.chooseNum(-2000000L, 4000000L))) { (lo, span, vs) =>
+      val hi = lo + span
+      val got = vs.toDF("v").select(graft.operators.Layout
+          .quantizeLinear(col("v"), lo, hi).as("q")).as[Long].collect().toSeq
+      val want = vs.map { v =>
+        val c = math.max(lo, math.min(hi, v))
+        (BigInt(c - lo) * 65535 / BigInt(math.max(span, 1L))).toLong
+      }
+      got == want && got.forall(q => q >= 0 && q <= 65535)
+    }
+
   // --- paragraph dedup (keep-first) ----------------------------------
 
   // docs drawn from a SMALL paragraph pool so cross-doc and within-doc

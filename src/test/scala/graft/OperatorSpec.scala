@@ -1330,6 +1330,31 @@ class OperatorSpec extends AnyFunSuite {
       s"matrix total ${rows.map(_._3).sum} != distinct pairs $totalPairs")
   }
 
+  test("zorderBy clusters every dimension: partition bboxes beat a single-column sort") {
+    import graft.operators.Layout
+    // a 64x64 grid — under an x-only range sort each partition spans
+    // the FULL y range; under z-order both spans shrink together
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y").repartition(8)
+    val parts = 16
+    def meanYSpan(df: org.apache.spark.sql.DataFrame): Double = {
+      val spans = df.select(col("y"), spark_partition_id().as("p"))
+        .groupBy("p").agg((max("y") - min("y")).as("s"))
+        .as[(Int, Long)].collect()
+      assert(spans.length == parts, s"expected $parts partitions: ${spans.length}")
+      spans.map(_._2).sum.toDouble / spans.length
+    }
+    val zed = Layout.zorderBy(grid, parts, bits = 6, col("x"), col("y"))
+    val xSorted = grid.repartitionByRange(parts, col("x"))
+    val (zy, xy) = (meanYSpan(zed), meanYSpan(xSorted))
+    // x-sorted partitions see ~the full 63-wide y span; z-ordered ones
+    // must cut it at least in half (actual: ~15 of 63)
+    assert(xy > 50.0, s"x-sort baseline unexpectedly clustered y: $xy")
+    assert(zy < xy / 2, s"z-order y-span $zy not beating x-sort $xy")
+    // and the layout loses no rows
+    assert(zed.count() == 64L * 64L)
+  }
+
   test("multi_match_counts rejects null/empty dictionary terms at analysis time") {
     // the dictionary is foldable: a bad term must fail planning with a
     // clear message, not NPE per task on every executor

@@ -236,6 +236,17 @@ class PlanSpec extends AnyFunSuite {
       s"a shuffle partitions on paragraph text:\n${shuffles.mkString("\n")}")
   }
 
+  test("zorder_key is map-only: the interleave never shuffles") {
+    // bounds ride in as literals (driver-collected artifact), so the
+    // key projection itself must be one codegen'd scan pass
+    val df = SparkEntry.queries("zorder_key")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), s"zorder_key shuffles:\n$p")
+    // "*(n)" is the whole-stage-codegen stage marker in this rendering
+    assert(p.contains("*(1) Project"), s"zorder_key left codegen:\n$p")
+  }
+
   test("q3/q10 top-k rides TakeOrderedAndProject, never a global sort") {
     for (name <- Seq("q3_shipping", "q10_returns")) {
       val p = plan(name)
