@@ -231,6 +231,66 @@ object EventQueries extends QueryModule {
           col("period"), col("n_users"))
     }),
 
+    // Pivot (long -> wide): daily counts fanned across a FIXED
+    // event-type column list. The fixed list is the 100 TB discipline:
+    // `pivot(col)` without values runs a distinct scan to discover the
+    // schema — a whole extra corpus pass — and makes the output schema
+    // data-dependent; production pivots declare their columns.
+    "pivot_events" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      ev(s, dir)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("day") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+    }),
+
+    // Trailing 7-day activity per user at every event (the rolling
+    // retention/LTV feature): a RANGE window over event-time micros —
+    // frame membership by time VALUE, not row count, so duplicate
+    // timestamps are peers on both engines. One shuffle by user_id;
+    // state per task is the 7-day frame, bounded by a user's weekly
+    // event rate, never the corpus.
+    "rolling_7d" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-7L * 86400L * 1000000L, 0L)
+      ev(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), cents(col("value")).as("c"))
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_7d"),
+          sum(col("c")).over(w).as("sum_7d_c"))
+    }),
+
+    // Gap-fill + forward-fill (time-series resample): per event type,
+    // one row for EVERY day of the corpus span — absent days count 0
+    // and carry the last seen daily revenue forward. The day spine is
+    // sequence() over driver-collected bounds (two values — the
+    // bounded-artifact discipline, no generate-series shuffle),
+    // crossed with the 5-row type dim; the fill is last(ignoreNulls)
+    // over a per-type window ordered by day. Scale: spine rows =
+    // days x types, dwarfed by the event table the daily agg scans.
+    "gapfill_daily" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val daily = e.groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_c"))
+      val b = e.agg(min(date_trunc("day", col("ts")).cast("date")),
+        max(date_trunc("day", col("ts")).cast("date"))).head()
+      val spine = daily.select(col("event_type")).distinct()
+        .crossJoin(s.range(1).select(explode(sequence(
+          lit(b.getDate(0)), lit(b.getDate(1)))).as("day")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(last(col("sum_c"), ignoreNulls = true).over(w), lit(0L))
+            .as("ffill_sum_c"))
+    }),
+
     // Z-order layout key (the Delta/Iceberg OPTIMIZE ZORDER kernel):
     // user_id and event time quantized onto 16-bit lanes against
     // driver-collected bounds (one min/max agg, four longs — the
@@ -290,6 +350,47 @@ object EventQueries extends QueryModule {
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'view' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin,
+    "pivot_events" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+        |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+        |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+        |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+        |FROM events GROUP BY 1""".stripMargin,
+    "rolling_7d" ->
+      """SELECT event_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+        |  CAST(SUM(c) OVER w AS BIGINT) AS sum_7d_c
+        |FROM (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "gapfill_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS lo,
+        |         MAX(CAST(date_trunc('day', ts) AS DATE)) AS hi
+        |  FROM events
+        |), spine AS (
+        |  SELECT t.event_type, CAST(g.day AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM daily) t
+        |  CROSS JOIN b
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS day) g
+        |)
+        |SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+        |  COALESCE(d.n, 0) AS n,
+        |  COALESCE(last_value(d.sum_c IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS ffill_sum_c
+        |FROM spine s LEFT JOIN daily d USING (event_type, day)""".stripMargin,
     "zorder_key" -> {
       // the interleave as 32 explicit bit terms — column 0 (user lane)
       // owns even positions, column 1 (time lane) odd, matching

@@ -236,6 +236,15 @@ class PlanSpec extends AnyFunSuite {
       s"a shuffle partitions on paragraph text:\n${shuffles.mkString("\n")}")
   }
 
+  test("rolling_7d pays exactly one shuffle: the user partition feeds the range window") {
+    val df = SparkEntry.queries("rolling_7d")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"rolling_7d should shuffle once (by user_id):\n$p")
+    assert(p.contains("Window"), s"rolling_7d lost its window:\n$p")
+  }
+
   test("zorder_key is map-only: the interleave never shuffles") {
     // bounds ride in as literals (driver-collected artifact), so the
     // key projection itself must be one codegen'd scan pass
