@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -113,6 +113,26 @@ object Multimodal {
     * JPEG, GIF, BMP — the JDK's built-in readers). Null for anything no
     * reader accepts; never throws.
     */
+  /** Metadata fast path: image dimensions straight from the PNG IHDR
+    * bytes — substring + hex + conv, pure codegen'd builtins, NO
+    * decoder and NO UDF. The "scan 100 TB of media but only need
+    * dims" projection: footer-prunable, shuffle-free, ~10⁴× cheaper
+    * than inflating pixels. Guarded by the 8-byte PNG signature AND
+    * the IHDR chunk tag; anything else (or truncated headers) yields
+    * NULL — never a garbage dimension. Big-endian u32 fields exceed a
+    * fixture's practical range only past 2³¹, still exact via conv's
+    * base-16 long parse.
+    */
+  def pngHeaderDims(content: Column): Column = {
+    val isPng = hex(substring(content, 1, 8)) === lit("89504E470D0A1A0A") &&
+      hex(substring(content, 13, 4)) === lit("49484452") &&
+      length(content) >= 24
+    val w = conv(hex(substring(content, 17, 4)), 16, 10).cast("long")
+    val h = conv(hex(substring(content, 21, 4)), 16, 10).cast("long")
+    when(isPng, struct(w.as("width"), h.as("height")))
+      .otherwise(lit(null))
+  }
+
   private[multimodal] def decodeImage(content: Array[Byte]
                                      ): java.awt.image.BufferedImage =
     try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))

@@ -231,6 +231,23 @@ object EventQueries extends QueryModule {
           col("period"), col("n_users"))
     }),
 
+    // Bloom-prefiltered semi join: restrict the event stream to repeat
+    // purchasers. The key set (an aggregation result) can't broadcast-
+    // hash-join at corpus scale, but its Bloom filter can — the big
+    // side drops non-members BEFORE its semi-join shuffle (plan-pinned:
+    // the UDF filter sits under the exchange), and the closing exact
+    // semi join erases the bloom's false positives, so the oracle is
+    // the plain semi join.
+    "bloom_semi_join" -> ((s, dir) => {
+      import graft.operators.BloomJoin
+      val e = ev(s, dir)
+      val buyers = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("np"))
+        .filter(col("np") >= 2).select("user_id")
+      BloomJoin.bloomSemiJoin(e.select(col("event_id"), col("user_id")),
+        buyers, "user_id", expectedKeys = 100000L)
+    }),
+
     // Pivot (long -> wide): daily counts fanned across a FIXED
     // event-type column list. The fixed list is the 100 TB discipline:
     // `pivot(col)` without values runs a distinct scan to discover the
@@ -350,6 +367,12 @@ object EventQueries extends QueryModule {
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'view' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin,
+    "bloom_semi_join" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE user_id IN (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id HAVING COUNT(*) >= 2
+        |)""".stripMargin,
     "pivot_events" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,

@@ -54,6 +54,16 @@ object MultimodalQueries extends QueryModule {
         "doc_id", maxDist = 3, maxBucket = 1000)
     }),
 
+    // Metadata fast path: dims parsed from the PNG IHDR header bytes —
+    // substring/hex/conv builtins only, no decoder, no UDF, map-only
+    // (plan-pinned). The oracle replays the fixture dimension law; the
+    // OperatorSpec cross-check pins header dims == decoded dims.
+    "multimodal_meta" -> ((s, dir) =>
+      images(s, dir).select(col("doc_id"),
+          Multimodal.pngHeaderDims(col("content")).as("d"))
+        .select(col("doc_id"),
+          col("d.width").as("width"), col("d.height").as("height"))),
+
     // REAL image decode over real PNG bytes; n_bytes (the deflate
     // output size) is codec-dependent, so the declared columns are the
     // analytically-replayable ones
@@ -170,6 +180,13 @@ object MultimodalQueries extends QueryModule {
     // luma(x,y) = (x+y+id)%256; non-image docs (id%10=7) are all-NULL.
     // range() cannot take lateral column args in DuckDB, so the grid is
     // the fixed 32x24 superset filtered per doc.
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 7 THEN NULL
+        |       ELSE CAST(8 + doc_id % 24 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 10 = 7 THEN NULL
+        |       ELSE CAST(8 + (doc_id * 7) % 16 AS BIGINT) END AS height
+        |FROM documents""".stripMargin,
     "multimodal_decode" ->
       """WITH dims AS (
         |  SELECT doc_id,

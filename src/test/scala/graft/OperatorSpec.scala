@@ -1308,6 +1308,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(ent(-3L) - 8.0) < 1e-12, s"uniform bytes: ${ent(-3L)}")
   }
 
+  test("pngHeaderDims agrees with the real decoder on every row, PNG or not") {
+    val dir = "/root/testdata/sf0.001"
+    val media = graft.multimodal.Multimodal.fabricateImages(
+      Tables(spark, dir, "documents"))
+    val header = media.select(col("doc_id"),
+        graft.multimodal.Multimodal.pngHeaderDims(col("content")).as("d"))
+      .select(col("doc_id"), col("d.width"), col("d.height"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val decoded = graft.multimodal.Multimodal.decodeFeatures(media)
+      .select(col("doc_id"), col("width").cast("long"), col("height").cast("long"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(header.keySet == decoded.keySet)
+    header.foreach { case (id, dims) =>
+      assert(dims == decoded(id), s"doc $id: header $dims vs decode ${decoded(id)}")
+    }
+  }
+
   test("cohort_retention: period 0 is the cohort census and dominates every later period") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("cohort_retention")(spark, dir)

@@ -245,6 +245,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"rolling_7d lost its window:\n$p")
   }
 
+  test("bloom_semi_join filters under the exchange: the shuffle carries survivors only") {
+    val df = SparkEntry.queries("bloom_semi_join")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("LeftSemi"), s"missing semi join:\n$p")
+    // the bloom predicate must reach the SCAN itself — ahead of any
+    // exchange or join, whatever join strategy AQE picks at this
+    // scale: the scan's DataFilters carry the UDF
+    assert(p.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("DataFilters") && l.contains("UDF(")),
+      s"bloom filter did not reach the scan's DataFilters:\n$p")
+  }
+
   test("zorder_key is map-only: the interleave never shuffles") {
     // bounds ride in as literals (driver-collected artifact), so the
     // key projection itself must be one codegen'd scan pass
@@ -291,8 +304,9 @@ class PlanSpec extends AnyFunSuite {
       s"a shuffle carries document text:\n${shuffles.mkString("\n")}")
   }
 
-  test("chunk_docs, mixture_sample, topic_assign, split_assign are map-only: zero shuffles") {
-    for (name <- Seq("chunk_docs", "mixture_sample", "topic_assign", "split_assign")) {
+  test("chunk_docs, mixture_sample, topic_assign, split_assign, multimodal_meta are map-only: zero shuffles") {
+    for (name <- Seq("chunk_docs", "mixture_sample", "topic_assign", "split_assign",
+                     "multimodal_meta")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
