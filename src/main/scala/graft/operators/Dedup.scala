@@ -789,6 +789,42 @@ object Dedup {
     labels.select(col("id").as(aCol), col("label").as("cluster_id"))
   }
 
+  /** Edit-distance-1 string similarity join over a vocabulary — the
+    * typo/variant-spelling pair miner (normalization candidates ahead
+    * of token-level dedup), via FastSS/SymSpell deletion-neighborhood
+    * blocking: a word's block keys are itself plus each single-char
+    * deletion. Two words at distance <= 1 ALWAYS share a key
+    * (substitution: both drop the differing position; insert/delete:
+    * the shorter word IS a deletion of the longer), so the equi-join
+    * on keys is a complete candidate generator, and the exact
+    * `levenshtein` verify keeps precision — the LSH band discipline
+    * with a guaranteed-recall blocking scheme.
+    *
+    * Scale: keys per word = length + 1, so the join input is
+    * vocabulary-sized times mean word length — vocabulary scale, never
+    * corpus scale; the verify is a row-local codegen'd filter. Empty
+    * strings are excluded (a zero-length word has no deletions and
+    * `sequence(1, 0)` would flip direction).
+    */
+  def editDistance1Pairs(vocab: DataFrame, w: String): DataFrame = {
+    val c = col(w)
+    val variants = concat(
+      array(c),
+      transform(sequence(lit(1), length(c)),
+        i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c) - i))))
+    // withColumn, not a same-select alias: explode(variants) references
+    // the input column `w`, and aliasing `w` in the same select list
+    // trips Catalyst's lateral-column-alias resolution
+    val vs = vocab.filter(length(c) >= 1)
+      .withColumn("v", explode(variants))
+      .select(c.as("w"), col("v"))
+    vs.as("a").join(vs.as("b"),
+        col("a.v") === col("b.v") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("w_a"), col("b.w").as("w_b"))
+      .distinct()
+      .filter(levenshtein(col("w_a"), col("w_b")) <= 1)
+  }
+
   def simhashPairs(sig: DataFrame, id: String, maxDist: Int = 3,
                    nBands: Int = 4, maxBucket: Int = 0): DataFrame = {
     require(maxDist < nBands, "banding is only complete for maxDist < nBands")

@@ -228,7 +228,25 @@ object DedupQueries extends QueryModule {
     "dedup_apply" -> ((s, dir) =>
       ccMemo.getOrElse((s, dir), computeClusters(s, dir))
         .filter(col("doc_id") === col("cluster_id"))
-        .select(col("doc_id")))
+        .select(col("doc_id"))),
+
+    // Edit-distance-1 string similarity join (typo/variant mining) via
+    // deletion-neighborhood blocking + exact levenshtein verify. Typos
+    // are injected on id strides (insertion, deletion, substitution,
+    // and a 1-char word exercising the empty-deletion block key); the
+    // oracle is the naive all-pairs levenshtein join — affordable over
+    // a vocabulary, which is exactly why the ENGINE must not do it
+    // (blocking keeps the join vocabulary-scale at any corpus size).
+    "typo_pairs" -> ((s, dir) => {
+      val damaged = concat(col("text"),
+        when(col("doc_id") % 13 === 0, lit(" sparkk")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit(" qury")).otherwise(lit("")),
+        when(col("doc_id") % 19 === 0, lit(" juin")).otherwise(lit("")),
+        when(col("doc_id") % 23 === 0, lit(" i")).otherwise(lit("")))
+      val vocab = docs(s, dir)
+        .select(explode(Dedup.tokens(damaged)).as("w")).distinct()
+      Dedup.editDistance1Pairs(vocab, "w")
+    })
   )
 
   // the full minhash near-dup oracle (shared by the plain and the
@@ -635,6 +653,20 @@ object DedupQueries extends QueryModule {
         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
         |  FROM ph
         |)
-        |SELECT DISTINCT doc_id, fp FROM wmin""".stripMargin
+        |SELECT DISTINCT doc_id, fp FROM wmin""".stripMargin,
+    "typo_pairs" ->
+      raw"""WITH d AS (
+        |  SELECT text
+        |    || CASE WHEN doc_id % 13 = 0 THEN ' sparkk' ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0 THEN ' qury' ELSE '' END
+        |    || CASE WHEN doc_id % 19 = 0 THEN ' juin' ELSE '' END
+        |    || CASE WHEN doc_id % 23 = 0 THEN ' i' ELSE '' END AS t
+        |  FROM documents
+        |), v AS (
+        |  SELECT DISTINCT unnest(list_filter(string_split_regex(t, '\s+'), x -> x <> '')) AS w
+        |  FROM d
+        |)
+        |SELECT a.w AS w_a, b.w AS w_b
+        |FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1""".stripMargin
   )
 }

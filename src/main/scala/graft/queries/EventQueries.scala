@@ -231,6 +231,31 @@ object EventQueries extends QueryModule {
           col("period"), col("n_users"))
     }),
 
+    // Robust outlier screen (median/MAD, the standard heavy-tail-safe
+    // rule): flag events whose absolute deviation from their type's
+    // median exceeds 3x the median absolute deviation. Both medians
+    // are EXACT lower medians through the value-count percentile lane
+    // (integer cents — no float quantile drift), each a group-count-
+    // sized artifact broadcast back to the stream; the flagging itself
+    // is row-local. Mean/stddev would let one whale move the fence;
+    // median/MAD is what monitoring pipelines actually deploy.
+    "outlier_events" -> ((s, dir) => {
+      import graft.operators.Quantiles
+      val e = ev(s, dir).select(col("event_id"), col("event_type"),
+        cents(col("value")).as("c"))
+      val med = Quantiles.exactPercentiles(e, "event_type", col("c"), Seq(50))
+        .select(col("event_type"), col("val").as("med_c"))
+      val withMed = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev_c", abs(col("c") - col("med_c")))
+      val mad = Quantiles.exactPercentiles(
+        withMed.select(col("event_type"), col("dev_c")),
+        "event_type", col("dev_c"), Seq(50))
+        .select(col("event_type"), col("val").as("mad_c"))
+      withMed.join(broadcast(mad), Seq("event_type"))
+        .select(col("event_id"), col("dev_c"),
+          (col("dev_c") > col("mad_c") * 3).cast("long").as("is_outlier"))
+    }),
+
     // Bloom-prefiltered semi join: restrict the event stream to repeat
     // purchasers. The key set (an aggregation result) can't broadcast-
     // hash-join at corpus scale, but its Bloom filter can — the big
@@ -367,6 +392,38 @@ object EventQueries extends QueryModule {
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'view' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin,
+    "outlier_events" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |), vc AS (
+        |  SELECT event_type, c, COUNT(*) AS cnt FROM e GROUP BY 1, 2
+        |), cm AS (
+        |  SELECT event_type, c, cnt,
+        |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM vc
+        |), med AS (
+        |  SELECT event_type, c AS med_c FROM cm
+        |  WHERE cum >= (n * 50 + 99) // 100 AND cum - cnt < (n * 50 + 99) // 100
+        |), d AS (
+        |  SELECT e.event_id, e.event_type, ABS(e.c - med.med_c) AS dev_c
+        |  FROM e JOIN med USING (event_type)
+        |), dvc AS (
+        |  SELECT event_type, dev_c, COUNT(*) AS cnt FROM d GROUP BY 1, 2
+        |), dcm AS (
+        |  SELECT event_type, dev_c, cnt,
+        |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev_c) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM dvc
+        |), mad AS (
+        |  SELECT event_type, dev_c AS mad_c FROM dcm
+        |  WHERE cum >= (n * 50 + 99) // 100 AND cum - cnt < (n * 50 + 99) // 100
+        |)
+        |SELECT d.event_id, d.dev_c,
+        |       CAST(d.dev_c > 3 * mad.mad_c AS BIGINT) AS is_outlier
+        |FROM d JOIN mad USING (event_type)""".stripMargin,
     "bloom_semi_join" ->
       """SELECT event_id, user_id FROM events
         |WHERE user_id IN (

@@ -139,7 +139,21 @@ object StatsQueries extends QueryModule {
         .withColumn("n_terms",
           (col("n_click") > 0).cast("long") + (col("n_buy") > 0).cast("long") +
             (col("n_offer") > 0).cast("long") + (col("n_nownow") > 0).cast("long"))
-    }))
+    }),
+
+    // Top-k per group through the BOUNDED aggregator, not a window:
+    // row_number() OVER (PARTITION BY lang) lands a group's full
+    // membership on one task; TopKByScore's map-side partials carry
+    // <= k rows per (partition, group) into the shuffle (plan-pinned
+    // window-free). Order: score desc, id asc — exactly the oracle's
+    // window ordering.
+    "topk_by_group" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("lang"))
+        .agg(graft.functions.Aggregators.topKByScore(
+          col("n_chars").cast("double"), col("doc_id"), 3).as("ids"))
+        .select(col("lang"), posexplode(col("ids")).as(Seq("i", "doc_id")))
+        .select(col("lang"), (col("i") + 1).cast("long").as("rnk"),
+          col("doc_id"))))
 
   def oracleSql: Map[String, String] = Map(
     // the sketch's integer bin law: id = x below 16, else
@@ -276,5 +290,12 @@ object StatsQueries extends QueryModule {
         |       n_click + n_buy + n_offer + n_nownow AS n_hits,
         |       CAST(n_click > 0 AS BIGINT) + CAST(n_buy > 0 AS BIGINT)
         |         + CAST(n_offer > 0 AS BIGINT) + CAST(n_nownow > 0 AS BIGINT) AS n_terms
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+    "topk_by_group" ->
+      """SELECT lang, CAST(rn AS BIGINT) AS rnk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents
+        |) WHERE rn <= 3""".stripMargin)
 }

@@ -655,6 +655,37 @@ object LawsSpec extends Properties("graft.laws") {
       hu == merged && ids == ids.sorted
     }
 
+  // --- edit-distance-1 similarity join -------------------------------
+
+  private def levRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  // tiny alphabet, short words: distance-1 collisions are the common
+  // case, including the 1-char / empty-deletion-key edge
+  private val genWords: Gen[List[String]] =
+    Gen.listOfN(12, Gen.chooseNum(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+
+  property("editDistance1Pairs equals the naive all-pairs levenshtein filter") =
+    forAll(genWords) { ws =>
+      val vocab = ws.distinct
+      val got = graft.operators.Dedup.editDistance1Pairs(
+          vocab.toDF("w").repartition(3), "w")
+        .as[(String, String)].collect().toSet
+      val want = (for {
+        a <- vocab; b <- vocab
+        if a < b && levRef(a, b) <= 1
+      } yield (a, b)).toSet
+      got == want
+    }
+
   // --- z-order layout kernel -----------------------------------------
 
   private def zRef(xs: Seq[Long], bits: Int): Long = {

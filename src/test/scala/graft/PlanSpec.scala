@@ -182,13 +182,15 @@ class PlanSpec extends AnyFunSuite {
     assert(scans <= 2, s"blocked dedup should scan embeddings at most twice, got $scans:\n$finalP")
   }
 
-  test("stratified_sample ranks through the bounded aggregator, not a window") {
-    val df = SparkEntry.queries("stratified_sample")(spark, dir)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("Window"), s"per-stratum window in sample plan:\n$p")
-    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
-      s"no aggregator-based ranking:\n$p")
+  test("stratified_sample and topk_by_group rank through the bounded aggregator, not a window") {
+    for (name <- Seq("stratified_sample", "topk_by_group")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$name: per-group window in plan:\n$p")
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+        s"$name: no aggregator-based ranking:\n$p")
+    }
   }
 
   test("range_join_sessions plans as an equi-join on (key, bin), not a nested loop") {
