@@ -348,6 +348,45 @@ object Similarity {
           .as("qvec"))
   }
 
+  /** Deterministic Johnson-Lindenstrauss projection over INT8-quantized
+    * embeddings — the cheap-ANN / sketch-the-embedding dimension
+    * reducer, made ENGINE-PORTABLE by keeping every arithmetic step
+    * exact: codes from [[quantizeInt8]], a ±1 Rademacher sign matrix
+    * derived from an md5 parity law (sign(j,i) = +1 iff the first hex
+    * digit of md5("j:i") is even — replayable in any SQL engine with
+    * md5), and integer dot products (|p| <= 127·inDim, no float sums
+    * whose association order could differ between engines). The JL
+    * guarantee needs only sign randomness quality, not floats; the
+    * 1/sqrt(outDim) scaling is left to the (float) consumer.
+    *
+    * Scale: the sign matrix is an outDim x inDim literal (driver
+    * artifact, bytes); projection is a ROW-LOCAL map — the whole
+    * operator is shuffle-free (plan-pinned), long format
+    * (id, j, p) per output coordinate.
+    */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                outDim: Int): DataFrame = {
+    require(outDim >= 1, s"outDim must be positive: $outDim")
+    val inDim = df.select(size(col(vecCol))).head().getInt(0)
+    val signs: Seq[Seq[Int]] =
+      (0 until outDim).map(j => (0 until inDim).map(i => jlSign(j, i)))
+    val q = quantizeInt8(df, idCol, vecCol)
+    q.select(col(idCol), col("qvec"),
+        posexplode(typedLit(signs)).as(Seq("j", "srow")))
+      .select(col(idCol), col("j").cast("long").as("j"),
+        aggregate(zip_with(col("qvec"), col("srow"), (x, s) => x * s),
+          lit(0L), (acc, x) => acc + x).as("p"))
+  }
+
+  /** The sign law, shared with the SQL oracle:
+    * +1 iff the first hex digit of md5("j:i") is even.
+    */
+  private[graft] def jlSign(j: Int, i: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xF) % 2 == 0) 1 else -1
+  }
+
   /** All `salts.size` seed codebooks in ONE pass over the base: every
     * row fans out to (salt, md5(id:salt), id, vec) and a bounded
     * bottom-k aggregator keeps the `nCells` lowest-hash rows per salt —

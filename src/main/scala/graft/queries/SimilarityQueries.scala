@@ -117,6 +117,13 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id"), col("scale"),
           concat_ws(",", col("qvec")).as("qcodes"))),
 
+    // Johnson-Lindenstrauss dimension reduction, exact-integer lane:
+    // int8 codes x a ±1 md5-parity sign matrix (see
+    // Similarity.jlProject) — row-local, shuffle-free (plan-pinned),
+    // and every output coordinate an exact integer the oracle resums.
+    "jl_project" -> ((s, dir) =>
+      Similarity.jlProject(emb(s, dir), "vec_id", "embedding", outDim = 8)),
+
     // Distributed k-means in fixed-point integer arithmetic (see
     // operators/Kmeans): deterministic seedless init, 2 Lloyd rounds,
     // final (cluster, squared-L2) assignment — every step
@@ -369,6 +376,24 @@ object SimilarityQueries extends QueryModule {
         |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rnk
         |  FROM scored)
         |WHERE rnk = 1""".stripMargin,
+    "jl_project" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e
+        |), q AS (
+        |  SELECT vec_id,
+        |         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |              ELSE list_transform(v, x -> CAST(round(x / scale) AS INT)) END AS q
+        |  FROM s
+        |), js AS (SELECT unnest(range(0, 8)) AS j)
+        |SELECT vec_id, CAST(j AS BIGINT) AS j,
+        |       CAST(list_sum(list_transform(range(0, len(q)), i ->
+        |         q[i + 1] * (CASE WHEN ('0x' || substring(md5(j || ':' || i), 1, 1))::INT % 2 = 0
+        |                          THEN 1 ELSE -1 END))) AS BIGINT) AS p
+        |FROM q CROSS JOIN js""".stripMargin,
     "quantize_embeddings" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -306,9 +306,9 @@ class PlanSpec extends AnyFunSuite {
       s"a shuffle carries document text:\n${shuffles.mkString("\n")}")
   }
 
-  test("chunk_docs, mixture_sample, topic_assign, split_assign, multimodal_meta are map-only: zero shuffles") {
+  test("chunk_docs, mixture_sample, topic_assign, split_assign, multimodal_meta, jl_project are map-only: zero shuffles") {
     for (name <- Seq("chunk_docs", "mixture_sample", "topic_assign", "split_assign",
-                     "multimodal_meta")) {
+                     "multimodal_meta", "jl_project")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
