@@ -73,4 +73,46 @@ object Graphs {
     }
     pr
   }
+
+  /** Per-vertex triangle counts over an undirected graph, by
+    * DEGREE-ORDERED edge orientation (the MPC-standard trick): each
+    * edge points from its lower-(degree, id) endpoint to the higher,
+    * so every triangle forms exactly one wedge AT ITS MINIMUM vertex
+    * and the wedge-generating self-join fans out as Σ d⁺(v)² with
+    * d⁺ <= sqrt(2·|E|) — a star's hub generates NO wedges (all edges
+    * point INTO it), where the naive a<b<c orientation would square
+    * the hub degree. The closing step is one semi join of wedges
+    * against the normalized edge set; counts come from exploding each
+    * triangle's three vertices. All equi-joins on ids — no text, no
+    * nested loop; the oracle replays the orientation-independent
+    * triangle set with the naive u<v<w three-way join.
+    *
+    * Self-loops are dropped; parallel edges collapse via distinct.
+    * Output: (node, n_tri) for nodes in at least one triangle.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): a -> b iff (d_a, a) < (d_b, b)
+    val withDeg = und
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    val oriented = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("a"), col("v").as("b")))
+        .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(col("x.a").as("a"), col("x.b").as("p"), col("y.b").as("q"))
+    val triangles = wedges.join(und,
+      least(col("p"), col("q")) === col("u") &&
+        greatest(col("p"), col("q")) === col("v"), "left_semi")
+    triangles.select(explode(array(col("a"), col("p"), col("q"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
 }

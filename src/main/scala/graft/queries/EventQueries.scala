@@ -231,6 +231,24 @@ object EventQueries extends QueryModule {
           col("period"), col("n_users"))
     }),
 
+    // Behavioral transition matrix (Markov-chain counts): consecutive
+    // event-type pairs per user in time order — the "what follows a
+    // view" funnel-diagnostic aggregate. One user-keyed window for the
+    // lead, then a 5x5-bounded count matrix; the shuffle carries
+    // (user, type, us) narrow rows only.
+    "transition_counts" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("to_type"))
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Robust outlier screen (median/MAD, the standard heavy-tail-safe
     // rule): flag events whose absolute deviation from their type's
     // median exceeds 3x the median absolute deviation. Both medians
@@ -392,6 +410,15 @@ object EventQueries extends QueryModule {
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'view' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin,
+    "transition_counts" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events
+        |)
+        |SELECT event_type AS from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "outlier_events" ->
       """WITH e AS (
         |  SELECT event_id, event_type,

@@ -29,6 +29,23 @@ object GraphQueries extends QueryModule {
       val edges = d.select(col("source").as("src"), dom.as("dst"))
         .union(d.select(dom.as("src"), dom2.as("dst")))
       Graphs.pageRankInt(edges, "src", "dst", iters = Iters, scale = Scale)
+    }),
+
+    // Per-vertex triangle counts (the clustering-coefficient numerator
+    // / community-density signal) over a deterministically synthesized
+    // link graph — two modular-arithmetic edge families per doc on a
+    // 101-node id space, dense enough that triangles are the common
+    // case. Engine orients edges by (degree, id) so wedge generation
+    // is hub-proof (see Graphs.triangleCounts); the oracle counts the
+    // same orientation-independent triangle set with the naive
+    // u<v<w three-way join.
+    "triangle_counts" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val e1 = d.select((col("doc_id") % 101).as("src"),
+        ((col("doc_id") * 13 + 5) % 101).as("dst"))
+      val e2 = d.select(((col("doc_id") * 7 + 2) % 101).as("src"),
+        ((col("doc_id") * 29 + 11) % 101).as("dst"))
+      Graphs.triangleCounts(e1.union(e2), "src", "dst")
     })
   )
 
@@ -68,6 +85,23 @@ object GraphQueries extends QueryModule {
          |  SELECT node, CAST($Scale AS BIGINT) AS pr FROM n
          |), """.stripMargin +
         (1 to Iters).map(roundCtes).mkString(",\n") +
-        s"\nSELECT node, CAST(pr AS BIGINT) AS pr FROM p$Iters")
+        s"\nSELECT node, CAST(pr AS BIGINT) AS pr FROM p$Iters"),
+    "triangle_counts" ->
+      """WITH raw AS (
+        |  SELECT doc_id % 101 AS s, (doc_id * 13 + 5) % 101 AS t FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id * 7 + 2) % 101, (doc_id * 29 + 11) % 101 FROM documents
+        |), e AS (
+        |  SELECT DISTINCT LEAST(s, t) AS u, GREATEST(s, t) AS v
+        |  FROM raw WHERE s <> t
+        |), tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+        |GROUP BY node""".stripMargin
   )
 }

@@ -655,6 +655,27 @@ object LawsSpec extends Properties("graft.laws") {
       hu == merged && ids == ids.sorted
     }
 
+  // --- triangle counting ---------------------------------------------
+
+  private val genEdges: Gen[List[(Long, Long)]] =
+    Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)))
+
+  property("triangleCounts (degree-oriented) equals the naive u<v<w enumeration") =
+    forAll(genEdges) { es =>
+      val got = graft.operators.Graphs.triangleCounts(
+          es.toDF("s", "t").repartition(3), "s", "t")
+        .as[(Long, Long)].collect().toMap
+      val und = es.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for {
+        u <- nodes; v <- nodes if u < v && und((u, v))
+        w <- nodes if v < w && und((v, w)) && und((u, w))
+      } { counts(u) += 1; counts(v) += 1; counts(w) += 1 }
+      got == counts.toMap
+    }
+
   // --- edit-distance-1 similarity join -------------------------------
 
   private def levRef(a: String, b: String): Int = {
