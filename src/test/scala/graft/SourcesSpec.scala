@@ -422,6 +422,44 @@ class SourcesSpec extends AnyFunSuite {
       (0 until 10).map(i => (s"$i", s"${i * 2}")).toSet)
   }
 
+  test("hive-partitioned write prunes at the scan: PartitionFilters + only matching files read") {
+    import spark.implicits._
+    val dir = tmp() + "/parted"
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    docs.write.partitionBy("lang").parquet(dir)
+    val rd = spark.read.parquet(dir).filter(col("lang") === "en")
+    rd.collect()
+    val p = rd.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory pruning),
+    // NOT PushedFilters (row-group stats) — lang is a partition column
+    assert(p.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(p).isDefined,
+      s"lang predicate did not prune partitions:\n$p")
+    // and the scan must physically touch only the lang=en directory
+    val files = rd.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")),
+      s"scan read non-matching partitions: ${files.filterNot(_.contains("lang=en")).take(3).mkString}")
+    assert(rd.count() == docs.filter(col("lang") === "en").count())
+  }
+
+  test("ORC, CSV and JSON-lines round-trips preserve the documents table") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val want = docs.as[(Long, String, String, String)].collect().toSet
+    val base = tmp()
+    docs.write.orc(s"$base/orc")
+    docs.write.option("header", "true").csv(s"$base/csv")
+    docs.write.json(s"$base/json")
+    val orc = spark.read.orc(s"$base/orc")
+    val csv = spark.read.option("header", "true").schema(docs.schema)
+      .csv(s"$base/csv")
+    val json = spark.read.schema(docs.schema).json(s"$base/json")
+    for ((fmt, back) <- Seq(("orc", orc), ("csv", csv), ("json", json)))
+      assert(back.as[(Long, String, String, String)].collect().toSet == want,
+        s"$fmt round-trip diverged")
+  }
+
   test("sniffFormat distinguishes sequencefile from text") {
     val dir = tmp()
     SequenceFileIO.write(
