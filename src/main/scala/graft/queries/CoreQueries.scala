@@ -63,6 +63,26 @@ object CoreQueries extends QueryModule {
           count(lit(1)).as("n_rows"))
     }),
 
+    // Data-quality audit (the dbt-test/Deequ capability, see
+    // operators/Checks): null/unique/range rules fuse into one scan
+    // per table; FK rules are anti-joins against the (broadcastable)
+    // dimension keys. The fixture is TPC-H-clean so every count is 0 —
+    // the oracle replays the counting; DETECTION is spec'd separately
+    // with injected violations (OperatorSpec).
+    "dq_report" -> ((s, dir) => {
+      import graft.operators.Checks._
+      val o = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      val c = Tables(s, dir, "customer")
+      report(o, Seq(
+        NotNull("o_custkey"), Unique(Seq("o_orderkey")),
+        RefIntegrity("o_custkey", c, "c_custkey")))
+        .unionByName(report(li, Seq(
+          Unique(Seq("l_orderkey", "l_linenumber")),
+          InRange("l_quantity", 1, 50), InRange("l_discount", 0, 1),
+          RefIntegrity("l_orderkey", o, "o_orderkey"))))
+    }),
+
     // Shipping-priority top-k (TPC-H Q3 shape): segment + date filters
     // push to both scans, the order/lineitem join shuffles only
     // survivors, and the top 10 rides TakeOrderedAndProject (per-
@@ -282,6 +302,34 @@ object CoreQueries extends QueryModule {
         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
         |  CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "dq_report" ->
+      """SELECT 'not_null:o_custkey' AS "check",
+        |       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+        |FROM orders
+        |UNION ALL
+        |SELECT 'unique:o_orderkey', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+        |FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+        |UNION ALL
+        |SELECT 'ref_integrity:o_custkey', CAST(COUNT(*) AS BIGINT)
+        |FROM orders o
+        |WHERE o_custkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'unique:l_orderkey+l_linenumber', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+        |FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+        |UNION ALL
+        |SELECT 'in_range:l_quantity',
+        |       CAST(SUM(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'in_range:l_discount',
+        |       CAST(SUM(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 1) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'ref_integrity:l_orderkey', CAST(COUNT(*) AS BIGINT)
+        |FROM lineitem l
+        |WHERE l_orderkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin,
     "q5_join_agg" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS revenue_e4,

@@ -1308,6 +1308,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(ent(-3L) - 8.0) < 1e-12, s"uniform bytes: ${ent(-3L)}")
   }
 
+  test("Checks.report counts every injected violation class exactly") {
+    import graft.operators.Checks._
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val rows = Seq(
+      (1L, Some(1L), 5.0),    // clean
+      (1L, Some(2L), 5.0),    // duplicate id (1 surplus row)
+      (2L, None, 5.0),        // null fk
+      (3L, Some(99L), 5.0),   // orphan fk (99 not in dim)
+      (4L, Some(1L), -2.0),   // below range
+      (5L, Some(2L), 12.5)    // above range
+    ).toDF("id", "fk", "v")
+    val got = report(rows, Seq(
+        NotNull("fk"), Unique(Seq("id")), InRange("v", 0, 10),
+        RefIntegrity("fk", dim, "k"),
+        Satisfies("v_not_half", col("v") =!= 12.5)))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "not_null:fk" -> 1L, "unique:id" -> 1L, "in_range:v" -> 2L,
+      "ref_integrity:fk" -> 1L, "satisfies:v_not_half" -> 1L), got.toString)
+    // a clean table reports zeros, not missing rows
+    val clean = report(dim, Seq(NotNull("k"), Unique(Seq("k"))))
+      .as[(String, Long)].collect().toMap
+    assert(clean == Map("not_null:k" -> 0L, "unique:k" -> 0L))
+  }
+
   test("pngHeaderDims agrees with the real decoder on every row, PNG or not") {
     val dir = "/root/testdata/sf0.001"
     val media = graft.multimodal.Multimodal.fabricateImages(
