@@ -63,6 +63,32 @@ object CoreQueries extends QueryModule {
           count(lit(1)).as("n_rows"))
     }),
 
+    // CDC MERGE-INTO apply (see operators/Cdc): a deterministic
+    // changeset — upserts on one key stride, deletes on another,
+    // inserts under fresh negative keys — folded to latest-per-key by
+    // map-side-combinable max_by, then one full-outer join resolves
+    // against the base. The oracle states the POST-state directly
+    // (survivors with overrides + inserted rows), an independent
+    // formulation agreeing row-for-row.
+    "cdc_apply" -> ((s, dir) => {
+      import graft.operators.Cdc
+      val o = Tables(s, dir, "orders")
+      val k = col("o_orderkey")
+      val upd = o.filter(k % 7 === 0 && k % 11 =!= 0)
+        .withColumn("o_orderpriority", lit("0-UPDATED"))
+        .withColumn("__op", lit("U")).withColumn("__seq", lit(1L))
+      val del = o.filter(k % 11 === 0)
+        .withColumn("__op", lit("D")).withColumn("__seq", lit(1L))
+      val ins = o.filter(k % 13 === 0)
+        .withColumn("o_orderkey", -col("o_orderkey") - 1)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("__op", lit("I")).withColumn("__seq", lit(1L))
+      Cdc.applyChanges(o, upd.unionByName(del).unionByName(ins),
+          "o_orderkey", "__seq", "__op")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("price_c"), col("o_orderpriority"))
+    }),
+
     // Data-quality audit (the dbt-test/Deequ capability, see
     // operators/Checks): null/unique/range rules fuse into one scan
     // per table; FK rules are anti-joins against the (broadcastable)
@@ -302,6 +328,17 @@ object CoreQueries extends QueryModule {
         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
         |  CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "cdc_apply" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+        |       CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+        |            THEN '0-UPDATED' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 11 <> 0
+        |UNION ALL
+        |SELECT -o_orderkey - 1, o_custkey, 'N',
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |       o_orderpriority
+        |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin,
     "dq_report" ->
       """SELECT 'not_null:o_custkey' AS "check",
         |       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad

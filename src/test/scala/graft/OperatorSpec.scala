@@ -1308,6 +1308,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(ent(-3L) - 8.0) < 1e-12, s"uniform bytes: ${ent(-3L)}")
   }
 
+  test("Cdc.applyChanges: latest seq wins, deletes drop, inserts land, rest pass through") {
+    import graft.operators.Cdc
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, 1L, "U", "a1"), (1L, 2L, "U", "a2"), // two updates: seq 2 wins
+      (2L, 1L, "D", "x"),                       // delete
+      (4L, 1L, "I", "d"),                       // insert under a fresh key
+      (5L, 3L, "U", "e")                        // upsert on an absent key inserts
+    ).toDF("k", "__seq", "__op", "v")
+    val got = Cdc.applyChanges(base, changes, "k", "__seq", "__op")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a2"), (3L, "c"), (4L, "d"), (5L, "e")), got.toString)
+    // idempotence of the fold: re-applying the same changes to the
+    // result only re-deletes the already-absent key
+    val again = Cdc.applyChanges(got.toSeq.toDF("k", "v"), changes,
+      "k", "__seq", "__op").as[(Long, String)].collect().toSet
+    assert(again == got, again.toString)
+    // unknown ops fail loud at resolution, not silently pass
+    val bad = Seq((3L, 1L, "Z", "z")).toDF("k", "__seq", "__op", "v")
+    val e = intercept[Exception] {
+      Cdc.applyChanges(base, bad, "k", "__seq", "__op").collect()
+    }
+    assert(e.getMessage.contains("unknown op") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown op")), e.getMessage)
+  }
+
   test("Checks.report counts every injected violation class exactly") {
     import graft.operators.Checks._
     val dim = Seq(1L, 2L, 3L).toDF("k")
