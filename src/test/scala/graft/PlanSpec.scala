@@ -17,6 +17,21 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("suite-wide plan hygiene: no declared query ever plans a CartesianProduct") {
+    // every crossJoin in the engine is against a broadcast one-row /
+    // dimension frame (renders as BroadcastNestedLoopJoin); a true
+    // CartesianProduct in ANY of the ~140 declared queries is a
+    // scale bug by definition — pinned here as a suite invariant over
+    // the EXECUTED (post-AQE) plans
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.foreach(_ => ())  // finalize AQE without collecting rows
+      val p = df.queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian plans in: ${offenders.mkString(", ")}")
+  }
+
   test("join_anti pushes the price filter into the parquet scan") {
     val p = plan("join_anti")
     assert(p.contains("PushedFilters:") && p.contains("GreaterThan(o_totalprice,400000.0)"),
