@@ -180,6 +180,20 @@ object Bench {
         "doc_id", "text", b = 1024))
     }
 
+    // paragraph dedup: the replicated corpus is dup-dense by
+    // construction, but unlike pair generation the output is BOUNDED by
+    // input rows (drop lists, not pairs), so the probe measures the
+    // winner-agg + rewrite path scaling, which is the claim. Paragraph
+    // structure is injected by splitting on a frequent word.
+    val paragraphScale = scaleProbe("paragraph", () => {
+      val (d1, d3) = docsPair()
+      val para = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("text", regexp_replace(col("text"), " the ", "\n\n"))
+      (para(d1), para(d3))
+    }) { df =>
+      noop(operators.TextOps.paragraphDedup(df, "doc_id", "text"))
+    }
+
     // reference benchmark harnesses (MRBench.java:173-233 avg latency;
     // TestDFSIO.java:88-103 sequential MB/s), sized small enough to not
     // dominate the round but large enough to exceed fixed overhead
@@ -246,7 +260,8 @@ object Bench {
       }.getOrElse("")
     val scaleJson = scaleEntry("dedup_scale", dedupScale) +
       scaleEntry("kmeans_scale", kmeansScale) +
-      scaleEntry("dsir_scale", dsirScale)
+      scaleEntry("dsir_scale", dsirScale) +
+      scaleEntry("paragraph_scale", paragraphScale)
     val harnessJson =
       s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)},"nnbench_create_ops_sec":${fmt(nnOps, 1)},"filebench_seq_read_mbps":${fmt(fbSeqRead, 1)},"slive_ops_sec":${fmt(sliveOps, 1)},"bigmap_shuffle_mbps":${fmt(bmoMbps, 1)},"threadedmap_sort_mbps":${fmt(tmbMbps, 1)}}"""
     val head =

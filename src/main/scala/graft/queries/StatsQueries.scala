@@ -141,6 +141,28 @@ object StatsQueries extends QueryModule {
             (col("n_offer") > 0).cast("long") + (col("n_nownow") > 0).cast("long"))
     }),
 
+    // Incremental aggregate maintenance (the materialized-view-delta
+    // discipline): corpus stats computed as ALGEBRAIC partials over two
+    // disjoint slices, then merged by the partials' own merge law
+    // (cnt/sum add, min/max fold) — the recurring-pipeline shape where
+    // yesterday's partial table persists and only the delta slice is
+    // scanned. The oracle computes the full-corpus aggregate directly:
+    // an independent formulation that agrees exactly IFF the merge is
+    // lossless (count/sum/min/max are; avg is derived downstream as
+    // sum/cnt, never merged).
+    "incremental_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def partial(df: DataFrame) = df.groupBy(col("source")).agg(
+        count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      partial(d.filter(col("doc_id") % 2 === 0))
+        .unionByName(partial(d.filter(col("doc_id") % 2 =!= 0)))
+        .groupBy(col("source")).agg(
+          sum(col("cnt")).as("cnt"), sum(col("sum_chars")).as("sum_chars"),
+          min(col("min_chars")).as("min_chars"),
+          max(col("max_chars")).as("max_chars"))
+    }),
+
     // Top-k per group through the BOUNDED aggregator, not a window:
     // row_number() OVER (PARTITION BY lang) lands a group's full
     // membership on one task; TopKByScore's map-side partials carry
@@ -291,6 +313,12 @@ object StatsQueries extends QueryModule {
         |       CAST(n_click > 0 AS BIGINT) + CAST(n_buy > 0 AS BIGINT)
         |         + CAST(n_offer > 0 AS BIGINT) + CAST(n_nownow > 0 AS BIGINT) AS n_terms
         |FROM m""".stripMargin,
+    "incremental_stats" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY source""".stripMargin,
     "topk_by_group" ->
       """SELECT lang, CAST(rn AS BIGINT) AS rnk, doc_id FROM (
         |  SELECT lang, doc_id,
