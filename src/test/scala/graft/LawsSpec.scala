@@ -655,6 +655,34 @@ object LawsSpec extends Properties("graft.laws") {
       hu == merged && ids == ids.sorted
     }
 
+  // --- CDC apply -----------------------------------------------------
+
+  private val genCdc: Gen[(List[(Long, String)], List[(Long, Long, String, String)])] =
+    for {
+      base <- Gen.listOfN(6, Gen.zip(Gen.chooseNum(0L, 9L), Gen.alphaStr.map(_.take(3))))
+        .map(_.distinctBy(_._1))
+      ops <- Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 12L),
+        Gen.oneOf("I", "U", "D"), Gen.alphaStr.map(_.take(3))))
+    } yield (base,
+      // unique seq per key by construction: sequence = index
+      ops.zipWithIndex.map { case ((k, op, v), i) => (k, i.toLong, op, v) })
+
+  property("Cdc.applyChanges equals the replay-in-order reference") = forAll(genCdc) {
+    case (base, changes) =>
+      val got = graft.operators.Cdc.applyChanges(
+          base.toDF("k", "v").repartition(3),
+          changes.toDF("k", "__seq", "__op", "v").repartition(2),
+          "k", "__seq", "__op")
+        .as[(Long, String)].collect().toSet
+      // reference: fold the changes in sequence order over a map
+      val state = scala.collection.mutable.Map(base: _*)
+      changes.sortBy(_._2).foreach {
+        case (k, _, "D", _) => state.remove(k)
+        case (k, _, _, v)   => state(k) = v
+      }
+      got == state.toSet
+  }
+
   // --- triangle counting ---------------------------------------------
 
   private val genEdges: Gen[List[(Long, Long)]] =
