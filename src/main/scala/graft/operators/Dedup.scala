@@ -804,9 +804,15 @@ object Dedup {
     * vocabulary-sized times mean word length — vocabulary scale, never
     * corpus scale; the verify is a row-local codegen'd filter. Empty
     * strings are excluded (a zero-length word has no deletions and
-    * `sequence(1, 0)` would flip direction).
+    * `sequence(1, 0)` would flip direction). `maxBucket` > 0 applies
+    * the LSH hot-bucket discipline: a block key shared by more than
+    * that many words (the "" key over every 1-char word, hot deletions
+    * of short frequent words) is dropped whole, trading recall on
+    * degenerate keys for a bounded join fan-out — same cap law as the
+    * minhash/simhash band buckets.
     */
-  def editDistance1Pairs(vocab: DataFrame, w: String): DataFrame = {
+  def editDistance1Pairs(vocab: DataFrame, w: String,
+                         maxBucket: Int = 0): DataFrame = {
     val c = col(w)
     val variants = concat(
       array(c),
@@ -815,9 +821,11 @@ object Dedup {
     // withColumn, not a same-select alias: explode(variants) references
     // the input column `w`, and aliasing `w` in the same select list
     // trips Catalyst's lateral-column-alias resolution
-    val vs = vocab.filter(length(c) >= 1)
-      .withColumn("v", explode(variants))
-      .select(c.as("w"), col("v"))
+    val vs = capBuckets(
+      vocab.filter(length(c) >= 1)
+        .withColumn("v", explode(variants))
+        .select(c.as("w"), col("v")),
+      Seq("v"), maxBucket)
     vs.as("a").join(vs.as("b"),
         col("a.v") === col("b.v") && col("a.w") < col("b.w"))
       .select(col("a.w").as("w_a"), col("b.w").as("w_b"))
