@@ -25,6 +25,36 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** SCD Type 2 history: every version a key ever held, with its
+    * validity interval in sequence numbers — the audit/time-travel
+    * complement of [[applyChanges]]. The base is version seq 0; each
+    * I/U change opens a version that the key's NEXT change closes
+    * (`lead` over (key, seq)); a D closes the prior version and opens
+    * none. `valid_to` is null on the live version; `is_current` marks
+    * it.
+    *
+    * Scale shape: the window runs over base+changes rows ordered by
+    * sequence WITHIN each key — change-stream scale, one shuffle by
+    * key, state per task bounded by a key's version count. Output:
+    * base columns + (valid_from, valid_to, is_current).
+    */
+  def history(base: DataFrame, changes: DataFrame, key: String,
+              seqCol: String, opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payload = base.columns.toSeq
+    val all = base.withColumn("__op", lit("U")).withColumn("__seq", lit(0L))
+      .unionByName(changes.select(
+        payload.map(col) :+ col(opCol).as("__op") :+
+          col(seqCol).cast("long").as("__seq"): _*))
+    val w = Window.partitionBy(col(key)).orderBy(col("__seq"))
+    all
+      .withColumn("valid_to", lead(col("__seq"), 1).over(w))
+      .filter(col("__op") =!= "D")
+      .select(payload.map(col) :+ col("__seq").as("valid_from") :+
+        col("valid_to") :+
+        col("valid_to").isNull.cast("long").as("is_current"): _*)
+  }
+
   /** `changes` carries `key`, `seqCol`, `opCol` (I/U/D) plus every
     * base column; returns the merged table with base's columns.
     */

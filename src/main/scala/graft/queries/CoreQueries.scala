@@ -89,6 +89,30 @@ object CoreQueries extends QueryModule {
           cents(col("o_totalprice")).as("price_c"), col("o_orderpriority"))
     }),
 
+    // SCD Type 2 history (see Cdc.history): layered changes — an
+    // update stride, a second update on half of it (3-version
+    // histories), and a delete stride — expanded to every version with
+    // its validity interval; the live slice of this output equals
+    // cdc_apply's post-state (law-checked). Oracle replays the same
+    // lead-window interval construction.
+    "cdc_history" -> ((s, dir) => {
+      import graft.operators.Cdc
+      val o = Tables(s, dir, "orders")
+      val k = col("o_orderkey")
+      val ch1 = o.filter(k % 7 === 0)
+        .withColumn("o_orderpriority", lit("0-UPD-A"))
+        .withColumn("__op", lit("U")).withColumn("__seq", lit(1L))
+      val ch2 = o.filter(k % 14 === 0)
+        .withColumn("o_orderpriority", lit("0-UPD-B"))
+        .withColumn("__op", lit("U")).withColumn("__seq", lit(2L))
+      val ch3 = o.filter(k % 11 === 0)
+        .withColumn("__op", lit("D")).withColumn("__seq", lit(3L))
+      Cdc.history(o, ch1.unionByName(ch2).unionByName(ch3),
+          "o_orderkey", "__seq", "__op")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+    }),
+
     // Data-quality audit (the dbt-test/Deequ capability, see
     // operators/Checks): null/unique/range rules fuse into one scan
     // per table; FK rules are anti-joins against the (broadcastable)
@@ -328,6 +352,25 @@ object CoreQueries extends QueryModule {
         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
         |  CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "cdc_history" ->
+      """WITH all_v AS (
+        |  SELECT o_orderkey, o_orderpriority, 'U' AS op, 0 AS seq FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, '0-UPD-A', 'U', 1 FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, '0-UPD-B', 'U', 2 FROM orders WHERE o_orderkey % 14 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, 'D', 3 FROM orders WHERE o_orderkey % 11 = 0
+        |), iv AS (
+        |  SELECT o_orderkey, o_orderpriority, op, seq,
+        |         lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to
+        |  FROM all_v
+        |)
+        |SELECT o_orderkey, o_orderpriority,
+        |       CAST(seq AS BIGINT) AS valid_from,
+        |       CAST(valid_to AS BIGINT) AS valid_to,
+        |       CAST(valid_to IS NULL AS BIGINT) AS is_current
+        |FROM iv WHERE op <> 'D'""".stripMargin,
     "cdc_apply" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,

@@ -664,8 +664,9 @@ object LawsSpec extends Properties("graft.laws") {
       ops <- Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 12L),
         Gen.oneOf("I", "U", "D"), Gen.alphaStr.map(_.take(3))))
     } yield (base,
-      // unique seq per key by construction: sequence = index
-      ops.zipWithIndex.map { case ((k, op, v), i) => (k, i.toLong, op, v) })
+      // unique seq per key by construction (1-based: history reserves
+      // seq 0 for the base version)
+      ops.zipWithIndex.map { case ((k, op, v), i) => (k, i + 1L, op, v) })
 
   property("Cdc.applyChanges equals the replay-in-order reference") = forAll(genCdc) {
     case (base, changes) =>
@@ -682,6 +683,26 @@ object LawsSpec extends Properties("graft.laws") {
       }
       got == state.toSet
   }
+
+  property("Cdc.history's current slice equals applyChanges; intervals chain gaplessly") =
+    forAll(genCdc) { case (base, changes) =>
+      val baseDf = base.toDF("k", "v").repartition(3)
+      val chDf = changes.toDF("k", "__seq", "__op", "v").repartition(2)
+      val hist = graft.operators.Cdc.history(baseDf, chDf, "k", "__seq", "__op")
+        .as[(Long, String, Long, Option[Long], Long)].collect()
+      val current = hist.collect { case (k, v, _, _, 1L) => (k, v) }.toSet
+      val applied = graft.operators.Cdc.applyChanges(baseDf, chDf, "k", "__seq", "__op")
+        .as[(Long, String)].collect().toSet
+      // per key: at most one live version, and versions tile the
+      // sequence axis (each valid_to is the next valid_from)
+      val chained = hist.groupBy(_._1).forall { case (_, vs) =>
+        val sorted = vs.sortBy(_._3)
+        sorted.count(_._5 == 1L) <= 1 &&
+          sorted.zip(sorted.tail).forall { case (a, b) =>
+            a._4.isEmpty || a._4.get <= b._3 }
+      }
+      current == applied && chained
+    }
 
   // --- triangle counting ---------------------------------------------
 
