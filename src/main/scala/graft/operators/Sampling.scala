@@ -64,6 +64,47 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tok_sum"))
   }
 
+  /** Fixed-length sequence-packing MANIFEST — the terminal stage of an
+    * LLM data pipeline: documents concatenated in deterministic order
+    * and cut into `seqLen`-token training windows, a document spanning
+    * a boundary split across consecutive windows. Emitted as compact
+    * spans (shard, seq_id, doc, doc_tok_start, n_toks, seq_pos) — the
+    * dataloader materializes token arrays from this manifest; span
+    * rows scale with documents + boundary crossings, never with
+    * tokens.
+    *
+    * Scale: packing runs WITHIN hash shards (the [[packBySize]]
+    * discipline) — each shard's running-offset window sorts only its
+    * own slice, so no single-task global prefix sum exists at any
+    * corpus size; `shards` matches the dataloader's file parallelism.
+    * All integer arithmetic, so a SQL oracle replays the full manifest.
+    * Zero-token docs are excluded (an empty interval has no window).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: Column,
+                    seqLen: Int, shards: Int): DataFrame = {
+    require(seqLen > 0 && shards > 0, s"bad packing: seqLen=$seqLen shards=$shards")
+    val L = seqLen.toLong
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol), tokenCol.cast("long").as("toks"),
+        pmod(hashKey(col(idCol)), lit(shards.toLong)).as("shard"))
+      .filter(col("toks") > 0)
+      .withColumn("prior", coalesce(sum(col("toks")).over(w), lit(0L)))
+      // exact floor division (Column `/` is double division; the
+      // decimal-floor path is exact at any offset — the quantizeLinear
+      // argument)
+      .withColumn("seq_id", explode(sequence(
+        floor(col("prior").cast("decimal(38,0)") / L).cast("long"),
+        floor((col("prior") + col("toks") - 1).cast("decimal(38,0)") / L)
+          .cast("long"))))
+      .select(col("shard"), col("seq_id"), col(idCol),
+        (greatest(col("prior"), col("seq_id") * L) - col("prior")).as("doc_tok_start"),
+        (least(col("prior") + col("toks"), (col("seq_id") + 1) * L)
+          - greatest(col("prior"), col("seq_id") * L)).as("n_toks"),
+        (greatest(col("prior"), col("seq_id") * L) - col("seq_id") * L).as("seq_pos"))
+  }
+
   /** Deterministic mixture sampling — the data-mixing step of a
     * training run: each stratum (source/domain/language) gets a
     * sampling RATE; rate < 1 downsamples by hash threshold, rate ≥ 1

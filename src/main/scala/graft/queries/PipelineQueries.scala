@@ -80,6 +80,20 @@ object PipelineQueries extends QueryModule {
         budgets = Map("src0" -> 400L, "src1" -> 200L), shards = 2)
     }),
 
+    // fixed-length sequence-packing manifest (see
+    // Sampling.packSequences): documents concatenated per hash shard
+    // and cut into 256-token training windows, boundary-spanning docs
+    // split across consecutive windows — span rows, not token rows.
+    // The oracle replays shard assignment, sharded running offsets,
+    // and the window interval arithmetic exactly.
+    "pack_sequences" -> ((s, dir) => {
+      val toks = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+        .cast("long")
+      Sampling.packSequences(
+        docs(s, dir).select(col("doc_id"), toks.as("n_tokens")),
+        "doc_id", col("n_tokens"), seqLen = 256, shards = 4)
+    }),
+
     // deterministic global training-order shuffle: hash shard +
     // within-shard sort key, a pure row-local projection (the write
     // side repartitions by shard and sorts within partitions — never a
@@ -237,6 +251,25 @@ object PipelineQueries extends QueryModule {
         |WHERE CASE source WHEN 'src0' THEN prior_toks < 200
         |                  WHEN 'src1' THEN prior_toks < 100
         |                  ELSE TRUE END""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks,
+        |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 4 AS shard
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, toks, shard,
+        |         CAST(COALESCE(SUM(toks) OVER (
+        |           PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+        |  FROM t WHERE toks > 0
+        |)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(g.seq AS BIGINT) AS seq_id, doc_id,
+        |       CAST(GREATEST(prior, g.seq * 256) - prior AS BIGINT) AS doc_tok_start,
+        |       CAST(LEAST(prior + toks, (g.seq + 1) * 256)
+        |            - GREATEST(prior, g.seq * 256) AS BIGINT) AS n_toks,
+        |       CAST(GREATEST(prior, g.seq * 256) - g.seq * 256 AS BIGINT) AS seq_pos
+        |FROM o, LATERAL (SELECT unnest(range(prior // 256, (prior + toks - 1) // 256 + 1)) AS seq) g""".stripMargin,
     "shuffle_order" ->
       """WITH h AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':ord') AS ord FROM documents
