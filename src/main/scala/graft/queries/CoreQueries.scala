@@ -190,6 +190,76 @@ object CoreQueries extends QueryModule {
         .limit(20)
     }),
 
+    // Large-volume-customer (TPC-H Q18 shape): the group-then-semi-join
+    // plan — ONE groupBy on l_orderkey finds the >200-quantity orders
+    // (a tiny survivor set), which broadcasts back against orders and
+    // customer; lineitem is scanned once and never re-joined at width.
+    // Quantities are integral in the fixture, so the sum is an exact
+    // BIGINT. Top 100 by total quantity, orderkey tie-break.
+    "q18_large" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 200L)
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          cents(col("o_totalprice")).as("totalprice_c"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    // Promotion-revenue share (TPC-H Q14 shape): one shipdate-month
+    // scan of lineitem joined to part on partkey; the promo flag rides
+    // the join as a conditional partial aggregate, so the answer is two
+    // exact integer sums (numerator/denominator), never a float ratio.
+    // The join stays declarative — AQE broadcasts part when it fits.
+    "q14_promo" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-03-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      val p = Tables(s, dir, "part")
+      val rev = cents(col("l_extendedprice")) *
+        (lit(100L) - cents(col("l_discount")))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
+            .as("promo_revenue_e4"),
+          sum(rev).as("total_revenue_e4"))
+    }),
+
+    // Two-nation volume shipping (TPC-H Q7 shape): lineitem resolves
+    // its supplier nation and (through orders) its customer nation,
+    // keeping only the two trading partners in either direction. Both
+    // nation joins broadcast (25 rows — a dimension stays broadcast at
+    // any sf); the nation-pair filter applies right after each
+    // broadcast so the big orders join carries only survivors. Yearly
+    // revenue as exact integer e4 cents.
+    "q7_volume" -> ((s, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val nat = Tables(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+      val sup = Tables(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val o = Tables(s, dir, "orders")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      Tables(s, dir, "lineitem")
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount")))).as("revenue_e4"))
+    }),
+
     // CompositeInputFormat `inner(...)` (mapreduce/lib/join/
     // InnerJoinRecordReader.java:54): key in every source.
     "join_inner" -> ((s, dir) => {
@@ -461,6 +531,48 @@ object CoreQueries extends QueryModule {
         |GROUP BY c_custkey, c_name, acctbal_c, n_name
         |ORDER BY revenue_e4 DESC, c_custkey ASC
         |LIMIT 20""".stripMargin,
+    "q7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q18_large" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 200
+        |)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS totalprice_c,
+        |       total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "q14_promo" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    ELSE 0 END) AS BIGINT) AS promo_revenue_e4,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS total_revenue_e4
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
     "join_inner" ->
       """SELECT s_suppkey, s_name, n_name, r_name
         |FROM supplier

@@ -52,15 +52,19 @@ object StreamingQueries extends QueryModule {
     }
   }
 
-  private def docStream(s: SparkSession, dir: String): DataFrame = {
+  private def docStream(s: SparkSession, dir: String): DataFrame =
+    tableStream(s, dir, "documents")
+
+  private def tableStream(s: SparkSession, dir: String,
+                          table: String): DataFrame = {
     // the file-stream source only accepts a DIRECTORY to monitor; the
     // sf table is a single parquet file, so link/copy it into a fresh
     // temp dir (a production feed would already be a directory of
     // arriving part files — this shim exists only for the fixture)
-    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    val src = java.nio.file.Paths.get(dir, s"$table.parquet")
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-src")
     tmp.toFile.deleteOnExit()
-    val dst = tmp.resolve("documents.parquet")
+    val dst = tmp.resolve(s"$table.parquet")
     try java.nio.file.Files.createSymbolicLink(dst, src)
     catch { case _: Exception =>
       java.nio.file.Files.copy(src, dst)
@@ -157,6 +161,28 @@ object StreamingQueries extends QueryModule {
         StreamingOps.streamDedupGate(incoming, "doc_id", "text", idx,
           threshold = 0.5),
         "append")
+    }),
+
+    // stateful sessionization EXECUTED AS A STREAM: the flagship
+    // flatMapGroupsWithState lane (EventTimeTimeout flushes idle users'
+    // open sessions without waiting for their next visit). The emitted
+    // set is deterministic, not "whatever was closed at stream end":
+    // a session appears iff it CLOSED BY GAP inside the data, or its
+    // timeout (end_ms + gap_ms) lies strictly below the final watermark
+    // floor(max_us/1000) — both conditions are pure functions of the
+    // input, so the batch oracle replays them exactly. Sessions still
+    // open at that watermark stay in state (at scale the feed never
+    // ends; they flush when the watermark passes them).
+    "streaming_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val gapUs = 1800L * 1000000L
+      val evs = tableStream(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .as[StreamingOps.Ev]
+      runToTable(
+        StreamingOps.sessionizeWithTimeout(evs, gapUs).toDF(), "append")
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events"))
     }),
 
     // sharded Misra-Gries heavy-hitter CANDIDATES maintained as
@@ -306,6 +332,35 @@ object StreamingQueries extends QueryModule {
         |SELECT new_id, corpus_id, CAST(n_agree AS BIGINT) AS n_agree,
         |       CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
         |FROM ag WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.5""".stripMargin),
+    // batch replay of the streamed sessionizer: the 30-min-gap sessions
+    // (same CTE as the batch sessionize oracle), kept iff closed by gap
+    // (not the user's last session) or flushed by the event-time
+    // timeout (end_ms + 1_800_000 strictly below the final watermark
+    // floor(max_us/1000) — Spark tracks watermarks in ms, hence the
+    // // 1000 floors)
+    "streaming_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000 THEN 1
+        |         WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM e
+        |), sess AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM m
+        |), agg AS (
+        |  SELECT user_id, sess_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us,
+        |         MAX(sess_id) OVER (PARTITION BY user_id) AS last_sess
+        |  FROM sess GROUP BY user_id, sess_id
+        |), wm AS (SELECT MAX(us) // 1000 AS w FROM e)
+        |SELECT user_id, start_us, end_us, n_events
+        |FROM agg, wm
+        |WHERE sess_id < last_sess OR end_us // 1000 + 1800000 < w""".stripMargin,
     // the exact heavy-hitter law (same as the batch heavy_hitters
     // oracle at k=64): the streamed MG candidates + verify must land on
     // exactly this set

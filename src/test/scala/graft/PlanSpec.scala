@@ -308,6 +308,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"nation should broadcast:\n$p")
   }
 
+  test("q18_large broadcasts the aggregated survivor set and top-ks without a global sort") {
+    val p = plan("q18_large")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the >200-qty order set should broadcast back:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q18 should top-k:\n$p")
+    assert(p.contains("partial"), s"quantity sum needs map-side combine:\n$p")
+  }
+
+  test("q14_promo pushes the shipdate month to the scan; conditional sum in one agg") {
+    val p = plan("q14_promo")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"month filter not pushed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q14 must stay an equi-join:\n$p")
+  }
+
+  test("q7_volume broadcasts nation on both legs and stays equi-join") {
+    val p = plan("q7_volume")
+    assert(p.contains("BroadcastHashJoin"), s"nation should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q7 must stay an equi-join:\n$p")
+  }
+
   test("snapshot_diff joins hash-narrow: no text column crosses an exchange") {
     val df = SparkEntry.queries("snapshot_diff")(spark, dir)
     df.collect()

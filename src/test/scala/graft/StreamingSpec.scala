@@ -81,6 +81,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == closed)
   }
 
+  test("streaming_sessionize query emits closed-by-gap plus timeout-flushed sessions") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("streaming_sessionize")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // the declared law: batch sessions kept iff closed by a gap (not
+    // the user's last) OR flushed by the event-time timeout — end_ms +
+    // gap_ms strictly below the final watermark floor(max_us/1000)
+    val batch = SparkEntry.queries("sessionize")(spark, sfDir)
+    val maxUs = Tables(spark, sfDir, "events")
+      .agg(max(unix_micros(col("ts")))).as[Long].head()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val want = batch
+      .withColumn("max_sess", max(col("sess_id")).over(w))
+      .filter(col("sess_id") < col("max_sess") ||
+        expr("end_us div 1000") + 1800000L < lit(maxUs / 1000L))
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want, s"stream emitted ${got.size}, law says ${want.size}")
+    // the timeout lane really fired: some user's LAST session is present
+    val lastSessions = batch
+      .withColumn("max_sess", max(col("sess_id")).over(w))
+      .filter(col("sess_id") === col("max_sess"))
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.intersect(lastSessions).nonEmpty,
+      "no open session was flushed by the watermark timeout")
+  }
+
   test("streaming dedup keeps one event per user (bounded state)") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
