@@ -163,6 +163,43 @@ object StreamingQueries extends QueryModule {
         "append")
     }),
 
+    // the watermarked tumbling-window aggregate EXECUTED AS A STREAM in
+    // complete mode: state is one row per (hour, event_type) — the
+    // watermark bounds it on an unbounded feed — and the completed
+    // result equals the batch hourly rollup (the window_agg lane). The
+    // decimal sum leaves as exact integer cents so no carrier-type skew
+    // can survive the driver hash.
+    "streaming_window_agg" -> ((s, dir) => {
+      val agged = StreamingOps.windowedAgg(
+        tableStream(s, dir, "events"), "1 hour", "10 minutes")
+      runToTable(agged, "complete")
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"),
+          (col("val_sum") * 100).cast("long").as("val_sum_c"))
+    }),
+
+    // the ValueAggregator framework's LongValueSum AS UNBOUNDED
+    // STREAMING STATE (transformWithState, RocksDB): per-event-type
+    // count+sum survive across micro-batches; the declared output is
+    // the final snapshot per key (n grows monotonically, so the
+    // largest-n row is the full-corpus state), equal to the batch
+    // count/sum by the stream-transparency law.
+    "streaming_value_sum" -> ((s, dir) => {
+      import s.implicits._
+      val kv = tableStream(s, dir, "events")
+        .select(col("event_type").as("k"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+        .as[StreamingOps.KV]
+      val snaps = withRocksDB(s) {
+        runToTable(StreamingOps.runningAgg(kv).toDF(), "update")
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("n").desc)
+      snaps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("k").as("event_type"), col("n"), col("sum").as("sum_c"))
+    }),
+
     // stateful sessionization EXECUTED AS A STREAM: the flagship
     // flatMapGroupsWithState lane (EventTimeTimeout flushes idle users'
     // open sessions without waiting for their next visit). The emitted
@@ -332,6 +369,19 @@ object StreamingQueries extends QueryModule {
         |SELECT new_id, corpus_id, CAST(n_agree AS BIGINT) AS n_agree,
         |       CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
         |FROM ag WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.5""".stripMargin),
+    // batch replay of the streamed hourly rollup — identical to the
+    // batch window_agg oracle (tumbling 1h windows = date_trunc)
+    "streaming_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS val_sum_c
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // batch replay of the running LongValueSum state: final per-key
+    // snapshot = plain count + exact-cents sum
+    "streaming_value_sum" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM events GROUP BY event_type""".stripMargin,
     // batch replay of the streamed sessionizer: the 30-min-gap sessions
     // (same CTE as the batch sessionize oracle), kept iff closed by gap
     // (not the user's last session) or flushed by the event-time
