@@ -163,6 +163,20 @@ object StreamingQueries extends QueryModule {
         "append")
     }),
 
+    // the stream-stream interval join EXECUTED AS A STREAM: view →
+    // purchase within 1h for the same user. Inner interval joins emit
+    // every match regardless of watermark progress (the watermark only
+    // bounds the buffered state), so the completed stream emits exactly
+    // the batch inequality-join result — the same oracle funnel_within
+    // replays over the batch execution of this very operator.
+    "streaming_funnel" -> ((s, dir) => {
+      runToTable(
+        StreamingOps.followWithin(tableStream(s, dir, "events"),
+          firstType = "view", thenType = "purchase",
+          within = "1 hour", watermark = "2 hours"),
+        "append")
+    }),
+
     // the watermarked tumbling-window aggregate EXECUTED AS A STREAM in
     // complete mode: state is one row per (hour, event_type) — the
     // watermark bounds it on an unbounded feed — and the completed
@@ -369,6 +383,16 @@ object StreamingQueries extends QueryModule {
         |SELECT new_id, corpus_id, CAST(n_agree AS BIGINT) AS n_agree,
         |       CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
         |FROM ag WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.5""".stripMargin),
+    // batch replay of the streamed interval join — the funnel_within
+    // inequality self-join
+    "streaming_funnel" ->
+      """SELECT a.user_id,
+        |       CAST(a.event_id AS BIGINT) AS a_id,
+        |       CAST(b.event_id AS BIGINT) AS b_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin,
     // batch replay of the streamed hourly rollup — identical to the
     // batch window_agg oracle (tumbling 1h windows = date_trunc)
     "streaming_window_agg" ->
