@@ -175,7 +175,27 @@ object StatsQueries extends QueryModule {
           col("n_chars").cast("double"), col("doc_id"), 3).as("ids"))
         .select(col("lang"), posexplode(col("ids")).as(Seq("i", "doc_id")))
         .select(col("lang"), (col("i") + 1).cast("long").as("rnk"),
-          col("doc_id"))))
+          col("doc_id"))),
+
+    // Per-domain document cap — the crawl-mixing rule that stops a
+    // mega-domain from dominating the corpus: keep at most k docs per
+    // source, chosen by DETERMINISTIC hash rank (md5 of the doc id, so
+    // the sample is stable across runs and machines, never
+    // arrival-order). Same bounded-aggregator discipline as
+    // topk_by_group: map-side partials carry <= k rows per (partition,
+    // source) into the shuffle — a row_number window would instead
+    // land every mega-domain's full membership on one task. The 52-bit
+    // md5 prefix is exact in the aggregator's double score; doc_id
+    // breaks ties on both engines.
+    "domain_cap" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("h",
+          -conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+            .cast("long").cast("double"))
+        .groupBy(col("source"))
+        .agg(graft.functions.Aggregators.topKByScore(
+          col("h"), col("doc_id"), 15).as("ids"))
+        .select(col("source"), explode(col("ids")).as("doc_id"))))
 
   def oracleSql: Map[String, String] = Map(
     // the sketch's integer bin law: id = x below 16, else
@@ -325,5 +345,14 @@ object StatsQueries extends QueryModule {
         |         row_number() OVER (PARTITION BY lang
         |                            ORDER BY n_chars DESC, doc_id ASC) AS rn
         |  FROM documents
-        |) WHERE rn <= 3""".stripMargin)
+        |) WHERE rn <= 3""".stripMargin,
+    // the kept set under the deterministic 52-bit md5-prefix rank
+    "domain_cap" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT ASC,
+        |                    doc_id ASC) AS rn
+        |  FROM documents
+        |) WHERE rn <= 15""".stripMargin)
 }
