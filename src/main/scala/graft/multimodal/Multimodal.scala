@@ -232,9 +232,12 @@ object Multimodal {
       it.map { r =>
         val id = r.getAs[Long]("doc_id")
         val content = r.getAs[Array[Byte]]("content")
-        val img = decodeImage(content)
+        // null content (metadata row without bytes) = undecodable, same
+        // contract as decodeFeatures: pass through, never throw
+        val img = if (content == null) null else decodeImage(content)
         if (img == null)
-          Row(id, content, Row(r.getAs[String]("mime"), content.length.toLong,
+          Row(id, content, Row(r.getAs[String]("mime"),
+            if (content == null) 0L else content.length.toLong,
             null, null))
         else {
           val (sw, sh) = (img.getWidth, img.getHeight)

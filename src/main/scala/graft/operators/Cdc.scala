@@ -42,6 +42,14 @@ object Cdc {
               seqCol: String, opCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val payload = base.columns.toSeq
+    // withColumn would silently OVERWRITE a payload column named
+    // __op/__seq rather than erroring — reserve them like applyChanges
+    locally {
+      val reserved = payload.filter(c => c == "__op" || c == "__seq")
+      require(reserved.isEmpty,
+        s"base columns ${reserved.mkString(", ")} collide with reserved " +
+          "__op/__seq working names — rename them before history")
+    }
     val all = base.withColumn("__op", lit("U")).withColumn("__seq", lit(0L))
       .unionByName(changes.select(
         payload.map(col) :+ col(opCol).as("__op") :+
@@ -62,6 +70,17 @@ object Cdc {
                    seqCol: String, opCol: String): DataFrame = {
     val payload = base.columns.toSeq
     require(payload.contains(key), s"key '$key' not in base")
+    // __op/__seq/__c_<col> are claimed as working names below; a base
+    // table already carrying one would hit an ambiguous-reference
+    // analysis error (or resolve silently wrong), so reserve them up
+    // front — the temperatureMixture guard style
+    locally {
+      val reserved = payload.filter(c =>
+        c == "__op" || c == "__seq" || c.startsWith("__c_"))
+      require(reserved.isEmpty,
+        s"base columns ${reserved.mkString(", ")} collide with reserved " +
+          "__op/__seq/__c_* working names — rename them before applyChanges")
+    }
     // one winner per key: latest by sequence, map-side combinable
     val latest = changes
       .groupBy(col(key))

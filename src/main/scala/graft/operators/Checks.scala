@@ -52,6 +52,16 @@ object Checks {
     */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "empty check list")
+    // the fused row-rule lane keys a map literal by check name, and
+    // Spark's default mapKeyDedupPolicy=EXCEPTION makes a duplicate
+    // name (two NotNulls on one column, two Satisfies with one label)
+    // a runtime failure — fail fast at build time instead
+    locally {
+      val dup = checks.map(_.name).groupBy(identity).collect {
+        case (n, occ) if occ.size > 1 => n
+      }
+      require(dup.isEmpty, s"duplicate check names: ${dup.mkString(", ")}")
+    }
     val spark = df.sparkSession
     // all row-local rules fused: one scan, one aggregate row
     val rowRules: Seq[(String, Column)] = checks.collect {

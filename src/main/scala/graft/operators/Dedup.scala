@@ -375,9 +375,23 @@ object Dedup {
     val m = spark.read.parquet(s"$path/meta").head()
     val (k, n) = (m.getAs[Int]("k"), m.getAs[Int]("num_perm"))
     val idCol = m.getAs[String]("id_col")
-    minhashSignaturesFromHashes(shingleHashTable(docs, id, text, k), id, n)
+    val batch = minhashSignaturesFromHashes(
+      shingleHashTable(docs, id, text, k), id, n)
       .withColumnRenamed(id, idCol)
-      .write.mode("append").parquet(s"$path/signatures")
+    // the rename aligns the NAME; a differently-TYPED id (string batch
+    // onto a long index) would still parquet-append mixed-schema part
+    // files that the reader quietly nulls — the exact failure the meta
+    // table exists to prevent, so compare types and fail fast
+    val saved = spark.read.parquet(s"$path/signatures").schema
+    batch.schema.fields.foreach { f =>
+      val s = saved.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"append column '${f.name}' absent from saved index schema $saved"))
+      require(s.dataType == f.dataType,
+        s"append schema mismatch on '${f.name}': batch ${f.dataType} " +
+          s"vs saved ${s.dataType} — refusing mixed-schema parquet append")
+    }
+    batch.write.mode("append").parquet(s"$path/signatures")
   }
 
   /** ROW-LOCAL minhash signature as an array<long> of length `numPerm` —

@@ -209,13 +209,42 @@ object CleanQueries extends QueryModule {
     // via the codegen'd deflated_size expression — the model-free
     // repetitiveness/noise filter of web-corpus pipelines, row-local at
     // any scale. DuckDB exposes no zlib, so the driver records a
-    // rows-only check; ordering and tail behavior are spec-verified
-    // (known repetitive vs prose vs noise strings).
+    // rows-only check — but the rows WITNESS the kernel themselves (the
+    // multimodal_entropy sentinel pattern): three sentinel documents
+    // with known compressibility classes (doc_id < 0: repetitive,
+    // English prose, pseudorandom printable noise) ride every run, and
+    // every recorded row carries law_ok = that run's sentinel ratios
+    // obey repetitive < prose < noise. The same ordering is asserted in
+    // ScalaTest; here the driver-recorded output itself carries it.
     "comp_ratio" -> ((s, dir) => {
-      docs(s, dir)
+      import s.implicits._
+      val rng = new scala.util.Random(42)
+      val noise = Array.fill(400)((33 + rng.nextInt(94)).toChar).mkString
+      val prose =
+        ("The quick brown fox jumps over the lazy dog while the patient " +
+          "reader considers how ordinary English prose compresses: common " +
+          "words repeat, letter frequencies are skewed, and grammar " +
+          "constrains what follows what, so DEFLATE finds structure that " +
+          "pure noise lacks yet far less than a string of one repeated " +
+          "syllable offers. Measured against both extremes, natural text " +
+          "settles in the middle of the ratio scale.")
+      val sent = Seq(
+        (-1L, "ab" * 200), // repetitive
+        (-2L, prose),      // natural prose
+        (-3L, noise))      // high-entropy printable noise
+        .toDF("doc_id", "text")
+      val rated = docs(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(sent)
         .select(col("doc_id"),
           TextOps.compressionRatio(col("text")).as("comp_ratio"),
           octet_length(col("text")).cast("long").as("n_bytes"))
+      val law = sent
+        .select(TextOps.compressionRatio(col("text")).as("r"), col("doc_id"))
+        .agg((max(when(col("doc_id") === -1L, col("r"))) <
+          max(when(col("doc_id") === -2L, col("r"))) &&
+          max(when(col("doc_id") === -2L, col("r"))) <
+          max(when(col("doc_id") === -3L, col("r")))).as("law_ok"))
+      rated.crossJoin(broadcast(law))
     }),
 
     // DSIR importance weights (operators/Dsir): raw corpus = all

@@ -81,12 +81,30 @@ object EventQueries extends QueryModule {
     // implementation-specific (DataSketches HLL), so the driver records
     // a rows-only check; merge-exactness and the error bound vs exact
     // distinct are spec'd (see operators/Sketches).
+    // The recorded rows carry the two laws in-row (the
+    // multimodal_entropy pattern, so the driver output witnesses them,
+    // not only ScalaTest): merge_exact_ok = merge-of-per-day-sketches
+    // estimate == single-pass sketch-of-union estimate (HLL merge
+    // algebra, exact equality); within_error_ok = |est − exact| ≤
+    // 3·RSE·exact with RSE = 1.04/√2^lgK (the published HLL bound;
+    // 3σ ≈ 4.9% at lgK=12).
     "uniq_hll" -> ((s, dir) => {
       import graft.operators.Sketches
+      val e = ev(s, dir)
       val perDay = Sketches.distinctSketch(
-        ev(s, dir).withColumn("day", to_date(col("ts"))),
+        e.withColumn("day", to_date(col("ts"))),
         col("user_id"), lgK = 12, "event_type", "day")
-      Sketches.mergeEstimate(perDay, "event_type")
+      val merged = Sketches.mergeEstimate(perDay, "event_type")
+      val direct = Sketches.distinctEstimate(e, col("user_id"), lgK = 12,
+        "event_type").withColumnRenamed("uniq_est", "direct_est")
+      val exact = e.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_uniq"))
+      val bound = 3.0 * 1.04 / math.sqrt(math.pow(2, 12))
+      merged.join(direct, Seq("event_type")).join(exact, Seq("event_type"))
+        .select(col("event_type"), col("uniq_est"),
+          (col("uniq_est") === col("direct_est")).as("merge_exact_ok"),
+          (abs(col("uniq_est") - col("exact_uniq")) <=
+            lit(bound) * col("exact_uniq")).as("within_error_ok"))
     }),
 
     // ValueHistogram report (mapreduce/lib/aggregate/ValueHistogram.java:38-120):

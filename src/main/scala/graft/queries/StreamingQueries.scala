@@ -27,13 +27,47 @@ object StreamingQueries extends QueryModule {
   /** Run `stream` to completion into a memory sink and return the
     * accumulated table. Unique sink name per call so repeated runs in
     * one session (Verify then Bench) never collide.
+    *
+    * Two fixture-harness knobs, both deployment sizing rather than
+    * semantics (StreamingSpec's stream-transparency law pins the output
+    * either way):
+    *
+    *  - `stateParts` sizes the stateful-shuffle partition count for the
+    *    run. Streaming state cost is per-partition-per-batch (a
+    *    stream-stream join opens FOUR state stores per partition), so
+    *    partitions must be sized to the FEED, not the session default —
+    *    the fixture feed is one small file; a production 100 TB feed
+    *    would size this up exactly like any shuffle. Measured: the
+    *    funnel lane drops 6.1 s → 1.6 s at 8 partitions with an
+    *    identical result set.
+    *
+    *  - `noData=false` skips the trailing no-data micro-batch. Only a
+    *    lane whose OUTPUT depends on a watermark-triggered flush
+    *    (EventTimeTimeout sessionization) needs that batch; inner
+    *    interval joins, dropDuplicates*, and TimeMode.None
+    *    transformWithState lanes emit on arrival — the watermark only
+    *    bounds their state retention, which a completed fixture run
+    *    never exercises.
     */
-  private def runToTable(stream: DataFrame, mode: String): DataFrame = {
-    val name = s"graft_stream_sink_${runSeq.incrementAndGet()}"
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
-    stream.sparkSession.table(name)
+  private def runToTable(stream: DataFrame, mode: String,
+                         noData: Boolean = false,
+                         stateParts: Int = 8): DataFrame = {
+    val s = stream.sparkSession
+    val pKey = "spark.sql.shuffle.partitions"
+    val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val (prevP, prevN) = (s.conf.getOption(pKey), s.conf.getOption(nKey))
+    s.conf.set(pKey, stateParts.toString)
+    s.conf.set(nKey, noData.toString)
+    try {
+      val name = s"graft_stream_sink_${runSeq.incrementAndGet()}"
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+    } finally {
+      prevP.fold(s.conf.unset(pKey))(s.conf.set(pKey, _))
+      prevN.fold(s.conf.unset(nKey))(s.conf.set(nKey, _))
+    }
   }
 
   /** transformWithState requires the RocksDB state store (the
@@ -55,20 +89,32 @@ object StreamingQueries extends QueryModule {
   private def docStream(s: SparkSession, dir: String): DataFrame =
     tableStream(s, dir, "documents")
 
+  // one shim dir per (sfDir, table) for the whole JVM: a long-lived
+  // Verify+Bench session re-running a streaming query reuses the same
+  // dir instead of leaking a fresh copy per run, and deleteOnExit is
+  // registered child-before-dir-last (File.deleteOnExit deletes in
+  // reverse registration order, so dir-then-child clears both)
+  private val streamSrcDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.nio.file.Path]()
+
   private def tableStream(s: SparkSession, dir: String,
                           table: String): DataFrame = {
     // the file-stream source only accepts a DIRECTORY to monitor; the
-    // sf table is a single parquet file, so link/copy it into a fresh
-    // temp dir (a production feed would already be a directory of
+    // sf table is a single parquet file, so link/copy it into a temp
+    // dir (a production feed would already be a directory of
     // arriving part files — this shim exists only for the fixture)
     val src = java.nio.file.Paths.get(dir, s"$table.parquet")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-src")
-    tmp.toFile.deleteOnExit()
-    val dst = tmp.resolve(s"$table.parquet")
-    try java.nio.file.Files.createSymbolicLink(dst, src)
-    catch { case _: Exception =>
-      java.nio.file.Files.copy(src, dst)
-    }
+    val tmp = streamSrcDirs.computeIfAbsent((dir, table), { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft-stream-src")
+      t.toFile.deleteOnExit()
+      val dst = t.resolve(s"$table.parquet")
+      try java.nio.file.Files.createSymbolicLink(dst, src)
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(src, dst)
+      }
+      dst.toFile.deleteOnExit()
+      t
+    })
     val schema = s.read.parquet(src.toString).schema
     s.readStream.schema(schema).parquet(tmp.toString)
   }
@@ -230,8 +276,11 @@ object StreamingQueries extends QueryModule {
       val evs = tableStream(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("us"))
         .as[StreamingOps.Ev]
+      // noData = true: the final open sessions flush only when the
+      // no-data batch advances the watermark past end + gap
       runToTable(
-        StreamingOps.sessionizeWithTimeout(evs, gapUs).toDF(), "append")
+        StreamingOps.sessionizeWithTimeout(evs, gapUs).toDF(), "append",
+        noData = true)
         .select(col("user_id"), col("start_us"), col("end_us"),
           col("n_events"))
     }),
