@@ -194,10 +194,88 @@ object Bench {
       noop(operators.TextOps.paragraphDedup(df, "doc_id", "text"))
     }
 
+    val benchDir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-bench-${ProcessHandle.current().pid()}"
+
+    // semantic dedup: LSH pairs → pointer-doubling CC → representatives,
+    // the suite's top CC cost center. Replicas are NOT near-dups of the
+    // originals: each replica i sign-flips half the embedding dims
+    // (i=1: odd dims, i=2: even dims — replicas 1 and 2 are mutual
+    // negations, cosine ≈ 0 / −1 across groups), so pair density per
+    // replica stays that of the real corpus and the probe measures
+    // node/edge graph scaling, not dup-explosion output. Cell count
+    // auto-scales with n exactly as knn_join ships it, so per-cell
+    // candidate work is constant across the two runs.
+    val semanticScale = scaleProbe("semantic", () => {
+      val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val shift = e1.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val e3 = (0 until 3).map { i =>
+        val flip: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          j => if (i == 0) lit(1.0f)
+               else when((j + lit(i)) % 2 === 0, lit(-1.0f)).otherwise(lit(1.0f))
+        e1.withColumn("vec_id", col("vec_id") + lit(i * shift))
+          .withColumn("embedding",
+            transform(col("embedding"), (x, j) => x * flip(j))
+              .cast("array<float>"))
+      }.reduce(_.unionByName(_))
+      (e1, e3)
+    }) { df =>
+      val n = df.count()
+      val pairs = operators.Similarity.cosinePairsLsh(df, "vec_id", "embedding",
+        threshold = 0.3, nCells = math.max(32L, n / 64).toInt,
+        rep = 2, tables = 6)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cc = operators.Dedup.connectedComponents(pairs, "vec_a", "vec_b")
+          .withColumnRenamed("vec_a", "vec_id")
+        noop(df.select(col("vec_id")).join(cc, Seq("vec_id"), "left")
+          .filter(coalesce(col("cluster_id"), col("vec_id")) === col("vec_id"))
+          .select(col("vec_id")))
+      } finally pairs.unpersist(false)
+    }
+
+    // streaming funnel: stream-stream interval join state growth. The
+    // 3× feed shifts user_ids and event_ids per replica — 3× users, so
+    // per-user buffered state and join output grow LINEARLY (a same-user
+    // replication would square the per-key match count). Both runs use
+    // the shipped deployment sizing (8 state partitions, no no-data
+    // batches); source dirs are written once in mk, outside the timing.
+    val funnelScale = scaleProbe("streaming_funnel", () => {
+      val base = spark.read.parquet(s"$sfDir/events.parquet")
+      val Array(uShift, eShift) = base
+        .agg(max(col("user_id")), max(col("event_id"))).head()
+        .toSeq.map(_.asInstanceOf[Long] + 1L).toArray
+      val d3 = (0 until 3).map(i =>
+        base.withColumn("user_id", col("user_id") + lit(i * uShift))
+          .withColumn("event_id", col("event_id") + lit(i * eShift)))
+        .reduce(_.unionByName(_))
+      val (p1, p3) = (s"$benchDir/funnel1x", s"$benchDir/funnel3x")
+      base.write.mode("overwrite").parquet(p1)
+      d3.write.mode("overwrite").parquet(p3)
+      (spark.readStream.schema(base.schema).parquet(p1),
+        spark.readStream.schema(base.schema).parquet(p3))
+    }) { stream =>
+      val pKey = "spark.sql.shuffle.partitions"
+      val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val (prevP, prevN) =
+        (spark.conf.getOption(pKey), spark.conf.getOption(nKey))
+      spark.conf.set(pKey, "8")
+      spark.conf.set(nKey, "false")
+      try {
+        val q = streaming.StreamingOps.followWithin(stream,
+            firstType = "view", thenType = "purchase",
+            within = "1 hour", watermark = "2 hours")
+          .writeStream.format("noop").outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        prevP.fold(spark.conf.unset(pKey))(spark.conf.set(pKey, _))
+        prevN.fold(spark.conf.unset(nKey))(spark.conf.set(nKey, _))
+      }
+    }
+
     // reference benchmark harnesses (MRBench.java:173-233 avg latency;
     // TestDFSIO.java:88-103 sequential MB/s), sized small enough to not
     // dominate the round but large enough to exceed fixed overhead
-    val benchDir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-bench-${ProcessHandle.current().pid()}"
     // a harness failure reports -1, never swallows the whole JSON line
     val (mrAvg, wMbps, rMbps) =
       try {
@@ -261,7 +339,9 @@ object Bench {
     val scaleJson = scaleEntry("dedup_scale", dedupScale) +
       scaleEntry("kmeans_scale", kmeansScale) +
       scaleEntry("dsir_scale", dsirScale) +
-      scaleEntry("paragraph_scale", paragraphScale)
+      scaleEntry("paragraph_scale", paragraphScale) +
+      scaleEntry("semantic_scale", semanticScale) +
+      scaleEntry("streaming_funnel_scale", funnelScale)
     val harnessJson =
       s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)},"nnbench_create_ops_sec":${fmt(nnOps, 1)},"filebench_seq_read_mbps":${fmt(fbSeqRead, 1)},"slive_ops_sec":${fmt(sliveOps, 1)},"bigmap_shuffle_mbps":${fmt(bmoMbps, 1)},"threadedmap_sort_mbps":${fmt(tmbMbps, 1)}}"""
     val head =

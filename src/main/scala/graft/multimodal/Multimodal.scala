@@ -55,33 +55,71 @@ object Multimodal {
     */
   def fixtureIsImage(docId: Long): Boolean = docId % 10 != 7
 
-  /** Synthesize a media table of GENUINE PNGs from the documents table:
-    * grayscale, dims = [[fixtureDims]], pixel (x, y) = (x + y + doc_id)
-    * mod 256 — every byte of the output is a real deflate-compressed
-    * PNG that only a real decoder can invert. Docs failing
-    * [[fixtureIsImage]] get their raw text bytes (mime octet-stream)
-    * instead: in-domain corrupt/mislabeled media.
+  /** Container format law for image docs — a real crawl corpus is a
+    * format MIX, and each choice here pins a different decoder branch
+    * under the same analytic pixel oracle:
+    *  - `gif`: palette-indexed (the IndexColorModel path of lumaAt;
+    *    256-gray palette, lossless);
+    *  - `bmp`: written as 24-bit RGB with r=g=b (the 3-band floor-mean
+    *    path; lossless);
+    *  - `jpeg`: lossy — dims replay, pixels don't, so the oracle checks
+    *    dims-only on these rows;
+    *  - `png`: 1-band grayscale (the ≤2-band path).
+    */
+  def fixtureFormat(docId: Long): String = (docId % 10) match {
+    case 3 => "jpeg"
+    case 5 => "gif"
+    case 9 => "bmp"
+    case _ => "png"
+  }
+
+  /** True when the fixture pixel law replays EXACTLY after an encode →
+    * decode round trip (every format above except lossy jpeg).
+    */
+  def fixtureIsLossless(docId: Long): Boolean =
+    fixtureIsImage(docId) && fixtureFormat(docId) != "jpeg"
+
+  /** Synthesize a media table of GENUINE encoded images from the
+    * documents table: dims = [[fixtureDims]], pixel (x, y) =
+    * (x + y + doc_id) mod 256, container per [[fixtureFormat]] (a
+    * png/gif/bmp/jpeg mix, like a real crawl) — every byte of the
+    * output is a real codec stream that only a real decoder can
+    * invert. Docs failing [[fixtureIsImage]] get their raw text bytes
+    * (mime octet-stream) instead: in-domain corrupt/mislabeled media.
     */
   /** One gradient frame of the fixture law: gray pixel (x, y) =
     * (x + y + base) mod 256, PNG-encoded. Shared by the image and
     * frame-stream fabricators so the fixture law and the SQL oracles
     * cannot desynchronize.
     */
-  private def grayGradientPng(w: Int, h: Int, base: Long): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+  private def grayGradientPng(w: Int, h: Int, base: Long): Array[Byte] =
+    grayGradient(w, h, base, "png")
+
+  /** The same gradient encoded in any JDK writer format. BMP rides a
+    * 24-bit RGB carrier (r=g=b=luma) so the decoded image has 3 bands —
+    * the floor-mean branch of lumaAt — while staying pixel-exact.
+    */
+  private def grayGradient(w: Int, h: Int, base: Long,
+                           fmt: String): Array[Byte] = {
+    val imgType =
+      if (fmt == "bmp") java.awt.image.BufferedImage.TYPE_INT_RGB
+      else java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
     val raster = img.getRaster
+    val bands = raster.getNumBands
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        raster.setSample(x, y, 0, ((x + y + base) % 256).toInt)
+        val v = ((x + y + base) % 256).toInt
+        var b = 0
+        while (b < bands) { raster.setSample(x, y, b, v); b += 1 }
         x += 1
       }
       y += 1
     }
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
+    javax.imageio.ImageIO.write(img, fmt, baos)
     baos.toByteArray
   }
 
@@ -101,8 +139,9 @@ object Multimodal {
         val id = r.getAs[Long]("doc_id")
         if (fixtureIsImage(id)) {
           val (w, h) = fixtureDims(id)
-          val bytes = grayGradientPng(w, h, id)
-          Row(id, bytes, Row("image/png", bytes.length.toLong))
+          val fmt = fixtureFormat(id)
+          val bytes = grayGradient(w, h, id, fmt)
+          Row(id, bytes, Row(s"image/$fmt", bytes.length.toLong))
         } else textBytesRow(id, r.getAs[String]("text"))
       }
     }

@@ -56,32 +56,48 @@ object MultimodalQueries extends QueryModule {
 
     // Metadata fast path: dims parsed from the PNG IHDR header bytes —
     // substring/hex/conv builtins only, no decoder, no UDF, map-only
-    // (plan-pinned). The oracle replays the fixture dimension law; the
-    // OperatorSpec cross-check pins header dims == decoded dims.
+    // (plan-pinned). The fixture is a FORMAT MIX (fixtureFormat: png/
+    // gif/bmp/jpeg/non-image), so the header lane returns dims exactly
+    // on the PNG-signature rows and NULL on everything else — the
+    // oracle replays both the dimension law and the format law. The
+    // OperatorSpec cross-check pins header dims == decoded dims on PNG
+    // rows and header NULL + real decode on the rest.
     "multimodal_meta" -> ((s, dir) =>
       images(s, dir).select(col("doc_id"),
           Multimodal.pngHeaderDims(col("content")).as("d"))
         .select(col("doc_id"),
           col("d.width").as("width"), col("d.height").as("height"))),
 
-    // REAL image decode over real PNG bytes; n_bytes (the deflate
-    // output size) is codec-dependent, so the declared columns are the
-    // analytically-replayable ones
+    // REAL image decode over the format mix (PNG 1-band, GIF indexed
+    // palette, BMP 3-band RGB, JPEG, raw text bytes — each pinning a
+    // different decoder branch). Dims replay on every decodable row;
+    // sum_luma replays on the LOSSLESS rows and is masked to NULL on
+    // jpeg (lossy pixels have no analytic law) — the real decode still
+    // runs there, dims prove it. n_bytes is codec-dependent, so the
+    // declared columns are the analytically-replayable ones.
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(images(s, dir))
-        .select("doc_id", "width", "height", "sum_luma")),
+        .select(col("doc_id"), col("width"), col("height"),
+          when(col("doc_id") % 10 === 3, lit(null))
+            .otherwise(col("sum_luma")).as("sum_luma"))),
     // REAL resize (nearest-neighbor luma resample + PNG re-encode),
-    // verified through a second real decode of the resized bytes
+    // verified through a second real decode of the resized bytes; the
+    // jpeg rows resize for real but their pixel sums are lossy-derived,
+    // so they carry dims-only like the decode lane
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.resize(images(s, dir), 16, 12))
-        .select("doc_id", "width", "height", "sum_luma")),
+        .select(col("doc_id"), col("width"), col("height"),
+          when(col("doc_id") % 10 === 3, lit(null))
+            .otherwise(col("sum_luma")).as("sum_luma"))),
     // the TEXTBOOK perceptual average-hash, now over real pixels:
     // resize to the 8x8 luma grid (real decode + resample + re-decode),
     // then ahash64 over the 64-byte plane — non-image content drops
-    // (no pixels, no hash). The oracle replays the whole chain from
-    // the doc_id pixel law.
+    // (no pixels, no hash), jpeg drops (a hash of lossy pixels has no
+    // analytic replay). The oracle replays the whole chain from the
+    // doc_id pixel law.
     "multimodal_phash" -> ((s, dir) => {
-      val small = Multimodal.resize(images(s, dir), 8, 8)
+      val small = Multimodal.resize(
+        images(s, dir).filter(col("doc_id") % 10 =!= 3), 8, 8)
       Multimodal.lumaPlane(small)
         .filter(col("luma").isNotNull)
         .select(col("doc_id"),
@@ -177,16 +193,20 @@ object MultimodalQueries extends QueryModule {
         |FROM cand
         |WHERE bit_count(xor(sig_a::BIT, sig_b::BIT)) <= 3""".stripMargin,
     // the pixel law of fabricateImages: w = 8 + id%24, h = 8 + (7id)%16,
-    // luma(x,y) = (x+y+id)%256; non-image docs (id%10=7) are all-NULL.
-    // range() cannot take lateral column args in DuckDB, so the grid is
-    // the fixed 32x24 superset filtered per doc.
+    // luma(x,y) = (x+y+id)%256; the FORMAT law (fixtureFormat): id%10=7
+    // non-image, 3 jpeg, 5 gif, 9 bmp, else png. The header fast path
+    // reads the PNG IHDR only, so the oracle yields dims exactly on the
+    // png rows. range() cannot take lateral column args in DuckDB, so
+    // the pixel grid is the fixed 32x24 superset filtered per doc.
     "multimodal_meta" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 10 = 7 THEN NULL
+        |  CASE WHEN doc_id % 10 IN (3, 5, 7, 9) THEN NULL
         |       ELSE CAST(8 + doc_id % 24 AS BIGINT) END AS width,
-        |  CASE WHEN doc_id % 10 = 7 THEN NULL
+        |  CASE WHEN doc_id % 10 IN (3, 5, 7, 9) THEN NULL
         |       ELSE CAST(8 + (doc_id * 7) % 16 AS BIGINT) END AS height
         |FROM documents""".stripMargin,
+    // dims replay on every image row (jpeg included — the real decode
+    // proves them); sum_luma replays on the lossless rows only
     "multimodal_decode" ->
       """WITH dims AS (
         |  SELECT doc_id,
@@ -204,10 +224,11 @@ object MultimodalQueries extends QueryModule {
         |SELECT d.doc_id,
         |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE d.w END AS width,
         |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE d.h END AS height,
-        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(p.s AS BIGINT) END AS sum_luma
+        |  CASE WHEN d.doc_id % 10 IN (3, 7) THEN NULL ELSE CAST(p.s AS BIGINT) END AS sum_luma
         |FROM dims d JOIN px p USING (doc_id)""".stripMargin,
     // nearest-neighbor law: out(x,y) = luma((x*w) div 16, (y*h) div 12)
-    // of the source gradient, re-decoded from the resized PNG
+    // of the source gradient, re-decoded from the resized PNG; jpeg
+    // rows carry dims-only (their source pixels are lossy-derived)
     "multimodal_resize" ->
       """WITH dims AS (
         |  SELECT doc_id,
@@ -225,7 +246,7 @@ object MultimodalQueries extends QueryModule {
         |SELECT d.doc_id,
         |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(16 AS INTEGER) END AS width,
         |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(12 AS INTEGER) END AS height,
-        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(p.s AS BIGINT) END AS sum_luma
+        |  CASE WHEN d.doc_id % 10 IN (3, 7) THEN NULL ELSE CAST(p.s AS BIGINT) END AS sum_luma
         |FROM dims d JOIN px p USING (doc_id)""".stripMargin,
     // 8x8 nearest-neighbor luma law: pixel i (row-major, x = i%8,
     // y = i//8) = ((x*w) div 8 + (y*h) div 8 + id) mod 256; bit = 1 iff
@@ -235,7 +256,7 @@ object MultimodalQueries extends QueryModule {
         |  SELECT doc_id,
         |         CAST(8 + doc_id % 24 AS INTEGER) AS w,
         |         CAST(8 + (doc_id * 7) % 16 AS INTEGER) AS h
-        |  FROM documents WHERE doc_id % 10 != 7
+        |  FROM documents WHERE doc_id % 10 NOT IN (3, 7)
         |), px AS (
         |  SELECT doc_id, i.i AS i,
         |         ((((i.i % 8) * w) // 8) + (((i.i // 8) * h) // 8) + doc_id) % 256 AS v

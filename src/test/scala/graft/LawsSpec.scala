@@ -841,4 +841,56 @@ object LawsSpec extends Properties("graft.laws") {
         .map { case (id, (_, _, t)) => (id, t) }
       runParaDedup(cleaned).forall { case (_, (_, nDropped, _)) => nDropped == 0L }
     }
+
+  // --- indexed-image decode: palette-permutation invariance -----------
+
+  /** The visual gradient of the image fixture, stored through an
+    * ARBITRARY bijective gray palette: palette slot perm(v) holds gray
+    * level v and the raster stores index perm(v) — identical pixels on
+    * screen for every perm, wildly different raw raster bytes.
+    */
+  private def permutedGif(w: Int, h: Int, base: Long,
+                          perm: Int => Int): Array[Byte] = {
+    val (r, g, b) = (new Array[Byte](256), new Array[Byte](256), new Array[Byte](256))
+    (0 until 256).foreach { v =>
+      val idx = perm(v)
+      r(idx) = v.toByte; g(idx) = v.toByte; b(idx) = v.toByte
+    }
+    val cm = new java.awt.image.IndexColorModel(8, 256, r, g, b)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = img.getRaster
+    for { y <- 0 until h; x <- 0 until w }
+      raster.setSample(x, y, 0, perm(((x + y + base) % 256).toInt))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", baos)
+    baos.toByteArray
+  }
+
+  // any odd multiplier is a bijection mod 256
+  private val genPerm: Gen[Int => Int] = for {
+    a <- Gen.chooseNum(0, 127).map(_ * 2 + 1)
+    c <- Gen.chooseNum(0, 255)
+  } yield (v: Int) => (v * a + c) % 256
+
+  property("image decode is palette-permutation invariant: permuted-palette GIFs of one image hash alike") =
+    forAll(genPerm, Gen.chooseNum(0L, 200L)) { (perm, base) =>
+      val (w, h) = graft.multimodal.Multimodal.fixtureDims(base)
+      val rows = Seq(
+        (0L, permutedGif(w, h, base, identity)),
+        (1L, permutedGif(w, h, base, perm)))
+        .toDF("doc_id", "content")
+        .select(col("doc_id"), col("content"),
+          struct(lit("image/gif").as("mime"),
+            length(col("content")).cast("long").as("n_bytes")).as("meta"))
+      val feats = graft.multimodal.Multimodal.decodeFeatures(rows)
+        .select("doc_id", "width", "height", "sum_luma")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+      // analytic law: the permuted copy decodes to the SAME dims and
+      // the SAME exact pixel-sum as the identity-palette copy
+      val lawSum = (for { x <- 0 until w; y <- 0 until h }
+        yield (x + y + base) % 256).sum
+      feats(0L) == ((w, h, lawSum)) && feats(1L) == ((w, h, lawSum))
+    }
 }

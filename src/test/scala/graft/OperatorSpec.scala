@@ -518,19 +518,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  test("Multimodal: real PNG round trip — decode recovers exact dims and pixel sums; resize is exact nearest-neighbor") {
+  test("Multimodal: real codec round trip — decode recovers exact dims and pixel sums; resize is exact nearest-neighbor") {
     import graft.multimodal.Multimodal
+    // format law coverage in one fixture: 0/40 png (1-band gray),
+    // 5 gif (indexed palette), 9 bmp (3-band rgb), 23 jpeg (lossy,
+    // dims-only), 17 non-image text bytes
     val docs = Seq(
-      (0L, "ignored"), (5L, "ignored"), (17L, "this row is NOT an image"),
+      (0L, "ignored"), (5L, "ignored"), (9L, "ignored"),
+      (17L, "this row is NOT an image"),
       (23L, "ignored"), (40L, "ignored")).toDF("doc_id", "text")
     val imgs = Multimodal.fabricateImages(docs)
-    // the fixture is genuinely PNG: magic bytes on every image row
+    // each image row carries its format's REAL container signature
     imgs.collect().foreach { r =>
       val b = r.getAs[Array[Byte]]("content")
       val id = r.getLong(0)
-      if (Multimodal.fixtureIsImage(id))
-        assert(b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte,
-          s"doc $id is not a PNG")
+      if (Multimodal.fixtureIsImage(id)) {
+        val sig = Multimodal.fixtureFormat(id) match {
+          case "png"  => (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte
+          case "gif"  => b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte
+          case "bmp"  => b(0) == 'B'.toByte && b(1) == 'M'.toByte
+          case "jpeg" => (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+        }
+        assert(b.length > 8 && sig,
+          s"doc $id lacks its ${Multimodal.fixtureFormat(id)} signature")
+      }
     }
     def law(id: Long): (Int, Int, Long) = {
       val (w, h) = Multimodal.fixtureDims(id)
@@ -539,19 +550,22 @@ class OperatorSpec extends AnyFunSuite {
     }
     val dec = Multimodal.decodeFeatures(imgs).collect()
       .map(r => r.getLong(0) -> r).toMap
-    Seq(0L, 5L, 23L, 40L).foreach { id =>
+    Seq(0L, 5L, 9L, 23L, 40L).foreach { id =>
       val (w, h, sum) = law(id)
       val r = dec(id)
       assert(r.getInt(2) == w && r.getInt(3) == h,
         s"doc $id: got ${r.getInt(2)}x${r.getInt(3)}, law says ${w}x$h")
-      assert(r.getLong(4) == sum, s"doc $id: sum_luma ${r.getLong(4)} != $sum")
+      if (Multimodal.fixtureIsLossless(id))
+        assert(r.getLong(4) == sum, s"doc $id: sum_luma ${r.getLong(4)} != $sum")
+      else assert(!r.isNullAt(4), s"jpeg doc $id must still truly decode")
     }
     assert(dec(17L).isNullAt(2) && dec(17L).isNullAt(4),
       "non-image doc must decode to NULL features")
-    // resize law: out(x,y) = in((x*w) div 16, (y*h) div 12)
+    // resize law: out(x,y) = in((x*w) div 16, (y*h) div 12) — exact on
+    // the lossless formats regardless of container
     val res = Multimodal.decodeFeatures(Multimodal.resize(imgs, 16, 12))
       .collect().map(r => r.getLong(0) -> r).toMap
-    Seq(0L, 5L, 23L, 40L).foreach { id =>
+    Seq(0L, 5L, 9L, 40L).foreach { id =>
       val (w, h) = Multimodal.fixtureDims(id)
       val expect = (for { x <- 0 until 16; y <- 0 until 12 }
         yield (x * w / 16 + y * h / 12 + id) % 256).sum
@@ -561,9 +575,12 @@ class OperatorSpec extends AnyFunSuite {
         s"doc $id resized sum_luma ${r.getLong(4)} != $expect")
     }
     assert(res(17L).isNullAt(2), "non-image passthrough re-decodes as NULL")
-    // luma plane: raw row-major pixel bytes, exact per position
+    // luma plane: raw row-major pixel bytes, exact per position on
+    // every lossless container (1-band, indexed, 3-band alike)
     val lp = Multimodal.lumaPlane(imgs).collect().map(r => r.getLong(0) -> r).toMap
-    Seq(0L, 23L).foreach { id =>
+    assert(lp(23L).getInt(1) == Multimodal.fixtureDims(23L)._1,
+      "jpeg row still decodes to a real plane")
+    Seq(0L, 5L, 9L).foreach { id =>
       val (w, h) = Multimodal.fixtureDims(id)
       val bytes = lp(id).getAs[Array[Byte]]("luma")
       assert(lp(id).getInt(1) == w && bytes.length == w * h)
@@ -1374,7 +1391,16 @@ class OperatorSpec extends AnyFunSuite {
       .map(t => t._1 -> (t._2, t._3)).toMap
     assert(header.keySet == decoded.keySet)
     header.foreach { case (id, dims) =>
-      assert(dims == decoded(id), s"doc $id: header $dims vs decode ${decoded(id)}")
+      if (graft.multimodal.Multimodal.fixtureIsImage(id) &&
+          graft.multimodal.Multimodal.fixtureFormat(id) == "png")
+        assert(dims == decoded(id), s"doc $id: header $dims vs decode ${decoded(id)}")
+      else {
+        // non-PNG containers: the header fast path must yield NULL (no
+        // garbage dims), while the real decoder still finds image rows
+        assert(dims == ((None, None)), s"doc $id: header lane leaked $dims")
+        if (graft.multimodal.Multimodal.fixtureIsImage(id))
+          assert(decoded(id)._1.isDefined, s"doc $id: real decode lost dims")
+      }
     }
   }
 
