@@ -24,6 +24,29 @@ object PipelineQueries extends QueryModule {
     "stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(docs(s, dir), "source", "doc_id", k = 5)),
 
+    // THE END-TO-END COMPOSITION, oracle-checked as one row set: the
+    // default TrainingPipeline chain — normalize → language/length gate
+    // → exact dedup → simhash near-dup apply → eval decontamination
+    // (the doc_id % 97 mock suite) → rate mixture → 64/16 chunking →
+    // 256-token packing — run through jobs/TrainingPipeline.run itself
+    // (the same code a production pipeline calls, persists and all).
+    // Every stage is individually green elsewhere; this row proves the
+    // COMPOSITION: the oracle replays the whole chain as one stack of
+    // the stage oracles' CTEs, so any inter-stage contract drift
+    // (wrong frame feeding a stage, a gate applied out of order)
+    // hash-mismatches here even though each part passes alone.
+    "pipeline_e2e" -> ((s, dir) => {
+      val (packed, _) = graft.jobs.TrainingPipeline.run(s, dir,
+        evalDocs = Some(docs(s, dir).filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("text"))),
+        rates = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0),
+        normalize = true)
+      packed.select(col("source"), col("shard").cast("long").as("shard"),
+        col("pack_id").cast("long").as("pack_id"),
+        col("n_docs").cast("long").as("n_units"),
+        col("tok_sum").cast("long").as("tok_sum"))
+    }),
+
     // scrub-and-count: redact entity-ish terms, report per-doc
     // redaction count + a content hash of the cleaned text (the hash
     // keeps the verified payload small while pinning every byte)
@@ -141,6 +164,132 @@ object PipelineQueries extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the full default-chain replay, each stage's verified oracle CTE
+    // stacked in pipeline order: normalize → en/length gate → exact
+    // dedup (min-id per md5) → simhash 4×16 banding + recursive-CTE
+    // connected components → %97 eval-suite decontamination at 0.8 →
+    // rate mixture (52-bit-hash law) → 64/16 chunk grid → per-(source,
+    // md5-shard) 256-token packing
+    "pipeline_e2e" ->
+      raw"""WITH RECURSIVE norm AS (
+        |  SELECT doc_id, source,
+        |         trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS text
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, source, text,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM norm
+        |), gated AS (
+        |  SELECT doc_id, source, text, t FROM (
+        |    SELECT *,
+        |      len(list_filter(t, x -> x IN ('the','a','is','of','and'))) AS s_en,
+        |      len(list_filter(t, x -> x IN ('der','die','das','und','ein'))) AS s_de,
+        |      len(list_filter(t, x -> x IN ('le','la','les','des','une'))) AS s_fr,
+        |      len(list_filter(t, x -> x IN ('el','los','las','una','y'))) AS s_es
+        |    FROM tok) g
+        |  WHERE len(t) >= 10
+        |    AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+        |), exact AS (
+        |  SELECT doc_id, source, text, t FROM (
+        |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |    FROM gated) e
+        |  WHERE doc_id = keep_id
+        |), bsum AS (
+        |  SELECT doc_id, j,
+        |    SUM((((('0x' || substr(md5(w), j // 4 + 1, 1))::INT) >> (3 - j % 4)) & 1) * 2 - 1) AS s
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM exact) wt,
+        |       (SELECT unnest(range(0, 64)) AS j)
+        |  GROUP BY doc_id, j
+        |), sigs AS (
+        |  SELECT doc_id,
+        |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+        |  FROM bsum GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, simhash, b AS band, substring(simhash, 1 + 16*b, 16) AS bits
+        |  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
+        |), bkept AS (
+        |  SELECT x.* FROM banded x
+        |  JOIN (SELECT band, bits FROM banded GROUP BY band, bits HAVING COUNT(*) <= 1000) ok
+        |    USING (band, bits)
+        |), prs AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bkept x JOIN bkept y
+        |    ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.simhash::BIT, y.simhash::BIT)) <= 3
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM prs
+        |  UNION ALL SELECT doc_b, doc_a FROM prs
+        |), reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+        |), clustered AS (
+        |  SELECT d.doc_id,
+        |         COALESCE(LEAST(MIN(reach.r), d.doc_id), d.doc_id) AS cluster_id
+        |  FROM exact d LEFT JOIN reach ON reach.id = d.doc_id
+        |  GROUP BY d.doc_id
+        |), neark AS (
+        |  SELECT e.* FROM exact e JOIN clustered c USING (doc_id)
+        |  WHERE c.doc_id = c.cluster_id
+        |), evh AS (
+        |  SELECT DISTINCT ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h1 FROM (
+        |    SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t)-1), i -> array_to_string(list_slice(t, i, i+2), ' '))
+        |      ELSE [] END) AS sh
+        |    FROM tok WHERE doc_id % 97 = 0) evs
+        |), csh AS (
+        |  SELECT DISTINCT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h1 FROM (
+        |    SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t)-1), i -> array_to_string(list_slice(t, i, i+2), ' '))
+        |      ELSE [] END) AS sh
+        |    FROM neark) cs
+        |), contam AS (
+        |  SELECT doc_id FROM (
+        |    SELECT c.doc_id, COUNT(*) AS n_grams,
+        |           SUM(CASE WHEN e.h1 IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        |    FROM csh c LEFT JOIN evh e USING (h1) GROUP BY c.doc_id) x
+        |  WHERE CAST(n_hit AS DOUBLE) / n_grams >= 0.8
+        |), wk AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, source, t,
+        |           CAST(FLOOR(rate) AS BIGINT) +
+        |             (CASE WHEN CAST(hk AS DOUBLE) < (rate - FLOOR(rate)) * 4503599627370496.0
+        |                   THEN 1 ELSE 0 END) AS n_copies
+        |    FROM (
+        |      SELECT *,
+        |             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+        |                         WHEN 'src2' THEN 0.0 ELSE 1.0 END AS rate,
+        |             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS hk
+        |      FROM neark
+        |      WHERE doc_id NOT IN (SELECT doc_id FROM contam)) r) w
+        |  WHERE n_copies > 0
+        |), chunks AS (
+        |  SELECT doc_id, source, n_copies,
+        |         CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+        |         CAST(least(64, n - s + 1) AS BIGINT) AS n_tokens
+        |  FROM (
+        |    SELECT doc_id, source, n_copies, len(t) AS n,
+        |           unnest(range(1, greatest(len(t) - 16, 1) + 1, 48)) AS s
+        |    FROM wk WHERE len(t) > 0) st
+        |), units AS (
+        |  SELECT source, n_tokens,
+        |         CAST(doc_id AS VARCHAR) || '#' || CAST(g.copy_id AS VARCHAR)
+        |           || '#' || CAST(chunk_id AS VARCHAR) AS unit
+        |  FROM chunks, LATERAL (SELECT unnest(range(0, n_copies)) AS copy_id) g
+        |), packs AS (
+        |  SELECT source, n_tokens,
+        |         ('0x' || substring(md5(unit), 1, 13))::BIGINT % 2 AS shard,
+        |         COALESCE(SUM(n_tokens) OVER (
+        |           PARTITION BY source, ('0x' || substring(md5(unit), 1, 13))::BIGINT % 2
+        |           ORDER BY unit
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM units
+        |)
+        |SELECT source, CAST(shard AS BIGINT) AS shard,
+        |       CAST(FLOOR(prior / 256) AS BIGINT) AS pack_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_units,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS tok_sum
+        |FROM packs GROUP BY source, shard, FLOOR(prior / 256)""".stripMargin,
     "stratified_sample" ->
       """WITH h AS (
         |  SELECT source, doc_id,
