@@ -47,6 +47,48 @@ object PipelineQueries extends QueryModule {
         col("tok_sum").cast("long").as("tok_sum"))
     }),
 
+    // THE DAILY-CRAWL composition: yesterday's corpus + a CDC change
+    // stream → Cdc.applyChanges (the MERGE INTO) builds today's corpus,
+    // then TrainingPipeline.run with previousSnapshot = yesterday pays
+    // only for the DELTA (the Snapshots.diff-shaped added/changed
+    // gate) — never a full re-clean. Fixture law: yesterday lacks the
+    // %13 docs (today's inserts) and holds stale text for the %11 docs
+    // (today's updates); %19 docs (minus those) are deleted. The net
+    // processed delta is therefore exactly the %11 ∪ %13 docs at
+    // today's text — the oracle replays that law through the
+    // normalize → gate → dedup → chunk → pack chain. A delta gate
+    // that leaked unchanged docs, or an applyChanges that lost an
+    // update (stale text ⇒ hash equals yesterday ⇒ doc vanishes from
+    // the delta), breaks the row set.
+    "pipeline_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val yesterday = d.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" archived")))
+            .otherwise(col("text")))
+      val inserts = d.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), col("source"), col("text"),
+          lit(1L).as("seq"), lit("I").as("op"))
+      val updates = d.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("source"), col("text"),
+          lit(2L).as("seq"), lit("U").as("op"))
+      val deletes = d.filter(col("doc_id") % 19 === 0 &&
+          col("doc_id") % 11 =!= 0 && col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("source"), col("text"),
+          lit(3L).as("seq"), lit("D").as("op"))
+      val today = graft.operators.Cdc.applyChanges(yesterday,
+        inserts.unionByName(updates).unionByName(deletes),
+        "doc_id", "seq", "op")
+      val (packed, _) = graft.jobs.TrainingPipeline.run(s, dir,
+        input = Some(today),
+        previousSnapshot = Some(yesterday.select(col("doc_id"), col("text"))),
+        normalize = true)
+      packed.select(col("source"), col("shard").cast("long").as("shard"),
+        col("pack_id").cast("long").as("pack_id"),
+        col("n_docs").cast("long").as("n_units"),
+        col("tok_sum").cast("long").as("tok_sum"))
+    }),
+
     // scrub-and-count: redact entity-ish terms, report per-doc
     // redaction count + a content hash of the cleaned text (the hash
     // keeps the verified payload small while pinning every byte)
@@ -276,6 +318,101 @@ object PipelineQueries extends QueryModule {
         |         CAST(doc_id AS VARCHAR) || '#' || CAST(g.copy_id AS VARCHAR)
         |           || '#' || CAST(chunk_id AS VARCHAR) AS unit
         |  FROM chunks, LATERAL (SELECT unnest(range(0, n_copies)) AS copy_id) g
+        |), packs AS (
+        |  SELECT source, n_tokens,
+        |         ('0x' || substring(md5(unit), 1, 13))::BIGINT % 2 AS shard,
+        |         COALESCE(SUM(n_tokens) OVER (
+        |           PARTITION BY source, ('0x' || substring(md5(unit), 1, 13))::BIGINT % 2
+        |           ORDER BY unit
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM units
+        |)
+        |SELECT source, CAST(shard AS BIGINT) AS shard,
+        |       CAST(FLOOR(prior / 256) AS BIGINT) AS pack_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_units,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS tok_sum
+        |FROM packs GROUP BY source, shard, FLOOR(prior / 256)""".stripMargin,
+    // the incremental chain's NET law: the processed delta is the
+    // %11 ∪ %13 docs at today's text (inserts + updates; deletes and
+    // unchanged rows never reach the pipeline), then the same
+    // normalize → gate → exact → near-dup → chunk → pack stack with
+    // n_copies ≡ 1 (no mixture stage in the daily run)
+    "pipeline_incremental" ->
+      raw"""WITH RECURSIVE delta AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id % 11 = 0 OR doc_id % 13 = 0
+        |), norm AS (
+        |  SELECT doc_id, source,
+        |         trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS text
+        |  FROM delta
+        |), tok AS (
+        |  SELECT doc_id, source, text,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM norm
+        |), gated AS (
+        |  SELECT doc_id, source, text, t FROM (
+        |    SELECT *,
+        |      len(list_filter(t, x -> x IN ('the','a','is','of','and'))) AS s_en,
+        |      len(list_filter(t, x -> x IN ('der','die','das','und','ein'))) AS s_de,
+        |      len(list_filter(t, x -> x IN ('le','la','les','des','une'))) AS s_fr,
+        |      len(list_filter(t, x -> x IN ('el','los','las','una','y'))) AS s_es
+        |    FROM tok) g
+        |  WHERE len(t) >= 10
+        |    AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+        |), exact AS (
+        |  SELECT doc_id, source, text, t FROM (
+        |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |    FROM gated) e
+        |  WHERE doc_id = keep_id
+        |), bsum AS (
+        |  SELECT doc_id, j,
+        |    SUM((((('0x' || substr(md5(w), j // 4 + 1, 1))::INT) >> (3 - j % 4)) & 1) * 2 - 1) AS s
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM exact) wt,
+        |       (SELECT unnest(range(0, 64)) AS j)
+        |  GROUP BY doc_id, j
+        |), sigs AS (
+        |  SELECT doc_id,
+        |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+        |  FROM bsum GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, simhash, b AS band, substring(simhash, 1 + 16*b, 16) AS bits
+        |  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
+        |), bkept AS (
+        |  SELECT x.* FROM banded x
+        |  JOIN (SELECT band, bits FROM banded GROUP BY band, bits HAVING COUNT(*) <= 1000) ok
+        |    USING (band, bits)
+        |), prs AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bkept x JOIN bkept y
+        |    ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.simhash::BIT, y.simhash::BIT)) <= 3
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM prs
+        |  UNION ALL SELECT doc_b, doc_a FROM prs
+        |), reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+        |), clustered AS (
+        |  SELECT d.doc_id,
+        |         COALESCE(LEAST(MIN(reach.r), d.doc_id), d.doc_id) AS cluster_id
+        |  FROM exact d LEFT JOIN reach ON reach.id = d.doc_id
+        |  GROUP BY d.doc_id
+        |), neark AS (
+        |  SELECT e.* FROM exact e JOIN clustered c USING (doc_id)
+        |  WHERE c.doc_id = c.cluster_id
+        |), chunks AS (
+        |  SELECT doc_id, source,
+        |         CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+        |         CAST(least(64, n - s + 1) AS BIGINT) AS n_tokens
+        |  FROM (
+        |    SELECT doc_id, source, len(t) AS n,
+        |           unnest(range(1, greatest(len(t) - 16, 1) + 1, 48)) AS s
+        |    FROM neark WHERE len(t) > 0) st
+        |), units AS (
+        |  SELECT source, n_tokens,
+        |         CAST(doc_id AS VARCHAR) || '#0#' || CAST(chunk_id AS VARCHAR) AS unit
+        |  FROM chunks
         |), packs AS (
         |  SELECT source, n_tokens,
         |         ('0x' || substring(md5(unit), 1, 13))::BIGINT % 2 AS shard,
