@@ -737,9 +737,17 @@ object Dedup {
                           maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
     val ckpt = Checkpoints.maker(checkpointDir)
-    val edges = ckpt(
-      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-        .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+    // the union references the pair table TWICE (forward + flipped), so
+    // an expensive candidate generator upstream (an LSH join) would
+    // execute twice inside this one edge job — exchange reuse dedupes
+    // the shuffles, not the join probe. Persist the narrowed pair frame
+    // for the duration of the (eager) checkpoint, then release.
+    val pIn = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges =
+      try ckpt(pIn.union(pIn.select(col("dst").as("src"), col("src").as("dst"))))
+      finally pIn.unpersist(false)
     // labels only ever DECREASE, so an unchanged label sum is an exact
     // fixpoint test. The sum rides the checkpoint job itself as an
     // `observe` metric — ONE job per round, not a materialization plus
