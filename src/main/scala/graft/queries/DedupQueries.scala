@@ -187,14 +187,26 @@ object DedupQueries extends QueryModule {
     // through a Bloom filter instead of an exact broadcast set.
     // Deterministic (fixed-hash sketch, order-independent bit-array
     // merge) but APPROXIMATE — false positives depend on the sketch,
-    // so no SQL oracle exists; the driver records rows-only and the
-    // no-false-negative/FP-budget properties are spec'd (OperatorSpec).
+    // so no SQL oracle exists; the driver records rows-only. The
+    // one-sided-error LAW rides IN each recorded row (the
+    // multimodal_entropy pattern): no_false_neg_ok = the bloom hit
+    // count dominates the exact hit count AND the bloom flag covers
+    // the exact flag — a sketch that ever loses a true hit fails its
+    // own output. The FP-budget property stays spec'd (statistical).
     "decontaminate_bloom" -> ((s, dir) => {
       val hs = Dedup.shingleHashTable(docs(s, dir), "doc_id", "text", 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Dedup.evalOverlapBloom(hs,
-        hs.filter(col("doc_id") % 97 === 0).select(col("h1")),
-        "doc_id", threshold = 0.8, expectedItems = 100000L, fpp = 0.01)
+      val ev = hs.filter(col("doc_id") % 97 === 0).select(col("h1"))
+      val exact = Dedup.evalOverlapFromHashes(hs, ev, "doc_id", 0.8)
+        .select(col("doc_id"), col("n_hit").as("n_hit_exact"),
+          col("contaminated").as("contaminated_exact"))
+      Dedup.evalOverlapBloom(hs, ev,
+          "doc_id", threshold = 0.8, expectedItems = 100000L, fpp = 0.01)
+        .join(exact, Seq("doc_id"))
+        .withColumn("no_false_neg_ok",
+          col("n_hit") >= col("n_hit_exact") &&
+            (!col("contaminated_exact") || col("contaminated")))
+        .drop("contaminated_exact")
     }),
 
     // INCREMENTAL dedup: the corpus slice (doc_id % 3 != 0) is indexed
