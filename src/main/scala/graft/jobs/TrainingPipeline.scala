@@ -139,7 +139,15 @@ object TrainingPipeline {
           normalize: Boolean = false,
           scrubPii: Boolean = false,
           shardsOut: Option[String] = None,
-          outShards: Int = 8): (DataFrame, Report) = {
+          outShards: Int = 8,
+          report: Boolean = true): (DataFrame, Report) = {
+    // report = false is the hot-path mode: skip the per-stage count
+    // jobs (each is a full scheduler barrier over a cached frame) and
+    // return -1 counts — the packed output is identical; the persists
+    // stay, since they serve the multi-consumer frames, not the
+    // dashboard. A daily production run that only lands shards wants
+    // this; a monitored run keeps the default.
+    def tally(df: => DataFrame): Long = if (report) df.count() else -1L
     // 0. optional crawl ingestion: HTML -> line-structured prose, then
     // the C4 line gate — both pure projections riding the first scan
     val raw = {
@@ -201,7 +209,7 @@ object TrainingPipeline {
         raw.withColumn("text", TextOps.normalizeText(col("text"))) else raw
       if (scrubPii) n.withColumn("text", Redact.scrubPii(col("text"))) else n
     }
-    val inputRows = docs.count()
+    val inputRows = tally(docs)
 
     // 1. language + length (+ optional quality) gate (map-only) — the
     // DETECTED language, not the table's label column: the pipeline
@@ -262,7 +270,7 @@ object TrainingPipeline {
       ruleGated.join(keep, Seq("doc_id"), "left_semi")
     }.getOrElse(ruleGated)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val afterFilter = filtered.count()
+    val afterFilter = tally(filtered)
     if (maxRepetition.isDefined) gateInput.unpersist(false)
     if (classifierWeights.isDefined) ruleGated.unpersist(false)
 
@@ -270,7 +278,7 @@ object TrainingPipeline {
     val reps = Dedup.exact(filtered, "doc_id", "text").select(col("keep_id").as("doc_id"))
     val exactKept = filtered.join(reps, Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val afterExact = exactKept.count()
+    val afterExact = tally(exactKept)
 
     // 3. near-dup clusters over the survivors; keep cluster representatives
     val pairs = Dedup.simhashPairs(
@@ -282,7 +290,7 @@ object TrainingPipeline {
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .drop("cluster_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val afterNearDup = nearKept.count()
+    val afterNearDup = tally(nearKept)
 
     // 3b. optional SEMANTIC dedup (SemDeDup): embedding-space near-dup
     // clustering over the survivors — catches paraphrases/translations
@@ -310,7 +318,7 @@ object TrainingPipeline {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case None => nearKept
     }
-    val afterSemantic = semKept.count()
+    val afterSemantic = tally(semKept)
 
     // 4. eval-set decontamination (eval hashes broadcast; the corpus
     // hash table is computed once and feeds both count branches);
@@ -340,7 +348,7 @@ object TrainingPipeline {
           Seq("doc_id"), "left_anti")
       case None => semKept
     }
-    val afterDecontam = clean.count()
+    val afterDecontam = tally(clean)
 
     // 4b. optional DSIR target-affinity selection (operators/Dsir):
     // train the hashed-unigram log-ratio model with the CLEANED corpus
@@ -369,7 +377,7 @@ object TrainingPipeline {
         clean.join(keep, Seq("doc_id"), "left_semi")
       case None => clean
     }
-    val afterDsir = selected.count()
+    val afterDsir = tally(selected)
 
     // 5. dataset shaping. 5a: optional per-source TOKEN budgets (the
     // unit mixtures are really specified in) — hash-prefix sampling
@@ -396,8 +404,9 @@ object TrainingPipeline {
     val weighted =
       if (rates.isEmpty) budgeted.withColumn("n_copies", lit(1L))
       else Sampling.mixtureWeights(budgeted, "source", "doc_id", rates)
-    val mixtureRows =
+    val mixtureRows = if (report)
       weighted.agg(coalesce(sum(col("n_copies")), lit(0L))).head().getLong(0)
+    else -1L
 
     // 6. context-window chunking (map-only; doc_ids are unique in
     // `clean` by construction), carrying (source, n_copies) through to
@@ -406,7 +415,7 @@ object TrainingPipeline {
         weighted, "doc_id", "text", 64, 16, carry = Seq("source", "n_copies"))
       .withColumn("copy_id", explode(sequence(lit(0L), col("n_copies") - 1)))
       .drop("n_copies")
-    val chunks = chunked.count()
+    val chunks = tally(chunked)
 
     // 7. sequence packing per (source, shard) into 256-token packs
     val chunkedU = chunked.withColumn("unit",

@@ -40,7 +40,7 @@ object PipelineQueries extends QueryModule {
         evalDocs = Some(docs(s, dir).filter(col("doc_id") % 97 === 0)
           .select(col("doc_id"), col("text"))),
         rates = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0),
-        normalize = true)
+        normalize = true, report = false)
       packed.select(col("source"), col("shard").cast("long").as("shard"),
         col("pack_id").cast("long").as("pack_id"),
         col("n_docs").cast("long").as("n_units"),
@@ -82,7 +82,7 @@ object PipelineQueries extends QueryModule {
       val (packed, _) = graft.jobs.TrainingPipeline.run(s, dir,
         input = Some(today),
         previousSnapshot = Some(yesterday.select(col("doc_id"), col("text"))),
-        normalize = true)
+        normalize = true, report = false)
       packed.select(col("source"), col("shard").cast("long").as("shard"),
         col("pack_id").cast("long").as("pack_id"),
         col("n_docs").cast("long").as("n_units"),

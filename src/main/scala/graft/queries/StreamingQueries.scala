@@ -135,6 +135,31 @@ object StreamingQueries extends QueryModule {
         .distinct()
     }),
 
+    // ingest-time DECONTAMINATION as a stream: the row-local
+    // contamination gate (Dedup.contamRatio — an O(1)-lookup broadcast
+    // set in the task closure, built for exactly this lane) drops docs
+    // whose 3-gram overlap with the %97 eval suite reaches 0.8, inside
+    // the same cleaning chain. The eval hash collect is the bounded
+    // driver artifact of any decontamination pass (an eval SUITE, not
+    // a corpus). Output = kept content set, arrival-independent; the
+    // batch oracle replays the exact same ratio law the join lane
+    // (`decontaminate`) is verified against.
+    "streaming_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val evalH1 = graft.operators.Dedup.shingleHashTable(
+          graft.Tables(s, dir, "documents")
+            .filter(col("doc_id") % 97 === 0), "doc_id", "text", 3)
+        .select(col("h1")).distinct().as[Long].collect().toSeq
+      val cleaned = StreamingOps.cleanDocStream(docStream(s, dir), "text",
+        lang = "en", minTokens = 5,
+        evalH1 = evalH1, k = 3, contamThreshold = 0.8)
+      runToTable(cleaned, "append")
+        .select(col("digest"),
+          size(graft.operators.Dedup.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+        .distinct()
+    }),
+
     // per-source token-length histogram aggregated WITH STREAMING STATE
     // (transformWithState value-count percentiles); the declared output
     // is the final running-percentile snapshot per source, which the
@@ -346,6 +371,41 @@ object StreamingQueries extends QueryModule {
         |WHERE s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
         |  AND n_tokens >= 5
         |  AND 0.5 * (s_en / n_tokens) + 0.05 * (sum_tok_len / n_tokens) >= 0.1""".stripMargin,
+    // same gate chain minus quality, plus the contamination-ratio law
+    // of the `decontaminate` lane: distinct-3-gram overlap vs the %97
+    // suite, keep ratio < 0.8
+    "streaming_decontaminate" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t)-1), i -> array_to_string(list_slice(t, i, i+2), ' '))
+        |    ELSE [] END) AS sh
+        |  FROM t
+        |), hsh AS (
+        |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h1 FROM sh
+        |), ev AS (
+        |  SELECT DISTINCT h1 FROM hsh WHERE doc_id % 97 = 0
+        |), ratio AS (
+        |  SELECT h.doc_id,
+        |         CAST(COUNT(DISTINCT h.h1) FILTER (WHERE e.h1 IS NOT NULL) AS DOUBLE)
+        |           / COUNT(DISTINCT h.h1) AS r
+        |  FROM hsh h LEFT JOIN ev e USING (h1) GROUP BY h.doc_id
+        |), f AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(t, x -> x IN ('the','a','is','of','and'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ein'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(t, x -> x IN ('le','la','les','des','une'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(t, x -> x IN ('el','los','las','una','y'))) AS BIGINT) AS s_es
+        |  FROM t
+        |)
+        |SELECT DISTINCT md5(f.text) AS digest, n_tokens
+        |FROM f LEFT JOIN ratio USING (doc_id)
+        |WHERE s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+        |  AND n_tokens >= 5
+        |  AND COALESCE(ratio.r, 0.0) < 0.8""".stripMargin,
     // batch replay of the running-percentile state: exact value-count
     // percentiles (smallest value whose cumulative count reaches
     // ceil(n*pct/100)) over the full corpus per source
