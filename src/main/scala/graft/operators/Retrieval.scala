@@ -117,6 +117,41 @@ object Retrieval {
       .select(col("q_id"), col("doc_id"), (col("pos") + 1).as("rnk"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09): combine several
+    * retrieval runs — each a (q_id, doc_id, rnk) frame, rank 1 best —
+    * into one ranking by `score(d) = Σ_runs 1/(c + rnk_run(d))`, a doc
+    * absent from a run contributing 0. The standard hybrid-retrieval
+    * combiner (lexical BM25 + dense ANN) because it needs no score
+    * calibration between runs — only ranks.
+    *
+    * 100 TB shape: each input run is already a bounded top-k (k rows
+    * per query by construction of [[bm25TopK]] / Similarity.*TopK), so
+    * fusion touches (#queries x k x #runs) narrow rows — the full-outer
+    * join chain and the final bounded top-k merge are negligible next
+    * to the runs that produced the inputs. Determinism: 1/(c+rnk) from
+    * integer ranks is one exactly-rounded IEEE division, the two-run
+    * sum is order-insensitive, and ties break doc_id-asc in the
+    * bounded aggregator — so a SQL oracle replays the fusion exactly.
+    */
+  def rrfFuse(runs: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    val contribs = runs.zipWithIndex.map { case (r, i) =>
+      r.select(col("q_id"), col("doc_id"),
+        (lit(1.0) / (lit(c.toDouble) + col("rnk").cast("double"))).as(s"c$i"))
+    }
+    val joined = contribs.reduceLeft(
+      (a, b) => a.join(b, Seq("q_id", "doc_id"), "full_outer"))
+    // fixed left-associated sum: the term order is part of the
+    // determinism contract (bm25TopK queryScore discipline)
+    val score = contribs.indices
+      .map(i => coalesce(col(s"c$i"), lit(0.0))).reduceLeft(_ + _)
+    joined.select(col("q_id"), col("doc_id"), score.as("score"))
+      .groupBy(col("q_id"))
+      .agg(Aggregators.topKByScore(col("score"), col("doc_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "doc_id")))
+      .select(col("q_id"), col("doc_id"), (col("pos") + 1).as("rnk"))
+  }
+
   /** Bounded inverted index: per term, document frequency + the `k`
     * LOWEST doc ids as a comma-joined postings preview. The per-term
     * state is O(k) end to end (TopKByScore with a constant score

@@ -2,8 +2,10 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import org.apache.spark.sql.functions._
+
 import graft.Tables
-import graft.operators.Retrieval
+import graft.operators.{Retrieval, Similarity}
 import graft.operators.Retrieval.Query
 
 /** Lexical retrieval over `documents`: BM25 top-k and the bounded
@@ -31,7 +33,28 @@ object RetrievalQueries extends QueryModule {
 
     "inverted_index" -> ((s, dir) =>
       Retrieval.invertedIndex(Tables(s, dir, "documents"), "doc_id", "text",
-        k = 10))
+        k = 10)),
+
+    // HYBRID retrieval: BM25 top-20 + dense cosine top-20 fused by
+    // reciprocal rank (Retrieval.rrfFuse, c=60) into a final top-10 —
+    // the lexical+embedding combination a RAG curation pipeline runs.
+    // Dense probe vectors are vec_id 0/50/100, remapped onto the BM25
+    // probe ids 1/2/3 (the fixture's doc_id<->vec_id identity). Both
+    // constituent rankings are the already-oracle-green lanes
+    // (bm25_topk rational-idf arithmetic, ann_cosine_topk sequential
+    // dot product), and the fusion adds only exactly-rounded IEEE ops,
+    // so DuckDB replays the fused ranks bit-for-bit.
+    "hybrid_rrf" -> ((s, dir) => {
+      val sparse = Retrieval.bm25TopK(Tables(s, dir, "documents"),
+        "doc_id", "text", probes, k = 20, k1 = 1.5, b = 0.75)
+      val emb = Tables(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id").isin(0L, 50L, 100L)),
+          "vec_id", "embedding", k = 20)
+        .select(((col("q_id") / 50).cast("long") + 1).as("q_id"),
+          col("n_id").as("doc_id"), col("rnk"))
+      Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+    })
   )
 
   // one scored CTE column per probe term; score term order matches the
@@ -43,36 +66,72 @@ object RetrievalQueries extends QueryModule {
 
   private val allTerms = probes.flatMap(_.terms).distinct
 
+  // the BM25 scoring CTE chain through `ranked` (all ranks, no k cut)
+  // — shared by the bm25_topk oracle and the hybrid_rrf sparse run
+  private def bm25RankedCtes: String = {
+    val tfCols = allTerms.map(t =>
+      s"len(list_filter(t, x -> x = '$t')) AS tf_$t").mkString(",\n         ")
+    val dfCols = allTerms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n         ")
+    val qScores = probes.map { q =>
+      val expr = q.terms.map(termScoreSql).mkString("(", " + ", ")")
+      s"SELECT ${q.qId} AS q_id, doc_id, $expr AS score FROM d, stats"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents
+       |), d AS (
+       |  SELECT doc_id, len(t) AS dl,
+       |         $tfCols
+       |  FROM toks
+       |), stats AS (
+       |  SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+       |         $dfCols
+       |  FROM d
+       |), scored AS (
+       |  $qScores
+       |), ranked AS (
+       |  SELECT q_id, doc_id,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rnk
+       |  FROM scored WHERE score > 0
+       |)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
-    "bm25_topk" -> {
-      val tfCols = allTerms.map(t =>
-        s"len(list_filter(t, x -> x = '$t')) AS tf_$t").mkString(",\n         ")
-      val dfCols = allTerms.map(t =>
-        s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n         ")
-      val qScores = probes.map { q =>
-        val expr = q.terms.map(termScoreSql).mkString("(", " + ", ")")
-        s"SELECT ${q.qId} AS q_id, doc_id, $expr AS score FROM d, stats"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
-         |  FROM documents
-         |), d AS (
-         |  SELECT doc_id, len(t) AS dl,
-         |         $tfCols
-         |  FROM toks
-         |), stats AS (
-         |  SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
-         |         $dfCols
-         |  FROM d
-         |), scored AS (
-         |  $qScores
-         |), ranked AS (
+    "bm25_topk" ->
+      s"""WITH $bm25RankedCtes
+         |SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
+
+    "hybrid_rrf" ->
+      s"""WITH $bm25RankedCtes, sparse AS (
+         |  SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, rnk FROM ranked WHERE rnk <= 20
+         |), qv AS (
+         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id IN (0, 50, 100)
+         |), bv AS (
+         |  SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings
+         |), dscored AS (
+         |  SELECT q_id, n_id,
+         |         list_inner_product(v, nv) /
+         |           (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(nv, nv))) AS sim
+         |  FROM bv, qv WHERE q_id <> n_id
+         |), dense0 AS (
+         |  SELECT q_id, n_id AS doc_id,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rnk
+         |  FROM dscored
+         |), dense AS (
+         |  SELECT CAST(q_id // 50 + 1 AS BIGINT) AS q_id, doc_id, rnk FROM dense0 WHERE rnk <= 20
+         |), fused AS (
+         |  SELECT COALESCE(s.q_id, de.q_id) AS q_id,
+         |         COALESCE(s.doc_id, de.doc_id) AS doc_id,
+         |         COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(s.rnk AS DOUBLE)), CAST(0.0 AS DOUBLE))
+         |         + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(de.rnk AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS score
+         |  FROM sparse s FULL OUTER JOIN dense de ON s.q_id = de.q_id AND s.doc_id = de.doc_id
+         |), fr AS (
          |  SELECT q_id, doc_id,
          |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rnk
-         |  FROM scored WHERE score > 0
+         |  FROM fused
          |)
-         |SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, rnk FROM ranked WHERE rnk <= 10""".stripMargin
-    },
+         |SELECT q_id, doc_id, rnk FROM fr WHERE rnk <= 10""".stripMargin,
     "inverted_index" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t

@@ -89,6 +89,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(idx == Map("a" -> 1L, "b" -> 1L))
   }
 
+  test("rrfFuse combines runs by reciprocal rank with absent docs contributing zero") {
+    // run1: A,B,C at ranks 1,2,3; run2: B,D at ranks 1,2 (c = 60)
+    // B = 1/62+1/61 > A = 1/61 > D = 1/62 > C = 1/63
+    val run1 = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3)).toDF("q_id", "doc_id", "rnk")
+    val run2 = Seq((1L, 20L, 1), (1L, 40L, 2)).toDF("q_id", "doc_id", "rnk")
+    val fused = Retrieval.rrfFuse(Seq(run1, run2), k = 10).orderBy("rnk").collect()
+    assert(fused.map(_.getAs[Long]("doc_id")).toSeq == Seq(20L, 10L, 40L, 30L))
+    assert(fused.map(_.getAs[Int]("rnk")).toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("rrfFuse of a single run preserves its ranking; equal scores tie-break doc_id asc") {
+    val run = Seq((1L, 9L, 1), (1L, 4L, 2), (2L, 7L, 1)).toDF("q_id", "doc_id", "rnk")
+    val one = Retrieval.rrfFuse(Seq(run), k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"), r.getAs[Int]("rnk")))
+    assert(one.toSet == Set((1L, 9L, 1), (1L, 4L, 2), (2L, 7L, 1)))
+    // same rank-1 in each run for different docs: identical scores, so
+    // the lower doc_id must win the fused tie
+    val a = Seq((1L, 5L, 1)).toDF("q_id", "doc_id", "rnk")
+    val b = Seq((1L, 3L, 1)).toDF("q_id", "doc_id", "rnk")
+    val tied = Retrieval.rrfFuse(Seq(a, b), k = 2).orderBy("rnk").collect()
+    assert(tied.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L, 5L))
+  }
+
   test("fuzzyDecontaminate finds paraphrase-level matches and skips unrelated docs") {
     val base = "the quick brown fox jumps over the lazy dog near the river bank " +
       "while the morning sun rises slowly above the quiet green valley and birds " +
