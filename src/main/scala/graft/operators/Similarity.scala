@@ -116,6 +116,37 @@ object Similarity {
         (r.getLong(0), v.map(_ / n))
       }.sortBy(_._1)
 
+  /** IVF codebook trained with the INTEGER k-means lane ([[Kmeans.fit]])
+    * instead of the float spherical [[trainCodebook]]: vectors are
+    * L2-normalized first (plain L2 Lloyd on the unit sphere ranks like
+    * cosine — |a-b|² = 2-2·cos on unit vectors), quantized to
+    * fixed-point longs, clustered in exact integer arithmetic, and the
+    * fitted centroids come back as unit-norm doubles computed from
+    * exact-integer norms (components ≤ scale, so every square and the
+    * 64-dim sum stay below 2⁵³ — the norm's input is exact and the
+    * sqrt + per-element division are single correctly-rounded IEEE
+    * ops). Every step is therefore bit-reproducible across
+    * partitionings AND engines, which is what lets an IVF lane carry a
+    * full SQL oracle — [[trainCodebook]]'s float centroid sums are
+    * reduction-order-dependent, so a lane built on it can only be
+    * rows-checked. Zero vectors are the caller's contract to exclude
+    * (normalization is undefined on them). Returned cell ids are the
+    * codebook indices 0..nCells-1, [[assignCells]]/[[probeIvf]]
+    * compatible.
+    */
+  def kmeansCodebook(base: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int, iters: Int = 2,
+                     scale: Long = Kmeans.DefaultScale): Seq[(Long, Array[Double])] = {
+    val n = l2norm(col(vecCol))
+    val unit = base.select(col(idCol).as("kc_id"),
+      transform(col(vecCol).cast("array<double>"), x => x / n).as("kc_nv"))
+    Kmeans.fit(unit, "kc_id", "kc_nv", nCells, iters, scale)
+      .zipWithIndex.map { case (c, i) =>
+        val norm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+        (i.toLong, if (norm > 0) c.map(_ / norm) else c.map(_.toDouble))
+      }
+  }
+
   /** A few Lloyd iterations over the seed codebook — each iteration is
     * one shuffle-free assignment pass + one partial-aggregated vector
     * sum per cell (map-side combine; only nCells·dim doubles cross the

@@ -22,22 +22,28 @@ object SimilarityQueries extends QueryModule {
       val queries = base.filter(col("vec_id") % 50 === 0)
       Similarity.bruteForceTopK(base, queries, "vec_id", "embedding", k = 5)
     }),
-    // IVF path: deterministic but approximate — rows-only driver check.
-    // Each emitted neighbor carries `hit` = 1 iff the pair is also in
-    // the brute-force top-k, so the recall-vs-ground-truth invariant is
-    // VISIBLE in the row output (avg(hit) >= 0.9 is asserted in
-    // OperatorSpec on this exact query). The brute-force pass exists
-    // only for this instrumentation — a production caller runs ivfTopK
-    // alone (the sublinear path); the embeddings fixture is small
-    // enough that the check costs about one ann_cosine_topk.
+    // IVF path, oracle-checked END TO END since the codebook moved to
+    // the integer k-means trainer (Similarity.kmeansCodebook): seed
+    // selection, the two Lloyd rounds, centroid normalization, the
+    // rep=4 cell assignment, probe-cell ranking and the final cosine
+    // top-k are all bit-reproducible in SQL, so DuckDB replays the
+    // whole approximate index — approximate does not mean unreplayable.
+    // Each emitted neighbor still carries `hit` = 1 iff the pair is
+    // also in the brute-force top-k, keeping the recall-vs-ground-truth
+    // invariant VISIBLE in the row output (avg(hit) >= 0.9 asserted in
+    // OperatorSpec on this exact query); the brute-force pass exists
+    // only for this instrumentation — a production caller runs the
+    // index path alone.
     "ann_ivf_topk" -> ((s, dir) => {
       val base = emb(s, dir)
       val queries = base.filter(col("vec_id") % 50 === 0)
-      // nCells/nProbe auto-sized from the base row count (sqrt
-      // scaling); rep=4 replicated cell assignments is the config the
-      // recall bound is declared for
-      val ivf = Similarity.ivfTopK(base, queries, "vec_id", "embedding", k = 5,
-        rep = 4)
+      val cb = Similarity.kmeansCodebook(base, "vec_id", "embedding",
+        nCells = 16, iters = 2)
+      val assigned = Similarity.assignCells(
+        base.select(col("vec_id").cast("long").as("n_id"),
+          col("embedding").as("nv")), "n_id", "nv", cb, rep = 4)
+      val ivf = Similarity.probeIvf(cb, assigned, queries,
+        "vec_id", "embedding", k = 5, nProbe = 4)
       val bf = Similarity.bruteForceTopK(base, queries, "vec_id", "embedding", k = 5)
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
       ivf.join(bf, Seq("q_id", "n_id"), "left")
@@ -259,7 +265,93 @@ object SimilarityQueries extends QueryModule {
       |  FROM d3 GROUP BY vec_id
       |)""".stripMargin
 
+  // One integer-Lloyd round over the normalized-quantized table `kq`
+  // (the kmeansCte pattern at nCells=16): distances from `cPrev`,
+  // argmin assignment, exact integer sums, truncating mean, empty
+  // cells keep the previous centroid.
+  private def ivfLloydRound(n: Int, cPrev: String): String =
+    s"""d$n AS (
+       |  SELECT kq.vec_id, c.j,
+       |         CAST(list_sum(list_transform(range(1, len(kq.q)+1), i -> (kq.q[i]-c.v[i])*(kq.q[i]-c.v[i]))) AS BIGINT) AS dist
+       |  FROM kq, $cPrev c
+       |), a$n AS (
+       |  SELECT vec_id, (array_agg(j ORDER BY dist, j))[1] AS cl FROM d$n GROUP BY vec_id
+       |), u$n AS (
+       |  SELECT a.cl AS j, t.i, CAST(SUM(kq.q[t.i]) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM kq JOIN a$n a USING (vec_id), UNNEST(range(1, len(kq.q)+1)) AS t(i)
+       |  GROUP BY a.cl, t.i
+       |), c$n AS (
+       |  SELECT $cPrev.j, COALESCE(u.v, $cPrev.v) AS v
+       |  FROM $cPrev LEFT JOIN (
+       |    SELECT j, list(s // n ORDER BY i) AS v FROM u$n GROUP BY j
+       |  ) u USING (j)
+       |)""".stripMargin
+
+  // Full replay of the ann_ivf_topk index path (kmeansCodebook nCells=16
+  // iters=2, rep=4 assignment, nProbe=4, cosine top-5): L2-normalize,
+  // quantize at 1e6, md5-seeded init in id order, two integer Lloyd
+  // rounds, exact-integer-norm unit centroids, dot-ranked cell choice
+  // (score desc, cell asc — the insertion-sort tie rule), DISTINCT
+  // candidates (the aggregator's per-id dedup), exact cosine rerank.
+  private val ivfCte: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), un AS (
+       |  SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv FROM e
+       |), kq AS (
+       |  SELECT vec_id, list_transform(nv, x -> CAST(round(x*1000000) AS BIGINT)) AS q FROM un
+       |), seed AS (
+       |  SELECT vec_id, q FROM kq ORDER BY md5(CAST(vec_id AS VARCHAR) || ':km') LIMIT 16
+       |), c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, q AS v FROM seed
+       |), ${ivfLloydRound(1, "c0")}, ${ivfLloydRound(2, "c1")}, cbv AS (
+       |  SELECT j, list_transform(v, x -> CAST(x AS DOUBLE) /
+       |           sqrt(list_sum(list_transform(v, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS cv
+       |  FROM c2
+       |), bs AS (
+       |  SELECT e.vec_id AS n_id, cb.j AS cell, list_inner_product(e.v, cb.cv) AS s FROM e, cbv cb
+       |), asg AS (
+       |  SELECT n_id, cell FROM (
+       |    SELECT n_id, cell, row_number() OVER (PARTITION BY n_id ORDER BY s DESC, cell ASC) AS rk FROM bs)
+       |  WHERE rk <= 4
+       |), qs AS (
+       |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0
+       |), ps AS (
+       |  SELECT q.q_id, cb.j AS cell, list_inner_product(q.qv, cb.cv) AS s FROM qs q, cbv cb
+       |), pr AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q_id, cell, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, cell ASC) AS rk FROM ps)
+       |  WHERE rk <= 4
+       |), cand AS (
+       |  SELECT DISTINCT p.q_id, a.n_id FROM pr p JOIN asg a USING (cell) WHERE a.n_id <> p.q_id
+       |), sc AS (
+       |  SELECT c.q_id, c.n_id,
+       |         list_inner_product(eq.v, en.v) /
+       |           (sqrt(list_inner_product(eq.v, eq.v)) * sqrt(list_inner_product(en.v, en.v))) AS sim
+       |  FROM cand c JOIN e eq ON eq.vec_id = c.q_id JOIN e en ON en.vec_id = c.n_id
+       |), ivf AS (
+       |  SELECT q_id, n_id,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rnk
+       |  FROM sc
+       |), bf0 AS (
+       |  SELECT q.q_id, b.vec_id AS n_id,
+       |         list_inner_product(q.qv, b.v) /
+       |           (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(b.v, b.v))) AS sim
+       |  FROM e b, qs q WHERE q.q_id <> b.vec_id
+       |), bf AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk FROM bf0)
+       |  WHERE rk <= 5
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "ann_ivf_topk" ->
+      s"""WITH $ivfCte
+         |SELECT i.q_id, i.n_id, i.rnk,
+         |       CASE WHEN b.n_id IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS hit
+         |FROM ivf i LEFT JOIN bf b ON i.q_id = b.q_id AND i.n_id = b.n_id
+         |WHERE i.rnk <= 5""".stripMargin,
+
     "ann_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0

@@ -20,13 +20,15 @@ class OperatorSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"stale oracle keys (typo'd key silently " +
       s"downgrades its query to rows-only): ${o.diff(q)}")
-    // the intentional no-oracle rows — terasort self-validates, IVF is
-    // approximate by definition, the Bloom gate's false-positive set is
-    // sketch-dependent (properties spec'd instead), BPE's merge loop
-    // has no SQL replay (trainer parity is spec'd), DuckDB exposes no
-    // zlib for comp_ratio, HLL estimates are implementation-specific
-    // (merge/error properties spec'd) — and ONLY those
-    assert(q.diff(o) == Set("terasort", "ann_ivf_topk", "decontaminate_bloom",
+    // the intentional no-oracle rows — terasort self-validates, the
+    // Bloom gate's false-positive set is sketch-dependent (properties
+    // spec'd instead), BPE's merge loop has no SQL replay (trainer
+    // parity is spec'd), DuckDB exposes no zlib for comp_ratio, HLL
+    // estimates are implementation-specific (merge/error properties
+    // spec'd) — and ONLY those. ann_ivf_topk left this set when its
+    // codebook moved to the integer k-means trainer: approximate, but
+    // bit-replayable.
+    assert(q.diff(o) == Set("terasort", "decontaminate_bloom",
       "bpe_tokenize", "comp_ratio", "uniq_hll", "multimodal_entropy"),
       s"rows-only query set drifted: ${q.diff(o)}")
     // no duplicate keys across modules (flatMap(...).toMap is
@@ -1063,6 +1065,23 @@ class OperatorSpec extends AnyFunSuite {
     val recall = bf.intersect(ivf).size.toDouble / bf.size
     assert(recall >= 0.9, s"IVF recall $recall too low at nProbe=4: " +
       s"missed ${bf.diff(ivf)}")
+  }
+
+  test("Similarity.kmeansCodebook: unit-norm centroids, stable across partitionings") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cb = Similarity.kmeansCodebook(emb, "vec_id", "embedding", nCells = 16, iters = 2)
+    assert(cb.size == 16 && cb.map(_._1) == (0L until 16L))
+    cb.foreach { case (_, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-12, s"centroid norm $n not unit")
+    }
+    // the bit-reproducibility the oracle depends on: a different
+    // partitioning must yield the IDENTICAL doubles (integer sums are
+    // order-free; float VecSum training would fail this)
+    val cb2 = Similarity.kmeansCodebook(emb.repartition(7), "vec_id", "embedding",
+      nCells = 16, iters = 2)
+    assert(cb.map(_._2.toSeq) == cb2.map(_._2.toSeq),
+      "centroids drifted across partitionings")
   }
 
   test("Similarity: a persisted IVF index probes to the one-shot ivfTopK result") {
