@@ -336,6 +336,80 @@ object Similarity {
     topKRank(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the `k` most-cosine-similar candidates carrying a DIFFERENT label
+    * — the near-miss wrong-class examples a contrastive or reranker
+    * trainer wants as negatives (easy random negatives teach nothing).
+    * Same plan as [[bruteForceTopK]] with the label guard fused into
+    * the broadcast join condition: the base streams once, no shuffle
+    * but the bounded top-k merge. At 100 TB swap the base scan for the
+    * IVF candidate set ([[probeIvf]]) — the scoring tail is identical.
+    */
+  def hardNegatives(base: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).as("qv"), col(labelCol).as("q_lab"))
+    val b = base.select(col(idCol).cast("long").as("n_id"),
+      col(vecCol).as("nv"), col(labelCol).as("n_lab"))
+    val scored = b.join(broadcast(q),
+        col("q_id") =!= col("n_id") && col("q_lab") =!= col("n_lab"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    topKRank(scored, k)
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    * criterion behind the big mined parallel corpora): for each source
+    * vector, the best target by
+    * `margin(x,y) = cos(x,y) / (avgNNk(x) / 2k + avgNNk(y) / 2k)`
+    * — raw cosine normalized by both sides' neighborhood density, so a
+    * hub vector that is "close to everything" doesn't win every
+    * alignment — kept when the margin clears `threshold` (>= ~1.05
+    * means the pair stands out from both neighborhoods). Output:
+    * (src_id, tgt_id), one best target per accepted source.
+    *
+    * Determinism (what lets a SQL oracle replay it): the k
+    * neighborhood sims enter the average in RANK order through a fixed
+    * left-associated sum (pivot-by-rank, not a float aggregation), and
+    * every rank tie breaks id-asc in the bounded aggregator. The
+    * declared lane scores all src x tgt pairs (the fixture is small);
+    * at 100 TB feed the pair list from the IVF candidates
+    * ([[probeIvf]] both directions) — the margin tail is identical.
+    */
+  def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
+                 k: Int = 4, threshold: Double = 1.05): DataFrame = {
+    val a = src.select(col(idCol).cast("long").as("src_id"), col(vecCol).as("av"))
+    val b = tgt.select(col(idCol).cast("long").as("tgt_id"), col(vecCol).as("bv"))
+    // persisted: the sim table feeds both neighborhood averages, the
+    // margin join and the best-pair rejoin (four consumers)
+    val sims = a.crossJoin(broadcast(b))
+      .withColumn("sim", cosine(col("av"), col("bv")))
+      .select("src_id", "tgt_id", "sim")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // avg of the k best sims for each `keyCol`, summed in rank order
+    // (rank i rides the posexplode position; ties are id-asc in the
+    // aggregator, so the pivot is single-valued per position)
+    def nnAvg(keyCol: String, otherCol: String, as: String): DataFrame = {
+      val terms = (0 until k).map(i => max(when(col("pos") === i, col("sim"))))
+      sims.groupBy(col(keyCol))
+        .agg(graft.functions.Aggregators.topKByScore(col("sim"), col(otherCol), k).as("top"))
+        .select(col(keyCol), posexplode(col("top")).as(Seq("pos", otherCol)))
+        .join(sims, Seq(keyCol, otherCol))
+        .groupBy(col(keyCol))
+        .agg((terms.reduceLeft(_ + _) / lit(2.0 * k)).as(as))
+    }
+    val m = sims
+      .join(nnAvg("src_id", "tgt_id", "ax"), "src_id")
+      .join(nnAvg("tgt_id", "src_id", "ay"), "tgt_id")
+      .withColumn("margin", col("sim") / (col("ax") + col("ay")))
+      .filter(col("margin").isNotNull)
+    m.groupBy(col("src_id"))
+      .agg(graft.functions.Aggregators.topKByScore(col("margin"), col("tgt_id"), 1).as("top"))
+      .select(col("src_id"), explode(col("top")).as("tgt_id"))
+      .join(m.select("src_id", "tgt_id", "margin"), Seq("src_id", "tgt_id"))
+      .filter(col("margin") >= threshold)
+      .select("src_id", "tgt_id")
+  }
+
   /** Near-dup pairs with IVF-cell blocking: only same-cell pairs are
     * compared — the scale path for [[cosinePairs]]' all-pairs join
     * (O(n²) -> O(Σ cell²)). Near-identical vectors share a nearest cell

@@ -49,6 +49,32 @@ object SimilarityQueries extends QueryModule {
       ivf.join(bf, Seq("q_id", "n_id"), "left")
         .withColumn("hit", coalesce(col("hit"), lit(0L)))
     }),
+    // Hard-negative mining (contrastive-training data): per query
+    // vector, the 5 most-similar WRONG-label vectors — the near-miss
+    // negatives a contrastive/reranker trainer pairs with each anchor.
+    // Same broadcast-scan + bounded-top-k plan as ann_cosine_topk with
+    // the label guard fused into the join condition.
+    "hard_negatives" -> ((s, dir) => {
+      val base = emb(s, dir)
+      Similarity.hardNegatives(base, base.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", "label", k = 5)
+    }),
+
+    // Bitext mining (multilingual parallel-data curation): the
+    // even-vec_id half plays "source language", the odd half "target";
+    // each source aligns to its best target by the Artetxe-Schwenk
+    // margin (cosine normalized by both neighborhoods' top-4 averages,
+    // accept at >= 1.05). The margin arithmetic is a fixed IEEE
+    // expression tree over rank-ordered sims, so DuckDB replays the
+    // mined pairs bit-for-bit.
+    "bitext_mine" -> ((s, dir) => {
+      val base = emb(s, dir)
+      Similarity.bitextMine(
+        base.filter(col("vec_id") % 2 === 0),
+        base.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, threshold = 1.05)
+    }),
+
     // Embedding-cosine near-dup (scale extension): the fixture has no
     // planted vector dups, so the demo is top-20 most-similar pairs
     // over a deterministic subset; thresholded pairs via
@@ -351,6 +377,62 @@ object SimilarityQueries extends QueryModule {
          |       CASE WHEN b.n_id IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS hit
          |FROM ivf i LEFT JOIN bf b ON i.q_id = b.q_id AND i.n_id = b.n_id
          |WHERE i.rnk <= 5""".stripMargin,
+
+    "bitext_mine" ->
+      """WITH s AS (
+        |  SELECT vec_id AS src_id, embedding::DOUBLE[] AS av FROM embeddings WHERE vec_id % 2 = 0
+        |), t AS (
+        |  SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 2 = 1
+        |), sims AS (
+        |  SELECT src_id, tgt_id,
+        |         list_inner_product(av, bv) /
+        |           (sqrt(list_inner_product(av, av)) * sqrt(list_inner_product(bv, bv))) AS sim
+        |  FROM s, t
+        |), nns AS (
+        |  SELECT src_id, tgt_id, sim,
+        |         row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id ASC) AS rnk
+        |  FROM sims
+        |), ax AS (
+        |  SELECT src_id,
+        |         (MAX(CASE WHEN rnk=1 THEN sim END) + MAX(CASE WHEN rnk=2 THEN sim END)
+        |          + MAX(CASE WHEN rnk=3 THEN sim END) + MAX(CASE WHEN rnk=4 THEN sim END)) / 8.0 AS ax
+        |  FROM nns WHERE rnk <= 4 GROUP BY src_id
+        |), nnt AS (
+        |  SELECT src_id, tgt_id, sim,
+        |         row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id ASC) AS rnk
+        |  FROM sims
+        |), ay AS (
+        |  SELECT tgt_id,
+        |         (MAX(CASE WHEN rnk=1 THEN sim END) + MAX(CASE WHEN rnk=2 THEN sim END)
+        |          + MAX(CASE WHEN rnk=3 THEN sim END) + MAX(CASE WHEN rnk=4 THEN sim END)) / 8.0 AS ay
+        |  FROM nnt WHERE rnk <= 4 GROUP BY tgt_id
+        |), m AS (
+        |  SELECT si.src_id, si.tgt_id, si.sim / (ax.ax + ay.ay) AS margin
+        |  FROM sims si JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+        |), best AS (
+        |  SELECT src_id, tgt_id, margin,
+        |         row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS rnk
+        |  FROM m
+        |)
+        |SELECT src_id, tgt_id FROM best WHERE rnk = 1 AND margin >= 1.05""".stripMargin,
+
+    "hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label AS q_lab
+        |  FROM embeddings WHERE vec_id % 50 = 0
+        |), b AS (
+        |  SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv, label AS n_lab FROM embeddings
+        |), scored AS (
+        |  SELECT q_id, n_id,
+        |         list_inner_product(qv, nv) /
+        |           (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+        |  FROM b, q WHERE q_id <> n_id AND q_lab <> n_lab
+        |), ranked AS (
+        |  SELECT q_id, n_id,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rnk
+        |  FROM scored
+        |)
+        |SELECT q_id, n_id, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (

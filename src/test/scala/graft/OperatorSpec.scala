@@ -1067,6 +1067,48 @@ class OperatorSpec extends AnyFunSuite {
       s"missed ${bf.diff(ivf)}")
   }
 
+  test("Similarity.hardNegatives excludes self and same-label candidates") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val hn = Similarity.hardNegatives(emb, q, "vec_id", "embedding", "label", k = 5)
+    val labels = emb.select(col("vec_id").cast("long"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val rows = hn.select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, nid, _) =>
+      assert(qid != nid, s"self pair $qid")
+      assert(labels(qid) != labels(nid), s"same-label negative ($qid, $nid)")
+    }
+    // every query with >= 5 other-label candidates gets exactly 5
+    val perQ = rows.groupBy(_._1).view.mapValues(_.length)
+    perQ.foreach { case (qid, n) => assert(n == 5, s"query $qid got $n negatives") }
+  }
+
+  test("Similarity.bitextMine aligns a planted translation and drops ambiguous sources") {
+    // four sources are exact copies of distinct targets — true
+    // "translations" the margin surfaces at 1/(1/8 + 1.5/8) = 3.2; the
+    // fifth is a hub equidistant from every target, whose margin
+    // .5/(.25 + .1875) ≈ 1.14 stays under the bar and is dropped
+    val src = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f)),
+      (6L, Array(0f, 0f, 0f, 1f)),
+      (8L, Array(0.5f, 0.5f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (101L, Array(1f, 0f, 0f, 0f)),
+      (103L, Array(0f, 1f, 0f, 0f)),
+      (105L, Array(0f, 0f, 1f, 0f)),
+      (107L, Array(0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val mined = Similarity.bitextMine(src, tgt, "vec_id", "embedding",
+        k = 4, threshold = 1.3)
+      .as[(Long, Long)].collect().toSet
+    assert(mined == Set((0L, 101L), (2L, 103L), (4L, 105L), (6L, 107L)),
+      s"mined $mined")
+  }
+
   test("Similarity.kmeansCodebook: unit-norm centroids, stable across partitionings") {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val cb = Similarity.kmeansCodebook(emb, "vec_id", "embedding", nCells = 16, iters = 2)
