@@ -273,6 +273,25 @@ object Bench {
       }
     }
 
+    // training pipeline: the default chain (normalize → gate → exact
+    // dedup → simhash near-dup → chunk → pack) through run() itself —
+    // the suite's heaviest composition. Replicas keep IDENTICAL text
+    // (ids shifted), so exact dedup collapses them and the pair stages
+    // never see dup-density; the probe therefore measures what actually
+    // grows with a 3× crawl: the map-only ingestion gates, tokenize +
+    // langID, and the 16-byte digest shuffle. Downstream stages are
+    // dedup-bounded by design.
+    val pipelineScale = scaleProbe("pipeline", () => {
+      val (d1, d3) = docsPair()
+      val src = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumnRenamed("lang", "source")
+      (src(d1), src(d3))
+    }) { df =>
+      val (packed, _) = jobs.TrainingPipeline.run(spark, sfDir,
+        input = Some(df), normalize = true, report = false)
+      noop(packed)
+    }
+
     // reference benchmark harnesses (MRBench.java:173-233 avg latency;
     // TestDFSIO.java:88-103 sequential MB/s), sized small enough to not
     // dominate the round but large enough to exceed fixed overhead
@@ -341,7 +360,8 @@ object Bench {
       scaleEntry("dsir_scale", dsirScale) +
       scaleEntry("paragraph_scale", paragraphScale) +
       scaleEntry("semantic_scale", semanticScale) +
-      scaleEntry("streaming_funnel_scale", funnelScale)
+      scaleEntry("streaming_funnel_scale", funnelScale) +
+      scaleEntry("pipeline_scale", pipelineScale)
     val harnessJson =
       s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)},"nnbench_create_ops_sec":${fmt(nnOps, 1)},"filebench_seq_read_mbps":${fmt(fbSeqRead, 1)},"slive_ops_sec":${fmt(sliveOps, 1)},"bigmap_shuffle_mbps":${fmt(bmoMbps, 1)},"threadedmap_sort_mbps":${fmt(tmbMbps, 1)}}"""
     val head =
