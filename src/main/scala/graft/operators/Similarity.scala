@@ -357,6 +357,35 @@ object Similarity {
     topKRank(scored, k)
   }
 
+  /** k-NN label vote: each query vector takes the majority label of its
+    * `k` cosine-nearest base vectors (ties: higher count wins, then the
+    * SMALLER label — the bounded aggregator's id-asc rule). The
+    * weak-supervision primitive: pseudo-label unlabeled data from a
+    * labeled seed set, or — run over held-out labeled vectors, as the
+    * declared query does — measure embedding quality as k-NN agreement
+    * (`correct` rides every row). Plan: the [[bruteForceTopK]]
+    * broadcast scan + bounded top-k, one narrow label join, one
+    * bounded vote aggregation; swap the scan for [[probeIvf]]
+    * candidates at index scale.
+    */
+  def knnClassify(base: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val labels = base.select(col(idCol).cast("long").as("n_id"),
+      col(labelCol).cast("long").as("n_lab"))
+    val votes = bruteForceTopK(base, queries, idCol, vecCol, k)
+      .join(labels, "n_id")
+      .groupBy(col("q_id"), col("n_lab")).agg(count(lit(1)).as("cnt"))
+    val pred = votes.groupBy(col("q_id"))
+      .agg(graft.functions.Aggregators.topKByScore(
+        col("cnt").cast("double"), col("n_lab"), 1).as("top"))
+      .select(col("q_id"), explode(col("top")).as("pred_label"))
+    pred.join(queries.select(col(idCol).cast("long").as("q_id"),
+        col(labelCol).cast("long").as("label")), "q_id")
+      .withColumn("correct",
+        when(col("pred_label") === col("label"), 1L).otherwise(0L))
+      .select("q_id", "pred_label", "label", "correct")
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
     * criterion behind the big mined parallel corpora): for each source
     * vector, the best target by

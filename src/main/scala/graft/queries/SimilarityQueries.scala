@@ -60,6 +60,18 @@ object SimilarityQueries extends QueryModule {
         "vec_id", "embedding", "label", k = 5)
     }),
 
+    // k-NN label vote (weak supervision / embedding-quality eval):
+    // every 5th vector is "held out" and takes the majority label of
+    // its 5 cosine-nearest neighbors; `correct` rides each row, so the
+    // k-NN agreement rate — the standard embedding-quality probe — is
+    // one avg away, and the whole vote replays in SQL (integer counts,
+    // count-desc/label-asc tie rule).
+    "knn_classify" -> ((s, dir) => {
+      val base = emb(s, dir)
+      Similarity.knnClassify(base, base.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", "label", k = 5)
+    }),
+
     // Bitext mining (multilingual parallel-data curation): the
     // even-vec_id half plays "source language", the odd half "target";
     // each source aligns to its best target by the Artetxe-Schwenk
@@ -377,6 +389,36 @@ object SimilarityQueries extends QueryModule {
          |       CASE WHEN b.n_id IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS hit
          |FROM ivf i LEFT JOIN bf b ON i.q_id = b.q_id AND i.n_id = b.n_id
          |WHERE i.rnk <= 5""".stripMargin,
+
+    "knn_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label FROM embeddings WHERE vec_id % 5 = 0
+        |), b AS (
+        |  SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv, label AS n_lab FROM embeddings
+        |), scored AS (
+        |  SELECT q_id, n_id, n_lab,
+        |         list_inner_product(qv, nv) /
+        |           (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+        |  FROM b, q WHERE q_id <> n_id
+        |), nn AS (
+        |  SELECT q_id, n_lab FROM (
+        |    SELECT q_id, n_lab,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rnk
+        |    FROM scored)
+        |  WHERE rnk <= 5
+        |), votes AS (
+        |  SELECT q_id, n_lab, COUNT(*) AS cnt FROM nn GROUP BY q_id, n_lab
+        |), pred AS (
+        |  SELECT q_id, n_lab AS pred_label FROM (
+        |    SELECT q_id, n_lab,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY cnt DESC, n_lab ASC) AS rk
+        |    FROM votes)
+        |  WHERE rk = 1
+        |)
+        |SELECT p.q_id, CAST(p.pred_label AS BIGINT) AS pred_label,
+        |       CAST(q.label AS BIGINT) AS label,
+        |       CASE WHEN p.pred_label = q.label THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS correct
+        |FROM pred p JOIN q ON q.q_id = p.q_id""".stripMargin,
 
     "bitext_mine" ->
       """WITH s AS (

@@ -1084,6 +1084,29 @@ class OperatorSpec extends AnyFunSuite {
     perQ.foreach { case (qid, n) => assert(n == 5, s"query $qid got $n negatives") }
   }
 
+  test("Similarity.knnClassify votes the majority label; 2-2 ties take the smaller label") {
+    // base = 5 vectors, so every query sees exactly these as neighbors:
+    // two label-0 near e1, two label-1 near e2, one label-7 off-axis
+    val base = Seq(
+      (10L, Array(1f, 0f, 0f), 0),
+      (11L, Array(0.9f, 0.1f, 0f), 0),
+      (12L, Array(0f, 1f, 0f), 1),
+      (13L, Array(0.1f, 0.9f, 0f), 1),
+      (14L, Array(0f, 0f, 1f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    // q20 sits in cluster 0 -> majority 0; q21 is equidistant from both
+    // clusters -> 2-2-1 vote, smaller label (0) wins the tie
+    val q = Seq(
+      (20L, Array(1f, 0.05f, 0f), 0),
+      (21L, Array(1f, 1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(base, q, "vec_id", "embedding", "label", k = 5)
+      .select("q_id", "pred_label", "correct").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(20L) == ((0L, 1L)), s"cluster-0 query: ${out(20L)}")
+    assert(out(21L) == ((0L, 0L)), s"tie query should take label 0: ${out(21L)}")
+  }
+
   test("Similarity.bitextMine aligns a planted translation and drops ambiguous sources") {
     // four sources are exact copies of distinct targets — true
     // "translations" the margin surfaces at 1/(1/8 + 1.5/8) = 3.2; the
