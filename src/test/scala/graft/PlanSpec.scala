@@ -120,6 +120,30 @@ class PlanSpec extends AnyFunSuite {
       s"all-pairs join in semDedup plan:\n$p")
   }
 
+  test("ANN-family lanes broadcast the query side: base scans stream, never shuffle-join") {
+    // hard_negatives / knn_classify / hybrid_rrf's dense run all ride
+    // bruteForceTopK: the (small) query set must broadcast onto the
+    // base scan — a SortMergeJoin here would shuffle the full base
+    // table per query batch, the wrong slope at 100 TB
+    Seq("hard_negatives", "knn_classify", "hybrid_rrf").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastExchange"), s"$name: query side not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin(") || name == "hybrid_rrf",
+        s"$name: base shuffled into a sort-merge join:\n$p")
+    }
+  }
+
+  test("bitext_mine: every neighborhood stat reuses the one persisted sim table") {
+    val df = SparkEntry.queries("bitext_mine")(spark, dir)
+    df.foreach(_ => ())
+    val p = df.queryExecution.executedPlan.toString
+    // the src x tgt scoring is a broadcast nested-loop by construction
+    // (scored once, persisted, four consumers) — never a CartesianProduct,
+    // and the persisted sim table shows as InMemoryTableScan reuse
+    assert(!p.contains("CartesianProduct"), s"cartesian sims:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"sim table not persisted/reused:\n$p")
+  }
+
   test("wordcount pre-aggregates before the shuffle") {
     val p = plan("wordcount")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
