@@ -107,4 +107,24 @@ object Classify {
       .drop("score_dec")
       .select(col(id), col("n_terms"), col("score"), col("pred"))
   }
+
+  /** Held-out evaluation: collapse a labeled+scored frame to ONE row of
+    * confusion counts plus precision/recall/F1/accuracy in exact
+    * parts-per-million. `y` and `pred` are 0/1 longs. Integer DIV of
+    * non-negative longs throughout — no float ever enters the row, so a
+    * SQL oracle replays it bit-for-bit; undefined ratios (an empty
+    * predicted- or true-positive class) surface as NULL rather than a
+    * fake 0, the convention every eval harness expects.
+    */
+  def evaluate(labeled: DataFrame, y: Column, pred: Column): DataFrame =
+    labeled.agg(
+        sum(when(y === 1 && pred === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(y === 0 && pred === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(y === 1 && pred === 0, 1L).otherwise(0L)).as("fn"),
+        sum(when(y === 0 && pred === 0, 1L).otherwise(0L)).as("tn"))
+      .selectExpr("tp", "fp", "fn", "tn",
+        "CASE WHEN tp+fp = 0 THEN NULL ELSE (tp*1000000) DIV (tp+fp) END AS precision_ppm",
+        "CASE WHEN tp+fn = 0 THEN NULL ELSE (tp*1000000) DIV (tp+fn) END AS recall_ppm",
+        "CASE WHEN 2*tp+fp+fn = 0 THEN NULL ELSE (2*tp*1000000) DIV (2*tp+fp+fn) END AS f1_ppm",
+        "((tp+tn)*1000000) DIV (tp+fp+fn+tn) AS accuracy_ppm")
 }

@@ -763,4 +763,31 @@ object Similarity {
       topKRank(scored, k)
     }
   }
+
+  /** Per-dimension distribution stats over 1e-6-quantized embedding
+    * components — the drift/collapse monitor an embedding pipeline runs
+    * at corpus scale (a dimension whose spread collapses to a point or
+    * whose mean drifts flags a broken encoder shard before it poisons
+    * dedup/ANN downstream). posexplode is row-local; ONE map-side-
+    * combined aggregation shuffles dim-many (dim, partials) rows total.
+    * Every emitted quantity is an exact integer (BIGINT sums,
+    * decimal(38,0) for the squares — components quantize to ≤ ~1e6·|x|,
+    * so squares stay ≤ 1e12·x² and even 10¹² rows fit 38 digits), hence
+    * order-independent and bit-replayable by a SQL oracle; sum_sq rides
+    * as a string, the representation-stable carrier for decimal(38,0).
+    */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame = {
+    val q = df.select(
+      posexplode(transform(col(vecCol),
+        x => round(x.cast("double") * 1000000).cast("long")))
+        .as(Seq("dim", "q")))
+    val dec = col("q").cast("decimal(38,0)")
+    q.groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sum_q"),
+        min(col("q")).as("min_q"),
+        max(col("q")).as("max_q"),
+        sum(when(col("q") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sum(dec * dec).cast("decimal(38,0)").cast("string").as("sum_sq"))
+  }
 }

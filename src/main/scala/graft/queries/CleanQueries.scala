@@ -273,6 +273,28 @@ object CleanQueries extends QueryModule {
       Classify.scoreDocs(d, "doc_id", "text", w)
     }),
 
+    // Held-out evaluation of the quality classifier — the step every
+    // curation pipeline runs before trusting a filter at corpus scale:
+    // train on the even-doc_id half, score the odd half, compare
+    // predictions to the true labels. Emits the confusion matrix plus
+    // precision/recall/F1/accuracy in exact parts-per-million (integer
+    // DIV of non-negative longs — no float ever enters the row, so the
+    // oracle replays it bit-for-bit). Cost shape: two classifier passes
+    // (each one agg + one broadcast-scored map) and ONE 4-long
+    // reduction — nothing here grows with corpus size except the
+    // already-bounded weight table.
+    "classifier_eval" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val train = d.filter(col("doc_id") % 2 === 0)
+      val test = d.filter(col("doc_id") % 2 =!= 0)
+      val w = Classify.trainTokenWeights(train, "doc_id", "text",
+        col("lang") === "en")
+      val lab = Classify.scoreDocs(test, "doc_id", "text", w)
+        .join(test.select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("y")), Seq("doc_id"))
+      Classify.evaluate(lab, col("y"), col("pred"))
+    }),
+
     // HTML -> text extraction: the web-crawl ingestion stage. The
     // fixture corpus is plain text, so each doc is first wrapped in a
     // deterministic page (head/title, script, entity-escaped prose
@@ -479,6 +501,45 @@ object CleanQueries extends QueryModule {
         |       CAST(SUM(w) > 0 AS BIGINT) AS pred
         |FROM feats JOIN w USING (feature)
         |GROUP BY doc_id""".stripMargin,
+    "classifier_eval" ->
+      """WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+        |te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 <> 0),
+        |ftr AS (
+        |  SELECT doc_id, lang = 'en' AS y,
+        |         unnest(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS feature
+        |  FROM tr
+        |), counts AS (
+        |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_pos,
+        |         SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_neg
+        |  FROM tr
+        |), w AS (
+        |  SELECT feature,
+        |         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT) * CAST(n_neg AS HUGEINT)
+        |         - CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS HUGEINT) * CAST(n_pos AS HUGEINT) AS w
+        |  FROM ftr, counts
+        |  GROUP BY feature, n_pos, n_neg
+        |), fte AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS feature
+        |  FROM te
+        |), scored AS (
+        |  SELECT f.doc_id, CAST(COALESCE(SUM(w.w), 0) > 0 AS BIGINT) AS pred
+        |  FROM fte f LEFT JOIN w USING (feature) GROUP BY f.doc_id
+        |), lab AS (
+        |  SELECT s.pred, CAST(te.lang = 'en' AS BIGINT) AS y FROM scored s JOIN te USING (doc_id)
+        |), cm AS (
+        |  SELECT CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |         CAST(SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |         CAST(SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |         CAST(SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM lab
+        |)
+        |SELECT tp, fp, fn, tn,
+        |       CASE WHEN tp+fp = 0 THEN NULL ELSE (tp*1000000)//(tp+fp) END AS precision_ppm,
+        |       CASE WHEN tp+fn = 0 THEN NULL ELSE (tp*1000000)//(tp+fn) END AS recall_ppm,
+        |       CASE WHEN 2*tp+fp+fn = 0 THEN NULL ELSE (2*tp*1000000)//(2*tp+fp+fn) END AS f1_ppm,
+        |       ((tp+tn)*1000000)//(tp+fp+fn+tn) AS accuracy_ppm
+        |FROM cm""".stripMargin,
     "pii_scan" ->
       s"""WITH p AS (
          |  SELECT doc_id, $piiText AS p FROM documents

@@ -206,7 +206,13 @@ object SimilarityQueries extends QueryModule {
     // same (dist desc, id asc) order with row_number.
     "kmeans_prune_hard" -> ((s, dir) =>
       graft.operators.Kmeans.pruneHard(emb(s, dir), "vec_id", "embedding",
-        k = 8, iters = 2, m = 20))
+        k = 8, iters = 2, m = 20)),
+
+    // Embedding-health monitoring (Similarity.dimStats): per-dimension
+    // exact-integer distribution stats — row-local explode, one
+    // map-side-combined aggregation shuffling 64 partial rows.
+    "embedding_stats" -> ((s, dir) =>
+      Similarity.dimStats(emb(s, dir), "embedding"))
   )
 
   // The deterministic multi-table LSH blocking + thresholded cosine
@@ -633,6 +639,21 @@ object SimilarityQueries extends QueryModule {
         |       array_to_string(CASE WHEN scale = 0
         |            THEN list_transform(v, x -> 0)
         |            ELSE list_transform(v, x -> CAST(round(x / scale) AS INT)) END, ',') AS qcodes
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    "embedding_stats" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) AS q
+        |  FROM embeddings
+        |), x AS (
+        |  SELECT unnest(q) AS qv, unnest(range(0, len(q))) AS dim FROM q
+        |)
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(qv) AS BIGINT) AS sum_q,
+        |       CAST(MIN(qv) AS BIGINT) AS min_q,
+        |       CAST(MAX(qv) AS BIGINT) AS max_q,
+        |       CAST(SUM(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |       CAST(CAST(SUM(CAST(qv AS HUGEINT)*CAST(qv AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR) AS sum_sq
+        |FROM x GROUP BY dim""".stripMargin
   )
 }

@@ -545,6 +545,26 @@ class CleanSpec extends AnyFunSuite {
     assert(sm == Set((1L, 1L, 0L, 0L), (2L, 1L, 0L, 0L)))
   }
 
+  test("Classify.evaluate: exact ppm metrics, NULL for undefined ratios") {
+    import graft.operators.Classify
+    // tp=3 fp=1 fn=2 tn=4: precision 3/4, recall 3/5, f1 6/9, acc 7/10
+    val lab = (Seq.fill(3)((1L, 1L)) ++ Seq((0L, 1L)) ++
+      Seq.fill(2)((1L, 0L)) ++ Seq.fill(4)((0L, 0L))).toDF("y", "pred")
+    val r = Classify.evaluate(lab, col("y"), col("pred")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 1L, 2L, 4L)))
+    assert(r.getLong(4) == 750000L, "precision_ppm")
+    assert(r.getLong(5) == 600000L, "recall_ppm")
+    assert(r.getLong(6) == 666666L, "f1_ppm truncates, never rounds up")
+    assert(r.getLong(7) == 700000L, "accuracy_ppm")
+    // degenerate: no positive predictions and no positive labels ->
+    // precision/recall/f1 are NULL, accuracy still defined
+    val neg = Seq((0L, 0L), (0L, 0L)).toDF("y", "pred")
+    val n = Classify.evaluate(neg, col("y"), col("pred")).collect()(0)
+    assert(n.isNullAt(4) && n.isNullAt(5) && n.isNullAt(6))
+    assert(n.getLong(7) == 1000000L)
+  }
+
   // --- DSIR importance resampling ---------------------------------
 
   test("Dsir: target == raw makes every λ and every weight exactly 0") {

@@ -1107,6 +1107,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(21L) == ((0L, 0L)), s"tie query should take label 0: ${out(21L)}")
   }
 
+  test("Similarity.dimStats: exact per-dimension integer stats") {
+    // dim 0: q = (1000000, -500000) ; dim 1: q = (0, 250000)
+    val df = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(-0.5f, 0.25f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.dimStats(df, "embedding").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+    assert(rows(0L) == ((2L, 500000L, -500000L, 1000000L, 0L,
+      "1250000000000")), s"dim 0: ${rows(0L)}")
+    assert(rows(1L) == ((2L, 250000L, 0L, 250000L, 1L,
+      "62500000000")), s"dim 1: ${rows(1L)}")
+  }
+
   test("Similarity.bitextMine aligns a planted translation and drops ambiguous sources") {
     // four sources are exact copies of distinct targets — true
     // "translations" the margin surfaces at 1/(1/8 + 1.5/8) = 3.2; the
