@@ -65,6 +65,50 @@ object DedupQueries extends QueryModule {
       |  FROM toks
       |)""".stripMargin
 
+  // Shared oracle CTE (no WITH prefix — prepend "WITH RECURSIVE"):
+  // simhash-banded candidate pairs -> recursive transitive closure ->
+  // `clus(doc_id, cluster_id)`, the min-reachable-id cluster map that
+  // dedup_clusters / dedup_apply / cluster_split all replay.
+  private lazy val clusterCte =
+    raw"""tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+        |  FROM documents
+        |), bsum AS (
+        |  SELECT doc_id, j,
+        |    SUM((((('0x' || substr(md5(w), j // 4 + 1, 1))::INT) >> (3 - j % 4)) & 1) * 2 - 1) AS s
+        |  FROM tok, (SELECT unnest(range(0, 64)) AS j)
+        |  GROUP BY doc_id, j
+        |), sigs AS (
+        |  SELECT doc_id,
+        |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+        |  FROM bsum GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, simhash, b AS band, substring(simhash, 1 + 16*b, 16) AS bits
+        |  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
+        |), bkept AS (
+        |  SELECT x.* FROM banded x
+        |  JOIN (SELECT band, bits FROM banded GROUP BY band, bits HAVING COUNT(*) <= $MaxBucket) ok
+        |    USING (band, bits)
+        |), pairs AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bkept x JOIN bkept y
+        |    ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.simhash::BIT, y.simhash::BIT)) <= 3
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+        |), clus AS (
+        |  SELECT d.doc_id,
+        |         CAST(COALESCE(LEAST(MIN(reach.r), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+        |  FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
+        |  GROUP BY d.doc_id
+        |)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
 
@@ -107,6 +151,33 @@ object DedupQueries extends QueryModule {
       Dedup.nearDuplicates(docs(s, dir), "doc_id", "text",
         k = 3, numPerm = 16, rowsPerBand = 4, threshold = 0.5,
         materialize = true, maxBucket = MaxBucket)),
+
+    // Detector-quality measurement: the MinHash-LSH near-dup pipeline
+    // scored against the exhaustive shingle-Jaccard pair set as ground
+    // truth — the recall/precision check run before trusting an
+    // approximate dedup at corpus scale (banding trades recall for the
+    // bounded candidate join; this lane makes the trade VISIBLE as one
+    // confusion row, ppm-exact). tn is structurally 0 over a pair
+    // universe, so accuracy_ppm here reads as the set-overlap Jaccard
+    // tp/(tp+fp+fn) of the two pair sets. Cost = the two already-green
+    // pipelines (shingle table shared via the cache manager) + one
+    // full-outer join on pair keys.
+    "dedup_pairs_eval" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hs = Dedup.shingleHashTable(d, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truth = Dedup.jaccardPairs(hs.select(col("doc_id"), col("h1").as("sh")),
+          "doc_id", 0.5, maxDf = 100)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("y"))
+      val det = Dedup.nearDuplicates(d, "doc_id", "text",
+          k = 3, numPerm = 16, rowsPerBand = 4, threshold = 0.5,
+          materialize = true, maxBucket = MaxBucket)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("pred"))
+      val lab = truth.join(det, Seq("doc_a", "doc_b"), "full_outer")
+        .select(coalesce(col("y"), lit(0L)).as("y"),
+          coalesce(col("pred"), lit(0L)).as("pred"))
+      graft.operators.Classify.evaluate(lab, col("y"), col("pred"))
+    }),
 
     // the lossless dup-skew guard as a first-class pipeline: exact-dedup
     // to representatives, then near-dup detection over representatives
@@ -241,6 +312,20 @@ object DedupQueries extends QueryModule {
       ccMemo.getOrElse((s, dir), computeClusters(s, dir))
         .filter(col("doc_id") === col("cluster_id"))
         .select(col("doc_id"))),
+
+    // Leakage-proof train/val/test split at NEAR-DUP-CLUSTER
+    // granularity: a per-doc hash split (split_assign) lets two
+    // near-duplicates straddle train and test — the eval-contamination
+    // a naive split bakes in. Assigning by the cluster representative's
+    // hash keeps every near-dup family on ONE side by construction
+    // (split is a pure function of cluster_id), which a spec asserts
+    // and the composed oracle replays. Cost = the CC map (reused from
+    // the session memo when already materialized) + a row-local hash
+    // projection: no new shuffle at any corpus size.
+    "cluster_split" -> ((s, dir) =>
+      graft.operators.Sampling.hashSplit(
+        ccMemo.getOrElse((s, dir), computeClusters(s, dir)),
+        "cluster_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
 
     // Edit-distance-1 string similarity join (typo/variant mining) via
     // deletion-neighborhood blocking + exact levenshtein verify. Typos
@@ -398,6 +483,79 @@ object DedupQueries extends QueryModule {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5""".stripMargin),
     "dedup_minhash" -> minhashSql,
+    // truth = the dedup_jaccard pipeline (df-capped shingles, exhaustive
+    // co-shingle join); detector = the dedup_minhash pipeline (banded
+    // candidates, exact verify). CTEs renamed j*/m* to compose both over
+    // ONE shared shingle scan; the final row replays Classify.evaluate's
+    // integer-ppm arithmetic.
+    "dedup_pairs_eval" -> (shingleCte +
+      s""", jh AS (
+        |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS sh FROM sh
+        |), jkept AS (
+        |  SELECT s.* FROM jh s
+        |  JOIN (SELECT sh FROM jh GROUP BY sh HAVING COUNT(*) <= 100) ok USING (sh)
+        |), jsz AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM jkept GROUP BY doc_id
+        |), jint AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS ni
+        |  FROM jkept x JOIN jkept y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id
+        |), truth AS (
+        |  SELECT doc_a, doc_b FROM jint
+        |  JOIN jsz sa ON sa.doc_id = doc_a
+        |  JOIN jsz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5
+        |), hh AS (
+        |  SELECT doc_id,
+        |         ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h1,
+        |         ('0x' || substring(md5(sh), 17, 15))::BIGINT AS h2
+        |  FROM sh
+        |), m AS (
+        |  SELECT doc_id, i,
+        |         min((h1 % 1000000007 + i * (h2 % 1000000007)) % 1000000007) AS s
+        |  FROM hh, (SELECT unnest(range(0, 16)) AS i)
+        |  GROUP BY doc_id, i
+        |), bands AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |         md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS bh
+        |  FROM m GROUP BY doc_id, i // 4
+        |), bkept AS (
+        |  SELECT b.* FROM bands b
+        |  JOIN (SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= $MaxBucket) ok
+        |    USING (band, bh)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bkept a JOIN bkept b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |), msz AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id
+        |), mint AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+        |  FROM cand c
+        |  JOIN hh x ON x.doc_id = c.doc_a
+        |  JOIN hh y ON y.doc_id = c.doc_b AND y.h1 = x.h1
+        |  GROUP BY c.doc_a, c.doc_b
+        |), det AS (
+        |  SELECT doc_a, doc_b FROM mint
+        |  JOIN msz sa ON sa.doc_id = doc_a
+        |  JOIN msz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5
+        |), lab AS (
+        |  SELECT COALESCE(t.y, 0) AS y, COALESCE(d.pred, 0) AS pred
+        |  FROM (SELECT doc_a, doc_b, 1 AS y FROM truth) t
+        |  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS pred FROM det) d USING (doc_a, doc_b)
+        |), cm AS (
+        |  SELECT CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |         CAST(SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |         CAST(SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |         CAST(SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM lab
+        |)
+        |SELECT tp, fp, fn, tn,
+        |       CASE WHEN tp+fp = 0 THEN NULL ELSE (tp*1000000)//(tp+fp) END AS precision_ppm,
+        |       CASE WHEN tp+fn = 0 THEN NULL ELSE (tp*1000000)//(tp+fn) END AS recall_ppm,
+        |       CASE WHEN 2*tp+fp+fn = 0 THEN NULL ELSE (2*tp*1000000)//(2*tp+fp+fn) END AS f1_ppm,
+        |       ((tp+tn)*1000000)//(tp+fp+fn+tn) AS accuracy_ppm
+        |FROM cm""".stripMargin),
     // same signature/band CTEs as minhashSql, split corpus/batch at the
     // banding step (signatures are side-independent), buckets capped PER
     // SIDE as build/probe each cap their own band table; verification is
@@ -571,83 +729,25 @@ object DedupQueries extends QueryModule {
         |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
         |FROM b GROUP BY doc_id""".stripMargin,
     "dedup_clusters" ->
-      raw"""WITH RECURSIVE tok AS (
-        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
-        |  FROM documents
-        |), bsum AS (
-        |  SELECT doc_id, j,
-        |    SUM((((('0x' || substr(md5(w), j // 4 + 1, 1))::INT) >> (3 - j % 4)) & 1) * 2 - 1) AS s
-        |  FROM tok, (SELECT unnest(range(0, 64)) AS j)
-        |  GROUP BY doc_id, j
-        |), sigs AS (
-        |  SELECT doc_id,
-        |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
-        |  FROM bsum GROUP BY doc_id
-        |), banded AS (
-        |  SELECT doc_id, simhash, b AS band, substring(simhash, 1 + 16*b, 16) AS bits
-        |  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
-        |), bkept AS (
-        |  SELECT x.* FROM banded x
-        |  JOIN (SELECT band, bits FROM banded GROUP BY band, bits HAVING COUNT(*) <= $MaxBucket) ok
-        |    USING (band, bits)
-        |), pairs AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bkept x JOIN bkept y
-        |    ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id
-        |  WHERE bit_count(xor(x.simhash::BIT, y.simhash::BIT)) <= 3
-        |), edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT doc_b, doc_a FROM pairs
-        |), reach AS (
-        |  SELECT src AS id, dst AS r FROM edges
-        |  UNION
-        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
-        |)
-        |SELECT d.doc_id,
-        |       CAST(COALESCE(LEAST(MIN(reach.r), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
-        |FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
-        |GROUP BY d.doc_id""".stripMargin,
+      s"""WITH RECURSIVE $clusterCte
+         |SELECT doc_id, cluster_id FROM clus""".stripMargin,
+
+    "cluster_split" ->
+      s"""WITH RECURSIVE $clusterCte, h AS (
+         |  SELECT doc_id, cluster_id,
+         |         CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE) AS hk
+         |  FROM clus
+         |)
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN hk < CAST(0.9 AS DOUBLE) * 4503599627370496.0 THEN 'train'
+         |            WHEN hk < (CAST(0.9 AS DOUBLE) + CAST(0.05 AS DOUBLE))
+         |                      * 4503599627370496.0 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM h""".stripMargin,
+
     "dedup_apply" ->
-      raw"""WITH RECURSIVE tok AS (
-        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
-        |  FROM documents
-        |), bsum AS (
-        |  SELECT doc_id, j,
-        |    SUM((((('0x' || substr(md5(w), j // 4 + 1, 1))::INT) >> (3 - j % 4)) & 1) * 2 - 1) AS s
-        |  FROM tok, (SELECT unnest(range(0, 64)) AS j)
-        |  GROUP BY doc_id, j
-        |), sigs AS (
-        |  SELECT doc_id,
-        |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
-        |  FROM bsum GROUP BY doc_id
-        |), banded AS (
-        |  SELECT doc_id, simhash, b AS band, substring(simhash, 1 + 16*b, 16) AS bits
-        |  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
-        |), bkept AS (
-        |  SELECT x.* FROM banded x
-        |  JOIN (SELECT band, bits FROM banded GROUP BY band, bits HAVING COUNT(*) <= $MaxBucket) ok
-        |    USING (band, bits)
-        |), pairs AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bkept x JOIN bkept y
-        |    ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id
-        |  WHERE bit_count(xor(x.simhash::BIT, y.simhash::BIT)) <= 3
-        |), edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT doc_b, doc_a FROM pairs
-        |), reach AS (
-        |  SELECT src AS id, dst AS r FROM edges
-        |  UNION
-        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
-        |), clustered AS (
-        |  SELECT d.doc_id,
-        |         COALESCE(LEAST(MIN(reach.r), d.doc_id), d.doc_id) AS cluster_id
-        |  FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
-        |  GROUP BY d.doc_id
-        |)
-        |SELECT doc_id FROM clustered WHERE doc_id = cluster_id""".stripMargin,
+      s"""WITH RECURSIVE $clusterCte
+         |SELECT doc_id FROM clus WHERE doc_id = cluster_id""".stripMargin,
     "fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t

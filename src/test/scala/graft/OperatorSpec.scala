@@ -1349,6 +1349,27 @@ class OperatorSpec extends AnyFunSuite {
       s"long chain not fully labeled: ${c3.filter(_._2 != 1L).take(5).toSeq}")
   }
 
+  test("cluster_split is leakage-free: every near-dup cluster lands in ONE split") {
+    val out = SparkEntry.queries("cluster_split")(spark, "/root/testdata/sf0.001")
+    out.persist()
+    // the defining law a per-doc split (split_assign) violates: no
+    // cluster may straddle train/val/test
+    val straddling = out.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddling == 0L, s"$straddling clusters straddle splits")
+    // split must be the hash of the CLUSTER id, not the doc id — two
+    // docs of one cluster with different doc-id hashes still agree
+    val bySplit = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")), bySplit.toString)
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("test", 0L),
+      s"degenerate split distribution: $bySplit")
+    // multi-doc clusters exist in the fixture, so the law is non-vacuous
+    val multi = out.groupBy("cluster_id").count().filter(col("count") > 1).count()
+    assert(multi > 0, "fixture has no multi-doc cluster; law is vacuous")
+    out.unpersist()
+  }
+
   test("ValueHistogram aggregator matches the composed two-level query") {
     val ev = Tables(spark, "/root/testdata/sf0.001", "events")
     val viaAgg = ev.groupBy("event_type")
