@@ -171,4 +171,33 @@ object Retrieval {
         Aggregators.topKByScore(lit(0.0), col("doc_id"), k).as("ids"))
       .select(col("term"), col("df"),
         concat_ws(",", col("ids").cast("array<string>")).as("postings_head"))
+
+  /** Per-document TF-IDF keyword extraction: the top-k most
+    * characteristic terms of each document (topic labeling / data-card
+    * keywords). Scoring is the exact-integer surrogate `tf·10⁶ DIV df`
+    * — monotone in tf/df, so ranks agree with real tf-idf's rarity
+    * ordering at equal tf while never putting a float in the row; ties
+    * break by term ascending, fully deterministic. Two term-keyed
+    * aggregations (both map-side combined) + one vocabulary-scale join;
+    * the final ranking window partitions by DOCUMENT, whose distinct
+    * term count is bounded by document length — never a corpus-scale
+    * window partition.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_fp").desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("score_fp", expr("tf * 1000000 DIV df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_fp"), col("rnk"))
+  }
 }

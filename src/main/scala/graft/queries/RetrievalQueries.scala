@@ -54,7 +54,14 @@ object RetrievalQueries extends QueryModule {
         .select(((col("q_id") / 50).cast("long") + 1).as("q_id"),
           col("n_id").as("doc_id"), col("rnk"))
       Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
-    })
+    }),
+
+    // per-document keyword extraction (Retrieval.tfidfTopK): top-5
+    // characteristic terms by the exact-integer tf·10⁶ DIV df score,
+    // term-ascending tie-break — topic labeling / data-card keywords.
+    "tfidf_topk" -> ((s, dir) =>
+      Retrieval.tfidfTopK(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 5))
   )
 
   // one scored CTE column per probe term; score term order matches the
@@ -141,6 +148,23 @@ object RetrievalQueries extends QueryModule {
         |)
         |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
         |       array_to_string(list_slice(list_sort(list(doc_id)), 1, 10), ',') AS postings_head
-        |FROM dt GROUP BY term""".stripMargin
+        |FROM dt GROUP BY term""".stripMargin,
+    "tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+        |  FROM documents
+        |), tfq AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term
+        |), dfq AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY term
+        |), sc AS (
+        |  SELECT tfq.doc_id, tfq.term, tfq.tf, dfq.df,
+        |         (tfq.tf * 1000000) // dfq.df AS score_fp
+        |  FROM tfq JOIN dfq USING (term)
+        |)
+        |SELECT doc_id, term, tf, df, score_fp, CAST(rnk AS INTEGER) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, term ASC) AS rnk
+        |      FROM sc)
+        |WHERE rnk <= 5""".stripMargin
   )
 }

@@ -1349,6 +1349,24 @@ class OperatorSpec extends AnyFunSuite {
       s"long chain not fully labeled: ${c3.filter(_._2 != 1L).take(5).toSeq}")
   }
 
+  test("Retrieval.tfidfTopK ranks rare-but-frequent terms first, term-asc ties") {
+    // "the" appears in all 3 docs (df=3); each doc also has a unique
+    // term (df=1). doc 1: unique tf=2 -> 2e6/1 beats the's 2e6/3.
+    // doc 3 has two df=1 terms with equal tf -> term-ascending ties.
+    val d = Seq(
+      (1L, "the alpha alpha the"),
+      (2L, "the beta"),
+      (3L, "zeta yak the")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.tfidfTopK(d, "doc_id", "text", k = 2)
+      .select("doc_id", "term", "score_fp", "rnk")
+      .as[(Long, String, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    assert(out(1L) == Seq(("alpha", 2000000L), ("the", 666666L)), out(1L).toString)
+    assert(out(2L) == Seq(("beta", 1000000L), ("the", 333333L)), out(2L).toString)
+    assert(out(3L) == Seq(("yak", 1000000L), ("zeta", 1000000L)), out(3L).toString)
+  }
+
   test("cluster_split is leakage-free: every near-dup cluster lands in ONE split") {
     val out = SparkEntry.queries("cluster_split")(spark, "/root/testdata/sf0.001")
     out.persist()
