@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Top principal component of an embedding column — the
+  * decorrelation/whitening monitor (and the "all-but-the-top"
+  * postprocessing direction) an embedding pipeline tracks at corpus
+  * scale: a dominant component with outsized eigenvalue flags a
+  * miscalibrated encoder, and removing it is the standard embedding
+  * cleanup.
+  *
+  * Scale extension — no reference counterpart (SURVEY §7.5). Shape:
+  * ONE distributed pass accumulates the exact-integer moment sums of
+  * the 1e-6-quantized components — n, per-dim sums s_i, and the 2080
+  * upper-triangle co-moments p_ij = Σ q_i·q_j — via a row-local pair
+  * explode feeding a map-side-combined aggregation (the shuffle carries
+  * ≤ 2080 partials per map task, never a vector). The collected moment
+  * table is a BOUNDED artifact (dim·(dim+3)/2 longs, like the k-means
+  * codebook), and the 30-step power iteration on the 64×64 covariance
+  * runs driver-side in microseconds.
+  *
+  * Determinism: sums are exact integers (order-independent); the
+  * covariance entries c_ij = p_ij/n − (s_i/n)(s_j/n) and the iteration
+  * (sequential dot products, sqrt, divide — no FMA: JVM floats are
+  * strict IEEE since Java 17) use a fixed operation sequence, so a SQL
+  * engine replaying the same sequence reproduces every double
+  * bit-for-bit. Exactness caveat: integer→double conversion is exact
+  * while sums stay below 2^53 (holds for n·(1e6·|x|)² ≤ 9e15, i.e. any
+  * fixture; at 10¹²-row scale the sums REMAIN exact integers and only
+  * the final conversion correctly rounds — the component is equally
+  * valid, the cross-engine bit-replay guarantee is what needs the
+  * fixture bound).
+  */
+object Pca {
+
+  /** (dim, mean_q, loading, lambda) per dimension: the quantized mean,
+    * the unit top-eigenvector coordinate, and the shared Rayleigh-style
+    * eigenvalue estimate (the last iteration's pre-normalization norm).
+    */
+  def topComponent(df: DataFrame, vecCol: String, dim: Int,
+                   iters: Int = 30): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.select(transform(col(vecCol),
+      x => round(x.cast("double") * 1000000).cast("long")).as("q"))
+    // row-local upper-triangle pair products; the explode feeds a
+    // map-side-combined sum, so the shuffle is 2080 rows per task
+    val pairs = q.select(explode(expr(
+      s"""flatten(transform(sequence(0, ${dim - 1}), i ->
+         |  transform(sequence(i, ${dim - 1}), j ->
+         |    struct(i, j, q[i] * q[j] AS pq))))""".stripMargin)).as("e"))
+      .groupBy(col("e.i"), col("e.j"))
+      .agg(sum(col("e.pq")).as("p"))
+    val dims = q.select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy(col("i"))
+      .agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
+    // bounded artifacts: dim rows + dim(dim+1)/2 rows
+    val dRows = dims.collect().map(r =>
+      r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val n = dRows.head._2._2.toDouble
+    val s = Array.tabulate(dim)(i => dRows(i)._1.toDouble)
+    val c = Array.ofDim[Double](dim, dim)
+    pairs.collect().foreach { r =>
+      val (i, j, p) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      val v = p.toDouble / n - (s(i) / n) * (s(j) / n)
+      c(i)(j) = v
+      c(j)(i) = v
+    }
+    // power iteration from the exact unit start 1/sqrt(dim); every dot
+    // is a sequential ascending-index loop (list_inner_product's order)
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    var t = 0
+    while (t < iters) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += c(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var nrm = 0.0
+      var i = 0
+      while (i < dim) { nrm += w(i) * w(i); i += 1 }
+      lambda = math.sqrt(nrm)
+      v = w.map(_ / lambda)
+      t += 1
+    }
+    val out = (0 until dim).map(i =>
+      Row(i.toLong, s(i) / n, v(i), lambda))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(
+        StructField("dim", LongType, nullable = false),
+        StructField("mean_q", DoubleType, nullable = false),
+        StructField("loading", DoubleType, nullable = false),
+        StructField("lambda", DoubleType, nullable = false))))
+  }
+}

@@ -212,7 +212,15 @@ object SimilarityQueries extends QueryModule {
     // exact-integer distribution stats — row-local explode, one
     // map-side-combined aggregation shuffling 64 partial rows.
     "embedding_stats" -> ((s, dir) =>
-      Similarity.dimStats(emb(s, dir), "embedding"))
+      Similarity.dimStats(emb(s, dir), "embedding")),
+
+    // Top principal component (operators/Pca): exact-integer moment
+    // sums in one distributed pass, 30-step power iteration on the
+    // 64x64 covariance driver-side (bounded artifact, k-means-codebook
+    // style). The oracle replays the full iteration bit-for-bit — see
+    // Pca scaladoc for the determinism argument.
+    "embedding_pca" -> ((s, dir) =>
+      graft.operators.Pca.topComponent(emb(s, dir), "embedding", dim = 64))
   )
 
   // The deterministic multi-table LSH blocking + thresholded cosine
@@ -654,6 +662,46 @@ object SimilarityQueries extends QueryModule {
         |       CAST(MAX(qv) AS BIGINT) AS max_q,
         |       CAST(SUM(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
         |       CAST(CAST(SUM(CAST(qv AS HUGEINT)*CAST(qv AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR) AS sum_sq
-        |FROM x GROUP BY dim""".stripMargin
+        |FROM x GROUP BY dim""".stripMargin,
+    // full bit-replay of Pca.topComponent: exact-integer moments, the
+    // identical double covariance expression, and the same 30
+    // sequential-dot power-iteration steps (list_inner_product IS the
+    // ascending-index loop — the bitext_mine precedent)
+    "embedding_pca" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) AS q FROM embeddings
+        |), dims AS (
+        |  SELECT ii.i AS i, CAST(SUM(q.q[ii.i+1]) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM q, (SELECT unnest(range(0,64)) AS i) ii GROUP BY ii.i
+        |), pr AS (
+        |  SELECT ii.i AS i, jj.j AS j, CAST(SUM(CAST(q.q[ii.i+1] AS HUGEINT) * q.q[jj.j+1]) AS BIGINT) AS p
+        |  FROM q, (SELECT unnest(range(0,64)) AS i) ii, (SELECT unnest(range(0,64)) AS j) jj
+        |  WHERE jj.j >= ii.i GROUP BY ii.i, jj.j
+        |), cd0 AS (
+        |  SELECT pr.i AS i, pr.j AS j,
+        |         CAST(p AS DOUBLE)/CAST(di.n AS DOUBLE)
+        |         - (CAST(di.s AS DOUBLE)/CAST(di.n AS DOUBLE))*(CAST(dj.s AS DOUBLE)/CAST(dj.n AS DOUBLE)) AS c
+        |  FROM pr JOIN dims di ON di.i = pr.i JOIN dims dj ON dj.i = pr.j
+        |), cdall AS (
+        |  SELECT i, j, c FROM cd0
+        |  UNION ALL
+        |  SELECT j AS i, i AS j, c FROM cd0 WHERE i < j
+        |), cm AS (
+        |  SELECT i, list(c ORDER BY j) AS r FROM cdall GROUP BY i
+        |), mat AS (
+        |  SELECT list(r ORDER BY i) AS m FROM cm
+        |), it AS (
+        |  SELECT 0 AS t, list_transform(range(0,64), x -> 1.0/sqrt(64.0)) AS v, CAST(0.0 AS DOUBLE) AS lambda
+        |  UNION ALL
+        |  SELECT t+1, list_transform(w, x -> x/l) AS v, l AS lambda FROM (
+        |    SELECT t, w, sqrt(list_inner_product(w, w)) AS l FROM (
+        |      SELECT t, list_transform(range(0,64), i -> list_inner_product(m[CAST(i AS INT)+1], v)) AS w
+        |      FROM it, mat WHERE t < 30))
+        |)
+        |SELECT CAST(d.i AS BIGINT) AS dim,
+        |       CAST(d.s AS DOUBLE)/CAST(d.n AS DOUBLE) AS mean_q,
+        |       it.v[CAST(d.i AS INT)+1] AS loading,
+        |       it.lambda AS lambda
+        |FROM it, dims d WHERE it.t = 30""".stripMargin
   )
 }

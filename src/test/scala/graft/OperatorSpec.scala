@@ -1349,6 +1349,26 @@ class OperatorSpec extends AnyFunSuite {
       s"long chain not fully labeled: ${c3.filter(_._2 != 1L).take(5).toSeq}")
   }
 
+  test("Pca.topComponent recovers a planted single-variance direction exactly") {
+    // variance lives ONLY in dim 2 (q = ±1e6, mean 0): the covariance
+    // matrix is c22 = 1e12 with zeros elsewhere, so the iteration lands
+    // on e_2 exactly (no rounding — every intermediate is a clean
+    // power-of-structure double) and lambda = c22
+    val d = Seq(
+      Tuple1(Array(0f, 0f, 1f, 0f)), Tuple1(Array(0f, 0f, -1f, 0f)),
+      Tuple1(Array(0f, 0f, 1f, 0f)), Tuple1(Array(0f, 0f, -1f, 0f))
+    ).toDF("embedding")
+    val rows = Pca.topComponent(d, "embedding", dim = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    (0 until 4).foreach { i =>
+      assert(rows(i.toLong)._1 == 0.0, s"mean dim $i: ${rows(i.toLong)}")
+    }
+    assert(rows(2L)._2 == 1.0 && rows(0L)._2 == 0.0 && rows(1L)._2 == 0.0 &&
+      rows(3L)._2 == 0.0, rows.toString)
+    assert(rows(0L)._3 == 1.0e12, s"lambda: ${rows(0L)._3}")
+  }
+
   test("Retrieval.tfidfTopK ranks rare-but-frequent terms first, term-asc ties") {
     // "the" appears in all 3 docs (df=3); each doc also has a unique
     // term (df=1). doc 1: unique tf=2 -> 2e6/1 beats the's 2e6/3.
