@@ -96,4 +96,30 @@ object Pca {
         StructField("loading", DoubleType, nullable = false),
         StructField("lambda", DoubleType, nullable = false))))
   }
+
+  /** All-but-the-top application: project the fitted top component out
+    * of every vector (x' = x − (v·x)v — Mu & Viswanath 2018, the
+    * standard embedding postprocessing). `v` is the `loading` column of
+    * [[topComponent]] in dim order — a 64-double artifact riding into
+    * the plan as a broadcast literal, so the apply is a ROW-LOCAL
+    * codegen'd projection: fit once, stream the corpus through, no
+    * shuffle at any scale (the IVF index/probe split, for PCA).
+    * The projection is computed once per row (its own select), then the
+    * residual re-quantizes at 1e-6 into the qcodes string carrier —
+    * every op (sequential dot, per-element multiply/subtract, round)
+    * has a fixed IEEE order, so the oracle replays rows bit-for-bit.
+    */
+  def removeTop(df: DataFrame, idCol: String, vecCol: String,
+                v: Seq[Double]): DataFrame = {
+    val vlit = array(v.map(lit): _*)
+    df.select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("x"))
+      .select(col(idCol), col("x"),
+        Similarity.dot(col("x"), vlit).as("proj"))
+      .select(col(idCol), col("proj"),
+        concat_ws(",",
+          zip_with(col("x"), vlit,
+            (a, b) => round((a - col("proj") * b) * 1000000).cast("long"))
+            .cast("array<string>")).as("resid_q"))
+  }
 }

@@ -220,7 +220,18 @@ object SimilarityQueries extends QueryModule {
     // style). The oracle replays the full iteration bit-for-bit — see
     // Pca scaladoc for the determinism argument.
     "embedding_pca" -> ((s, dir) =>
-      graft.operators.Pca.topComponent(emb(s, dir), "embedding", dim = 64))
+      graft.operators.Pca.topComponent(emb(s, dir), "embedding", dim = 64)),
+
+    // ...and the APPLY step (Pca.removeTop): fit the component (64
+    // doubles — a bounded artifact, collected once like a codebook),
+    // then stream every vector through the row-local x - (v.x)v
+    // projection. Fit/apply split mirrors the IVF index/probe lanes.
+    "embedding_abtt" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val comp = graft.operators.Pca.topComponent(e, "embedding", dim = 64)
+        .orderBy("dim").collect().map(_.getDouble(2)).toSeq
+      graft.operators.Pca.removeTop(e, "vec_id", "embedding", comp)
+    })
   )
 
   // The deterministic multi-table LSH blocking + thresholded cosine
@@ -668,7 +679,32 @@ object SimilarityQueries extends QueryModule {
     // sequential-dot power-iteration steps (list_inner_product IS the
     // ascending-index loop — the bitext_mine precedent)
     "embedding_pca" ->
-      """WITH RECURSIVE q AS (
+      s"""WITH RECURSIVE $pcaCte
+         |SELECT CAST(d.i AS BIGINT) AS dim,
+         |       CAST(d.s AS DOUBLE)/CAST(d.n AS DOUBLE) AS mean_q,
+         |       it.v[CAST(d.i AS INT)+1] AS loading,
+         |       it.lambda AS lambda
+         |FROM it, dims d WHERE it.t = 30""".stripMargin,
+    // fitted component from the same replayed iteration; apply = the
+    // identical sequential dot + per-element subtract/round sequence
+    "embedding_abtt" ->
+      s"""WITH RECURSIVE $pcaCte, vv AS (
+         |  SELECT v FROM it WHERE t = 30
+         |), ex AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+         |), pj AS (
+         |  SELECT vec_id, x, list_inner_product(x, vv.v) AS proj FROM ex, vv
+         |)
+         |SELECT vec_id, proj,
+         |       array_to_string(list_transform(range(0,64), i ->
+         |         CAST(round((x[CAST(i AS INT)+1] - proj*vv.v[CAST(i AS INT)+1])*1000000) AS BIGINT)), ',') AS resid_q
+         |FROM pj, vv""".stripMargin
+  )
+
+  // Pca.topComponent's full replay, ending at `it(t, v, lambda)` with
+  // `dims(i, s, n)` available; prepend WITH RECURSIVE.
+  private val pcaCte: String =
+      """q AS (
         |  SELECT list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) AS q FROM embeddings
         |), dims AS (
         |  SELECT ii.i AS i, CAST(SUM(q.q[ii.i+1]) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
@@ -697,11 +733,5 @@ object SimilarityQueries extends QueryModule {
         |    SELECT t, w, sqrt(list_inner_product(w, w)) AS l FROM (
         |      SELECT t, list_transform(range(0,64), i -> list_inner_product(m[CAST(i AS INT)+1], v)) AS w
         |      FROM it, mat WHERE t < 30))
-        |)
-        |SELECT CAST(d.i AS BIGINT) AS dim,
-        |       CAST(d.s AS DOUBLE)/CAST(d.n AS DOUBLE) AS mean_q,
-        |       it.v[CAST(d.i AS INT)+1] AS loading,
-        |       it.lambda AS lambda
-        |FROM it, dims d WHERE it.t = 30""".stripMargin
-  )
+        |)""".stripMargin
 }

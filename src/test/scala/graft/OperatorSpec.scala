@@ -1369,6 +1369,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows(0L)._3 == 1.0e12, s"lambda: ${rows(0L)._3}")
   }
 
+  test("Pca.removeTop zeroes the fitted direction, leaves the rest exact") {
+    val d = Seq(
+      (1L, Array(0f, 0f, 1f, 0f)), (2L, Array(0f, 0f, -1f, 0f)),
+      (3L, Array(0.25f, 0f, 1f, 0f)), (4L, Array(0f, 0f, -1f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Pca.removeTop(d, "vec_id", "embedding", Seq(0.0, 0.0, 1.0, 0.0))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    // proj = x_2 exactly; the e_2 coordinate vanishes, others untouched
+    assert(out(1L) == ((1.0, "0,0,0,0")), out(1L).toString)
+    assert(out(2L) == ((-1.0, "0,0,0,0")), out(2L).toString)
+    assert(out(3L) == ((1.0, "250000,0,0,0")), out(3L).toString)
+    assert(out(4L) == ((-1.0, "0,0,0,500000")), out(4L).toString)
+  }
+
   test("Retrieval.tfidfTopK ranks rare-but-frequent terms first, term-asc ties") {
     // "the" appears in all 3 docs (df=3); each doc also has a unique
     // term (df=1). doc 1: unique tf=2 -> 2e6/1 beats the's 2e6/3.
