@@ -330,7 +330,14 @@ object Similarity {
       .withColumn("pc", explode(slice(array_sort(cellScores, byScoreDescCellAsc), 1, probeCount)))
       .select(col("q_id"), col("qv"), col("pc.cell").as("cell"))
 
-    val scored = assigned.join(broadcast(probes), "cell")
+    // batch: broadcast the (small) probe set onto the index scan.
+    // streaming: a stream cannot be broadcast — drive the stream-static
+    // equi-join from the probe stream instead (the index side is read
+    // per micro-batch; a production server persists it via
+    // saveIvfIndex). Candidates, scores and ranks are identical either
+    // way, so batch ≡ stream bit-for-bit.
+    val scored = (if (queries.isStreaming) probes.join(assigned, "cell")
+                  else assigned.join(broadcast(probes), "cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", cosine(col("qv"), col("nv")))
     topKRank(scored, k)

@@ -356,7 +356,7 @@ object SimilarityQueries extends QueryModule {
   // rounds, exact-integer-norm unit centroids, dot-ranked cell choice
   // (score desc, cell asc — the insertion-sort tie rule), DISTINCT
   // candidates (the aggregator's per-id dedup), exact cosine rerank.
-  private val ivfCte: String =
+  private[queries] val ivfCte: String =
     s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |), un AS (

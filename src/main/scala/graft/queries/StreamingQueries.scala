@@ -345,10 +345,38 @@ object StreamingQueries extends QueryModule {
         .crossJoin(broadcast(tot))
         .filter(col("cnt") * 64 > col("n"))
         .select(col("token"), col("cnt"))
+    }),
+
+    // ANN SERVING as a stream: query vectors arrive on the stream and
+    // probe the statically-built IVF index (codebook broadcast, probe
+    // stream drives the stream-static cell equi-join — probeIvf flips
+    // the join direction for a streaming probe side since a stream
+    // cannot broadcast). Complete-mode state = one bounded <= k-entry
+    // top-k buffer per live query — the vector-search serving shape.
+    // Batch ≡ stream bit-for-bit (same candidates/scores/ranks), so the
+    // ann_ivf_topk index replay is the oracle.
+    "streaming_ann" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val base = graft.Tables(s, dir, "embeddings")
+      val cb = Similarity.kmeansCodebook(base, "vec_id", "embedding",
+        nCells = 16, iters = 2)
+      val assigned = Similarity.assignCells(
+        base.select(col("vec_id").cast("long").as("n_id"),
+          col("embedding").as("nv")), "n_id", "nv", cb, rep = 4)
+      val qs = tableStream(s, dir, "embeddings")
+        .filter(col("vec_id") % 50 === 0)
+      runToTable(Similarity.probeIvf(cb, assigned, qs,
+        "vec_id", "embedding", k = 5, nProbe = 4), "complete")
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    // batch replay of the served IVF index (SimilarityQueries.ivfCte —
+    // the ann_ivf_topk pipeline) without the recall instrumentation:
+    // the stream-transparency law makes the batch ranks the contract
+    "streaming_ann" ->
+      s"""WITH ${SimilarityQueries.ivfCte}
+         |SELECT q_id, n_id, rnk FROM ivf WHERE rnk <= 5""".stripMargin,
     // batch replay of the streamed gates: en-stopword plurality vote,
     // >= 5 tokens, 0.5*stop_ratio + 0.05*avg_token_len >= 0.1, then
     // DISTINCT content digest (the stream's exact-dedup contract)

@@ -651,4 +651,45 @@ class StreamingSpec extends AnyFunSuite {
         "blob stream members not separated")
     } finally q.stop()
   }
+
+  test("IVF probe is stream-transparent: streamed queries rank like batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // index is a batch artifact over the base corpus; a query STREAM
+    // probes it (probeIvf flips to the stream-static join direction)
+    // and must produce the identical (q_id, n_id, rnk) rows as a batch
+    // probe of the same queries
+    val base = (0 until 60).map { i =>
+      val a = (i % 3).toFloat
+      (i.toLong, Seq(a + 1f, 2f * a - 1f, 0.5f * i.toFloat / 60f, 1f))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.kmeansCodebook(base, "vec_id", "embedding",
+      nCells = 4, iters = 2)
+    val assigned = Similarity.assignCells(
+      base.select(col("vec_id").cast("long").as("n_id"),
+        col("embedding").as("nv")), "n_id", "nv", cb, rep = 2)
+    val queries = (0 until 60 by 20).map { i =>
+      (i.toLong, Seq((i % 3).toFloat + 1f, 2f * (i % 3).toFloat - 1f,
+        0.5f * i.toFloat / 60f, 1f))
+    }
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Similarity.probeIvf(cb, assigned,
+        mem.toDS().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .writeStream.format("memory").queryName("ivf_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(queries: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ivf_stream")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      val batch = Similarity.probeIvf(cb, assigned,
+          queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          k = 3, nProbe = 2)
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      assert(streamed == batch, s"stream/batch IVF probe diverges:\n$streamed\n$batch")
+      assert(streamed.nonEmpty, "no probe results")
+    } finally q.stop()
+  }
 }
