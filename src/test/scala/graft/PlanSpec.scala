@@ -144,6 +144,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), s"sim table not persisted/reused:\n$p")
   }
 
+  test("embedding_abtt applies row-locally: the fitted component enters as a literal") {
+    // fit runs driver-side on bounded collected moments BEFORE this
+    // plan exists; the declared query's own plan is the apply — scan ->
+    // project with the 64-double component inlined. Any Exchange here
+    // would mean the projection shuffles the corpus at serving time.
+    val p = plan("embedding_abtt")
+    assert(!p.contains("Exchange"), s"apply plan shuffles:\n$p")
+  }
+
+  test("embedding_stats aggregates the exploded dims in two phases, one exchange") {
+    val p = plan("embedding_stats")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly one exchange:\n$p")
+  }
+
+  test("tfidf_topk windows per DOCUMENT, never a corpus-scale partition") {
+    val p = plan("tfidf_topk")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"ranking window not partitioned by doc:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"tf/df aggregations lost map-side combine:\n$p")
+  }
+
   test("wordcount pre-aggregates before the shuffle") {
     val p = plan("wordcount")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
