@@ -292,6 +292,21 @@ object Bench {
       noop(packed)
     }
 
+    // PCA: the distributed exact-integer moments pass is the part that
+    // grows with the corpus (2080 map-side-combined co-moment partials
+    // per task); the 30-step driver iteration on the collected 64x64
+    // matrix is constant. Replication leaves the component meaningful —
+    // identical copies don't change the covariance, only the row count
+    // under scan, which is exactly the scaling under test.
+    val pcaScale = scaleProbe("pca", () => {
+      val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      (e1, replicate3(e1, "vec_id"))
+    }) { df =>
+      operators.Pca.topComponent(df, "embedding", dim = 64)
+      ()
+    }
+
     // reference benchmark harnesses (MRBench.java:173-233 avg latency;
     // TestDFSIO.java:88-103 sequential MB/s), sized small enough to not
     // dominate the round but large enough to exceed fixed overhead
@@ -361,7 +376,8 @@ object Bench {
       scaleEntry("paragraph_scale", paragraphScale) +
       scaleEntry("semantic_scale", semanticScale) +
       scaleEntry("streaming_funnel_scale", funnelScale) +
-      scaleEntry("pipeline_scale", pipelineScale)
+      scaleEntry("pipeline_scale", pipelineScale) +
+      scaleEntry("pca_scale", pcaScale)
     val harnessJson =
       s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)},"nnbench_create_ops_sec":${fmt(nnOps, 1)},"filebench_seq_read_mbps":${fmt(fbSeqRead, 1)},"slive_ops_sec":${fmt(sliveOps, 1)},"bigmap_shuffle_mbps":${fmt(bmoMbps, 1)},"threadedmap_sort_mbps":${fmt(tmbMbps, 1)}}"""
     val head =

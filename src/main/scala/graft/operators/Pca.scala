@@ -55,9 +55,17 @@ object Pca {
     val dims = q.select(posexplode(col("q")).as(Seq("i", "qi")))
       .groupBy(col("i"))
       .agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
-    // bounded artifacts: dim rows + dim(dim+1)/2 rows
+    // bounded artifacts: dim rows + dim(dim+1)/2 rows. Fail fast on a
+    // malformed corpus (empty input, or vectors shorter than `dim`,
+    // whose missing coordinates would otherwise silently drop from the
+    // sums and skew the component).
     val dRows = dims.collect().map(r =>
       r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    require(dRows.size == dim,
+      s"expected $dim populated dimensions, found ${dRows.size} — " +
+        "empty input or vectors shorter than dim")
+    require(dRows.values.map(_._2).toSet.size == 1,
+      "ragged vector lengths: per-dimension counts disagree")
     val n = dRows.head._2._2.toDouble
     val s = Array.tabulate(dim)(i => dRows(i)._1.toDouble)
     val c = Array.ofDim[Double](dim, dim)
@@ -111,6 +119,7 @@ object Pca {
     */
   def removeTop(df: DataFrame, idCol: String, vecCol: String,
                 v: Seq[Double]): DataFrame = {
+    require(v.nonEmpty, "empty component — fit topComponent first")
     val vlit = array(v.map(lit): _*)
     df.select(col(idCol),
         transform(col(vecCol), x => x.cast("double")).as("x"))

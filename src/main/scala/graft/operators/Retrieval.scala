@@ -185,6 +185,7 @@ object Retrieval {
     */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int): DataFrame = {
+    require(k > 0, "need k > 0 keywords per document")
     val tf = docs.select(col(idCol).cast("long").as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))

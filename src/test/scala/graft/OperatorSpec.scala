@@ -1369,6 +1369,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows(0L)._3 == 1.0e12, s"lambda: ${rows(0L)._3}")
   }
 
+  test("Pca guards: short vectors and an empty component fail fast") {
+    val short = Seq(Tuple1(Array(1f, 2f))).toDF("embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Pca.topComponent(short, "embedding", dim = 4)
+    }
+    assert(e1.getMessage.contains("shorter than dim"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Pca.removeTop(short, "vec_id", "embedding", Seq.empty)
+    }
+    assert(e2.getMessage.contains("empty component"), e2.getMessage)
+  }
+
   test("Pca.removeTop zeroes the fitted direction, leaves the rest exact") {
     val d = Seq(
       (1L, Array(0f, 0f, 1f, 0f)), (2L, Array(0f, 0f, -1f, 0f)),
