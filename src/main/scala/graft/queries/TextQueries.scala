@@ -141,6 +141,30 @@ object TextQueries extends QueryModule {
         eps = 0.0001, confidence = 0.99)
       graft.operators.TextOps.rareTokenScoreSketch(d, "doc_id", "text", sk,
         rareCap = 200L)
+    }),
+
+    // Multiclass evaluation of the heuristic language-ID against the
+    // corpus's labeled `lang` — the check run before trusting a filter
+    // that routes documents by language (the fixture's zh docs have NO
+    // latin stopwords, so the stopword heuristic's failure mode is
+    // visible in the matrix, not hidden). Confusion counts plus
+    // per-cell recall (vs the true-language total) and precision (vs
+    // the predicted-language total), all integer-exact ppm. One
+    // doc-scan aggregation; the two marginal tables are <= 5 rows each
+    // and broadcast back onto the <= 25-row matrix.
+    "langid_eval" -> ((s, dir) => {
+      val cm = docs(s, dir)
+        .select(col("lang"),
+          graft.operators.TextOps.langPred(toks(col("text"))).as("pred"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+      val byTrue = cm.groupBy("lang").agg(sum("n").as("n_true"))
+      val byPred = cm.groupBy("pred").agg(sum("n").as("n_pred"))
+      cm.join(broadcast(byTrue), Seq("lang"))
+        .join(broadcast(byPred), Seq("pred"))
+        .selectExpr("lang", "pred", "n", "n_true", "n_pred",
+          "(n*1000000) DIV n_true AS recall_ppm",
+          "(n*1000000) DIV n_pred AS precision_ppm")
     })
   )
 
@@ -213,7 +237,36 @@ object TextQueries extends QueryModule {
     // the sketch lane answers to the SAME oracle: a 2/eps-cell sketch is
     // far wider than the corpus vocabulary, so estimates are exact here
     // (the tiny-sketch collision case is spec'd separately)
-    "rare_token_sketch" -> rareTokenSql
+    "rare_token_sketch" -> rareTokenSql,
+    "langid_eval" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(t, x -> x IN ('the','a','is','of','and'))) AS s_en,
+        |    len(list_filter(t, x -> x IN ('der','die','das','und','ein'))) AS s_de,
+        |    len(list_filter(t, x -> x IN ('le','la','les','des','une'))) AS s_fr,
+        |    len(list_filter(t, x -> x IN ('el','los','las','una','y'))) AS s_es
+        |  FROM t
+        |), p AS (
+        |  SELECT lang,
+        |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |         WHEN s_es >= s_fr THEN 'es'
+        |         ELSE 'fr' END AS pred
+        |  FROM s
+        |), cm AS (
+        |  SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY lang, pred
+        |), bt AS (
+        |  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM cm GROUP BY lang
+        |), bp AS (
+        |  SELECT pred, CAST(SUM(n) AS BIGINT) AS n_pred FROM cm GROUP BY pred
+        |)
+        |SELECT cm.lang, cm.pred, cm.n, bt.n_true, bp.n_pred,
+        |       (cm.n*1000000)//bt.n_true AS recall_ppm,
+        |       (cm.n*1000000)//bp.n_pred AS precision_ppm
+        |FROM cm JOIN bt USING (lang) JOIN bp USING (pred)""".stripMargin
   )
 
   private val rareTokenSql =
