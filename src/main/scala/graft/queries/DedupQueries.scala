@@ -327,6 +327,24 @@ object DedupQueries extends QueryModule {
         ccMemo.getOrElse((s, dir), computeClusters(s, dir)),
         "cluster_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
 
+    // Curation triage dashboard: WHICH sources produce the duplicates
+    // (a mirror-heavy domain shows up as a dup_ppm spike long before it
+    // skews the mixture). A doc is a dup iff it is not the min-id
+    // keeper of its content-digest group — Dedup.exact's rule, joined
+    // back per doc. Narrow (digest, id) rows only; integer-ppm rates.
+    "dedup_rate_by_source" -> ((s, dir) => {
+      val h = docs(s, dir).select(col("source"), col("doc_id"),
+        md5(col("text")).as("h"))
+      val keep = h.groupBy("h").agg(min("doc_id").as("keep_id"))
+      h.join(keep, Seq("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+            .as("n_dups"))
+        .selectExpr("source", "n_docs", "n_dups",
+          "(n_dups*1000000) DIV n_docs AS dup_ppm")
+    }),
+
     // Edit-distance-1 string similarity join (typo/variant mining) via
     // deletion-neighborhood blocking + exact levenshtein verify. Typos
     // are injected on id strides (insertion, deletion, substitution,
@@ -483,6 +501,18 @@ object DedupQueries extends QueryModule {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5""".stripMargin),
     "dedup_minhash" -> minhashSql,
+    "dedup_rate_by_source" ->
+      """WITH h AS (
+        |  SELECT source, doc_id, md5(text) AS h FROM documents
+        |), k AS (
+        |  SELECT h, MIN(doc_id) AS keep_id FROM h GROUP BY h
+        |), j AS (
+        |  SELECT source,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+        |  FROM h JOIN k USING (h) GROUP BY source
+        |)
+        |SELECT source, n_docs, n_dups, (n_dups*1000000)//n_docs AS dup_ppm FROM j""".stripMargin,
     // truth = the dedup_jaccard pipeline (df-capped shingles, exhaustive
     // co-shingle join); detector = the dedup_minhash pipeline (banded
     // candidates, exact verify). CTEs renamed j*/m* to compose both over
