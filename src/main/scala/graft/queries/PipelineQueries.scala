@@ -159,6 +159,29 @@ object PipelineQueries extends QueryModule {
         "doc_id", col("n_tokens"), seqLen = 256, shards = 4)
     }),
 
+    // Packing-efficiency audit: fill ppm per shard over the
+    // pack_sequences manifest plus the exactness law (every sequence
+    // but each shard's trailing partial is exactly seqLen tokens —
+    // wasted pad tokens are wasted training compute, and this is the
+    // number a dataloader owner actually watches). Narrow manifest
+    // rows only; two bounded aggregations.
+    "pack_fill_eval" -> ((s, dir) => {
+      val toks = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+        .cast("long")
+      val manifest = Sampling.packSequences(
+        docs(s, dir).select(col("doc_id"), toks.as("n_tokens")),
+        "doc_id", col("n_tokens"), seqLen = 256, shards = 4)
+      manifest.groupBy("shard", "seq_id")
+        .agg(sum("n_toks").as("seq_toks"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_seqs"),
+          sum("seq_toks").as("n_toks"),
+          sum(when(col("seq_toks") === 256L, 1L).otherwise(0L)).as("full_seqs"))
+        .selectExpr("shard", "n_seqs", "n_toks", "full_seqs",
+          "(n_toks*1000000) DIV (n_seqs*256) AS fill_ppm",
+          "CAST(full_seqs >= n_seqs - 1 AS BIGINT) AS law_ok")
+    }),
+
     // deterministic global training-order shuffle: hash shard +
     // within-shard sort key, a pure row-local projection (the write
     // side repartitions by shard and sorts within partitions — never a
@@ -204,6 +227,30 @@ object PipelineQueries extends QueryModule {
             / col("n_docs")).as("stddev_tokens"))
     })
   )
+
+  // Shared replay of Sampling.packSequences(seqLen=256, shards=4) over
+  // `documents`, ending at `pk(shard, seq_id, doc_id, doc_tok_start,
+  // n_toks, seq_pos)`; prepend WITH.
+  private val packCte: String =
+    """t AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks,
+      |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 4 AS shard
+      |  FROM documents
+      |), o AS (
+      |  SELECT doc_id, toks, shard,
+      |         CAST(COALESCE(SUM(toks) OVER (
+      |           PARTITION BY shard ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+      |  FROM t WHERE toks > 0
+      |), pk AS (
+      |  SELECT CAST(shard AS BIGINT) AS shard, CAST(g.seq AS BIGINT) AS seq_id, doc_id,
+      |         CAST(GREATEST(prior, g.seq * 256) - prior AS BIGINT) AS doc_tok_start,
+      |         CAST(LEAST(prior + toks, (g.seq + 1) * 256)
+      |              - GREATEST(prior, g.seq * 256) AS BIGINT) AS n_toks,
+      |         CAST(GREATEST(prior, g.seq * 256) - g.seq * 256 AS BIGINT) AS seq_pos
+      |  FROM o, LATERAL (SELECT unnest(range(prior // 256, (prior + toks - 1) // 256 + 1)) AS seq) g
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // the full default-chain replay, each stage's verified oracle CTE
@@ -538,24 +585,27 @@ object PipelineQueries extends QueryModule {
         |                  WHEN 'src1' THEN prior_toks < 100
         |                  ELSE TRUE END""".stripMargin,
     "pack_sequences" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks,
-        |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 4 AS shard
-        |  FROM documents
-        |), o AS (
-        |  SELECT doc_id, toks, shard,
-        |         CAST(COALESCE(SUM(toks) OVER (
-        |           PARTITION BY shard ORDER BY doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
-        |  FROM t WHERE toks > 0
-        |)
-        |SELECT CAST(shard AS BIGINT) AS shard, CAST(g.seq AS BIGINT) AS seq_id, doc_id,
-        |       CAST(GREATEST(prior, g.seq * 256) - prior AS BIGINT) AS doc_tok_start,
-        |       CAST(LEAST(prior + toks, (g.seq + 1) * 256)
-        |            - GREATEST(prior, g.seq * 256) AS BIGINT) AS n_toks,
-        |       CAST(GREATEST(prior, g.seq * 256) - g.seq * 256 AS BIGINT) AS seq_pos
-        |FROM o, LATERAL (SELECT unnest(range(prior // 256, (prior + toks - 1) // 256 + 1)) AS seq) g""".stripMargin,
+      s"""WITH $packCte
+         |SELECT shard, seq_id, doc_id, doc_tok_start, n_toks, seq_pos FROM pk""".stripMargin,
+    // packing-efficiency audit over the same manifest: fill ppm per
+    // shard plus the exactness law — every sequence except each
+    // shard's trailing partial is EXACTLY seqLen tokens (running
+    // offsets leave no internal gaps)
+    "pack_fill_eval" ->
+      s"""WITH $packCte, ps AS (
+         |  SELECT shard, seq_id, CAST(SUM(n_toks) AS BIGINT) AS seq_toks
+         |  FROM pk GROUP BY shard, seq_id
+         |), agg AS (
+         |  SELECT shard,
+         |         CAST(COUNT(*) AS BIGINT) AS n_seqs,
+         |         CAST(SUM(seq_toks) AS BIGINT) AS n_toks,
+         |         CAST(SUM(CASE WHEN seq_toks = 256 THEN 1 ELSE 0 END) AS BIGINT) AS full_seqs
+         |  FROM ps GROUP BY shard
+         |)
+         |SELECT shard, n_seqs, n_toks, full_seqs,
+         |       (n_toks*1000000)//(n_seqs*256) AS fill_ppm,
+         |       CAST(full_seqs >= n_seqs - 1 AS BIGINT) AS law_ok
+         |FROM agg""".stripMargin,
     "shuffle_order" ->
       """WITH h AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':ord') AS ord FROM documents

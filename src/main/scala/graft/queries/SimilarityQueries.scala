@@ -222,6 +222,30 @@ object SimilarityQueries extends QueryModule {
     "embedding_pca" -> ((s, dir) =>
       graft.operators.Pca.topComponent(emb(s, dir), "embedding", dim = 64)),
 
+    // Quantization-error audit: the int8 codes' reconstruction error
+    // per vector, with the round-to-nearest bound |x - s·q| <= s/2
+    // carried as an in-row law flag (bound_e6 gets +1 for the one-ulp
+    // double noise of s·q). The check run before shipping int8 codes
+    // into an ANN index: a violated bound means a broken scale. Pure
+    // row-local arithmetic, identical op order both engines.
+    "quantize_error_eval" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+          transform(col("embedding"), c => c.cast("double")).as("v"))
+        .withColumn("scale",
+          array_max(transform(col("v"), a => abs(a))) / 127.0)
+        .withColumn("q",
+          when(col("scale") === 0.0,
+            transform(col("v"), _ => lit(0.0)))
+            .otherwise(transform(col("v"), a => round(a / col("scale")))))
+        .withColumn("err",
+          zip_with(col("v"), col("q"), (a, qq) => abs(a - col("scale") * qq)))
+      e.select(col("vec_id"), col("scale"),
+          round(array_max(col("err")) * 1000000).cast("long").as("max_err_e6"),
+          (round(col("scale") * 500000).cast("long") + 1L).as("bound_e6"))
+        .withColumn("law_ok",
+          (col("max_err_e6") <= col("bound_e6")).cast("long"))
+    }),
+
     // ...and the APPLY step (Pca.removeTop): fit the component (64
     // doubles — a bounded artifact, collected once like a codebook),
     // then stream every vector through the row-local x - (v.x)v
@@ -674,6 +698,30 @@ object SimilarityQueries extends QueryModule {
         |       CAST(SUM(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
         |       CAST(CAST(SUM(CAST(qv AS HUGEINT)*CAST(qv AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR) AS sum_sq
         |FROM x GROUP BY dim""".stripMargin,
+    "quantize_error_eval" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e
+        |), q AS (
+        |  SELECT vec_id, v, scale,
+        |         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> round(x / scale)) END AS q
+        |  FROM s
+        |), er AS (
+        |  SELECT vec_id, scale,
+        |         list_max(list_transform(range(0, len(v)), i ->
+        |           abs(v[CAST(i AS INT)+1] - scale * q[CAST(i AS INT)+1]))) AS maxerr
+        |  FROM q
+        |)
+        |SELECT vec_id, scale,
+        |       CAST(round(maxerr * 1000000) AS BIGINT) AS max_err_e6,
+        |       CAST(round(scale * 500000) AS BIGINT) + 1 AS bound_e6,
+        |       CAST(CAST(round(maxerr * 1000000) AS BIGINT)
+        |            <= CAST(round(scale * 500000) AS BIGINT) + 1 AS BIGINT) AS law_ok
+        |FROM er""".stripMargin,
     // full bit-replay of Pca.topComponent: exact-integer moments, the
     // identical double covariance expression, and the same 30
     // sequential-dot power-iteration steps (list_inner_product IS the
