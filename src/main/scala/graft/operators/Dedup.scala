@@ -382,6 +382,9 @@ object Dedup {
     // onto a long index) would still parquet-append mixed-schema part
     // files that the reader quietly nulls — the exact failure the meta
     // table exists to prevent, so compare types and fail fast
+    // SYMMETRIC comparison: a batch column missing from the index AND a
+    // saved column missing from the batch both produce mixed-schema
+    // part files that readers null-fill — fail fast on either direction
     val saved = spark.read.parquet(s"$path/signatures").schema
     batch.schema.fields.foreach { f =>
       val s = saved.fields.find(_.name == f.name).getOrElse(
@@ -390,6 +393,12 @@ object Dedup {
       require(s.dataType == f.dataType,
         s"append schema mismatch on '${f.name}': batch ${f.dataType} " +
           s"vs saved ${s.dataType} — refusing mixed-schema parquet append")
+    }
+    saved.fields.foreach { s =>
+      require(batch.schema.fields.exists(_.name == s.name),
+        s"saved index column '${s.name}' absent from the append batch " +
+          s"(batch schema ${batch.schema}) — appended rows would " +
+          "null-fill it; refusing mixed-schema parquet append")
     }
     batch.write.mode("append").parquet(s"$path/signatures")
   }

@@ -21,17 +21,18 @@ import org.apache.spark.sql.types._
   * codebook), and the 30-step power iteration on the 64×64 covariance
   * runs driver-side in microseconds.
   *
-  * Determinism: sums are exact integers (order-independent); the
-  * covariance entries c_ij = p_ij/n − (s_i/n)(s_j/n) and the iteration
-  * (sequential dot products, sqrt, divide — no FMA: JVM floats are
-  * strict IEEE since Java 17) use a fixed operation sequence, so a SQL
-  * engine replaying the same sequence reproduces every double
-  * bit-for-bit. Exactness caveat: integer→double conversion is exact
-  * while sums stay below 2^53 (holds for n·(1e6·|x|)² ≤ 9e15, i.e. any
-  * fixture; at 10¹²-row scale the sums REMAIN exact integers and only
-  * the final conversion correctly rounds — the component is equally
-  * valid, the cross-engine bit-replay guarantee is what needs the
-  * fixture bound).
+  * Determinism: sums are exact integers (order-independent) — the
+  * co-moments accumulate as decimal(38,0), good to ~10²⁶ unit-range
+  * rows, and the per-dim sums as BIGINT (|Σq_i| < 2⁶³ up to ~10¹²
+  * rows); the covariance entries c_ij = p_ij/n − (s_i/n)(s_j/n) and
+  * the iteration (sequential dot products, sqrt, divide — no FMA: JVM
+  * floats are strict IEEE since Java 17) use a fixed operation
+  * sequence, so a SQL engine replaying the same sequence reproduces
+  * every double bit-for-bit. Exactness caveat: the exact-integer →
+  * double conversion is itself exact while sums stay below 2^53 (any
+  * fixture); past that the sums REMAIN exact and the conversion
+  * correctly rounds — the component is equally valid, the cross-engine
+  * bit-replay guarantee is what needs the fixture bound.
   */
 object Pca {
 
@@ -46,12 +47,19 @@ object Pca {
       x => round(x.cast("double") * 1000000).cast("long")).as("q"))
     // row-local upper-triangle pair products; the explode feeds a
     // map-side-combined sum, so the shuffle is 2080 rows per task
+    // decimal(38,0) accumulation (the dimStats sum_sq discipline): a
+    // per-row product reaches ~1e12 on 1e-6-quantized unit-range
+    // components, so a plain LongType sum would silently wrap past 2^63
+    // at ~10^7 full-magnitude rows — decimal(38,0) keeps the co-moments
+    // exact to 10^26 rows. (The per-row product itself stays in Long:
+    // |q_i·q_j| ≤ (1e6·max|x|)² needs max|x| < ~3e3, the same bound the
+    // quantization already assumes.)
     val pairs = q.select(explode(expr(
       s"""flatten(transform(sequence(0, ${dim - 1}), i ->
          |  transform(sequence(i, ${dim - 1}), j ->
          |    struct(i, j, q[i] * q[j] AS pq))))""".stripMargin)).as("e"))
       .groupBy(col("e.i"), col("e.j"))
-      .agg(sum(col("e.pq")).as("p"))
+      .agg(sum(col("e.pq").cast("decimal(38,0)")).as("p"))
     val dims = q.select(posexplode(col("q")).as(Seq("i", "qi")))
       .groupBy(col("i"))
       .agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
@@ -70,8 +78,11 @@ object Pca {
     val s = Array.tabulate(dim)(i => dRows(i)._1.toDouble)
     val c = Array.ofDim[Double](dim, dim)
     pairs.collect().foreach { r =>
-      val (i, j, p) = (r.getInt(0), r.getInt(1), r.getLong(2))
-      val v = p.toDouble / n - (s(i) / n) * (s(j) / n)
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      // exact decimal -> nearest double, the same correctly-rounded
+      // conversion DuckDB's HUGEINT-sum -> DOUBLE cast performs
+      val p = r.getDecimal(2).doubleValue
+      val v = p / n - (s(i) / n) * (s(j) / n)
       c(i)(j) = v
       c(j)(i) = v
     }

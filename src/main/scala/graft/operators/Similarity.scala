@@ -160,24 +160,31 @@ object Similarity {
       codebook(base, idCol, vecCol, nCells).zipWithIndex
         .map { case ((_, v), i) => (i.toLong, v) }
     val dim = cb.head._2.length
-    val vecs = base.select(col(vecCol).cast("array<double>").as("v"))
-    for (_ <- 1 to iters) {
-      val assigned = vecs.withColumn("cell",
-        element_at(graft.functions.VectorExpressions.nearest_cells(
-          col("v"), cb.map(_._2.toSeq), 1), 1))
-      val sums = assigned.groupBy("cell")
-        .agg(udaf(VecSum(dim)).apply(col("v")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = cb.toArray
-      sums.foreach { r =>
-        val cell = r.getInt(0)
-        val s = r.getSeq[Double](1)
-        val norm = math.sqrt(s.map(x => x * x).sum)
-        if (norm > 0) next(cell) = (cell.toLong, s.map(_ / norm).toArray)
+    // persisted across Lloyd rounds (the Kmeans.fit discipline): each
+    // iteration is one cached-block pass, not a re-scan of the source
+    val vecs0 = base.select(col(vecCol).cast("array<double>").as("v"))
+    val vecs = if (iters > 1)
+      vecs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else vecs0
+    try {
+      for (_ <- 1 to iters) {
+        val assigned = vecs.withColumn("cell",
+          element_at(graft.functions.VectorExpressions.nearest_cells(
+            col("v"), cb.map(_._2.toSeq), 1), 1))
+        val sums = assigned.groupBy("cell")
+          .agg(udaf(VecSum(dim)).apply(col("v")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = cb.toArray
+        sums.foreach { r =>
+          val cell = r.getInt(0)
+          val s = r.getSeq[Double](1)
+          val norm = math.sqrt(s.map(x => x * x).sum)
+          if (norm > 0) next(cell) = (cell.toLong, s.map(_ / norm).toArray)
+        }
+        cb = next.toSeq                     // empty cells keep their centroid
       }
-      cb = next.toSeq                       // empty cells keep their centroid
-    }
-    cb
+      cb
+    } finally if (iters > 1) vecs.unpersist(false)
   }
 
   private case class VecSum(dim: Int)
@@ -314,9 +321,36 @@ object Similarity {
     */
   def probeIvf(cb: Seq[(Long, Array[Double])], assigned: DataFrame,
                queries: DataFrame, idCol: String, vecCol: String,
-               k: Int, nProbe: Int = 0): DataFrame = {
+               k: Int, nProbe: Int = 0): DataFrame =
+    topKFromCandidates(
+      ivfCandidates(cb, assigned, queries, idCol, vecCol, nProbe), k)
+
+  /** IVF candidate generation WITHOUT the scoring tail — the
+    * candidate-pair feed for every neighbor-search-shaped operator
+    * ([[topKFromCandidates]], [[hardNegativesFromCandidates]],
+    * [[knnVote]], [[bitextMineFromCandidates]]): rank the codebook
+    * row-locally per query, join the (query, cell) probe list onto the
+    * assignment table. Emits one row per (probed cell ∩ assignment)
+    * match carrying (q_id, qv, n_id, nv) plus any EXTRA columns riding
+    * the query frame (e.g. a label) and the assignment table — a pair
+    * met in several probed cells appears once per cell, which the
+    * bounded per-id top-k aggregator downstream dedupes for free.
+    *
+    * `broadcastProbes = true` (the serving default) broadcasts the
+    * probe list onto the index scan — right when the query batch is
+    * bounded. Pass `false` when the query side GROWS with the corpus
+    * (mining lanes: k-NN eval over a fixed fraction, bitext over a full
+    * second corpus): the cell equi-join then plans as a shuffle join —
+    * no unbounded broadcast — and AQE still converts it back to a
+    * broadcast at runtime whenever the probe side is actually small.
+    */
+  def ivfCandidates(cb: Seq[(Long, Array[Double])], assigned: DataFrame,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    nProbe: Int = 0, broadcastProbes: Boolean = true): DataFrame = {
     val probeCount = if (nProbe > 0) nProbe else math.max(2, cb.size / 4)
-    val q = queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("qv"))
+    val extras = queries.columns.filterNot(c => c == idCol || c == vecCol)
+    val q = queries.select(col(idCol).cast("long").as("q_id") +:
+      col(vecCol).as("qv") +: extras.map(col).toSeq: _*)
     val cellScores = array(cb.map { case (id, av) =>
       struct(dot(col("qv"), typedLit(av.toSeq)).as("s"), lit(id).as("cell"))
     }: _*)
@@ -328,7 +362,7 @@ object Similarity {
         .otherwise(0)
     val probes = q
       .withColumn("pc", explode(slice(array_sort(cellScores, byScoreDescCellAsc), 1, probeCount)))
-      .select(col("q_id"), col("qv"), col("pc.cell").as("cell"))
+      .withColumn("cell", col("pc.cell")).drop("pc")
 
     // batch: broadcast the (small) probe set onto the index scan.
     // streaming: a stream cannot be broadcast — drive the stream-static
@@ -336,12 +370,22 @@ object Similarity {
     // per micro-batch; a production server persists it via
     // saveIvfIndex). Candidates, scores and ranks are identical either
     // way, so batch ≡ stream bit-for-bit.
-    val scored = (if (queries.isStreaming) probes.join(assigned, "cell")
-                  else assigned.join(broadcast(probes), "cell"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("qv"), col("nv")))
-    topKRank(scored, k)
+    val joined =
+      if (queries.isStreaming) probes.join(assigned, "cell")
+      else if (broadcastProbes) assigned.join(broadcast(probes), "cell")
+      else assigned.join(probes, "cell")
+    joined.filter(col("q_id") =!= col("n_id")).drop("cell")
   }
+
+  /** Exact-cosine top-k over a candidate-pair frame (q_id, qv, n_id,
+    * nv) — the scoring tail [[probeIvf]], [[hardNegativesFromCandidates]]
+    * and the mining lanes share. Scoring is row-local; the only shuffle
+    * is the bounded top-k merge, and duplicate candidate rows (a pair
+    * met in several probe cells) collapse inside the per-id aggregator.
+    */
+  def topKFromCandidates(cands: DataFrame, k: Int): DataFrame =
+    topKRank(cands.filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("qv"), col("nv"))), k)
 
   /** Hard-negative mining for contrastive training: per query vector,
     * the `k` most-cosine-similar candidates carrying a DIFFERENT label
@@ -349,8 +393,10 @@ object Similarity {
     * trainer wants as negatives (easy random negatives teach nothing).
     * Same plan as [[bruteForceTopK]] with the label guard fused into
     * the broadcast join condition: the base streams once, no shuffle
-    * but the bounded top-k merge. At 100 TB swap the base scan for the
-    * IVF candidate set ([[probeIvf]]) — the scoring tail is identical.
+    * but the bounded top-k merge. Right for a genuinely small curated
+    * anchor set; when the query side grows with the corpus, feed
+    * [[ivfCandidates]] into [[hardNegativesFromCandidates]] instead —
+    * the scoring tail is identical.
     */
   def hardNegatives(base: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, labelCol: String, k: Int): DataFrame = {
@@ -364,6 +410,20 @@ object Similarity {
     topKRank(scored, k)
   }
 
+  /** Candidate-fed hard negatives — the scale path: `cands` comes from
+    * [[ivfCandidates]] with the labels riding both sides (put `q_lab`
+    * on the query frame and `n_lab` on the assignment table; extra
+    * columns pass through candidate generation untouched). The label
+    * guard and scoring are row-local over the candidate rows; the only
+    * shuffle is the bounded top-k merge — no broadcast or scan grows
+    * with the corpus. With nProbe = nCells the candidate set is total
+    * and the result equals [[hardNegatives]] exactly (spec-pinned).
+    */
+  def hardNegativesFromCandidates(cands: DataFrame, k: Int): DataFrame =
+    topKRank(cands
+      .filter(col("q_id") =!= col("n_id") && col("q_lab") =!= col("n_lab"))
+      .withColumn("sim", cosine(col("qv"), col("nv"))), k)
+
   /** k-NN label vote: each query vector takes the majority label of its
     * `k` cosine-nearest base vectors (ties: higher count wins, then the
     * SMALLER label — the bounded aggregator's id-asc rule). The
@@ -376,18 +436,32 @@ object Similarity {
     * candidates at index scale.
     */
   def knnClassify(base: DataFrame, queries: DataFrame, idCol: String,
-                  vecCol: String, labelCol: String, k: Int): DataFrame = {
-    val labels = base.select(col(idCol).cast("long").as("n_id"),
-      col(labelCol).cast("long").as("n_lab"))
-    val votes = bruteForceTopK(base, queries, idCol, vecCol, k)
-      .join(labels, "n_id")
+                  vecCol: String, labelCol: String, k: Int): DataFrame =
+    knnVote(bruteForceTopK(base, queries, idCol, vecCol, k),
+      base.select(col(idCol).cast("long").as("n_id"),
+        col(labelCol).cast("long").as("n_lab")),
+      queries.select(col(idCol).cast("long").as("q_id"),
+        col(labelCol).cast("long").as("label")))
+
+  /** The k-NN vote tail, decoupled from how the neighbor lists were
+    * produced: `topk` is any (q_id, n_id, rnk) frame — [[bruteForceTopK]]
+    * for a bounded query batch, [[topKFromCandidates]] over
+    * [[ivfCandidates]] for the scale path where the query side is a
+    * corpus fraction. One narrow label equi-join, one bounded vote
+    * aggregation (count desc, label asc — the aggregator's id-asc tie
+    * rule), one narrow truth join; nothing scales past the (k-bounded)
+    * neighbor-list size.
+    */
+  def knnVote(topk: DataFrame, baseLabels: DataFrame,
+              queryLabels: DataFrame): DataFrame = {
+    val votes = topk
+      .join(baseLabels, "n_id")
       .groupBy(col("q_id"), col("n_lab")).agg(count(lit(1)).as("cnt"))
     val pred = votes.groupBy(col("q_id"))
       .agg(graft.functions.Aggregators.topKByScore(
         col("cnt").cast("double"), col("n_lab"), 1).as("top"))
       .select(col("q_id"), explode(col("top")).as("pred_label"))
-    pred.join(queries.select(col(idCol).cast("long").as("q_id"),
-        col(labelCol).cast("long").as("label")), "q_id")
+    pred.join(queryLabels, "q_id")
       .withColumn("correct",
         when(col("pred_label") === col("label"), 1L).otherwise(0L))
       .select("q_id", "pred_label", "label", "correct")
@@ -406,10 +480,16 @@ object Similarity {
     * Determinism (what lets a SQL oracle replay it): the k
     * neighborhood sims enter the average in RANK order through a fixed
     * left-associated sum (pivot-by-rank, not a float aggregation), and
-    * every rank tie breaks id-asc in the bounded aggregator. The
-    * declared lane scores all src x tgt pairs (the fixture is small);
-    * at 100 TB feed the pair list from the IVF candidates
-    * ([[probeIvf]] both directions) — the margin tail is identical.
+    * every rank tie breaks id-asc in the bounded aggregator.
+    *
+    * THIS variant scores all src × tgt pairs (broadcast nested loop) —
+    * right only when one side is a bounded batch; a mined-parallel-
+    * corpus workload (both sides web-scale) goes through
+    * [[bitextMineFromCandidates]] with IVF candidates from both
+    * directions — the margin tail is shared and identical. The sim
+    * cache this builds is scoped: the result is materialized eagerly
+    * (localCheckpoint, bounded — one best pair per accepted source) and
+    * the quadratic sim table unpersisted before returning.
     */
   def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
                  k: Int = 4, threshold: Double = 1.05): DataFrame = {
@@ -421,6 +501,48 @@ object Similarity {
       .withColumn("sim", cosine(col("av"), col("bv")))
       .select("src_id", "tgt_id", "sim")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = marginTail(sims, k, threshold).localCheckpoint()
+    sims.unpersist(false)
+    out
+  }
+
+  /** Candidate-fed bitext mining — the scale path: `candidates` is a
+    * (src_id, tgt_id) pair frame, normally the union of
+    * [[ivfCandidates]] probed in BOTH directions (src queries against a
+    * tgt-side index and vice versa, so both neighborhood averages see
+    * each side's near-neighbors). Pairs are deduped on ids, vectors
+    * rejoin through two hash equi-joins, and the identical margin tail
+    * runs over candidate sims only — no operator in the plan is
+    * quadratic in either corpus, and nothing unbounded broadcasts.
+    * Neighborhood averages use each id's top-k sims WITHIN the
+    * candidate set; with full probing the candidate set is total and
+    * the result equals [[bitextMine]] exactly (spec-pinned).
+    */
+  def bitextMineFromCandidates(src: DataFrame, tgt: DataFrame,
+                               idCol: String, vecCol: String,
+                               candidates: DataFrame,
+                               k: Int = 4, threshold: Double = 1.05): DataFrame = {
+    val a = src.select(col(idCol).cast("long").as("src_id"), col(vecCol).as("av"))
+    val b = tgt.select(col(idCol).cast("long").as("tgt_id"), col(vecCol).as("bv"))
+    // persisted: candidate-bounded (not quadratic), and the margin tail
+    // consumes it four times — released by the session's cache
+    // discipline, the dedup_embedding_blocked pattern
+    val sims = candidates.select(col("src_id").cast("long"), col("tgt_id").cast("long"))
+      .distinct()
+      .join(a, "src_id").join(b, "tgt_id")
+      .withColumn("sim", cosine(col("av"), col("bv")))
+      .select("src_id", "tgt_id", "sim")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    marginTail(sims, k, threshold)
+  }
+
+  /** The Artetxe-Schwenk margin tail over a (src_id, tgt_id, sim)
+    * table: both neighborhood top-k averages (rank-ordered fixed sums —
+    * engine-replayable), the margin, and the accepted best pair per
+    * source. Shared verbatim by the brute-force and candidate-fed
+    * variants: the criterion never changes, only candidate generation.
+    */
+  private def marginTail(sims: DataFrame, k: Int, threshold: Double): DataFrame = {
     // avg of the k best sims for each `keyCol`, summed in rank order
     // (rank i rides the posexplode position; ties are id-asc in the
     // aggregator, so the pivot is single-valued per position)

@@ -50,41 +50,93 @@ object SimilarityQueries extends QueryModule {
         .withColumn("hit", coalesce(col("hit"), lit(0L)))
     }),
     // Hard-negative mining (contrastive-training data): per query
-    // vector, the 5 most-similar WRONG-label vectors — the near-miss
-    // negatives a contrastive/reranker trainer pairs with each anchor.
-    // Same broadcast-scan + bounded-top-k plan as ann_cosine_topk with
-    // the label guard fused into the join condition.
+    // vector, the 5 most-similar WRONG-label vectors among its IVF
+    // candidates — the near-miss negatives a contrastive/reranker
+    // trainer pairs with each anchor. The SCALE shape: candidates come
+    // from the same kmeansCodebook index ann_ivf_topk probes (labels
+    // ride the assignment rows and the probe list, so the guard is a
+    // row-local filter — no label join, no corpus-sized broadcast, no
+    // all-pairs scan), and the whole approximate pipeline replays in
+    // SQL like the IVF lane does. Equals the brute-force tail exactly
+    // at full probing (OperatorSpec law).
     "hard_negatives" -> ((s, dir) => {
       val base = emb(s, dir)
-      Similarity.hardNegatives(base, base.filter(col("vec_id") % 50 === 0),
-        "vec_id", "embedding", "label", k = 5)
+      val cb = Similarity.kmeansCodebook(base, "vec_id", "embedding",
+        nCells = 16, iters = 2)
+      val assigned = Similarity.assignCells(
+        base.select(col("vec_id").cast("long").as("n_id"),
+          col("embedding").as("nv"), col("label").as("n_lab")),
+        "n_id", "nv", cb, rep = 4)
+      val queries = base.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"), col("label").as("q_lab"))
+      Similarity.hardNegativesFromCandidates(
+        Similarity.ivfCandidates(cb, assigned, queries,
+          "vec_id", "embedding", nProbe = 4), k = 5)
     }),
 
     // k-NN label vote (weak supervision / embedding-quality eval):
     // every 5th vector is "held out" and takes the majority label of
-    // its 5 cosine-nearest neighbors; `correct` rides each row, so the
-    // k-NN agreement rate — the standard embedding-quality probe — is
-    // one avg away, and the whole vote replays in SQL (integer counts,
-    // count-desc/label-asc tie rule).
+    // its 5 cosine-nearest IVF candidates; `correct` rides each row, so
+    // the k-NN agreement rate — the standard embedding-quality probe —
+    // is one avg away. The query side is a CORPUS FRACTION, so nothing
+    // may broadcast it: candidates come from the IVF index via a plain
+    // cell equi-join (broadcastProbes = false), and the vote replays in
+    // SQL (integer counts, count-desc/label-asc tie rule) on top of the
+    // replayed index.
     "knn_classify" -> ((s, dir) => {
       val base = emb(s, dir)
-      Similarity.knnClassify(base, base.filter(col("vec_id") % 5 === 0),
-        "vec_id", "embedding", "label", k = 5)
+      val cb = Similarity.kmeansCodebook(base, "vec_id", "embedding",
+        nCells = 16, iters = 2)
+      val assigned = Similarity.assignCells(
+        base.select(col("vec_id").cast("long").as("n_id"),
+          col("embedding").as("nv")), "n_id", "nv", cb, rep = 4)
+      val queries = base.filter(col("vec_id") % 5 === 0)
+      val topk = Similarity.topKFromCandidates(
+        Similarity.ivfCandidates(cb, assigned,
+          queries.select("vec_id", "embedding"), "vec_id", "embedding",
+          nProbe = 4, broadcastProbes = false), k = 5)
+      Similarity.knnVote(topk,
+        base.select(col("vec_id").cast("long").as("n_id"),
+          col("label").cast("long").as("n_lab")),
+        queries.select(col("vec_id").cast("long").as("q_id"),
+          col("label").cast("long").as("label")))
     }),
 
     // Bitext mining (multilingual parallel-data curation): the
     // even-vec_id half plays "source language", the odd half "target";
     // each source aligns to its best target by the Artetxe-Schwenk
     // margin (cosine normalized by both neighborhoods' top-4 averages,
-    // accept at >= 1.05). The margin arithmetic is a fixed IEEE
-    // expression tree over rank-ordered sims, so DuckDB replays the
-    // mined pairs bit-for-bit.
+    // accept at >= 1.05). BOTH sides are web-scale in the real
+    // workload, so candidate pairs come from two IVF indexes probed in
+    // both directions (src->tgt and tgt->src, plain cell equi-joins —
+    // no cross join, no unbounded broadcast) and the margin tail runs
+    // over candidate sims only. The margin arithmetic is a fixed IEEE
+    // expression tree over rank-ordered sims and the index is the
+    // bit-replayable kmeansCodebook, so DuckDB replays the mined pairs
+    // bit-for-bit.
     "bitext_mine" -> ((s, dir) => {
       val base = emb(s, dir)
-      Similarity.bitextMine(
-        base.filter(col("vec_id") % 2 === 0),
-        base.filter(col("vec_id") % 2 === 1),
-        "vec_id", "embedding", k = 4, threshold = 1.05)
+      val src = base.filter(col("vec_id") % 2 === 0)
+      val tgt = base.filter(col("vec_id") % 2 === 1)
+      def index(half: DataFrame): (Seq[(Long, Array[Double])], DataFrame) = {
+        val cb = Similarity.kmeansCodebook(half, "vec_id", "embedding",
+          nCells = 16, iters = 2)
+        (cb, Similarity.assignCells(
+          half.select(col("vec_id").cast("long").as("n_id"),
+            col("embedding").as("nv")), "n_id", "nv", cb, rep = 4))
+      }
+      val (cbT, asgT) = index(tgt)
+      val (cbS, asgS) = index(src)
+      val srcToTgt = Similarity.ivfCandidates(cbT, asgT,
+          src.select("vec_id", "embedding"), "vec_id", "embedding",
+          nProbe = 4, broadcastProbes = false)
+        .select(col("q_id").as("src_id"), col("n_id").as("tgt_id"))
+      val tgtToSrc = Similarity.ivfCandidates(cbS, asgS,
+          tgt.select("vec_id", "embedding"), "vec_id", "embedding",
+          nProbe = 4, broadcastProbes = false)
+        .select(col("n_id").as("src_id"), col("q_id").as("tgt_id"))
+      Similarity.bitextMineFromCandidates(src, tgt, "vec_id", "embedding",
+        srcToTgt.union(tgtToSrc), k = 4, threshold = 1.05)
     }),
 
     // Embedding-cosine near-dup (scale extension): the fixture has no
@@ -352,71 +404,94 @@ object SimilarityQueries extends QueryModule {
       |  FROM d3 GROUP BY vec_id
       |)""".stripMargin
 
-  // One integer-Lloyd round over the normalized-quantized table `kq`
-  // (the kmeansCte pattern at nCells=16): distances from `cPrev`,
-  // argmin assignment, exact integer sums, truncating mean, empty
-  // cells keep the previous centroid.
-  private def ivfLloydRound(n: Int, cPrev: String): String =
-    s"""d$n AS (
+  // One integer-Lloyd round over the normalized-quantized table
+  // `${p}kq` (the kmeansCte pattern): distances from `cPrev`, argmin
+  // assignment, exact integer sums, truncating mean, empty cells keep
+  // the previous centroid. All CTE names carry the index prefix `p`,
+  // so several independent indexes compose in one statement (the
+  // bitext_mine two-index replay).
+  private def ivfLloydRound(p: String, n: Int, cPrev: String): String =
+    s"""${p}d$n AS (
        |  SELECT kq.vec_id, c.j,
        |         CAST(list_sum(list_transform(range(1, len(kq.q)+1), i -> (kq.q[i]-c.v[i])*(kq.q[i]-c.v[i]))) AS BIGINT) AS dist
-       |  FROM kq, $cPrev c
-       |), a$n AS (
-       |  SELECT vec_id, (array_agg(j ORDER BY dist, j))[1] AS cl FROM d$n GROUP BY vec_id
-       |), u$n AS (
+       |  FROM ${p}kq kq, $cPrev c
+       |), ${p}a$n AS (
+       |  SELECT vec_id, (array_agg(j ORDER BY dist, j))[1] AS cl FROM ${p}d$n GROUP BY vec_id
+       |), ${p}u$n AS (
        |  SELECT a.cl AS j, t.i, CAST(SUM(kq.q[t.i]) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
-       |  FROM kq JOIN a$n a USING (vec_id), UNNEST(range(1, len(kq.q)+1)) AS t(i)
+       |  FROM ${p}kq kq JOIN ${p}a$n a USING (vec_id), UNNEST(range(1, len(kq.q)+1)) AS t(i)
        |  GROUP BY a.cl, t.i
-       |), c$n AS (
-       |  SELECT $cPrev.j, COALESCE(u.v, $cPrev.v) AS v
-       |  FROM $cPrev LEFT JOIN (
-       |    SELECT j, list(s // n ORDER BY i) AS v FROM u$n GROUP BY j
+       |), ${p}c$n AS (
+       |  SELECT cp.j, COALESCE(u.v, cp.v) AS v
+       |  FROM $cPrev cp LEFT JOIN (
+       |    SELECT j, list(s // n ORDER BY i) AS v FROM ${p}u$n GROUP BY j
        |  ) u USING (j)
        |)""".stripMargin
 
-  // Full replay of the ann_ivf_topk index path (kmeansCodebook nCells=16
-  // iters=2, rep=4 assignment, nProbe=4, cosine top-5): L2-normalize,
+  // Replay of Similarity.kmeansCodebook(nCells, iters = 2) +
+  // assignCells(rep) over the (vec_id, v) table `src`: L2-normalize,
   // quantize at 1e6, md5-seeded init in id order, two integer Lloyd
-  // rounds, exact-integer-norm unit centroids, dot-ranked cell choice
-  // (score desc, cell asc — the insertion-sort tie rule), DISTINCT
-  // candidates (the aggregator's per-id dedup), exact cosine rerank.
-  private[queries] val ivfCte: String =
-    s"""e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |), un AS (
-       |  SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv FROM e
-       |), kq AS (
-       |  SELECT vec_id, list_transform(nv, x -> CAST(round(x*1000000) AS BIGINT)) AS q FROM un
-       |), seed AS (
-       |  SELECT vec_id, q FROM kq ORDER BY md5(CAST(vec_id AS VARCHAR) || ':km') LIMIT 16
-       |), c0 AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, q AS v FROM seed
-       |), ${ivfLloydRound(1, "c0")}, ${ivfLloydRound(2, "c1")}, cbv AS (
+  // rounds, exact-integer-norm unit centroids, dot-ranked rep-cell
+  // assignment (score desc, cell asc — the insertion-sort tie rule).
+  // Ends at `${p}cbv(j, cv)` and `${p}asg(n_id, cell)`.
+  private def ivfIndexCte(p: String, src: String, nCells: Int, rep: Int): String =
+    s"""${p}un AS (
+       |  SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv FROM $src
+       |), ${p}kq AS (
+       |  SELECT vec_id, list_transform(nv, x -> CAST(round(x*1000000) AS BIGINT)) AS q FROM ${p}un
+       |), ${p}seed AS (
+       |  SELECT vec_id, q FROM ${p}kq ORDER BY md5(CAST(vec_id AS VARCHAR) || ':km') LIMIT $nCells
+       |), ${p}c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, q AS v FROM ${p}seed
+       |), ${ivfLloydRound(p, 1, s"${p}c0")}, ${ivfLloydRound(p, 2, s"${p}c1")}, ${p}cbv AS (
        |  SELECT j, list_transform(v, x -> CAST(x AS DOUBLE) /
        |           sqrt(list_sum(list_transform(v, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS cv
-       |  FROM c2
-       |), bs AS (
-       |  SELECT e.vec_id AS n_id, cb.j AS cell, list_inner_product(e.v, cb.cv) AS s FROM e, cbv cb
-       |), asg AS (
+       |  FROM ${p}c2
+       |), ${p}bs AS (
+       |  SELECT b.vec_id AS n_id, cb.j AS cell, list_inner_product(b.v, cb.cv) AS s FROM $src b, ${p}cbv cb
+       |), ${p}asg AS (
        |  SELECT n_id, cell FROM (
-       |    SELECT n_id, cell, row_number() OVER (PARTITION BY n_id ORDER BY s DESC, cell ASC) AS rk FROM bs)
-       |  WHERE rk <= 4
-       |), qs AS (
-       |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0
-       |), ps AS (
-       |  SELECT q.q_id, cb.j AS cell, list_inner_product(q.qv, cb.cv) AS s FROM qs q, cbv cb
-       |), pr AS (
+       |    SELECT n_id, cell, row_number() OVER (PARTITION BY n_id ORDER BY s DESC, cell ASC) AS rk FROM ${p}bs)
+       |  WHERE rk <= $rep
+       |)""".stripMargin
+
+  // Replay of Similarity.ivfCandidates: probe the `${p}` index with the
+  // (q_id, qv) table `qs` — dot-ranked probe cells, candidate matches
+  // from the cell equi-join, self-matches removed, DISTINCT pairs (the
+  // bounded aggregator's per-id dedup). Ends at `${p}cand(q_id, n_id)`.
+  private def ivfProbeCte(p: String, qs: String, nProbe: Int): String =
+    s"""${p}ps AS (
+       |  SELECT q.q_id, cb.j AS cell, list_inner_product(q.qv, cb.cv) AS s FROM $qs q, ${p}cbv cb
+       |), ${p}pr AS (
        |  SELECT q_id, cell FROM (
-       |    SELECT q_id, cell, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, cell ASC) AS rk FROM ps)
-       |  WHERE rk <= 4
-       |), cand AS (
-       |  SELECT DISTINCT p.q_id, a.n_id FROM pr p JOIN asg a USING (cell) WHERE a.n_id <> p.q_id
-       |), sc AS (
+       |    SELECT q_id, cell, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, cell ASC) AS rk FROM ${p}ps)
+       |  WHERE rk <= $nProbe
+       |), ${p}cand AS (
+       |  SELECT DISTINCT pp.q_id, a.n_id FROM ${p}pr pp JOIN ${p}asg a USING (cell) WHERE a.n_id <> pp.q_id
+       |)""".stripMargin
+
+  // The exact-cosine rerank over a candidate table — the
+  // topKFromCandidates tail: `${p}sc(q_id, n_id, sim)` from
+  // `${p}cand`, vectors rejoined from `src`.
+  private def candScoreCte(p: String, src: String): String =
+    s"""${p}sc AS (
        |  SELECT c.q_id, c.n_id,
        |         list_inner_product(eq.v, en.v) /
        |           (sqrt(list_inner_product(eq.v, eq.v)) * sqrt(list_inner_product(en.v, en.v))) AS sim
-       |  FROM cand c JOIN e eq ON eq.vec_id = c.q_id JOIN e en ON en.vec_id = c.n_id
-       |), ivf AS (
+       |  FROM ${p}cand c JOIN $src eq ON eq.vec_id = c.q_id JOIN $src en ON en.vec_id = c.n_id
+       |)""".stripMargin
+
+  // Full replay of the ann_ivf_topk pipeline (kmeansCodebook nCells=16
+  // iters=2, rep=4 assignment, nProbe=4, cosine top-5), assembled from
+  // the factored index/probe/rerank builders, plus the brute-force
+  // recall reference `bf` — ends at `ivf(q_id, n_id, rnk)` and
+  // `bf(q_id, n_id)`.
+  private[queries] val ivfCte: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), ${ivfIndexCte("", "e", nCells = 16, rep = 4)}, qs AS (
+       |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0
+       |), ${ivfProbeCte("", "qs", nProbe = 4)}, ${candScoreCte("", "e")}, ivf AS (
        |  SELECT q_id, n_id,
        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rnk
        |  FROM sc
@@ -439,46 +514,57 @@ object SimilarityQueries extends QueryModule {
          |FROM ivf i LEFT JOIN bf b ON i.q_id = b.q_id AND i.n_id = b.n_id
          |WHERE i.rnk <= 5""".stripMargin,
 
+    // the replayed IVF index (same builders as ann_ivf_topk) feeds the
+    // candidate rerank, then the integer vote tail
     "knn_classify" ->
-      """WITH q AS (
-        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label FROM embeddings WHERE vec_id % 5 = 0
-        |), b AS (
-        |  SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv, label AS n_lab FROM embeddings
-        |), scored AS (
-        |  SELECT q_id, n_id, n_lab,
-        |         list_inner_product(qv, nv) /
-        |           (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
-        |  FROM b, q WHERE q_id <> n_id
-        |), nn AS (
-        |  SELECT q_id, n_lab FROM (
-        |    SELECT q_id, n_lab,
-        |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rnk
-        |    FROM scored)
-        |  WHERE rnk <= 5
-        |), votes AS (
-        |  SELECT q_id, n_lab, COUNT(*) AS cnt FROM nn GROUP BY q_id, n_lab
-        |), pred AS (
-        |  SELECT q_id, n_lab AS pred_label FROM (
-        |    SELECT q_id, n_lab,
-        |           row_number() OVER (PARTITION BY q_id ORDER BY cnt DESC, n_lab ASC) AS rk
-        |    FROM votes)
-        |  WHERE rk = 1
-        |)
-        |SELECT p.q_id, CAST(p.pred_label AS BIGINT) AS pred_label,
-        |       CAST(q.label AS BIGINT) AS label,
-        |       CASE WHEN p.pred_label = q.label THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS correct
-        |FROM pred p JOIN q ON q.q_id = p.q_id""".stripMargin,
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), ${ivfIndexCte("", "e", nCells = 16, rep = 4)}, qs AS (
+         |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 5 = 0
+         |), ${ivfProbeCte("", "qs", nProbe = 4)}, ${candScoreCte("", "e")}, nn AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rnk
+         |    FROM sc)
+         |  WHERE rnk <= 5
+         |), votes AS (
+         |  SELECT nn.q_id, b.label AS n_lab, COUNT(*) AS cnt
+         |  FROM nn JOIN embeddings b ON b.vec_id = nn.n_id
+         |  GROUP BY nn.q_id, b.label
+         |), pred AS (
+         |  SELECT q_id, n_lab AS pred_label FROM (
+         |    SELECT q_id, n_lab,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cnt DESC, n_lab ASC) AS rk
+         |    FROM votes)
+         |  WHERE rk = 1
+         |)
+         |SELECT p.q_id, CAST(p.pred_label AS BIGINT) AS pred_label,
+         |       CAST(q.label AS BIGINT) AS label,
+         |       CASE WHEN p.pred_label = q.label THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS correct
+         |FROM pred p JOIN embeddings q ON q.vec_id = p.q_id""".stripMargin,
 
+    // two replayed IVF indexes (one per language side), probed in both
+    // directions; the margin tail runs over the DISTINCT candidate
+    // sims, exactly like Similarity.bitextMineFromCandidates
     "bitext_mine" ->
-      """WITH s AS (
-        |  SELECT vec_id AS src_id, embedding::DOUBLE[] AS av FROM embeddings WHERE vec_id % 2 = 0
-        |), t AS (
-        |  SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 2 = 1
+      s"""WITH es AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 0
+        |), et AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 1
+        |), ${ivfIndexCte("ti", "et", nCells = 16, rep = 4)}, tiqs AS (
+        |  SELECT vec_id AS q_id, v AS qv FROM es
+        |), ${ivfProbeCte("ti", "tiqs", nProbe = 4)}, ${ivfIndexCte("si", "es", nCells = 16, rep = 4)}, siqs AS (
+        |  SELECT vec_id AS q_id, v AS qv FROM et
+        |), ${ivfProbeCte("si", "siqs", nProbe = 4)}, pairs AS (
+        |  SELECT DISTINCT src_id, tgt_id FROM (
+        |    SELECT q_id AS src_id, n_id AS tgt_id FROM ticand
+        |    UNION ALL
+        |    SELECT n_id AS src_id, q_id AS tgt_id FROM sicand)
         |), sims AS (
-        |  SELECT src_id, tgt_id,
-        |         list_inner_product(av, bv) /
-        |           (sqrt(list_inner_product(av, av)) * sqrt(list_inner_product(bv, bv))) AS sim
-        |  FROM s, t
+        |  SELECT p.src_id, p.tgt_id,
+        |         list_inner_product(ea.v, eb.v) /
+        |           (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) AS sim
+        |  FROM pairs p JOIN es ea ON ea.vec_id = p.src_id JOIN et eb ON eb.vec_id = p.tgt_id
         |), nns AS (
         |  SELECT src_id, tgt_id, sim,
         |         row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id ASC) AS rnk
@@ -498,8 +584,11 @@ object SimilarityQueries extends QueryModule {
         |          + MAX(CASE WHEN rnk=3 THEN sim END) + MAX(CASE WHEN rnk=4 THEN sim END)) / 8.0 AS ay
         |  FROM nnt WHERE rnk <= 4 GROUP BY tgt_id
         |), m AS (
+        |  -- a side with < 4 candidate neighbors yields a NULL avg ->
+        |  -- NULL margin; Spark's marginTail filters those rows out
         |  SELECT si.src_id, si.tgt_id, si.sim / (ax.ax + ay.ay) AS margin
         |  FROM sims si JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+        |  WHERE ax.ax IS NOT NULL AND ay.ay IS NOT NULL
         |), best AS (
         |  SELECT src_id, tgt_id, margin,
         |         row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS rnk
@@ -507,23 +596,28 @@ object SimilarityQueries extends QueryModule {
         |)
         |SELECT src_id, tgt_id FROM best WHERE rnk = 1 AND margin >= 1.05""".stripMargin,
 
+    // the replayed IVF index feeds the candidates; the label guard is a
+    // join-filter over candidate rows, then the exact-cosine top-5
     "hard_negatives" ->
-      """WITH q AS (
-        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label AS q_lab
-        |  FROM embeddings WHERE vec_id % 50 = 0
-        |), b AS (
-        |  SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv, label AS n_lab FROM embeddings
-        |), scored AS (
-        |  SELECT q_id, n_id,
-        |         list_inner_product(qv, nv) /
-        |           (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
-        |  FROM b, q WHERE q_id <> n_id AND q_lab <> n_lab
-        |), ranked AS (
-        |  SELECT q_id, n_id,
-        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rnk
-        |  FROM scored
-        |)
-        |SELECT q_id, n_id, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), ${ivfIndexCte("", "e", nCells = 16, rep = 4)}, qs AS (
+         |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0
+         |), ${ivfProbeCte("", "qs", nProbe = 4)}, scored AS (
+         |  SELECT c.q_id, c.n_id,
+         |         list_inner_product(eq.v, en.v) /
+         |           (sqrt(list_inner_product(eq.v, eq.v)) * sqrt(list_inner_product(en.v, en.v))) AS sim
+         |  FROM cand c
+         |  JOIN e eq ON eq.vec_id = c.q_id JOIN e en ON en.vec_id = c.n_id
+         |  JOIN embeddings lq ON lq.vec_id = c.q_id
+         |  JOIN embeddings lb ON lb.vec_id = c.n_id
+         |  WHERE lq.label <> lb.label
+         |), ranked AS (
+         |  SELECT q_id, n_id,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rnk
+         |  FROM scored
+         |)
+         |SELECT q_id, n_id, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (
@@ -758,7 +852,9 @@ object SimilarityQueries extends QueryModule {
         |  SELECT ii.i AS i, CAST(SUM(q.q[ii.i+1]) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
         |  FROM q, (SELECT unnest(range(0,64)) AS i) ii GROUP BY ii.i
         |), pr AS (
-        |  SELECT ii.i AS i, jj.j AS j, CAST(SUM(CAST(q.q[ii.i+1] AS HUGEINT) * q.q[jj.j+1]) AS BIGINT) AS p
+        |  -- exact HUGEINT co-moments (the Spark side sums decimal(38,0));
+        |  -- the -> DOUBLE cast below is the one correctly-rounded step
+        |  SELECT ii.i AS i, jj.j AS j, SUM(CAST(q.q[ii.i+1] AS HUGEINT) * q.q[jj.j+1]) AS p
         |  FROM q, (SELECT unnest(range(0,64)) AS i) ii, (SELECT unnest(range(0,64)) AS j) jj
         |  WHERE jj.j >= ii.i GROUP BY ii.i, jj.j
         |), cd0 AS (

@@ -1184,6 +1184,83 @@ class OperatorSpec extends AnyFunSuite {
     } finally idx.unpersist(false)
   }
 
+  test("Similarity candidate-fed lanes == brute force at full probing (algebraic identity)") {
+    // with nProbe = nCells every cell is probed, so every assigned
+    // vector is a candidate for every query — the candidate-fed tails
+    // must then equal their brute-force counterparts EXACTLY (same
+    // sims, same aggregator tie rules), which pins that switching the
+    // declared lanes to IVF candidates changed the candidate generator
+    // and nothing else
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cb = Similarity.kmeansCodebook(emb, "vec_id", "embedding", nCells = 16, iters = 2)
+    val assigned = Similarity.assignCells(
+      emb.select(col("vec_id").cast("long").as("n_id"),
+        col("embedding").as("nv"), col("label").as("n_lab")),
+      "n_id", "nv", cb, rep = 4)
+    val q50 = emb.filter(col("vec_id") % 50 === 0)
+
+    // 1. exact top-k
+    val candTopK = Similarity.topKFromCandidates(
+      Similarity.ivfCandidates(cb, assigned,
+        q50.select("vec_id", "embedding"), "vec_id", "embedding",
+        nProbe = 16, broadcastProbes = false), k = 5)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val bfTopK = Similarity.bruteForceTopK(emb, q50, "vec_id", "embedding", 5)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(candTopK == bfTopK, s"top-k diverged: ${candTopK.diff(bfTopK)}")
+
+    // 2. hard negatives (labels ride the candidate rows)
+    val candHn = Similarity.hardNegativesFromCandidates(
+      Similarity.ivfCandidates(cb, assigned,
+        q50.select(col("vec_id"), col("embedding"), col("label").as("q_lab")),
+        "vec_id", "embedding", nProbe = 16), k = 5)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val bfHn = Similarity.hardNegatives(emb, q50, "vec_id", "embedding", "label", k = 5)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(candHn == bfHn, s"hard negatives diverged: ${candHn.diff(bfHn)}")
+
+    // 3. k-NN vote
+    val q5 = emb.filter(col("vec_id") % 5 === 0)
+    val candVote = Similarity.knnVote(
+      Similarity.topKFromCandidates(
+        Similarity.ivfCandidates(cb, assigned,
+          q5.select("vec_id", "embedding"), "vec_id", "embedding",
+          nProbe = 16, broadcastProbes = false), k = 5),
+      emb.select(col("vec_id").cast("long").as("n_id"),
+        col("label").cast("long").as("n_lab")),
+      q5.select(col("vec_id").cast("long").as("q_id"),
+        col("label").cast("long").as("label")))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val bfVote = Similarity.knnClassify(emb, q5, "vec_id", "embedding", "label", k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(candVote == bfVote, s"knn vote diverged: ${candVote.diff(bfVote)}")
+
+    // 4. bitext margin (full-probe candidates from BOTH directions)
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    def halfIndex(h: DataFrame) = {
+      val c = Similarity.kmeansCodebook(h, "vec_id", "embedding", nCells = 16, iters = 2)
+      (c, Similarity.assignCells(
+        h.select(col("vec_id").cast("long").as("n_id"), col("embedding").as("nv")),
+        "n_id", "nv", c, rep = 4))
+    }
+    val (cbT, asgT) = halfIndex(tgt)
+    val (cbS, asgS) = halfIndex(src)
+    val c1 = Similarity.ivfCandidates(cbT, asgT, src.select("vec_id", "embedding"),
+        "vec_id", "embedding", nProbe = 16, broadcastProbes = false)
+      .select(col("q_id").as("src_id"), col("n_id").as("tgt_id"))
+    val c2 = Similarity.ivfCandidates(cbS, asgS, tgt.select("vec_id", "embedding"),
+        "vec_id", "embedding", nProbe = 16, broadcastProbes = false)
+      .select(col("n_id").as("src_id"), col("q_id").as("tgt_id"))
+    val candMine = Similarity.bitextMineFromCandidates(src, tgt, "vec_id", "embedding",
+        c1.union(c2), k = 4, threshold = 1.05)
+      .as[(Long, Long)].collect().toSet
+    val bfMine = Similarity.bitextMine(src, tgt, "vec_id", "embedding",
+        k = 4, threshold = 1.05)
+      .as[(Long, Long)].collect().toSet
+    assert(candMine == bfMine, s"bitext diverged: ${candMine.diff(bfMine)}")
+  }
+
   test("Similarity.cosinePairsBlocked finds near-dup pairs without the all-pairs join") {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     // the fixture has no planted vector dups: use the sim of the 40th

@@ -120,27 +120,46 @@ class PlanSpec extends AnyFunSuite {
       s"all-pairs join in semDedup plan:\n$p")
   }
 
-  test("ANN-family lanes broadcast the query side: base scans stream, never shuffle-join") {
-    // hard_negatives / knn_classify / hybrid_rrf's dense run all ride
-    // bruteForceTopK: the (small) query set must broadcast onto the
-    // base scan — a SortMergeJoin here would shuffle the full base
-    // table per query batch, the wrong slope at 100 TB
-    Seq("hard_negatives", "knn_classify", "hybrid_rrf").foreach { name =>
-      val p = plan(name)
-      assert(p.contains("BroadcastExchange"), s"$name: query side not broadcast:\n$p")
-      assert(!p.contains("SortMergeJoin(") || name == "hybrid_rrf",
-        s"$name: base shuffled into a sort-merge join:\n$p")
+  test("ANN-family mining lanes: candidate generation stays equi-join — no cartesian, no nested loop") {
+    // hard_negatives / knn_classify ride the IVF index (ivfCandidates):
+    // candidates come from the cell equi-join, so NOTHING in these
+    // plans may be quadratic in the corpus — no CartesianProduct, no
+    // BroadcastNestedLoopJoin, whatever the query-side size
+    for (name <- Seq("hard_negatives", "knn_classify", "hybrid_rrf")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.foreach(_ => ())
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian plan:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name: nested-loop join:\n$p")
     }
+    // hard_negatives serves a bounded anchor batch: its probe list must
+    // still broadcast onto the index scan (the probeIvf serving shape)
+    val hn = plan("hard_negatives")
+    assert(hn.contains("BroadcastExchange"),
+      s"hard_negatives: probe list not broadcast:\n$hn")
+    // hybrid_rrf-specific bound (not the old vacuous disjunct): the
+    // ONLY sort-merge joins allowed are the k-bounded full-outer run
+    // fusion — a corpus-sized side sorted into an SMJ would show as any
+    // other join type here
+    val rrf = SparkEntry.queries("hybrid_rrf")(spark, dir)
+    rrf.foreach(_ => ())
+    val rp = rrf.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val smj = rp.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.forall(_.contains("FullOuter")),
+      s"non-fusion SortMergeJoin in hybrid_rrf:\n${smj.mkString("\n")}")
   }
 
-  test("bitext_mine: every neighborhood stat reuses the one persisted sim table") {
+  test("bitext_mine: equi-join candidates; margin stats reuse the persisted candidate sims") {
     val df = SparkEntry.queries("bitext_mine")(spark, dir)
     df.foreach(_ => ())
     val p = df.queryExecution.executedPlan.toString
-    // the src x tgt scoring is a broadcast nested-loop by construction
-    // (scored once, persisted, four consumers) — never a CartesianProduct,
-    // and the persisted sim table shows as InMemoryTableScan reuse
+    // candidate pairs come from two IVF indexes probed via cell
+    // equi-joins (never a cross join), the candidate sim table is
+    // persisted once (InMemoryTableScan) and feeds all four margin-tail
+    // consumers
     assert(!p.contains("CartesianProduct"), s"cartesian sims:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs scoring:\n$p")
     assert(p.contains("InMemoryTableScan"), s"sim table not persisted/reused:\n$p")
   }
 
