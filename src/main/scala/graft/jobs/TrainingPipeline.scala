@@ -67,6 +67,9 @@ object TrainingPipeline {
     * SemDeDup semantic-dedup stage (3b) — embedding-space clustering
     * over the near-dup survivors at cosine >= `semanticThreshold`;
     * None skips the stage. Docs without an embedding row are kept.
+    * `semanticCells` pins the stage's LSH cell count explicitly (what a
+    * bit-reproducible / oracle-replayable run wants); 0 auto-sizes from
+    * plan statistics.
     *
     * `previousSnapshot`: the PREVIOUS crawl's raw corpus frame —
     * (doc_id, text)-shaped, same raw form as `input`. When present,
@@ -136,6 +139,7 @@ object TrainingPipeline {
           dsirBuckets: Int = 1024,
           embeddings: Option[DataFrame] = None,
           semanticThreshold: Double = 0.3,
+          semanticCells: Int = 0,
           normalize: Boolean = false,
           scrubPii: Boolean = false,
           shardsOut: Option[String] = None,
@@ -305,9 +309,13 @@ object TrainingPipeline {
           "embeddings needs (doc_id, embedding) columns")
         val emb = embRaw.select(col("doc_id"), col("embedding"))
           .join(nearKept.select(col("doc_id")), Seq("doc_id"), "left_semi")
-        // linear cell scaling (population ~64), from plan stats — no
-        // extra counting pass over the embedding table
-        val cells = math.max(32, (Similarity.estimateRows(emb) / 64).toInt)
+        // linear cell scaling (population ~64): `semanticCells` pins an
+        // explicit count (what a bit-reproducible / oracle-replayable
+        // run wants); 0 sizes from plan stats — no extra counting pass
+        // over the embedding table either way
+        val cells =
+          if (semanticCells > 0) semanticCells
+          else math.max(32, (Similarity.estimateRows(emb) / 64).toInt)
         val pairsE = Similarity.cosinePairsLsh(emb, "doc_id", "embedding",
           threshold = semanticThreshold, nCells = cells, maxBucket = 1000)
         val ccE = Dedup.connectedComponents(pairsE, "vec_a", "vec_b")

@@ -47,6 +47,58 @@ object PipelineQueries extends QueryModule {
         col("tok_sum").cast("long").as("tok_sum"))
     }),
 
+    // THE FULL-OPTIONS COMPOSITION: every optional stage the default
+    // chain skips, enabled at once and oracle-checked as one row set —
+    // HTML ingestion (docs wrapped in the html_extract fixture page,
+    // stripped back by Html.extractLines), corpus-wide template-line
+    // strip (minDf 5), the Gopher 2-gram repetition gate (> 0.08),
+    // SemDeDup semantic dedup over the embeddings table (LSH cells
+    // pinned to 32 so the index replays), DSIR target-affinity
+    // selection against the en slice, and per-source token budgets —
+    // stacked on the default normalize → gate → exact → simhash chain
+    // and run through TrainingPipeline.run itself. pipeline_e2e proves
+    // the default chain composes; THIS row proves the optional stages
+    // compose with it and each other (stage order, frame handoffs,
+    // carried n_toks) — any drift hash-mismatches here even though
+    // every stage is green standalone.
+    "pipeline_full" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ids = col("doc_id").cast("string")
+      val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val page = concat(
+        lit("<html><head><title>Doc "), ids, lit(" - "), col("source"),
+        lit("</title><style>p{margin:0}</style></head><body><script>var d="),
+        ids, lit(";</script><h1>Doc "), ids, lit("</h1><p>"), esc,
+        lit("</p><div class=\"nav\"><a href=\"/s/1\">more from "),
+        col("source"),
+        lit("</a>&nbsp;&amp; <a href=\"/a\">archive</a></div>" +
+          "<!-- footer --></body></html>"))
+      val (packed, _) = graft.jobs.TrainingPipeline.run(s, dir,
+        input = Some(d.select(col("doc_id"), col("source"), page.as("text"))),
+        ingestHtml = true,
+        templateMinDf = Some(5L),
+        maxRepetition = Some(0.08),
+        // 0.38, not the standalone lane's 0.3: on this fixture 0.3
+        // collapses nearly everything into one giant semantic
+        // component (semantic_dedup keeps 20 of 500 — its documented
+        // behavior), which would starve every later stage; 0.38 keeps
+        // a real population so the DSIR mean and the token budgets
+        // both actually bind
+        semanticThreshold = 0.38,
+        embeddings = Some(Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"))),
+        semanticCells = 32,
+        dsirTarget = Some(d.filter(col("lang") === "en").select(col("text"))),
+        tokenBudgets = Map("src0" -> 400L, "src1" -> 200L),
+        budgetShards = 2,
+        normalize = true, report = false)
+      packed.select(col("source"), col("shard").cast("long").as("shard"),
+        col("pack_id").cast("long").as("pack_id"),
+        col("n_docs").cast("long").as("n_units"),
+        col("tok_sum").cast("long").as("tok_sum"))
+    }),
+
     // THE DAILY-CRAWL composition: yesterday's corpus + a CDC change
     // stream → Cdc.applyChanges (the MERGE INTO) builds today's corpus,
     // then TrainingPipeline.run with previousSnapshot = yesterday pays
@@ -379,6 +431,258 @@ object PipelineQueries extends QueryModule {
         |       CAST(COUNT(*) AS BIGINT) AS n_units,
         |       CAST(SUM(n_tokens) AS BIGINT) AS tok_sum
         |FROM packs GROUP BY source, shard, FLOOR(prior / 256)""".stripMargin,
+    // the full-options replay: html_extract's page wrap + the
+    // extractLines strip, template_strip's hot-line law (minDf 5),
+    // pipeline_e2e's normalize/gate/exact/simhash stack,
+    // repetition_filter's 2-gram law as a gate (> 0.08),
+    // dedup_embedding_blocked's LSH recipe over the survivors'
+    // embeddings (cells pinned 32) + semantic_dedup's recursion,
+    // dsir_weights' λ/selection law with the normalized en target, and
+    // token_budget_sample's per-(source, shard) prefix law — then the
+    // shared chunk/pack tail at n_copies = 1
+    "pipeline_full" ->
+      raw"""WITH RECURSIVE p0 AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' - ' || source
+        |    || '</title><style>p{margin:0}</style></head><body><script>var d='
+        |    || CAST(doc_id AS VARCHAR) || ';</script><h1>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</h1><p>'
+        |    || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+        |    || '</p><div class="nav"><a href="/s/1">more from ' || source
+        |    || '</a>&nbsp;&amp; <a href="/a">archive</a></div><!-- footer --></body></html>' AS html
+        |  FROM documents
+        |), s0 AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(html,
+        |      '(?is)<head\b[^>]*>.*?</head>', '', 'g'),
+        |      '(?is)<script\b[^>]*>.*?</script>', '', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style>', '', 'g'),
+        |      '(?is)<noscript\b[^>]*>.*?</noscript>', '', 'g'),
+        |      '(?is)<template\b[^>]*>.*?</template>', '', 'g'),
+        |      '(?s)<!--.*?-->', '', 'g') AS dropped
+        |  FROM p0
+        |), u0 AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(regexp_replace(dropped,
+        |      '(?i)</?(?:br|p|div|h[1-6]|li|tr|td|th|dt|dd|table|ul|ol|blockquote|section|article|header|footer|pre)\b[^>]*>', chr(10), 'g'),
+        |      '(?s)<[^>]*>', '', 'g') AS untagged
+        |  FROM s0
+        |), x0 AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(untagged,
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |        '&nbsp;', ' '), '&amp;', '&'),
+        |      '[^\S\n]+', ' ', 'g'),
+        |      ' ?\n[ \n]*', chr(10), 'g'),
+        |      '^\s+|\s+$$', '', 'g') AS text
+        |  FROM u0
+        |), ldf AS (
+        |  SELECT line, COUNT(DISTINCT doc_id) AS df
+        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM x0) l
+        |  WHERE trim(line) <> '' GROUP BY line
+        |), lhot AS (
+        |  SELECT COALESCE(list(line ORDER BY line), []::VARCHAR[]) AS hl
+        |  FROM ldf WHERE df >= 5
+        |), strp AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_filter(string_split(text, chr(10)),
+        |      x -> NOT list_contains(hl, x)), chr(10)) AS text
+        |  FROM x0 CROSS JOIN lhot
+        |), norm AS (
+        |  SELECT doc_id, source,
+        |         trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS text
+        |  FROM strp
+        |), tok AS MATERIALIZED (
+        |  SELECT doc_id, source, text,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM norm
+        |), gated AS MATERIALIZED (
+        |  SELECT doc_id, source, text, t FROM (
+        |    SELECT *,
+        |      len(list_filter(t, x -> x IN ('the','a','is','of','and'))) AS s_en,
+        |      len(list_filter(t, x -> x IN ('der','die','das','und','ein'))) AS s_de,
+        |      len(list_filter(t, x -> x IN ('le','la','les','des','une'))) AS s_fr,
+        |      len(list_filter(t, x -> x IN ('el','los','las','una','y'))) AS s_es
+        |    FROM tok) g
+        |  WHERE len(t) >= 10
+        |    AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+        |), rgc AS (
+        |  SELECT doc_id, h, COUNT(*) AS c FROM (
+        |    SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h FROM (
+        |      SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |        THEN list_transform(range(1, len(t)), i -> array_to_string(list_slice(t, i, i+1), ' '))
+        |        ELSE [] END) AS sh
+        |      FROM gated) g2) h2
+        |  GROUP BY doc_id, h
+        |), rflag AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct
+        |    FROM rgc GROUP BY doc_id) d2
+        |  WHERE CAST(n_grams - n_distinct AS DOUBLE) / n_grams > 0.08
+        |), rept AS (
+        |  SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM rflag)
+        |), exact AS MATERIALIZED (
+        |  SELECT doc_id, source, text, t FROM (
+        |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |    FROM rept) e
+        |  WHERE doc_id = keep_id
+        |), bsum AS (
+        |  SELECT doc_id, j,
+        |    SUM((((('0x' || substr(md5(w), j // 4 + 1, 1))::INT) >> (3 - j % 4)) & 1) * 2 - 1) AS s
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM exact) wt,
+        |       (SELECT unnest(range(0, 64)) AS j)
+        |  GROUP BY doc_id, j
+        |), sigs AS (
+        |  SELECT doc_id,
+        |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+        |  FROM bsum GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, simhash, b AS band, substring(simhash, 1 + 16*b, 16) AS bits
+        |  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
+        |), bkept AS (
+        |  SELECT x.* FROM banded x
+        |  JOIN (SELECT band, bits FROM banded GROUP BY band, bits HAVING COUNT(*) <= 1000) ok
+        |    USING (band, bits)
+        |), prs AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bkept x JOIN bkept y
+        |    ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.simhash::BIT, y.simhash::BIT)) <= 3
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM prs
+        |  UNION ALL SELECT doc_b, doc_a FROM prs
+        |), reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+        |), clustered AS (
+        |  SELECT d.doc_id,
+        |         COALESCE(LEAST(MIN(reach.r), d.doc_id), d.doc_id) AS cluster_id
+        |  FROM exact d LEFT JOIN reach ON reach.id = d.doc_id
+        |  GROUP BY d.doc_id
+        |), neark AS MATERIALIZED (
+        |  SELECT e.* FROM exact e JOIN clustered c USING (doc_id)
+        |  WHERE c.doc_id = c.cluster_id
+        |), semb AS MATERIALIZED (
+        |  SELECT e2.vec_id AS doc_id, e2.embedding::DOUBLE[] AS v
+        |  FROM embeddings e2 JOIN neark n2 ON n2.doc_id = e2.vec_id
+        |), sseeds AS (
+        |  SELECT t2.t, semb.doc_id AS cell, semb.v,
+        |         row_number() OVER (PARTITION BY t2.t
+        |           ORDER BY md5(CAST(semb.doc_id AS VARCHAR) || ':' || CAST(t2.t AS VARCHAR))) AS rk
+        |  FROM semb, (SELECT unnest(range(1, 7)) AS t) t2
+        |), scb AS (
+        |  SELECT t, cell,
+        |         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS cv
+        |  FROM sseeds WHERE rk <= 32
+        |), sassigned AS (
+        |  SELECT doc_id, t, cell FROM (
+        |    SELECT sc.doc_id, sc.t, sc.cell,
+        |           row_number() OVER (PARTITION BY sc.doc_id, sc.t ORDER BY sc.s DESC, sc.cell ASC) AS rnk
+        |    FROM (SELECT semb.doc_id, cb.t, cb.cell, list_inner_product(semb.v, cb.cv) AS s
+        |          FROM semb, scb cb) sc)
+        |  WHERE rnk <= 2
+        |), scapped AS (
+        |  SELECT a.* FROM sassigned a
+        |  JOIN (SELECT t, cell FROM sassigned GROUP BY t, cell HAVING COUNT(*) <= 1000) ok2
+        |    USING (t, cell)
+        |), sp AS (
+        |  SELECT vec_a, vec_b FROM (
+        |    SELECT DISTINCT a.doc_id AS vec_a, b.doc_id AS vec_b
+        |    FROM scapped a JOIN scapped b
+        |      ON a.t = b.t AND a.cell = b.cell AND a.doc_id < b.doc_id) cnd
+        |  JOIN semb ea ON ea.doc_id = vec_a
+        |  JOIN semb eb ON eb.doc_id = vec_b
+        |  WHERE list_inner_product(ea.v, eb.v) /
+        |        (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) >= 0.38
+        |), sedges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM sp
+        |  UNION ALL SELECT vec_b, vec_a FROM sp
+        |), sreach AS (
+        |  SELECT src AS id, dst AS r FROM sedges
+        |  UNION
+        |  SELECT g3.src, sreach.r FROM sedges g3 JOIN sreach ON sreach.id = g3.dst
+        |), semk AS MATERIALIZED (
+        |  SELECT n3.* FROM neark n3 LEFT JOIN (
+        |    SELECT id, MIN(r) AS mn FROM sreach GROUP BY id) rr3 ON rr3.id = n3.doc_id
+        |  WHERE rr3.id IS NULL OR LEAST(rr3.mn, n3.doc_id) = n3.doc_id
+        |), tbt AS (
+        |  SELECT (('0x' || substring(md5(tt), 1, 15))::BIGINT % 1024) AS f FROM (
+        |    SELECT unnest(list_filter(string_split_regex(
+        |      trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')),
+        |      '\s+'), x -> x <> '')) AS tt
+        |    FROM documents WHERE lang = 'en') tx
+        |), rbt AS (
+        |  SELECT doc_id, (('0x' || substring(md5(tt), 1, 15))::BIGINT % 1024) AS f
+        |  FROM (SELECT doc_id, unnest(t) AS tt FROM semk) rx
+        |), rc AS (
+        |  SELECT f, CAST(COUNT(*) AS BIGINT) AS r FROM rbt GROUP BY f
+        |), tc AS (
+        |  SELECT f, CAST(COUNT(*) AS BIGINT) AS c FROM tbt GROUP BY f
+        |), tot AS (
+        |  SELECT (SELECT COUNT(*) FROM tbt) AS tt, (SELECT COUNT(*) FROM rbt) AS rr
+        |), lam AS (
+        |  SELECT b4.f,
+        |         CAST(round(1000000.0 * (ln((COALESCE(tc.c, 0) + 1) / CAST(tot.tt + 1024 AS DOUBLE))
+        |                               - ln((COALESCE(rc.r, 0) + 1) / CAST(tot.rr + 1024 AS DOUBLE)))) AS BIGINT) AS lam
+        |  FROM (SELECT unnest(range(0, 1024)) AS f) b4
+        |  CROSS JOIN tot
+        |  LEFT JOIN tc ON tc.f = b4.f
+        |  LEFT JOIN rc ON rc.f = b4.f
+        |), dsc AS (
+        |  SELECT rbt.doc_id, CAST(SUM(lam.lam) AS BIGINT) AS logw, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM rbt JOIN lam ON lam.f = rbt.f GROUP BY rbt.doc_id
+        |), dw AS (
+        |  SELECT s4.doc_id,
+        |         CAST(COALESCE(dsc.n, 0) AS BIGINT) AS n_toks,
+        |         CAST(COALESCE(dsc.logw, 0) AS BIGINT) AS logw_fp
+        |  FROM semk s4 LEFT JOIN dsc USING (doc_id)
+        |), dtot AS (
+        |  SELECT CAST(SUM(logw_fp) AS HUGEINT) AS sl, CAST(SUM(n_toks) AS HUGEINT) AS sn FROM dw
+        |), dsel AS MATERIALIZED (
+        |  SELECT s5.* FROM semk s5 JOIN dw ON dw.doc_id = s5.doc_id CROSS JOIN dtot
+        |  WHERE CAST(dw.logw_fp AS HUGEINT) * dtot.sn > dtot.sl * CAST(dw.n_toks AS HUGEINT)
+        |), buds AS (
+        |  SELECT doc_id, source, t,
+        |         COALESCE(SUM(len(t)) OVER (
+        |           PARTITION BY source, hk % 2 ORDER BY hk, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_toks
+        |  FROM (SELECT *, ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS hk
+        |        FROM dsel) b5
+        |), kept AS (
+        |  SELECT doc_id, source, t FROM buds
+        |  WHERE CASE source WHEN 'src0' THEN prior_toks < 200
+        |                    WHEN 'src1' THEN prior_toks < 100
+        |                    ELSE TRUE END
+        |), chunks AS (
+        |  SELECT doc_id, source,
+        |         CAST((s6 - 1) // 48 AS BIGINT) AS chunk_id,
+        |         CAST(least(64, n - s6 + 1) AS BIGINT) AS n_tokens
+        |  FROM (
+        |    SELECT doc_id, source, len(t) AS n,
+        |           unnest(range(1, greatest(len(t) - 16, 1) + 1, 48)) AS s6
+        |    FROM kept WHERE len(t) > 0) st
+        |), units AS (
+        |  SELECT source, n_tokens,
+        |         CAST(doc_id AS VARCHAR) || '#0#' || CAST(chunk_id AS VARCHAR) AS unit
+        |  FROM chunks
+        |), packs AS (
+        |  SELECT source, n_tokens,
+        |         ('0x' || substring(md5(unit), 1, 13))::BIGINT % 2 AS shard,
+        |         COALESCE(SUM(n_tokens) OVER (
+        |           PARTITION BY source, ('0x' || substring(md5(unit), 1, 13))::BIGINT % 2
+        |           ORDER BY unit
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM units
+        |)
+        |SELECT source, CAST(shard AS BIGINT) AS shard,
+        |       CAST(FLOOR(prior / 256) AS BIGINT) AS pack_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_units,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS tok_sum
+        |FROM packs GROUP BY source, shard, FLOOR(prior / 256)""".stripMargin,
+
     // the incremental chain's NET law: the processed delta is the
     // %11 ∪ %13 docs at today's text (inserts + updates; deletes and
     // unchanged rows never reach the pipeline), then the same

@@ -89,6 +89,57 @@ object StreamingQueries extends QueryModule {
   private def docStream(s: SparkSession, dir: String): DataFrame =
     tableStream(s, dir, "documents")
 
+  /** The CDC change batches of the streaming_cdc lane, in arrival
+    * order: U@1 re-prioritizes the %7 stride, U@2 overrides its %3
+    * sub-stride, then @3 deletes the %11 stride and inserts fresh
+    * negative keys for %13 — later batches override earlier ones, the
+    * property a streaming MERGE must preserve. Shared with the
+    * StreamingSpec stream≡batch law.
+    */
+  private[graft] def cdcBatches(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val o = graft.Tables(s, dir, "orders")
+    val k = col("o_orderkey")
+    Seq(
+      o.filter(k % 7 === 0)
+        .withColumn("o_orderpriority", lit("0-UPD-A"))
+        .withColumn("__op", lit("U")).withColumn("__seq", lit(1L)),
+      o.filter(k % 7 === 0 && k % 3 === 0)
+        .withColumn("o_orderpriority", lit("0-UPD-B"))
+        .withColumn("__op", lit("U")).withColumn("__seq", lit(2L)),
+      o.filter(k % 11 === 0)
+        .withColumn("__op", lit("D")).withColumn("__seq", lit(3L))
+        .unionByName(o.filter(k % 13 === 0)
+          .withColumn("o_orderkey", -k - 1)
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("__op", lit("I")).withColumn("__seq", lit(3L))))
+  }
+
+  // one CDC feed dir per sfDir for the JVM (the streamSrcDirs
+  // discipline): the three change batches land as three parquet files
+  // with increasing modification times, so the file source replays
+  // them as three ORDERED micro-batches under maxFilesPerTrigger=1
+  private val cdcFeedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def cdcFeed(s: SparkSession, dir: String): java.nio.file.Path =
+    cdcFeedDirs.computeIfAbsent(dir, { _ =>
+      val feed = java.nio.file.Files.createTempDirectory("graft-cdc-feed")
+      feed.toFile.deleteOnExit()
+      cdcBatches(s, dir).zipWithIndex.foreach { case (b, i) =>
+        val stage = java.nio.file.Files.createTempDirectory("graft-cdc-stage")
+        b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written for cdc batch $i"))
+        val dst = feed.resolve(s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        dst.toFile.deleteOnExit()
+        org.apache.hadoop.fs.FileUtil.fullyDelete(stage.toFile)
+      }
+      feed
+    })
+
   // one shim dir per (sfDir, table) for the whole JVM: a long-lived
   // Verify+Bench session re-running a streaming query reuses the same
   // dir instead of leaking a fresh copy per run, and deleteOnExit is
@@ -367,6 +418,32 @@ object StreamingQueries extends QueryModule {
         .filter(col("vec_id") % 50 === 0)
       runToTable(Similarity.probeIvf(cb, assigned, qs,
         "vec_id", "embedding", k = 5, nProbe = 4), "complete")
+    }),
+
+    // STREAMING CDC MERGE: the daily-crawl story's missing streaming
+    // leg — an I/U/D change stream arrives as three ORDERED
+    // micro-batches (maxFilesPerTrigger=1 over mtime-sequenced files)
+    // and folds into the base orders table through the foreachBatch
+    // MERGE loop (StreamingOps.runMergeStream — Cdc.applyChanges per
+    // batch, Delta-style). Later batches override earlier ones: U@2
+    // flips the %21 sub-stride of U@1's updates, D@3 removes updated
+    // rows too. Oracle = the NET batch law over the full change set
+    // (the stream-transparency contract, like streaming_ann); the
+    // sequential-merge ≡ one-shot-global-MERGE law is pinned in
+    // StreamingSpec.
+    "streaming_cdc" -> ((s, dir) => {
+      val feed = cdcFeed(s, dir)
+      val schema = s.read.parquet(feed.resolve("b0.parquet").toString).schema
+      val changes = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed.toString)
+      graft.streaming.StreamingOps
+        .runMergeStream(graft.Tables(s, dir, "orders"), changes,
+          "o_orderkey", "__seq", "__op")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("price_c"),
+          col("o_orderpriority"))
     })
   )
 
@@ -377,6 +454,24 @@ object StreamingQueries extends QueryModule {
     "streaming_ann" ->
       s"""WITH ${SimilarityQueries.ivfCte}
          |SELECT q_id, n_id, rnk FROM ivf WHERE rnk <= 5""".stripMargin,
+    // the NET law of the three ordered change batches: %11 rows end
+    // deleted (even when also updated), the %21 sub-stride of the %7
+    // updates ends at the SECOND batch's value, %13 spawns fresh
+    // negative-key inserts — a streamed merge that applied batches out
+    // of order (or lost a per-batch override) breaks the priority
+    // column
+    "streaming_cdc" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+        |       CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 = 0 THEN '0-UPD-B'
+        |            WHEN o_orderkey % 7 = 0 THEN '0-UPD-A'
+        |            ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 11 <> 0
+        |UNION ALL
+        |SELECT -o_orderkey - 1, o_custkey, 'N',
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |       o_orderpriority
+        |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin,
     // batch replay of the streamed gates: en-stopword plurality vote,
     // >= 5 tokens, 0.5*stop_ratio + 0.05*avg_token_len >= 0.1, then
     // DISTINCT content digest (the stream's exact-dedup contract)

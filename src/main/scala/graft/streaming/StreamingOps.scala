@@ -15,6 +15,43 @@ import org.apache.spark.sql.types.DecimalType
   */
 object StreamingOps {
 
+  /** STREAMING CDC MERGE: apply an I/U/D change stream to a base table
+    * through `foreachBatch` — each micro-batch folds to its
+    * latest-per-key winner and MERGEs into the running state with
+    * [[graft.operators.Cdc.applyChanges]] semantics (the Delta/Iceberg
+    * `MERGE INTO` streaming-upsert loop, expressed on plain frames).
+    * Runs the stream to completion and returns the final merged table.
+    *
+    * Ordering contract: micro-batches apply in arrival order, so the
+    * feed must deliver a key's changes in sequence order ACROSS batches
+    * (the CDC source's offset contract — within a batch, `seqCol`
+    * resolves); a global one-shot [[graft.operators.Cdc.applyChanges]]
+    * over the union then produces the identical table when sequence
+    * numbers increase with arrival (StreamingSpec law).
+    *
+    * Scale shape: per batch, ONE latest-per-key fold of the batch
+    * (change-sized) + ONE full-outer equi-join against the state —
+    * exactly the batch operator's cost, paid per micro-batch. The state
+    * materializes per batch (`localCheckpoint`), so lineage stays one
+    * merge deep no matter how many batches arrive; a production
+    * deployment lands the state in a table format (Delta/Iceberg) and
+    * lets the sink do the materializing.
+    */
+  def runMergeStream(base: DataFrame, changes: DataFrame, key: String,
+                     seqCol: String, opCol: String): DataFrame = {
+    var state = base.localCheckpoint()
+    val q = changes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        state = graft.operators.Cdc
+          .applyChanges(state, batch.toDF(), key, seqCol, opCol)
+          .localCheckpoint()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    state
+  }
+
   /** Watermarked tumbling-window aggregation (readStream -> agg).
     * State per (window, event_type) only; the watermark bounds it.
     */

@@ -692,4 +692,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty, "no probe results")
     } finally q.stop()
   }
+
+  test("streaming CDC merge: sequential micro-batch merges equal the one-shot global MERGE") {
+    // the stream-transparency law of the streaming_cdc lane: applying
+    // the ordered change batches one foreachBatch-MERGE at a time must
+    // land on the same table as ONE global Cdc.applyChanges over their
+    // union — valid because sequence numbers increase with arrival
+    // order, so "latest per key in the last batch that touched it"
+    // equals "globally latest per key"
+    val dir = "/root/testdata/sf0.001"
+    def shape(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String, String)] =
+      df.select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .as[(Long, Long, String, String)].collect().toSet
+    val streamed = shape(SparkEntry.queries("streaming_cdc")(spark, dir))
+    val batches = queries.StreamingQueries.cdcBatches(spark, dir)
+    val oneShot = shape(graft.operators.Cdc.applyChanges(
+      Tables(spark, dir, "orders"), batches.reduce(_ unionByName _),
+      "o_orderkey", "__seq", "__op"))
+    assert(streamed == oneShot,
+      s"stream merge diverged from the global merge: " +
+        s"${streamed.diff(oneShot).take(5)} / ${oneShot.diff(streamed).take(5)}")
+    // the override story actually happened: both update generations
+    // survive in the final table and every %11 key is gone
+    val prios = streamed.map(_._4)
+    assert(prios.contains("0-UPD-A") && prios.contains("0-UPD-B"))
+    assert(!streamed.exists(r => r._1 > 0 && r._1 % 11 == 0))
+  }
 }
