@@ -156,6 +156,10 @@ object CleanQueries extends QueryModule {
     // sequence (all rows must be 1; spec'd on this query), and
     // `merges_md5` = checksum of the trained merge list (constant per
     // corpus; retrain determinism spec'd against an independent train).
+    // FULLY oracle-checked since r9: the DuckDB oracle retrains the
+    // merge list and re-encodes every word via two recursive CTEs (see
+    // the oracle's comment), so the checksum and every per-doc subword
+    // count hash-match an independent SQL replay.
     "bpe_tokenize" -> ((s, dir) => {
       val d = docs(s, dir)
       val merges = graft.operators.Bpe.train(d, "text", nMerges = 40)
@@ -444,6 +448,107 @@ object CleanQueries extends QueryModule {
       " || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || '.1' ELSE '' END"
 
   def oracleSql: Map[String, String] = Map(
+    // FULL replay of the BPE trainer + tokenizer (graduated from
+    // rows-only in r9 — the last plausibly-SQL-expressible no-oracle
+    // lane). Two recursions: (1) the merge LOOP — per-word symbol rows
+    // carry the vocabulary state; each step aggregates adjacent-pair
+    // frequencies ACROSS the working table (DuckDB allows aggregation
+    // over the recursive reference), picks max-count/lex-smallest, and
+    // applies the merge as a delimiter-wrapped replace() — each symbol
+    // wrapped in its own chr(1) pair, so the pattern matches FULL
+    // tokens only and left-to-right non-overlapping replace() is
+    // exactly Bpe.mergeOnce (a merged token can never re-match: p1+p2
+    // equals neither p1 nor p2). (2) the ENCODER — per distinct word,
+    // repeatedly merge the leftmost lowest-rank adjacent pair
+    // (Bpe.encodeWord's scan order = ORDER BY rk, i LIMIT-1 via
+    // row_number) until no trained pair applies; the final state is
+    // each word's last emitted row. `mr` must stay NON-materialized: a
+    // MATERIALIZED hint on a CTE derived from one recursive CTE and
+    // consumed inside another materializes before the first recursion
+    // populates (observed empty — DuckDB 1.x).
+    "bpe_tokenize" ->
+      raw"""WITH RECURSIVE wf AS MATERIALIZED (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+        |    FROM documents)
+        |  GROUP BY w ORDER BY f DESC, w ASC LIMIT 50000
+        |), v0 AS (
+        |  SELECT w, list_append(list_transform(range(1, len(w)+1), i -> w[i:i]), '</w>') AS syms, f
+        |  FROM wf
+        |), bpe AS (
+        |  SELECT 0 AS m, w, syms, f,
+        |         CAST(NULL AS VARCHAR) AS p1, CAST(NULL AS VARCHAR) AS p2
+        |  FROM v0
+        |  UNION ALL
+        |  SELECT m + 1, w,
+        |         list_transform(
+        |           string_split(
+        |             trim(replace(
+        |               chr(1) || array_to_string(syms, chr(1)||chr(1)) || chr(1),
+        |               chr(1) || bp.p1 || chr(1) || chr(1) || bp.p2 || chr(1),
+        |               chr(1) || bp.p1 || bp.p2 || chr(1)), chr(1)),
+        |             chr(1)||chr(1)),
+        |           x -> x),
+        |         f, bp.p1, bp.p2
+        |  FROM bpe, (
+        |    SELECT pr[1] AS p1, pr[2] AS p2 FROM (
+        |      SELECT [a, b] AS pr,
+        |             row_number() OVER (ORDER BY SUM(f) DESC, a ASC, b ASC) AS rk
+        |      FROM (
+        |        SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT)+1] AS b, f
+        |        FROM bpe, LATERAL (SELECT unnest(range(1, len(syms))) AS i) g)
+        |      GROUP BY a, b
+        |      HAVING SUM(f) >= 2) x
+        |    WHERE rk = 1
+        |  ) bp
+        |  WHERE m < 40
+        |), mr AS (
+        |  SELECT m - 1 AS rk, any_value(p1) AS p1, any_value(p2) AS p2
+        |  FROM bpe WHERE m > 0 GROUP BY m
+        |), md AS (
+        |  SELECT md5(string_agg(p1 || chr(1) || p2, chr(2) ORDER BY rk)) AS merges_md5 FROM mr
+        |), dt AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), v0e AS (
+        |  SELECT DISTINCT w FROM (SELECT unnest(toks) AS w FROM dt)
+        |), enc AS (
+        |  SELECT 0 AS s, w,
+        |         list_append(list_transform(range(1, len(w)+1), i -> w[i:i]), '</w>') AS syms
+        |  FROM v0e
+        |  UNION ALL
+        |  SELECT s + 1, w,
+        |         list_concat(list_concat(
+        |           list_slice(syms, 1, bi - 1),
+        |           [syms[CAST(bi AS INT)] || syms[CAST(bi AS INT) + 1]]),
+        |           list_slice(syms, bi + 2, len(syms)))
+        |  FROM (
+        |    SELECT e.s, e.w, e.syms, g.i AS bi,
+        |           row_number() OVER (PARTITION BY e.w ORDER BY mr.rk ASC, g.i ASC) AS pick
+        |    FROM enc e, LATERAL (SELECT unnest(range(1, len(e.syms))) AS i) g
+        |    JOIN mr ON mr.p1 = e.syms[CAST(g.i AS INT)] AND mr.p2 = e.syms[CAST(g.i AS INT)+1]
+        |  ) b WHERE pick = 1
+        |), encf AS MATERIALIZED (
+        |  SELECT w, syms FROM (
+        |    SELECT w, syms, row_number() OVER (PARTITION BY w ORDER BY s DESC) AS rk
+        |    FROM enc) WHERE rk = 1
+        |), dw AS (
+        |  SELECT doc_id, g.i AS pos, toks[CAST(g.i AS INT)] AS w
+        |  FROM dt, LATERAL (SELECT unnest(range(1, len(toks)+1)) AS i) g
+        |), dagg AS (
+        |  SELECT dw.doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_words,
+        |         CAST(SUM(len(e.syms)) AS BIGINT) AS n_sub,
+        |         string_agg(array_to_string(e.syms, ''), '' ORDER BY dw.pos) AS joined
+        |  FROM dw JOIN encf e USING (w) GROUP BY dw.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       COALESCE(a.n_words, 0) AS n_words,
+        |       COALESCE(a.n_sub, 0) AS n_sub,
+        |       CAST(rtrim(replace(COALESCE(a.joined, ''), '</w>', ' '))
+        |            = array_to_string(d.toks, ' ') AS BIGINT) AS round_trip_ok,
+        |       md.merges_md5
+        |FROM dt d LEFT JOIN dagg a USING (doc_id) CROSS JOIN md""".stripMargin,
     "dsir_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t

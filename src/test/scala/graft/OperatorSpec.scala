@@ -22,14 +22,16 @@ class OperatorSpec extends AnyFunSuite {
       s"downgrades its query to rows-only): ${o.diff(q)}")
     // the intentional no-oracle rows — terasort self-validates, the
     // Bloom gate's false-positive set is sketch-dependent (properties
-    // spec'd instead), BPE's merge loop has no SQL replay (trainer
-    // parity is spec'd), DuckDB exposes no zlib for comp_ratio, HLL
+    // spec'd instead), DuckDB exposes no zlib for comp_ratio, HLL
     // estimates are implementation-specific (merge/error properties
-    // spec'd) — and ONLY those. ann_ivf_topk left this set when its
-    // codebook moved to the integer k-means trainer: approximate, but
-    // bit-replayable.
+    // spec'd) — and ONLY those. ann_ivf_topk left this set in r8
+    // (codebook moved to the integer k-means trainer); bpe_tokenize
+    // left in r9 (the merge loop and the encoder both replay as
+    // recursive CTEs — DuckDB allows aggregation over the recursive
+    // reference, so the corpus-wide pair-count argmax runs inside the
+    // recursion).
     assert(q.diff(o) == Set("terasort", "decontaminate_bloom",
-      "bpe_tokenize", "comp_ratio", "uniq_hll", "multimodal_entropy"),
+      "comp_ratio", "uniq_hll", "multimodal_entropy"),
       s"rows-only query set drifted: ${q.diff(o)}")
     // no duplicate keys across modules (flatMap(...).toMap is
     // last-wins: a name collision would silently shadow a query)
