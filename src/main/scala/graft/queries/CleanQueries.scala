@@ -149,8 +149,7 @@ object CleanQueries extends QueryModule {
     // BPE subword tokenization: merges trained on the corpus word-
     // frequency table (vocabulary-scale, one (word,count) shuffle +
     // bounded collect; see operators/Bpe), applied as a map-only
-    // broadcast encode. The merge loop has no SQL replay, so this is
-    // a rows-only driver check — the output therefore carries its own
+    // broadcast encode. The output carries its own
     // invariants: `round_trip_ok` = 1 iff stripping the end-of-word
     // marks from the concatenated subwords reconstructs the exact word
     // sequence (all rows must be 1; spec'd on this query), and
@@ -462,10 +461,13 @@ object CleanQueries extends QueryModule {
     // repeatedly merge the leftmost lowest-rank adjacent pair
     // (Bpe.encodeWord's scan order = ORDER BY rk, i LIMIT-1 via
     // row_number) until no trained pair applies; the final state is
-    // each word's last emitted row. `mr` must stay NON-materialized: a
-    // MATERIALIZED hint on a CTE derived from one recursive CTE and
-    // consumed inside another materializes before the first recursion
-    // populates (observed empty — DuckDB 1.x).
+    // each word's last emitted row. `mr` must be NOT MATERIALIZED
+    // explicitly: a CTE derived from one recursive CTE and consumed
+    // inside another materializes BEFORE the first recursion populates
+    // (observed empty — DuckDB 1.x), and since `mr` is referenced twice
+    // (md + the encoder join) DuckDB AUTO-materializes it without the
+    // hint — the plain form worked at sf0.001 and silently stalled the
+    // encoder at sf0.01 where the planner chose to materialize.
     "bpe_tokenize" ->
       raw"""WITH RECURSIVE wf AS MATERIALIZED (
         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
@@ -502,7 +504,7 @@ object CleanQueries extends QueryModule {
         |    WHERE rk = 1
         |  ) bp
         |  WHERE m < 40
-        |), mr AS (
+        |), mr AS NOT MATERIALIZED (
         |  SELECT m - 1 AS rk, any_value(p1) AS p1, any_value(p2) AS p2
         |  FROM bpe WHERE m > 0 GROUP BY m
         |), md AS (
