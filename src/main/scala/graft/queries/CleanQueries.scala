@@ -461,13 +461,21 @@ object CleanQueries extends QueryModule {
     // repeatedly merge the leftmost lowest-rank adjacent pair
     // (Bpe.encodeWord's scan order = ORDER BY rk, i LIMIT-1 via
     // row_number) until no trained pair applies; the final state is
-    // each word's last emitted row. `mr` must be NOT MATERIALIZED
-    // explicitly: a CTE derived from one recursive CTE and consumed
-    // inside another materializes BEFORE the first recursion populates
-    // (observed empty — DuckDB 1.x), and since `mr` is referenced twice
-    // (md + the encoder join) DuckDB AUTO-materializes it without the
-    // hint — the plain form worked at sf0.001 and silently stalled the
-    // encoder at sf0.01 where the planner chose to materialize.
+    // each word's last emitted row. HARD-WON STRUCTURE: the encoder's
+    // RECURSIVE TERM must not reference ANY CTE derived from the
+    // trainer recursion — such a bridge CTE can materialize BEFORE the
+    // first recursion populates (observed empty on DuckDB 1.x), and
+    // the planner's materialize-vs-inline choice depends on accumulated
+    // CONNECTION state (the same SQL read correctly on a fresh
+    // connection and stalled after ~170 prior oracle queries; explicit
+    // NOT MATERIALIZED did not survive the fully-warmed connection
+    // either). So the trained ranks enter the encoder ONCE, in its
+    // NON-recursive initial member (a scalar-subquery list over the
+    // trainer output — initial members evaluate after the first
+    // recursion completes, like `md`, which never mis-ordered), ride
+    // every row as a 40-struct `rks` list, and the recursive term is
+    // fully self-contained (rank lookup = list_filter over the carried
+    // list).
     "bpe_tokenize" ->
       raw"""WITH RECURSIVE wf AS MATERIALIZED (
         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
@@ -504,11 +512,10 @@ object CleanQueries extends QueryModule {
         |    WHERE rk = 1
         |  ) bp
         |  WHERE m < 40
-        |), mr AS NOT MATERIALIZED (
-        |  SELECT m - 1 AS rk, any_value(p1) AS p1, any_value(p2) AS p2
-        |  FROM bpe WHERE m > 0 GROUP BY m
         |), md AS (
-        |  SELECT md5(string_agg(p1 || chr(1) || p2, chr(2) ORDER BY rk)) AS merges_md5 FROM mr
+        |  SELECT md5(string_agg(p1 || chr(1) || p2, chr(2) ORDER BY m)) AS merges_md5
+        |  FROM (SELECT m, any_value(p1) AS p1, any_value(p2) AS p2
+        |        FROM bpe WHERE m > 0 GROUP BY m) mm
         |), dt AS MATERIALIZED (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
         |  FROM documents
@@ -516,19 +523,29 @@ object CleanQueries extends QueryModule {
         |  SELECT DISTINCT w FROM (SELECT unnest(toks) AS w FROM dt)
         |), enc AS (
         |  SELECT 0 AS s, w,
-        |         list_append(list_transform(range(1, len(w)+1), i -> w[i:i]), '</w>') AS syms
+        |         list_append(list_transform(range(1, len(w)+1), i -> w[i:i]), '</w>') AS syms,
+        |         (SELECT list(struct_pack(rk := m, p1 := p1, p2 := p2) ORDER BY m)
+        |          FROM (SELECT m, any_value(p1) AS p1, any_value(p2) AS p2
+        |                FROM bpe WHERE m > 0 GROUP BY m) mm) AS rks
         |  FROM v0e
         |  UNION ALL
         |  SELECT s + 1, w,
         |         list_concat(list_concat(
         |           list_slice(syms, 1, bi - 1),
         |           [syms[CAST(bi AS INT)] || syms[CAST(bi AS INT) + 1]]),
-        |           list_slice(syms, bi + 2, len(syms)))
+        |           list_slice(syms, bi + 2, len(syms))),
+        |         rks
         |  FROM (
-        |    SELECT e.s, e.w, e.syms, g.i AS bi,
-        |           row_number() OVER (PARTITION BY e.w ORDER BY mr.rk ASC, g.i ASC) AS pick
-        |    FROM enc e, LATERAL (SELECT unnest(range(1, len(e.syms))) AS i) g
-        |    JOIN mr ON mr.p1 = e.syms[CAST(g.i AS INT)] AND mr.p2 = e.syms[CAST(g.i AS INT)+1]
+        |    SELECT e.s, e.w, e.syms, e.rks, g.i AS bi,
+        |           row_number() OVER (PARTITION BY e.w ORDER BY g.prk ASC, g.i ASC) AS pick
+        |    FROM enc e, LATERAL (
+        |      SELECT i, list_min(list_transform(
+        |               list_filter(e.rks, x -> x.p1 = e.syms[CAST(i AS INT)]
+        |                                   AND x.p2 = e.syms[CAST(i AS INT)+1]),
+        |               x -> x.rk)) AS prk
+        |      FROM (SELECT unnest(range(1, len(e.syms))) AS i)
+        |    ) g
+        |    WHERE g.prk IS NOT NULL
         |  ) b WHERE pick = 1
         |), encf AS MATERIALIZED (
         |  SELECT w, syms FROM (
