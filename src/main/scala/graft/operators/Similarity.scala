@@ -363,6 +363,13 @@ object Similarity {
     val probes = q
       .withColumn("pc", explode(slice(array_sort(cellScores, byScoreDescCellAsc), 1, probeCount)))
       .withColumn("cell", col("pc.cell")).drop("pc")
+    // a shared column name (other than the join key) would survive the
+    // join as an ambiguous duplicate and break the first downstream
+    // col() silently-late — fail loudly here instead
+    val clash = probes.columns.toSet.intersect(assigned.columns.toSet) - "cell"
+    require(clash.isEmpty,
+      s"ivfCandidates: query and index sides share column(s) " +
+        s"${clash.mkString(", ")} — rename them before probing")
 
     // batch: broadcast the (small) probe set onto the index scan.
     // streaming: a stream cannot be broadcast — drive the stream-static
