@@ -53,6 +53,48 @@ object DedupQueries extends QueryModule {
     out
   }
 
+  /** `Murmur3_x86_32.hashLong(v, seed)` as a chain of staged-select
+    * SQL expressions over columns `low`/`high` (the value's unsigned
+    * 32-bit halves): mixK1(low) → mixH1 → mixK1(high) → mixH1 →
+    * fmix(len=8), each 32-bit op emulated in BIGINT (rotations via
+    * shift-or-mask; the four 32-bit × 32-bit multiplies go through
+    * HUGEINT mod 2^32 because their products overflow INT64).
+    */
+  private def murmurStages(seed: String, pre: String,
+                           out: String): Seq[(String, String)] = {
+    val M = "4294967295"
+    def mul(op: String, c: Long) =
+      s"CAST((CAST($op AS HUGEINT) * $c) % 4294967296 AS BIGINT)"
+    Seq(
+      s"${pre}s" -> seed,
+      s"${pre}ka1" -> mul("low", 3432918353L),
+      s"${pre}kc1" -> mul(s"(((${pre}ka1 << 15) & $M) | (${pre}ka1 >> 17))", 461845907L),
+      s"${pre}hx1" -> s"xor(${pre}s, ${pre}kc1)",
+      s"${pre}hc1" -> s"((((${pre}hx1 << 13) & $M) | (${pre}hx1 >> 19)) * 5 + 3864292196) & $M",
+      s"${pre}ka2" -> mul("high", 3432918353L),
+      s"${pre}kc2" -> mul(s"(((${pre}ka2 << 15) & $M) | (${pre}ka2 >> 17))", 461845907L),
+      s"${pre}hx2" -> s"xor(${pre}hc1, ${pre}kc2)",
+      s"${pre}hc2" -> s"((((${pre}hx2 << 13) & $M) | (${pre}hx2 >> 19)) * 5 + 3864292196) & $M",
+      s"${pre}fa" -> s"xor(${pre}hc2, 8)",
+      s"${pre}fb" -> s"xor(${pre}fa, ${pre}fa >> 16)",
+      s"${pre}fc" -> mul(s"${pre}fb", 2246822507L),
+      s"${pre}fd" -> s"xor(${pre}fc, ${pre}fc >> 13)",
+      s"${pre}fe" -> mul(s"${pre}fd", 3266489909L),
+      out -> s"xor(${pre}fe, ${pre}fe >> 16)")
+  }
+
+  /** The bloom oracle's hash table: ha = hashLong(h1, 0) and
+    * hb = hashLong(h1, ha) for every distinct value in `hv` — the two
+    * base hashes of Spark's BloomFilterImpl double hashing. One long
+    * nested-select line (no newlines, so stripMargin never sees the
+    * bitwise `|`s inside).
+    */
+  private val murmurInner: String =
+    (murmurStages("0", "a_", "ha") ++ murmurStages("ha", "b_", "hb"))
+      .foldLeft("(SELECT h1, h1 & 4294967295 AS low, (h1 >> 32) & 4294967295 AS high FROM hv)") {
+        case (inner, (n, e)) => s"(SELECT *, $e AS $n FROM $inner)"
+      }
+
   // Shared oracle CTE: distinct word-3-gram shingles per doc.
   private[queries] val shingleCte =
     """WITH toks AS (
@@ -257,13 +299,15 @@ object DedupQueries extends QueryModule {
     // the sketch lane of decontamination: same corpus/eval derivation
     // through a Bloom filter instead of an exact broadcast set.
     // Deterministic (fixed-hash sketch, order-independent bit-array
-    // merge) but APPROXIMATE — false positives depend on the sketch,
-    // so no SQL oracle exists; the driver records rows-only. The
-    // one-sided-error LAW rides IN each recorded row (the
-    // multimodal_entropy pattern): no_false_neg_ok = the bloom hit
-    // count dominates the exact hit count AND the bloom flag covers
-    // the exact flag — a sketch that ever loses a true hit fails its
-    // own output. The FP-budget property stays spec'd (statistical).
+    // merge) and APPROXIMATE — and since r9 FULLY oracle-checked
+    // anyway, false positives included: Spark's BloomFilter over longs
+    // is Murmur3_x86_32.hashLong double hashing (h1 + i·h2, i=1..k)
+    // into a 64-bit-word-rounded bit array, every step 32-bit integer
+    // arithmetic the oracle replays exactly (see the oracle's murmur
+    // stage chain). The one-sided-error LAW still rides IN each
+    // recorded row: no_false_neg_ok = the bloom hit count dominates
+    // the exact hit count AND the bloom flag covers the exact flag.
+    // The FP-budget property stays spec'd (statistical).
     "decontaminate_bloom" -> ((s, dir) => {
       val hs = Dedup.shingleHashTable(docs(s, dir), "doc_id", "text", 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -681,6 +725,58 @@ object DedupQueries extends QueryModule {
         |JOIN sizes sa ON sa.doc_id = i.doc_id
         |JOIN sizes sb ON sb.doc_id = i.eval_id
         |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5""".stripMargin),
+    // FULL replay of the Bloom-gated lane, false positives included
+    // (graduated from rows-only in r9): bp replays
+    // BloomFilter.create(100000, 0.01)'s parameter derivation
+    // (optimalNumOfBits truncation, optimalNumOfHashFunctions
+    // rounding, the bit array's 64-bit-word size rounding); mm replays
+    // Murmur3_x86_32.hashLong for each distinct 60-bit shingle hash at
+    // seed 0 (ha) and seed ha (hb) — 32-bit arithmetic emulated in
+    // BIGINT with HUGEINT mod-2^32 multiplies (a 32-bit × 32-bit
+    // product overflows INT64); pos replays the h1 + i·h2 double
+    // hashing with Java's negative-int bit-flip; membership = ALL k
+    // probe positions present in the eval-set bit positions.
+    "decontaminate_bloom" -> (shingleCte +
+      s""", hsh AS (
+        |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h1 FROM sh
+        |), ev AS (
+        |  SELECT DISTINCT h1 FROM hsh WHERE doc_id % 97 = 0
+        |), bp AS (
+        |  SELECT nb, GREATEST(1, CAST(round(CAST(nb AS DOUBLE) / 100000.0 * ln(2)) AS BIGINT)) AS k,
+        |         ((nb + 63) // 64) * 64 AS bitsize
+        |  FROM (SELECT CAST(-100000.0 * ln(0.01) / (ln(2) * ln(2)) AS BIGINT) AS nb)
+        |), hv AS (
+        |  SELECT DISTINCT h1 FROM hsh
+        |), mm AS (
+        |  SELECT h1, ha, hb FROM $murmurInner
+        |), pos AS (
+        |  SELECT mm.h1, g.i,
+        |         (CASE WHEN c >= 2147483648 THEN xor(c, 4294967295) ELSE c END) % bp.bitsize AS p
+        |  FROM mm, bp,
+        |       LATERAL (SELECT unnest(range(1, bp.k + 1)) AS i) g,
+        |       LATERAL (SELECT ((mm.ha + g.i * mm.hb) & 4294967295) AS c) cc
+        |), evpos AS (
+        |  SELECT DISTINCT p FROM pos JOIN ev USING (h1)
+        |), bloomhit AS (
+        |  SELECT h1 FROM pos LEFT JOIN evpos e ON e.p = pos.p
+        |  GROUP BY h1 HAVING COUNT(*) = COUNT(e.p)
+        |), tot AS (
+        |  SELECT doc_id, COUNT(*) AS n_grams FROM hsh GROUP BY doc_id
+        |), bh AS (
+        |  SELECT doc_id, COUNT(*) AS n_hit FROM hsh JOIN bloomhit USING (h1) GROUP BY doc_id
+        |), eh AS (
+        |  SELECT doc_id, COUNT(*) AS n_hit_exact FROM hsh JOIN ev USING (h1) GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+        |       CAST(COALESCE(b.n_hit, 0) AS BIGINT) AS n_hit,
+        |       CAST(COALESCE(b.n_hit, 0) AS DOUBLE) / t.n_grams AS contam_ratio,
+        |       (CAST(COALESCE(b.n_hit, 0) AS DOUBLE) / t.n_grams) >= 0.8 AS contaminated,
+        |       CAST(COALESCE(x.n_hit_exact, 0) AS BIGINT) AS n_hit_exact,
+        |       (COALESCE(b.n_hit, 0) >= COALESCE(x.n_hit_exact, 0) AND
+        |        (NOT ((CAST(COALESCE(x.n_hit_exact, 0) AS DOUBLE) / t.n_grams) >= 0.8)
+        |         OR (CAST(COALESCE(b.n_hit, 0) AS DOUBLE) / t.n_grams) >= 0.8)) AS no_false_neg_ok
+        |FROM tot t LEFT JOIN bh b ON b.doc_id = t.doc_id
+        |LEFT JOIN eh x ON x.doc_id = t.doc_id""".stripMargin),
     "decontaminate" -> (shingleCte +
       """, hsh AS (
         |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h1 FROM sh

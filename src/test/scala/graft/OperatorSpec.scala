@@ -20,17 +20,17 @@ class OperatorSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"stale oracle keys (typo'd key silently " +
       s"downgrades its query to rows-only): ${o.diff(q)}")
-    // the intentional no-oracle rows — terasort self-validates, the
-    // Bloom gate's false-positive set is sketch-dependent (properties
-    // spec'd instead), DuckDB exposes no zlib for comp_ratio, HLL
-    // estimates are implementation-specific (merge/error properties
-    // spec'd) — and ONLY those. ann_ivf_topk left this set in r8
-    // (codebook moved to the integer k-means trainer); bpe_tokenize
-    // left in r9 (the merge loop and the encoder both replay as
-    // recursive CTEs — DuckDB allows aggregation over the recursive
-    // reference, so the corpus-wide pair-count argmax runs inside the
-    // recursion).
-    assert(q.diff(o) == Set("terasort", "decontaminate_bloom",
+    // the intentional no-oracle rows — terasort self-validates, DuckDB
+    // exposes no zlib for comp_ratio, HLL estimates are
+    // implementation-specific (Spark's DataSketches lane; merge/error
+    // properties spec'd), multimodal entropy needs a real image decode
+    // — and ONLY those. Graduations: ann_ivf_topk in r8 (integer
+    // k-means trainer), bpe_tokenize in r9 (the merge loop and the
+    // encoder replay as recursive CTEs), decontaminate_bloom in r9
+    // (Spark's BloomFilter is Murmur3_x86_32 double hashing — 32-bit
+    // arithmetic the oracle emulates exactly, false positives
+    // included).
+    assert(q.diff(o) == Set("terasort",
       "comp_ratio", "uniq_hll", "multimodal_entropy"),
       s"rows-only query set drifted: ${q.diff(o)}")
     // no duplicate keys across modules (flatMap(...).toMap is
