@@ -52,4 +52,119 @@ object Sketches {
                        groupCols: String*): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_sketch_agg(value, lit(lgK))).as("uniq_est"))
+
+  // ---- the ENGINE-PORTABLE HLL ------------------------------------
+  //
+  // The DataSketches lane above is the production sketch (codegen'd,
+  // battle-tested) but its hash and estimator are implementation
+  // internals — rows-only at the oracle. THIS variant trades a little
+  // speed for full cross-engine replayability, the kmeansCodebook
+  // move applied to cardinality sketches: registers come from the
+  // md5 60-bit hash (bucket = top 12 bits, rho = leading-zero run of
+  // the low 48 bits + 1 — "length of binary", no float log), register
+  // merge is element-wise MAX (EXACT merge algebra:
+  // merge-of-sketches ≡ sketch-of-union bit-for-bit, with none of
+  // DataSketches' sparse-mode promotion divergence), and the
+  // estimator's register sum Σ 2^(49−M_j) is an EXACT integer (every
+  // term a power of two ≤ 2^49; 4096 terms < 2^62), so the only float
+  // steps are one shared-order constant expression, one division and
+  // the small-range ln — each a single correctly-rounded IEEE op a
+  // SQL engine reproduces double-for-double (the DSIR ln-parity
+  // precedent). State is a fixed 4096-byte register array per group —
+  // one pass, mergeable, the same 100 TB rollup contract.
+
+  val PortableP = 12
+  val PortableM = 1 << PortableP                    // 4096 registers
+
+  /** bucket/rho from a 60-bit h1-style hash: the registers' law. */
+  private def regOf(h: Long): (Int, Int) = {
+    val b = (h >>> 48).toInt                        // top 12 of 60 bits
+    val low = h & 0xFFFFFFFFFFFFL                   // remaining 48
+    val rho =
+      if (low == 0L) 49
+      else java.lang.Long.numberOfLeadingZeros(low) - 16 + 1
+    (b, rho)
+  }
+
+  private case class HllRegs()
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Byte], Seq[Int]] {
+    def zero: Array[Byte] = new Array[Byte](PortableM)
+    def reduce(regs: Array[Byte], h: Long): Array[Byte] = {
+      val (b, rho) = regOf(h)
+      if (rho > regs(b)) regs(b) = rho.toByte
+      regs
+    }
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < PortableM) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(r: Array[Byte]): Seq[Int] = r.map(_.toInt).toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
+  }
+
+  private case class HllRegMerge()
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Int], Array[Byte], Seq[Int]] {
+    def zero: Array[Byte] = new Array[Byte](PortableM)
+    def reduce(regs: Array[Byte], in: Seq[Int]): Array[Byte] = {
+      var i = 0
+      while (i < PortableM && i < in.length) {
+        if (in(i) > regs(i)) regs(i) = in(i).toByte
+        i += 1
+      }
+      regs
+    }
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < PortableM) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(r: Array[Byte]): Seq[Int] = r.map(_.toInt).toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
+  }
+
+  /** One portable sketch per group: (groupCols*, regs) — the register
+    * array, zero-filled, 4096 ints. `value` is hashed with the h1
+    * discipline (md5 of its string form, first 15 hex digits).
+    */
+  def portableSketch(df: DataFrame, value: Column,
+                     groupCols: String*): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(udaf(HllRegs()).apply(Dedup.h1(value.cast("string"))).as("regs"))
+
+  /** Merge per-subgroup portable sketches up one level — element-wise
+    * register max, the exact merge.
+    */
+  def portableMerge(sketches: DataFrame, groupCols: String*): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(udaf(HllRegMerge()).apply(col("regs")).as("regs"))
+
+  /** (s, v) from a register column (by name): s = Σ 2^(49−M_j) as an
+    * exact BIGINT (the estimator's denominator — SQL `shiftleft`
+    * because the Scala wrapper only takes literal shift amounts), v =
+    * zero registers. Both exact integers — the hash-checkable core of
+    * the estimate.
+    */
+  def portableStats(regsCol: String): (Column, Column) = (
+    expr(s"aggregate($regsCol, 0L, (acc, r) -> acc + shiftleft(1L, 49 - r))"),
+    expr(s"size(filter($regsCol, r -> r = 0))"))
+
+  /** The estimate from (s, v): alpha·m²·2⁴⁹ / s with the standard
+    * small-range linear-counting correction. The constant expression
+    * is written in the SAME op order as the SQL oracle, so both
+    * engines produce the identical double before the one division.
+    */
+  def portableEstimate(s: Column, v: Column): Column = {
+    val c = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0)) *
+      lit(4096.0) * lit(4096.0) * lit(562949953421312.0)  // 2^49
+    val raw = c / s.cast("double")
+    when(raw <= lit(10240.0) && v > 0,                    // 2.5·m
+      lit(4096.0) * log(lit(4096.0) / v.cast("double"))).otherwise(raw)
+  }
 }

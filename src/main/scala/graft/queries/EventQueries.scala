@@ -107,6 +107,43 @@ object EventQueries extends QueryModule {
             lit(bound) * col("exact_uniq")).as("within_error_ok"))
     }),
 
+    // The ENGINE-PORTABLE HLL lane — uniq_hll's fully-oracle-checked
+    // twin (Sketches' portable block; the kmeansCodebook move applied
+    // to cardinality sketches). Same incremental rollup shape
+    // (per-(type, day) sketches merged up + a direct single-pass
+    // sketch), but registers come from the replayable md5 hash and the
+    // estimator's core (s = Σ 2^(49−M_j), v = zero registers) is EXACT
+    // integers — so s, v AND the estimate itself hash-match the DuckDB
+    // replay; nothing here is rows-only. The merge law is BIT-exact
+    // (element-wise register max — no sparse-mode promotion), so
+    // merge_bitexact_ok compares the merged and direct (s, v) pairs
+    // directly; within_error_ok keeps the 3σ published bound vs the
+    // exact count, computed identically in the oracle.
+    "uniq_hll_portable" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val e = ev(s, dir)
+      val perDay = Sketches.portableSketch(
+        e.withColumn("day", to_date(col("ts"))),
+        col("user_id"), "event_type", "day")
+      val (sC, vC) = Sketches.portableStats("regs")
+      val m2 = Sketches.portableMerge(perDay, "event_type")
+        .select(col("event_type"), sC.as("s"), vC.as("v"))
+      val d2 = Sketches.portableSketch(e, col("user_id"), "event_type")
+        .select(col("event_type"), sC.as("s_direct"), vC.as("v_direct"))
+      val exact = e.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_uniq"))
+      val bound = 3.0 * 1.04 / math.sqrt(4096.0)
+      m2.join(d2, Seq("event_type")).join(exact, Seq("event_type"))
+        .withColumn("uniq_est",
+          Sketches.portableEstimate(col("s"), col("v")))
+        .select(col("event_type"), col("s"), col("v"), col("uniq_est"),
+          (col("s") === col("s_direct") && col("v") === col("v_direct"))
+            .as("merge_bitexact_ok"),
+          (abs(col("uniq_est") - col("exact_uniq")) <=
+            lit(bound) * col("exact_uniq")).as("within_error_ok"),
+          col("exact_uniq"))
+    }),
+
     // ValueHistogram report (mapreduce/lib/aggregate/ValueHistogram.java:38-120):
     // per key, stats over the per-value frequency table. Two-level hash
     // aggregation — both levels get map-side combine; doubles derived
@@ -404,6 +441,50 @@ object EventQueries extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // full replay of the portable HLL: registers (bucket = top 12 of
+    // the 60-bit md5 hash, rho = 49 − length-of-binary of the low 48
+    // bits — no float log), the EXACT integer estimator core
+    // (Σ 2^(49−M_j) over present registers + 2^49 per empty bucket),
+    // and the estimate (the alpha·m²·2⁴⁹ constant written in the same
+    // left-associated op order as the Spark literals, one division,
+    // ln only on the small-range path). merge_bitexact_ok is TRUE by
+    // register-max algebra — the Spark side computes both paths
+    // genuinely, so a broken merge shows as a flag mismatch here.
+    "uniq_hll_portable" ->
+      """WITH hh AS (
+        |  SELECT event_type,
+        |         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events
+        |), br AS (
+        |  SELECT event_type, h >> 48 AS b,
+        |         CASE WHEN (h & 281474976710655) = 0 THEN 49
+        |              ELSE 49 - length(ltrim(bin(h & 281474976710655), '0')) END AS rho
+        |  FROM hh
+        |), reg AS (
+        |  SELECT event_type, b, MAX(rho) AS m FROM br GROUP BY event_type, b
+        |), agg AS (
+        |  SELECT event_type,
+        |         CAST(SUM(1::BIGINT << (49 - m))
+        |              + (4096 - COUNT(*)) * (1::BIGINT << 49) AS BIGINT) AS s,
+        |         CAST(4096 - COUNT(*) AS BIGINT) AS v
+        |  FROM reg GROUP BY event_type
+        |), ex AS (
+        |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_uniq
+        |  FROM events GROUP BY event_type
+        |), est AS (
+        |  SELECT a.event_type, a.s, a.v,
+        |         CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0 * 562949953421312.0)
+        |                   / CAST(a.s AS DOUBLE) <= 10240.0 AND a.v > 0
+        |              THEN 4096.0 * ln(4096.0 / CAST(a.v AS DOUBLE))
+        |              ELSE (0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0 * 562949953421312.0)
+        |                   / CAST(a.s AS DOUBLE) END AS uniq_est
+        |  FROM agg a
+        |)
+        |SELECT e.event_type, e.s, e.v, e.uniq_est,
+        |       TRUE AS merge_bitexact_ok,
+        |       (abs(e.uniq_est - x.exact_uniq) <= (3.0 * 1.04 / 64.0) * x.exact_uniq) AS within_error_ok,
+        |       x.exact_uniq
+        |FROM est e JOIN ex x USING (event_type)""".stripMargin,
     "agg_framework" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS val_sum_c,
