@@ -122,14 +122,15 @@ object EventQueries extends QueryModule {
     "uniq_hll_portable" -> ((s, dir) => {
       import graft.operators.Sketches
       val e = ev(s, dir)
-      val perDay = Sketches.portableSketch(
+      val perDay = Sketches.portableRegisters(
         e.withColumn("day", to_date(col("ts"))),
         col("user_id"), "event_type", "day")
-      val (sC, vC) = Sketches.portableStats("regs")
-      val m2 = Sketches.portableMerge(perDay, "event_type")
-        .select(col("event_type"), sC.as("s"), vC.as("v"))
-      val d2 = Sketches.portableSketch(e, col("user_id"), "event_type")
-        .select(col("event_type"), sC.as("s_direct"), vC.as("v_direct"))
+      val m2 = Sketches.portableSv(
+        Sketches.portableMergeRegisters(perDay, "event_type"), "event_type")
+      val d2 = Sketches.portableSv(
+          Sketches.portableRegisters(e, col("user_id"), "event_type"),
+          "event_type")
+        .withColumnRenamed("s", "s_direct").withColumnRenamed("v", "v_direct")
       val exact = e.groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("exact_uniq"))
       val bound = 3.0 * 1.04 / math.sqrt(4096.0)
