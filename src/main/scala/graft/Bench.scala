@@ -232,8 +232,13 @@ object Bench {
         val shift = e1.agg(max(col("vec_id"))).head().getLong(0) + 1L
         // pattern cycles mod 3 (identity / odd-dim flip / even-dim
         // flip), so k = 3 reproduces the r8 semantic-probe replication
-        // exactly; at k > 3 pattern groups repeat — fine for the
-        // candidate-volume probes (knn), which never enumerate pairs
+        // exactly. CONTRACT: at k > 3 whole replicas are EXACT
+        // duplicates up to id shift (replicas 0/3/6 identical), so
+        // k > 3 output must only feed candidate-VOLUME probes (knn
+        // serving shape) — never a pair-ENUMERATING probe (semantic/
+        // dedup shapes), whose pair density the triplicate vector
+        // groups would distort. Pair-density-sensitive probes use
+        // embPair3 (k <= 3) below.
         (0 until k).map { i =>
           val flip: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
             j => if (i % 3 == 0) lit(1.0f)

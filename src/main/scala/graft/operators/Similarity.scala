@@ -226,6 +226,25 @@ object Similarity {
   private[graft] def autoCells(n: Long): Int =
     math.max(16, math.min(256, math.round(math.sqrt(n / 64.0)).toInt))
 
+  /** Documented ceiling for the brute-force mining forms' BROADCAST
+    * side ([[bitextMine]]'s target corpus, [[hardNegatives]]' /
+    * [[knnClassify]]'s query batch). Past it the broadcast itself is
+    * the scale hazard and total work is quadratic — the candidate-fed
+    * forms over [[ivfCandidates]] are the intended path. The guard
+    * reads OPTIMIZER statistics ([[estimateRows]] — no extra scan), so
+    * it is deliberately coarse: it exists to stop "brute-forced the
+    * whole corpus" mistakes loudly at plan time, not to meter memory.
+    */
+  val BruteForceMaxRows = 2000000L
+
+  private def requireSmallSide(df: DataFrame, op: String, alt: String): Unit = {
+    val est = estimateRows(df)
+    require(est <= BruteForceMaxRows,
+      s"$op: broadcast side estimated at $est rows (> BruteForceMaxRows = " +
+        s"$BruteForceMaxRows) — this form is quadratic and broadcasts that " +
+        s"side whole; use $alt at this scale")
+  }
+
   /** Row-count estimate WITHOUT running a job: catalog/plan statistics
     * when available (CBO, cached plans), else the optimizer's sizeInBytes
     * over the schema's estimated row width. Feeds [[autoCells]]'
@@ -381,7 +400,13 @@ object Similarity {
       if (queries.isStreaming) probes.join(assigned, "cell")
       else if (broadcastProbes) assigned.join(broadcast(probes), "cell")
       else assigned.join(probes, "cell")
-    joined.filter(col("q_id") =!= col("n_id")).drop("cell")
+    // Self-pairs (q_id == n_id) are NOT removed here: equal ids only
+    // mean "same vector" when query and index share one id space, and
+    // cross-corpus feeds ([[bitextMineFromCandidates]] — src and tgt
+    // each 0-indexed in the common case) must keep id-colliding pairs.
+    // The same-corpus scoring tails ([[topKFromCandidates]],
+    // [[hardNegativesFromCandidates]]) filter them row-locally.
+    joined.drop("cell")
   }
 
   /** Exact-cosine top-k over a candidate-pair frame (q_id, qv, n_id,
@@ -407,6 +432,7 @@ object Similarity {
     */
   def hardNegatives(base: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, labelCol: String, k: Int): DataFrame = {
+    requireSmallSide(queries, "hardNegatives", "hardNegativesFromCandidates over ivfCandidates")
     val q = queries.select(col(idCol).cast("long").as("q_id"),
       col(vecCol).as("qv"), col(labelCol).as("q_lab"))
     val b = base.select(col(idCol).cast("long").as("n_id"),
@@ -443,12 +469,14 @@ object Similarity {
     * candidates at index scale.
     */
   def knnClassify(base: DataFrame, queries: DataFrame, idCol: String,
-                  vecCol: String, labelCol: String, k: Int): DataFrame =
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    requireSmallSide(queries, "knnClassify", "knnVote over topKFromCandidates")
     knnVote(bruteForceTopK(base, queries, idCol, vecCol, k),
       base.select(col(idCol).cast("long").as("n_id"),
         col(labelCol).cast("long").as("n_lab")),
       queries.select(col(idCol).cast("long").as("q_id"),
         col(labelCol).cast("long").as("label")))
+  }
 
   /** The k-NN vote tail, decoupled from how the neighbor lists were
     * produced: `topk` is any (q_id, n_id, rnk) frame — [[bruteForceTopK]]
@@ -500,6 +528,7 @@ object Similarity {
     */
   def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
                  k: Int = 4, threshold: Double = 1.05): DataFrame = {
+    requireSmallSide(tgt, "bitextMine", "bitextMineIvf / bitextMineFromCandidates")
     val a = src.select(col(idCol).cast("long").as("src_id"), col(vecCol).as("av"))
     val b = tgt.select(col(idCol).cast("long").as("tgt_id"), col(vecCol).as("bv"))
     // persisted: the sim table feeds both neighborhood averages, the
@@ -525,6 +554,52 @@ object Similarity {
     * candidate set; with full probing the candidate set is total and
     * the result equals [[bitextMine]] exactly (spec-pinned).
     */
+  /** MINING-shape cell sizing: nCells = max(16, n/32) — cells grow ∝ n,
+    * so expected cell population (and with it per-query candidate work)
+    * stays CONSTANT as the corpus grows, making total candidate volume
+    * linear. This is the `bitext_ivf` scale probe's sizing. Distinct
+    * from the serving-shape [[autoCells]] √(n/64): there the QUERY
+    * batch is bounded, so √n cell growth is fine; in a
+    * both-sides-growing mining lane it would creep per-pair work
+    * superlinear. A FIXED cellCount is worse still — per-cell work
+    * degrades toward quadratic — which is why [[bitextMineIvf]]
+    * defaults to this function and hand-rolled index callers should
+    * too.
+    */
+  private[graft] def miningCells(n: Long): Int = math.max(16L, n / 32L).toInt
+
+  /** End-to-end IVF bitext mining with SAFE cell sizing — the overload
+    * callers should reach for: builds one [[kmeansCodebook]] index per
+    * side with cells ∝ n ([[miningCells]] of an exact per-side count —
+    * one column-pruned count pass, negligible next to the n·cells
+    * index build), probes BOTH directions, and feeds
+    * [[bitextMineFromCandidates]]. Hand-rolling the two indexes with a
+    * fixed cellCount silently degrades per-cell candidate work toward
+    * quadratic as the corpora grow; this wrapper makes the safe sizing
+    * the default. With nProbe >= nCells it probes fully and equals
+    * [[bitextMine]] exactly (spec-pinned).
+    */
+  def bitextMineIvf(src: DataFrame, tgt: DataFrame, idCol: String,
+                    vecCol: String, k: Int = 4, threshold: Double = 1.05,
+                    nProbe: Int = 4, rep: Int = 4, iters: Int = 2): DataFrame = {
+    def index(half: DataFrame): (Seq[(Long, Array[Double])], DataFrame) = {
+      val cb = kmeansCodebook(half, idCol, vecCol,
+        nCells = miningCells(half.select(col(idCol)).count()), iters = iters)
+      (cb, assignCells(
+        half.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("nv")),
+        "n_id", "nv", cb, rep = rep))
+    }
+    val (cbT, asgT) = index(tgt)
+    val (cbS, asgS) = index(src)
+    val c1 = ivfCandidates(cbT, asgT, src.select(col(idCol), col(vecCol)),
+        idCol, vecCol, nProbe, broadcastProbes = false)
+      .select(col("q_id").as("src_id"), col("n_id").as("tgt_id"))
+    val c2 = ivfCandidates(cbS, asgS, tgt.select(col(idCol), col(vecCol)),
+        idCol, vecCol, nProbe, broadcastProbes = false)
+      .select(col("n_id").as("src_id"), col("q_id").as("tgt_id"))
+    bitextMineFromCandidates(src, tgt, idCol, vecCol, c1.union(c2), k, threshold)
+  }
+
   def bitextMineFromCandidates(src: DataFrame, tgt: DataFrame,
                                idCol: String, vecCol: String,
                                candidates: DataFrame,

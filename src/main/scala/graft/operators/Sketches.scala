@@ -81,16 +81,29 @@ object Sketches {
   // a 4 KB array buffer serialized per input row measured 14× slower
   // than this form on the fixture.
 
+  // P is FROZEN at 12: the oracle SQL (EventQueries' uniq_hll_portable
+  // replay) spells the derived constants out as literals, so changing
+  // PortableP here without regenerating the oracle would silently
+  // desync registers, estimator and replay. Everything below therefore
+  // DERIVES from PortableP/PortableM — one edit point, and the
+  // companion literals are named so the oracle's numbers are greppable:
+  //   PortableW      = 48   (hash bits feeding rho = 60 − P)
+  //   PortableRhoMax = 49   (W + 1)
+  //   PortableEmpty  = 2^49 (an empty register's estimator term)
   val PortableP = 12
   val PortableM = 1 << PortableP                    // 4096 registers
+  private val PortableW = 60 - PortableP            // 48 low hash bits
+  private val PortableRhoMax = PortableW + 1        // 49
+  private val PortableEmpty = 1L << PortableRhoMax  // 2^49 = 562949953421312
 
   /** bucket/rho projections from a 60-bit h1-style hash column — the
     * registers' law, identical text to the oracle's.
     */
-  private def bucketOf(h: Column): Column = shiftrightunsigned(h, 48)
+  private def bucketOf(h: Column): Column = shiftrightunsigned(h, PortableW)
   private def rhoOf(h: Column): Column = {
-    val low = h.bitwiseAND(lit(0xFFFFFFFFFFFFL))
-    when(low === 0L, lit(49)).otherwise(lit(49) - length(bin(low)))
+    val low = h.bitwiseAND(lit((1L << PortableW) - 1L))
+    when(low === 0L, lit(PortableRhoMax))
+      .otherwise(lit(PortableRhoMax) - length(bin(low)))
   }
 
   /** One portable sketch per group as a register table:
@@ -122,10 +135,10 @@ object Sketches {
   def portableSv(regs: DataFrame, groupCols: String*): DataFrame =
     regs.groupBy(groupCols.map(col): _*)
       .agg(
-        (expr("sum(shiftleft(1L, 49 - m))") +
-          (lit(4096L) - count(lit(1))) * lit(562949953421312L))
+        (expr(s"sum(shiftleft(1L, $PortableRhoMax - m))") +
+          (lit(PortableM.toLong) - count(lit(1))) * lit(PortableEmpty))
           .cast("long").as("s"),
-        (lit(4096L) - count(lit(1))).cast("long").as("v"))
+        (lit(PortableM.toLong) - count(lit(1))).cast("long").as("v"))
 
   /** The estimate from (s, v): alpha·m²·2⁴⁹ / s with the standard
     * small-range linear-counting correction. The constant expression
@@ -133,10 +146,11 @@ object Sketches {
     * engines produce the identical double before the one division.
     */
   def portableEstimate(s: Column, v: Column): Column = {
-    val c = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0)) *
-      lit(4096.0) * lit(4096.0) * lit(562949953421312.0)  // 2^49
+    val m = PortableM.toDouble                            // 4096.0
+    val c = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m)) *
+      lit(m) * lit(m) * lit(PortableEmpty.toDouble)       // 2^49
     val raw = c / s.cast("double")
-    when(raw <= lit(10240.0) && v > 0,                    // 2.5·m
-      lit(4096.0) * log(lit(4096.0) / v.cast("double"))).otherwise(raw)
+    when(raw <= lit(2.5 * m) && v > 0,                    // 10240.0
+      lit(m) * log(lit(m) / v.cast("double"))).otherwise(raw)
   }
 }

@@ -39,17 +39,23 @@ object StreamingOps {
     */
   def runMergeStream(base: DataFrame, changes: DataFrame, key: String,
                      seqCol: String, opCol: String): DataFrame = {
-    var state = base.localCheckpoint()
+    // written from the stream-execution thread (foreachBatch), read on
+    // the caller thread after processAllAvailable — an explicit
+    // AtomicReference makes the cross-thread handoff self-evidently
+    // safe instead of leaning on StreamExecution's internal
+    // awaitProgressLock for the happens-before edge
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      base.localCheckpoint())
     val q = changes.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        state = graft.operators.Cdc
-          .applyChanges(state, batch.toDF(), key, seqCol, opCol)
-          .localCheckpoint()
+        state.set(graft.operators.Cdc
+          .applyChanges(state.get(), batch.toDF(), key, seqCol, opCol)
+          .localCheckpoint())
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    state
+    state.get()
   }
 
   /** Watermarked tumbling-window aggregation (readStream -> agg).

@@ -1263,6 +1263,73 @@ class OperatorSpec extends AnyFunSuite {
     assert(candMine == bfMine, s"bitext diverged: ${candMine.diff(bfMine)}")
   }
 
+  test("Similarity.bitextMineIvf defaults to mining cell sizing; equals bitextMine at full probe") {
+    // the sizing law: cells ∝ n (max(16, n/32)) — constant expected
+    // cell population as both corpora grow, the bitext_ivf probe's
+    // sizing (a fixed cellCount degrades per-cell work toward quadratic)
+    assert(Similarity.miningCells(100L) == 16)
+    assert(Similarity.miningCells(512L) == 16)
+    assert(Similarity.miningCells(3200L) == 100)
+    assert(Similarity.miningCells(64000L) == 2000)
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    // 125 rows/side -> miningCells = 16 cells; nProbe = 16 probes them
+    // all, so the wrapper must equal brute force exactly
+    val ivf = Similarity.bitextMineIvf(src, tgt, "vec_id", "embedding",
+        k = 4, threshold = 1.05, nProbe = 16)
+      .as[(Long, Long)].collect().toSet
+    val bf = Similarity.bitextMine(src, tgt, "vec_id", "embedding",
+        k = 4, threshold = 1.05)
+      .as[(Long, Long)].collect().toSet
+    assert(ivf == bf, s"bitextMineIvf diverged: ${ivf.diff(bf)} / ${bf.diff(ivf)}")
+  }
+
+  test("ivfCandidates keeps cross-corpus pairs whose numeric ids collide") {
+    // src and tgt each 0-indexed (the common real-world case): an
+    // id-colliding (q_id == n_id) pair is a GENUINE cross-corpus
+    // candidate and must survive candidate generation; only the
+    // same-corpus scoring tails drop self-pairs
+    val vecs = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)))
+      .toDF("vec_id", "embedding")
+    val cb = Seq((0L, Array(1.0, 0.0)))
+    val assigned = Similarity.assignCells(
+      vecs.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
+      "n_id", "nv", cb, rep = 1)
+    val cands = Similarity.ivfCandidates(cb, assigned,
+      vecs.select("vec_id", "embedding"), "vec_id", "embedding", nProbe = 1)
+    // both corpora carry ids {0, 1}: all 4 (q, n) pairs survive,
+    // including the colliding (0,0) and (1,1)
+    assert(cands.select("q_id", "n_id").as[(Long, Long)].collect().toSet ==
+      Set((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)))
+    // and the same-corpus tail still drops self-pairs row-locally
+    val topk = Similarity.topKFromCandidates(cands, 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(topk.nonEmpty && !topk.exists { case (q, n) => q == n })
+  }
+
+  test("brute-force mining forms refuse a corpus-sized broadcast side") {
+    // the guard reads optimizer stats — no job runs, the require fires
+    // at plan time (50M-row range: nothing materializes)
+    val big = spark.range(50000000L)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0), lit(0.0)).as("embedding"),
+        (col("id") % 2).as("label"))
+    val small = big.limit(4)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.bitextMine(small, big, "vec_id", "embedding")
+    }
+    assert(e1.getMessage.contains("bitextMineIvf"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(small, big, "vec_id", "embedding", "label", 3)
+    }
+    assert(e2.getMessage.contains("hardNegativesFromCandidates"))
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.knnClassify(small, big, "vec_id", "embedding", "label", 3)
+    }
+    assert(e3.getMessage.contains("topKFromCandidates"))
+  }
+
   test("Similarity.cosinePairsBlocked finds near-dup pairs without the all-pairs join") {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     // the fixture has no planted vector dups: use the sim of the 40th
