@@ -207,6 +207,18 @@ object Bench {
       noop(operators.TextOps.paragraphDedup(df, "doc_id", "text"))
     }
 
+    // exact-substring dedup (Lee et al.): rolling 10-gram fingerprints
+    // at every position → owner election → map-only strip. The
+    // replicated corpus is dup-dense by construction (replicas lose
+    // their whole text), but like the paragraph probe the output is
+    // BOUNDED by input rows (per-doc position lists, never pairs), and
+    // per-hash work is linear in occurrences — so the probe measures
+    // the gram shuffle + window + rejoin path, which is the scaling
+    // claim
+    val substringScale = scaleProbe("substring", docsPair) { df =>
+      noop(operators.Dedup.substringDedupApply(df, "doc_id", "text", w = 10))
+    }
+
     val benchDir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-bench-${ProcessHandle.current().pid()}"
 
     // semantic dedup: LSH pairs → pointer-doubling CC → representatives,
@@ -323,6 +335,66 @@ object Bench {
     }) { df =>
       val (packed, _) = jobs.TrainingPipeline.run(spark, sfDir,
         input = Some(df), normalize = true, report = false)
+      noop(packed)
+    }
+
+    // pipeline_full: the ALL-OPTIONAL-STAGES composition (HTML ingest →
+    // template strip → repetition gate → default chain → semantic
+    // dedup → DSIR → token budgets), previously the one composition
+    // with no measured exponent. Docs replicate with identical text
+    // (ids shifted) so exact dedup bounds the pair stages, same as the
+    // default-chain probe; embeddings replicate with the DOCS' id
+    // shift so per-replica embedding coverage is constant, and the
+    // semantic LSH cell count scales ∝ n so per-cell candidate work
+    // stays constant (the semanticScale sizing). The DSIR target stays
+    // fixed at 1× (the production shape). What grows 3× is the HTML
+    // strip, template mining, gates, digest shuffle, and the semantic
+    // index — all linear paths.
+    val pipelineFullScale = scaleProbe("pipeline_full", () => {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"), col("lang"))
+      val shift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def rep(df: org.apache.spark.sql.DataFrame, k: Int) =
+        (0 until k).map(i =>
+          df.withColumn("doc_id", col("doc_id") + lit(i * shift)))
+          .reduce(_.unionByName(_))
+      def page(df: org.apache.spark.sql.DataFrame) = {
+        val ids = col("doc_id").cast("string")
+        val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+          "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+        df.select(col("doc_id"), col("source"),
+          concat(lit("<html><head><title>Doc "), ids,
+            lit("</title><style>p{margin:0}</style></head><body><script>var d="),
+            ids, lit(";</script><h1>Doc "), ids, lit("</h1><p>"), esc,
+            lit("</p><div class=\"nav\"><a href=\"/s/1\">more</a></div>" +
+              "<!-- footer --></body></html>")).as("text"))
+      }
+      // the lane recovers k from max(doc_id) to size embeddings/cells
+      (page(rep(base, 1)), page(rep(base, 3)))
+    }) { df =>
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val shift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val k = ((df.agg(max(col("doc_id"))).head().getLong(0) + 1L
+        + shift - 1L) / shift).toInt
+      val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val emb = (0 until k).map(i =>
+          e1.withColumn("doc_id", col("doc_id") + lit(i * shift)))
+        .reduce(_.unionByName(_))
+      val nEmb = e1.count() * k
+      val target = base.filter(col("lang") === "en").select(col("text"))
+      val (packed, _) = jobs.TrainingPipeline.run(spark, sfDir,
+        input = Some(df),
+        ingestHtml = true,
+        templateMinDf = Some(5L),
+        maxRepetition = Some(0.08),
+        semanticThreshold = 0.38,
+        embeddings = Some(emb),
+        semanticCells = math.max(32L, nEmb / 64).toInt,
+        dsirTarget = Some(target),
+        tokenBudgets = Map("src0" -> 400L, "src1" -> 200L),
+        budgetShards = 2,
+        normalize = true, report = false)
       noop(packed)
     }
 
@@ -478,6 +550,8 @@ object Bench {
       scaleEntry("kmeans_scale", kmeansScale) +
       scaleEntry("dsir_scale", dsirScale) +
       scaleEntry("paragraph_scale", paragraphScale) +
+      scaleEntry("substring_scale", substringScale) +
+      scaleEntry("pipeline_full_scale", pipelineFullScale) +
       scaleEntry("semantic_scale", semanticScale) +
       scaleEntry("streaming_funnel_scale", funnelScale) +
       scaleEntry("pipeline_scale", pipelineScale) +

@@ -1006,6 +1006,96 @@ object Dedup {
         size(col("keep_pos")).cast("long").as("n_kept"))
   }
 
+  /** (id, pos) of every NON-FIRST duplicated w-gram occurrence — the
+    * exact-substring dedup core (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): the rolling w-token
+    * fingerprint at EVERY token position (vs [[spanTable]]'s
+    * non-overlapping C4 grid), so a repeated substring of >= w tokens
+    * at ANY alignment shows up as a run of duplicated gram positions
+    * and "remove all but the first occurrence" falls out of the same
+    * (doc id, position) owner election [[spanStats]] uses. Sort-based,
+    * never an in-memory suffix array: the first-occurrence pass and
+    * the rejoin are hash equi-joins on the 60-bit gram hash carrying
+    * (h, id, pos) rows only — a boilerplate gram repeated 100k× costs
+    * one group row plus its own occurrences, nothing quadratic, and
+    * text never rides a shuffle.
+    */
+  private def dupGramPositions(df: DataFrame, id: String, text: String,
+                               w: Int): DataFrame = {
+    val grams = leadShingles(df, id, text, w)
+      .select(col(id), col("pos"), h1(col("sh")).as("h"))
+    grams.join(firstSpan(grams, id), Seq("h"))
+      .filter(isDupSpan(id))
+      .select(col(id), col("pos"))
+  }
+
+  /** Exact-substring dedup ACCOUNTING: per doc, the token count, the
+    * number of duplicated (non-first) rolling w-gram occurrences, and
+    * the number of tokens a [[substringDedupApply]] pass would remove
+    * (the union length of the dup grams' [pos, pos+w) coverage
+    * intervals) with its fraction. The union length needs NO w×
+    * coverage expansion: dup positions sort per doc, so interval ends
+    * pos+w are sorted too and each row's new coverage is
+    * max(0, (pos+w) − max(pos, running max end over earlier rows)) —
+    * one window over the (already bounded) dup-position rows. Spec law:
+    * n_removed_tokens == n_tokens − n_kept of the apply lane, per doc.
+    */
+  def substringStats(df: DataFrame, id: String, text: String, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col(id)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = dupGramPositions(df, id, text, w)
+      .withColumn("prev_end", max(col("pos") + lit(w)).over(win))
+      .withColumn("cov", greatest(lit(0), (col("pos") + lit(w)) -
+        greatest(col("pos"), coalesce(col("prev_end"), col("pos")))))
+    val perDoc = contrib.groupBy(col(id))
+      .agg(count(lit(1)).as("nd"), sum(col("cov")).as("nr"))
+    df.select(col(id), size(tokens(col(text))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("nd"), lit(0L)).cast("long").as("n_dup_grams"),
+        coalesce(col("nr"), lit(0L)).cast("long").as("n_removed_tokens"))
+      .withColumn("removed_frac",
+        when(col("n_tokens") > 0,
+          col("n_removed_tokens").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** The apply step of [[substringStats]] — Lee-et-al exact-substring
+    * dedup: every token covered by a duplicated (non-first) rolling
+    * w-gram occurrence is removed; each doc is rebuilt from the
+    * surviving tokens. The globally first occurrence of a repeated
+    * substring keeps its text (its grams ARE the first occurrences);
+    * later occurrences lose exactly the repeated tokens, at any
+    * alignment — the capability [[spanDedupApply]]'s fixed grid cannot
+    * express. Docs whose every token is covered vanish (the
+    * [[spanDedupApply]] contract).
+    *
+    * Scale shape: dup positions per doc aggregate to ONE sorted int
+    * array (bounded by doc length, like [[spanDedupApply]]'s keep_pos);
+    * the single text-bearing operation is the final doc-keyed join
+    * whose kept-segment slicing is row-local and O(tokens + dups):
+    * with dp sorted, coverage-interval ends dp_i + w are sorted too,
+    * so the kept segments are exactly the gaps
+    * (starts = [0] ++ (dp+w), ends = dp ++ [n_tokens], keep where
+    * end > start) — no per-token membership scan.
+    */
+  def substringDedupApply(df: DataFrame, id: String, text: String, w: Int): DataFrame = {
+    val dp = dupGramPositions(df, id, text, w)
+      .groupBy(col(id)).agg(sort_array(collect_list(col("pos"))).as("dp"))
+    val t = tokens(col(text))
+    val dpc = coalesce(col("dp"), array().cast("array<int>"))
+    val starts = concat(array(lit(0)), transform(dpc, p => p + lit(w)))
+    val ends = concat(dpc, array(size(t)))
+    val kept = flatten(zip_with(starts, ends, (s, e) =>
+      when(e > s, slice(t, s + 1, e - s))
+        .otherwise(array().cast("array<string>"))))
+    df.join(dp, Seq(id), "left")
+      .select(col(id), array_join(kept, " ").as("clean_text"),
+        size(kept).cast("long").as("n_kept"))
+      .filter(col("n_kept") > 0)
+  }
+
   def fingerprints(df: DataFrame, id: String, text: String,
                    k: Int, window: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -173,6 +173,16 @@ object DedupQueries extends QueryModule {
     "span_dedup_apply" -> ((s, dir) =>
       Dedup.spanDedupApply(docs(s, dir), "doc_id", "text", w = 8)),
 
+    // Lee-et-al exact-substring dedup (any repeated substring >= 10
+    // tokens, at any alignment — rolling fingerprints at EVERY
+    // position, vs span_dedup's fixed 8-token grid): accounting lane
+    // with the tokens-removed union length, and the apply lane
+    // rebuilding docs minus every non-first repeated occurrence
+    "substring_dedup" -> ((s, dir) =>
+      Dedup.substringStats(docs(s, dir), "doc_id", "text", w = 10)),
+    "substring_dedup_apply" -> ((s, dir) =>
+      Dedup.substringDedupApply(docs(s, dir), "doc_id", "text", w = 10)),
+
     // stop-shingles (document frequency > 100) are dropped before the
     // candidate self-join — see Dedup.jaccardPairs. Shingles are reduced
     // to 60-bit md5 hashes first (8-byte join keys, not strings), and
@@ -525,6 +535,71 @@ object DedupQueries extends QueryModule {
         |SELECT doc_id, string_agg(sh, ' ' ORDER BY i) AS clean_text,
         |       CAST(COUNT(*) AS BIGINT) AS n_kept
         |FROM h JOIN f USING (h) WHERE fr.d = doc_id AND fr.p = i GROUP BY doc_id""".stripMargin,
+    // Replay of Dedup.substringStats / substringDedupApply: rolling
+    // 10-gram md5 h1 hashes at every (1-based) position, (doc, pos)
+    // owner election, then — for stats — the same
+    // running-max-end window union-length arithmetic (shift-invariant,
+    // so 1-based replays 0-based exactly), and — for apply — the dup
+    // coverage expanded to distinct token positions and anti-joined.
+    "substring_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(range(1, len(t) - 8)) AS i, t FROM toks
+        |), h AS (
+        |  SELECT doc_id, i,
+        |         ('0x' || substring(md5(array_to_string(list_slice(t, i, i + 9), ' ')), 1, 15))::BIGINT AS h
+        |  FROM g
+        |), f AS (
+        |  SELECT h, MIN(struct_pack(d := doc_id, p := i)) AS fr FROM h GROUP BY h
+        |), dup AS (
+        |  SELECT doc_id, i FROM h JOIN f USING (h)
+        |  WHERE fr.d < doc_id OR (fr.d = doc_id AND fr.p < i)
+        |), contrib AS (
+        |  SELECT doc_id, i,
+        |         GREATEST(0, (i + 10) - GREATEST(i, COALESCE(
+        |           MAX(i + 10) OVER (PARTITION BY doc_id ORDER BY i
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), i))) AS cov
+        |  FROM dup
+        |), perdoc AS (
+        |  SELECT doc_id, COUNT(*) AS nd, SUM(cov) AS nr FROM contrib GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |       CAST(COALESCE(p.nd, 0) AS BIGINT) AS n_dup_grams,
+        |       CAST(COALESCE(p.nr, 0) AS BIGINT) AS n_removed_tokens,
+        |       CASE WHEN len(t.t) > 0
+        |            THEN CAST(COALESCE(p.nr, 0) AS DOUBLE) / len(t.t)
+        |            ELSE 0.0 END AS removed_frac
+        |FROM toks t LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
+    "substring_dedup_apply" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(range(1, len(t) - 8)) AS i, t FROM toks
+        |), h AS (
+        |  SELECT doc_id, i,
+        |         ('0x' || substring(md5(array_to_string(list_slice(t, i, i + 9), ' ')), 1, 15))::BIGINT AS h
+        |  FROM g
+        |), f AS (
+        |  SELECT h, MIN(struct_pack(d := doc_id, p := i)) AS fr FROM h GROUP BY h
+        |), dup AS (
+        |  SELECT doc_id, i FROM h JOIN f USING (h)
+        |  WHERE fr.d < doc_id OR (fr.d = doc_id AND fr.p < i)
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, ti FROM (
+        |    SELECT doc_id, unnest(list_transform(range(0, 10), u -> i + u)) AS ti FROM dup)
+        |), tok AS (
+        |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS ti, t FROM toks
+        |), kept AS (
+        |  SELECT k.doc_id, k.ti, k.t[k.ti] AS w
+        |  FROM tok k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.ti = k.ti
+        |  WHERE c.ti IS NULL
+        |)
+        |SELECT doc_id, string_agg(w, ' ' ORDER BY ti) AS clean_text,
+        |       CAST(COUNT(*) AS BIGINT) AS n_kept
+        |FROM kept GROUP BY doc_id""".stripMargin,
     "dedup_jaccard" -> (shingleCte +
       """, hsh AS (
         |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS sh FROM sh

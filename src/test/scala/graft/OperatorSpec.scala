@@ -1308,6 +1308,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(topk.nonEmpty && !topk.exists { case (q, n) => q == n })
   }
 
+  test("Dedup.substringStats / substringDedupApply: Lee-et-al exact-substring laws") {
+    val rep = (1 to 12).map(i => s"r$i").mkString(" ")   // 12-token block
+    val rq = (1 to 12).map(i => s"q$i").mkString(" ")    // disjoint vocab
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $rep b1 b2"),  // global first occurrence of rep
+      (2L, s"c1 $rep d1 d2 d3"),     // later occurrence, MISALIGNED offset
+      (3L, rep),                     // doc that is nothing but the dup
+      (4L, s"$rep e1 $rep"),         // both copies non-first (doc 1 owns)
+      (5L, "x1 x2 x3 x4 x5"),        // < w tokens: no grams, untouched
+      (6L, s"$rq f1 $rq")            // INTRA-doc repeat: keep the first
+    ).toDF("doc_id", "text")
+    val kept = Dedup.substringDedupApply(docs, "doc_id", "text", w = 10)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // the owner keeps its text; a later occurrence loses EXACTLY the
+    // repeated tokens at any alignment (span_dedup's fixed grid can't)
+    assert(kept(1L)._1 == s"a1 a2 a3 $rep b1 b2")
+    assert(kept(2L)._1 == "c1 d1 d2 d3")
+    assert(!kept.contains(3L), "fully-duplicate doc must vanish")
+    assert(kept(4L)._1 == "e1", "both copies are non-first: only the glue survives")
+    assert(kept(5L)._1 == "x1 x2 x3 x4 x5")
+    // remove-all-but-FIRST holds within one document too
+    assert(kept(6L)._1 == s"$rq f1")
+    // accounting ≡ apply: n_removed_tokens == n_tokens − n_kept per doc
+    val stats = Dedup.substringStats(docs, "doc_id", "text", w = 10).collect()
+    assert(stats.length == 6)
+    stats.foreach { r =>
+      val (id, nTok, nRem) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      val nKept = kept.get(id).map(_._2).getOrElse(0L)
+      assert(nRem == nTok - nKept, s"doc $id: removed $nRem != $nTok - $nKept")
+    }
+  }
+
   test("brute-force mining forms refuse a corpus-sized broadcast side") {
     // the guard reads optimizer stats — no job runs, the require fires
     // at plan time (50M-row range: nothing materializes)

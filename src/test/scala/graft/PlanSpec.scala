@@ -156,6 +156,19 @@ class PlanSpec extends AnyFunSuite {
       s"non-fusion SortMergeJoin in hybrid_rrf:\n${smj.mkString("\n")}")
   }
 
+  test("substring dedup: owner election and rejoin stay hash equi-joins") {
+    // the Lee-et-al lanes' only joins are the gram-hash equi-join
+    // (first-occurrence rejoin) and the doc-keyed apply join — nothing
+    // all-pairs, whatever the corpus size
+    for (name <- Seq("substring_dedup", "substring_dedup_apply")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.foreach(_ => ())
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian plan:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: nested-loop join:\n$p")
+    }
+  }
+
   test("bitext_mine: equi-join candidates; margin stats reuse the persisted candidate sims") {
     val df = SparkEntry.queries("bitext_mine")(spark, dir)
     df.foreach(_ => ())
