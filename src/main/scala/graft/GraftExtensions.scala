@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{CompressExpressions, MatchExpressions, MediaExpressions, TextExpressions, VectorExpressions}
+import graft.functions.{CompressExpressions, MatchExpressions, MathExpressions, MediaExpressions, TextExpressions, VectorExpressions}
 
 /** Engine extensions, installed with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (done by
@@ -24,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(CompressExpressions.deflatedSizeFunction)
     e.injectFunction(MediaExpressions.aHash64Function)
     e.injectFunction(MatchExpressions.multiMatchCountsFunction)
+    e.injectFunction(MathExpressions.ieeeLnFunction)
   }
 }

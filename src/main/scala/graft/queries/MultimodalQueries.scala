@@ -121,12 +121,16 @@ object MultimodalQueries extends QueryModule {
         Multimodal.fabricateFrameStream(Tables(s, dir, "documents")))),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(media(s, dir), 4)),
     // byte-entropy screen over binary content — a REAL feature (no
-    // codec): float-log accumulation has no exact SQL replay, so the
-    // driver records rows-only. Three SENTINEL items with analytically
-    // known entropies ride every run (doc_id < 0: constant bytes -> 0
-    // bits, two-symbol -> 1, uniform -> 8), so the kernel's exactness
-    // is visible in the row output the driver records; the same values
-    // are asserted on this query in OperatorSpec.
+    // codec), FULL-ORACLE since r10 via the relational twin
+    // (byteEntropyRelational — the uniq_hll_portable discipline): the
+    // histogram core (n_distinct, max_count) is exact integers, and
+    // entropy_bits is the fixed-order log2 expression both engines
+    // evaluate double-for-double. The mapPartitions kernel
+    // (byteEntropy) remains the zero-shuffle production form,
+    // spec-pinned to this lane within 1e-9. The three SENTINEL items
+    // with analytically known entropies still ride every run
+    // (doc_id < 0: constant bytes -> 0 bits, two-symbol -> 1,
+    // uniform -> 8), asserted exactly in OperatorSpec.
     "multimodal_entropy" -> ((s, dir) => {
       import s.implicits._
       val sent = Seq(
@@ -134,7 +138,7 @@ object MultimodalQueries extends QueryModule {
         (-2L, Array.tabulate[Byte](64)(i => (i % 2).toByte)),
         (-3L, Array.tabulate[Byte](256)(i => i.toByte)))
         .toDF("doc_id", "content")
-      Multimodal.byteEntropy(
+      Multimodal.byteEntropyRelational(
         media(s, dir).select("doc_id", "content").unionByName(sent))
     })
   )
@@ -319,6 +323,49 @@ object MultimodalQueries extends QueryModule {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(i AS INTEGER) AS frame_idx,
         |  CAST((i * octet_length(encode(text))) // 4 AS BIGINT) AS byte_offset
-        |FROM documents, (SELECT unnest(range(0, 4)) AS i)""".stripMargin
+        |FROM documents, (SELECT unnest(range(0, 4)) AS i)""".stripMargin,
+    // Replay of byteEntropyRelational: the same hex-pair byte
+    // projection as the ahash chain, the exact-integer histogram, and
+    // the fixed-order entropy — list_reduce over list(c ORDER BY b)
+    // with a prepended 0.0 is the identical left-to-right sum Spark's
+    // aggregate(transform(...), 0.0, +) evaluates, and NATURAL ln over
+    // the small-integer counts matches double-for-double (the DSIR
+    // ln-parity precedent; log2 primitives do NOT — see the operator
+    // doc). ln2 is the shared literal on both sides. Sentinels are
+    // emitted as hex strings directly (constant / two-symbol /
+    // uniform).
+    "multimodal_entropy" ->
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |  UNION ALL SELECT -1, repeat('07', 128), 128
+        |  UNION ALL SELECT -2, repeat('0001', 32), 64
+        |  UNION ALL SELECT -3,
+        |    (SELECT string_agg(upper(lpad(to_hex(i), 2, '0')), '' ORDER BY i)
+        |     FROM range(0, 256) t(i)), 256
+        |), pos AS (
+        |  SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM m WHERE n > 0
+        |), byt AS (
+        |  SELECT doc_id, n, ('0x' || substring(hx, 2*i + 1, 2))::BIGINT AS b
+        |  FROM pos
+        |), hist AS (
+        |  SELECT doc_id, b, COUNT(*) AS c FROM byt GROUP BY doc_id, b
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_distinct, MAX(c) AS max_count,
+        |         list(c ORDER BY b) AS cl
+        |  FROM hist GROUP BY doc_id
+        |)
+        |SELECT m.doc_id, CAST(m.n AS BIGINT) AS n_bytes,
+        |       CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+        |       CAST(COALESCE(a.max_count, 0) AS BIGINT) AS max_count,
+        |       CASE WHEN m.n > 0 THEN
+        |         (ln(m.n) - list_reduce(
+        |           list_prepend(CAST(0.0 AS DOUBLE),
+        |             list_transform(a.cl,
+        |               c -> CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))),
+        |           (x, y) -> x + y) / m.n) / 0.6931471805599453
+        |       ELSE 0.0 END AS entropy_bits
+        |FROM m LEFT JOIN agg a USING (doc_id)""".stripMargin
   )
 }

@@ -23,15 +23,15 @@ class OperatorSpec extends AnyFunSuite {
     // the intentional no-oracle rows — terasort self-validates, DuckDB
     // exposes no zlib for comp_ratio, HLL estimates are
     // implementation-specific (Spark's DataSketches lane; merge/error
-    // properties spec'd), multimodal entropy needs a real image decode
+    // properties spec'd; the uniq_hll_portable twin IS fully oracled)
     // — and ONLY those. Graduations: ann_ivf_topk in r8 (integer
     // k-means trainer), bpe_tokenize in r9 (the merge loop and the
     // encoder replay as recursive CTEs), decontaminate_bloom in r9
     // (Spark's BloomFilter is Murmur3_x86_32 double hashing — 32-bit
     // arithmetic the oracle emulates exactly, false positives
-    // included).
-    assert(q.diff(o) == Set("terasort",
-      "comp_ratio", "uniq_hll", "multimodal_entropy"),
+    // included), multimodal_entropy in r10 (relational histogram +
+    // fixed-order log2 estimator, the uniq_hll_portable discipline).
+    assert(q.diff(o) == Set("terasort", "comp_ratio", "uniq_hll"),
       s"rows-only query set drifted: ${q.diff(o)}")
     // no duplicate keys across modules (flatMap(...).toMap is
     // last-wins: a name collision would silently shadow a query)
@@ -519,6 +519,30 @@ class OperatorSpec extends AnyFunSuite {
       val (content, wNull, hNull) = resized(id)
       assert(wNull && hNull, s"non-image $id must report NULL dims")
       assert(content == b.toSeq, s"non-image $id content must pass through")
+    }
+  }
+
+  test("Multimodal.byteEntropyRelational == byteEntropy kernel within float-sum-order slack") {
+    import graft.multimodal.Multimodal
+    // the relational twin is the ORACLE form (exact-integer histogram
+    // core + fixed-order estimator); the mapPartitions kernel is the
+    // zero-shuffle production form — same histogram, float sum in
+    // bucket order on both, differing only in accumulation grouping
+    val media = Multimodal.fabricate(
+      Tables(spark, "/root/testdata/sf0.001", "documents"))
+      .select("doc_id", "content")
+    val rel = Multimodal.byteEntropyRelational(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val kern = Multimodal.byteEntropy(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rel.keySet == kern.keySet)
+    rel.foreach { case (id, (nb, nd, mc, h)) =>
+      val (nbK, hK) = kern(id)
+      assert(nb == nbK, s"doc $id: n_bytes $nb != $nbK")
+      assert(nd >= 1 && nd <= 256 && mc >= 1 && mc <= nb,
+        s"doc $id: histogram core out of range ($nd, $mc)")
+      assert(math.abs(h - hK) < 1e-9, s"doc $id: entropy $h vs kernel $hK")
     }
   }
 
