@@ -446,38 +446,15 @@ object CleanQueries extends QueryModule {
       " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END" +
       " || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || '.1' ELSE '' END"
 
-  def oracleSql: Map[String, String] = Map(
-    // FULL replay of the BPE trainer + tokenizer (graduated from
-    // rows-only in r9 — the last plausibly-SQL-expressible no-oracle
-    // lane). Two recursions: (1) the merge LOOP — per-word symbol rows
-    // carry the vocabulary state; each step aggregates adjacent-pair
-    // frequencies ACROSS the working table (DuckDB allows aggregation
-    // over the recursive reference), picks max-count/lex-smallest, and
-    // applies the merge as a delimiter-wrapped replace() — each symbol
-    // wrapped in its own chr(1) pair, so the pattern matches FULL
-    // tokens only and left-to-right non-overlapping replace() is
-    // exactly Bpe.mergeOnce (a merged token can never re-match: p1+p2
-    // equals neither p1 nor p2). (2) the ENCODER — per distinct word,
-    // repeatedly merge the leftmost lowest-rank adjacent pair
-    // (Bpe.encodeWord's scan order = ORDER BY rk, i LIMIT-1 via
-    // row_number) until no trained pair applies; the final state is
-    // each word's last emitted row. HARD-WON STRUCTURE: the encoder's
-    // RECURSIVE TERM must not reference ANY CTE derived from the
-    // trainer recursion — such a bridge CTE can materialize BEFORE the
-    // first recursion populates (observed empty on DuckDB 1.x), and
-    // the planner's materialize-vs-inline choice depends on accumulated
-    // CONNECTION state (the same SQL read correctly on a fresh
-    // connection and stalled after ~170 prior oracle queries; explicit
-    // NOT MATERIALIZED did not survive the fully-warmed connection
-    // either). So the trained ranks enter the encoder ONCE, in its
-    // NON-recursive initial member (a scalar-subquery list over the
-    // trainer output — initial members evaluate after the first
-    // recursion completes, like `md`, which never mis-ordered), ride
-    // every row as a 40-struct `rks` list, and the recursive term is
-    // fully self-contained (rank lookup = list_filter over the carried
-    // list).
-    "bpe_tokenize" ->
-      raw"""WITH RECURSIVE wf AS MATERIALIZED (
+  // The full BPE trainer + encoder replay chain (see the
+  // bpe_tokenize oracle comment above): ends at
+  // `dagg(doc_id, n_words, n_sub, joined)`, with `md(merges_md5)`
+  // and the base `dt(doc_id, toks)` alongside — shared with
+  // PipelineQueries' pipeline_tokenized composition, which stacks
+  // the token-budget and packing replays on top of n_sub.
+  // Prepend WITH RECURSIVE.
+  private[queries] val bpeChainCte: String =
+    raw"""wf AS MATERIALIZED (
         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
         |    SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
         |    FROM documents)
@@ -560,7 +537,40 @@ object CleanQueries extends QueryModule {
         |         CAST(SUM(len(e.syms)) AS BIGINT) AS n_sub,
         |         string_agg(array_to_string(e.syms, ''), '' ORDER BY dw.pos) AS joined
         |  FROM dw JOIN encf e USING (w) GROUP BY dw.doc_id
-        |)
+        |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    // FULL replay of the BPE trainer + tokenizer (graduated from
+    // rows-only in r9 — the last plausibly-SQL-expressible no-oracle
+    // lane). Two recursions: (1) the merge LOOP — per-word symbol rows
+    // carry the vocabulary state; each step aggregates adjacent-pair
+    // frequencies ACROSS the working table (DuckDB allows aggregation
+    // over the recursive reference), picks max-count/lex-smallest, and
+    // applies the merge as a delimiter-wrapped replace() — each symbol
+    // wrapped in its own chr(1) pair, so the pattern matches FULL
+    // tokens only and left-to-right non-overlapping replace() is
+    // exactly Bpe.mergeOnce (a merged token can never re-match: p1+p2
+    // equals neither p1 nor p2). (2) the ENCODER — per distinct word,
+    // repeatedly merge the leftmost lowest-rank adjacent pair
+    // (Bpe.encodeWord's scan order = ORDER BY rk, i LIMIT-1 via
+    // row_number) until no trained pair applies; the final state is
+    // each word's last emitted row. HARD-WON STRUCTURE: the encoder's
+    // RECURSIVE TERM must not reference ANY CTE derived from the
+    // trainer recursion — such a bridge CTE can materialize BEFORE the
+    // first recursion populates (observed empty on DuckDB 1.x), and
+    // the planner's materialize-vs-inline choice depends on accumulated
+    // CONNECTION state (the same SQL read correctly on a fresh
+    // connection and stalled after ~170 prior oracle queries; explicit
+    // NOT MATERIALIZED did not survive the fully-warmed connection
+    // either). So the trained ranks enter the encoder ONCE, in its
+    // NON-recursive initial member (a scalar-subquery list over the
+    // trainer output — initial members evaluate after the first
+    // recursion completes, like `md`, which never mis-ordered), ride
+    // every row as a 40-struct `rks` list, and the recursive term is
+    // fully self-contained (rank lookup = list_filter over the carried
+    // list).
+    "bpe_tokenize" ->
+      raw"""WITH RECURSIVE $bpeChainCte
         |SELECT d.doc_id,
         |       COALESCE(a.n_words, 0) AS n_words,
         |       COALESCE(a.n_sub, 0) AS n_sub,

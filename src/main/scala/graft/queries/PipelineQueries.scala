@@ -234,6 +234,34 @@ object PipelineQueries extends QueryModule {
           "CAST(full_seqs >= n_seqs - 1 AS BIGINT) AS law_ok")
     }),
 
+    // TOKENIZER-AT-SCALE composition: the trained BPE merges applied
+    // corpus-wide, with the REAL subword counts (not whitespace words)
+    // feeding the token-budget gate and then the packing manifest —
+    // the composition a production dataloader actually consumes
+    // (budgets and sequence lengths are meaningful in tokenizer units
+    // only). bpe_tokenize proves the tokenizer; token_budget_sample /
+    // pack_sequences prove the samplers on word counts; THIS row
+    // proves the three compose: the oracle stacks the full
+    // recursive-CTE BPE replay (CleanQueries.bpeChainCte) under the
+    // budget-prefix and packing-interval replays, so any handoff drift
+    // (which count feeds which stage, budget-before-pack order)
+    // hash-mismatches. merges_md5 rides every row — the tokenizer
+    // checksum a manifest consumer pins.
+    "pipeline_tokenized" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.operators.Bpe.train(d, "text", nMerges = 40)
+      val counted = graft.operators.Bpe.tokenize(d, "text", merges)
+        .select(col("doc_id"), col("source"),
+          size(col("bpe_tokens")).cast("long").as("n_tokens"))
+      val kept = Sampling.tokenBudgetSample(counted, "source", "doc_id",
+        col("n_tokens"), budgets = Map("src0" -> 400L, "src1" -> 200L),
+        shards = 2)
+      Sampling.packSequences(kept.select(col("doc_id"), col("n_tokens")),
+        "doc_id", col("n_tokens"), seqLen = 256, shards = 4)
+        .withColumn("merges_md5",
+          lit(graft.operators.Bpe.mergesChecksum(merges)))
+    }),
+
     // deterministic global training-order shuffle: hash shard +
     // within-shard sort key, a pure row-local projection (the write
     // side repartitions by shard and sorts within partitions — never a
@@ -891,6 +919,52 @@ object PipelineQueries extends QueryModule {
     "pack_sequences" ->
       s"""WITH $packCte
          |SELECT shard, seq_id, doc_id, doc_tok_start, n_toks, seq_pos FROM pk""".stripMargin,
+    // the tokenizer-fed composition: the full BPE trainer+encoder
+    // replay (per-doc n_sub) feeds the budget-prefix replay
+    // (token_budget_sample's law, per-shard budgets 200/100), and the
+    // surviving docs' SUBWORD counts feed the packing-interval replay
+    // (pack_sequences' law). Reading dagg/md from the recursions in
+    // plain CTEs is the safe consumption pattern (only a RECURSIVE
+    // TERM may not reference recursion-derived CTEs — see the
+    // bpe_tokenize comment).
+    "pipeline_tokenized" ->
+      raw"""WITH RECURSIVE ${CleanQueries.bpeChainCte}, bt AS (
+        |  SELECT d.doc_id, d.source,
+        |         CAST(COALESCE(a.n_sub, 0) AS BIGINT) AS n_tokens,
+        |         ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT AS hk
+        |  FROM documents d LEFT JOIN dagg a USING (doc_id)
+        |), bs AS (
+        |  SELECT doc_id, source, n_tokens, hk,
+        |         COALESCE(SUM(n_tokens) OVER (
+        |           PARTITION BY source, hk % 2 ORDER BY hk, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_toks
+        |  FROM bt
+        |), kept AS (
+        |  SELECT doc_id, n_tokens FROM bs
+        |  WHERE CASE source WHEN 'src0' THEN prior_toks < 200
+        |                    WHEN 'src1' THEN prior_toks < 100
+        |                    ELSE TRUE END
+        |), p0 AS (
+        |  SELECT doc_id, n_tokens AS toks,
+        |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 4 AS shard
+        |  FROM kept WHERE n_tokens > 0
+        |), o2 AS (
+        |  SELECT doc_id, toks, shard,
+        |         CAST(COALESCE(SUM(toks) OVER (
+        |           PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+        |  FROM p0
+        |), pk2 AS (
+        |  SELECT CAST(shard AS BIGINT) AS shard, CAST(g.seq AS BIGINT) AS seq_id, doc_id,
+        |         CAST(GREATEST(prior, g.seq * 256) - prior AS BIGINT) AS doc_tok_start,
+        |         CAST(LEAST(prior + toks, (g.seq + 1) * 256)
+        |              - GREATEST(prior, g.seq * 256) AS BIGINT) AS n_toks,
+        |         CAST(GREATEST(prior, g.seq * 256) - g.seq * 256 AS BIGINT) AS seq_pos
+        |  FROM o2, LATERAL (SELECT unnest(range(prior // 256, (prior + toks - 1) // 256 + 1)) AS seq) g
+        |)
+        |SELECT pk2.shard, pk2.seq_id, pk2.doc_id, pk2.doc_tok_start,
+        |       pk2.n_toks, pk2.seq_pos, md.merges_md5
+        |FROM pk2 CROSS JOIN md""".stripMargin,
     // packing-efficiency audit over the same manifest: fill ppm per
     // shard plus the exactness law — every sequence except each
     // shard's trailing partial is EXACTLY seqLen tokens (running
