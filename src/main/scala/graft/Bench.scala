@@ -57,7 +57,15 @@ object Bench {
         try src.mkString.split(" ")(0).toDouble finally src.close()
       } catch { case _: Throwable => -1.0 }
 
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // dev-only isolation knobs (adjudicating contention vs regression):
+    // SPARK_GRAFT_SKIP_LANES=1 skips the per-lane timing loops;
+    // SPARK_GRAFT_PROBES=knn_ivf,bitext_ivf runs only the named scale
+    // probes. The driver's round run sets neither.
+    val skipLanes = sys.env.get("SPARK_GRAFT_SKIP_LANES").contains("1")
+    val probeOnly = sys.env.get("SPARK_GRAFT_PROBES").map(_.split(",").toSet)
+
+    val names =
+      if (skipLanes) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.LinkedHashMap(
       names.map { case (n, _) => n -> Vector.empty[Double] }: _*)
     val loads = scala.collection.mutable.LinkedHashMap(
@@ -139,7 +147,8 @@ object Bench {
                               org.apache.spark.sql.DataFrame))(
                    lane: org.apache.spark.sql.DataFrame => Unit
                   ): Option[(Double, Double, Double)] =
-      try {
+      if (probeOnly.exists(!_.contains(label))) None
+      else try {
         val (d1, d3) = mk()
         def run(df: org.apache.spark.sql.DataFrame): Double = {
           spark.catalog.clearCache()
@@ -338,66 +347,6 @@ object Bench {
       noop(packed)
     }
 
-    // pipeline_full: the ALL-OPTIONAL-STAGES composition (HTML ingest →
-    // template strip → repetition gate → default chain → semantic
-    // dedup → DSIR → token budgets), previously the one composition
-    // with no measured exponent. Docs replicate with identical text
-    // (ids shifted) so exact dedup bounds the pair stages, same as the
-    // default-chain probe; embeddings replicate with the DOCS' id
-    // shift so per-replica embedding coverage is constant, and the
-    // semantic LSH cell count scales ∝ n so per-cell candidate work
-    // stays constant (the semanticScale sizing). The DSIR target stays
-    // fixed at 1× (the production shape). What grows 3× is the HTML
-    // strip, template mining, gates, digest shuffle, and the semantic
-    // index — all linear paths.
-    val pipelineFullScale = scaleProbe("pipeline_full", () => {
-      val base = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id"), col("text"), col("source"), col("lang"))
-      val shift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
-      def rep(df: org.apache.spark.sql.DataFrame, k: Int) =
-        (0 until k).map(i =>
-          df.withColumn("doc_id", col("doc_id") + lit(i * shift)))
-          .reduce(_.unionByName(_))
-      def page(df: org.apache.spark.sql.DataFrame) = {
-        val ids = col("doc_id").cast("string")
-        val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
-          "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
-        df.select(col("doc_id"), col("source"),
-          concat(lit("<html><head><title>Doc "), ids,
-            lit("</title><style>p{margin:0}</style></head><body><script>var d="),
-            ids, lit(";</script><h1>Doc "), ids, lit("</h1><p>"), esc,
-            lit("</p><div class=\"nav\"><a href=\"/s/1\">more</a></div>" +
-              "<!-- footer --></body></html>")).as("text"))
-      }
-      // the lane recovers k from max(doc_id) to size embeddings/cells
-      (page(rep(base, 1)), page(rep(base, 3)))
-    }) { df =>
-      val base = spark.read.parquet(s"$sfDir/documents.parquet")
-      val shift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
-      val k = ((df.agg(max(col("doc_id"))).head().getLong(0) + 1L
-        + shift - 1L) / shift).toInt
-      val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(col("vec_id").as("doc_id"), col("embedding"))
-      val emb = (0 until k).map(i =>
-          e1.withColumn("doc_id", col("doc_id") + lit(i * shift)))
-        .reduce(_.unionByName(_))
-      val nEmb = e1.count() * k
-      val target = base.filter(col("lang") === "en").select(col("text"))
-      val (packed, _) = jobs.TrainingPipeline.run(spark, sfDir,
-        input = Some(df),
-        ingestHtml = true,
-        templateMinDf = Some(5L),
-        maxRepetition = Some(0.08),
-        semanticThreshold = 0.38,
-        embeddings = Some(emb),
-        semanticCells = math.max(32L, nEmb / 64).toInt,
-        dsirTarget = Some(target),
-        tokenBudgets = Map("src0" -> 400L, "src1" -> 200L),
-        budgetShards = 2,
-        normalize = true, report = false)
-      noop(packed)
-    }
-
     // PCA: the distributed exact-integer moments pass is the part that
     // grows with the corpus (2080 map-side-combined co-moment partials
     // per task); the 30-step driver iteration on the collected 64x64
@@ -483,12 +432,79 @@ object Bench {
         k = 4, threshold = 1.05))
     }
 
+    // NOTE: deliberately ordered LAST of the probes — its ~4-minute
+    // 1x/3x samples leave enough heap/page-cache pressure to inflate
+    // the serving-shape probes that followed it (knn_ivf read 0.74
+    // in-suite vs 0.20 isolated on the same quiet box; bitext 1.10 vs
+    // 0.63) — heavy probes after sensitive ones.
+    // pipeline_full: the ALL-OPTIONAL-STAGES composition (HTML ingest →
+    // template strip → repetition gate → default chain → semantic
+    // dedup → DSIR → token budgets), previously the one composition
+    // with no measured exponent. Docs replicate with identical text
+    // (ids shifted) so exact dedup bounds the pair stages, same as the
+    // default-chain probe; embeddings replicate with the DOCS' id
+    // shift so per-replica embedding coverage is constant, and the
+    // semantic LSH cell count scales ∝ n so per-cell candidate work
+    // stays constant (the semanticScale sizing). The DSIR target stays
+    // fixed at 1× (the production shape). What grows 3× is the HTML
+    // strip, template mining, gates, digest shuffle, and the semantic
+    // index — all linear paths.
+    val pipelineFullScale = scaleProbe("pipeline_full", () => {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"), col("lang"))
+      val shift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def rep(df: org.apache.spark.sql.DataFrame, k: Int) =
+        (0 until k).map(i =>
+          df.withColumn("doc_id", col("doc_id") + lit(i * shift)))
+          .reduce(_.unionByName(_))
+      def page(df: org.apache.spark.sql.DataFrame) = {
+        val ids = col("doc_id").cast("string")
+        val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+          "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+        df.select(col("doc_id"), col("source"),
+          concat(lit("<html><head><title>Doc "), ids,
+            lit("</title><style>p{margin:0}</style></head><body><script>var d="),
+            ids, lit(";</script><h1>Doc "), ids, lit("</h1><p>"), esc,
+            lit("</p><div class=\"nav\"><a href=\"/s/1\">more</a></div>" +
+              "<!-- footer --></body></html>")).as("text"))
+      }
+      // the lane recovers k from max(doc_id) to size embeddings/cells
+      (page(rep(base, 1)), page(rep(base, 3)))
+    }) { df =>
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val shift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val k = ((df.agg(max(col("doc_id"))).head().getLong(0) + 1L
+        + shift - 1L) / shift).toInt
+      val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val emb = (0 until k).map(i =>
+          e1.withColumn("doc_id", col("doc_id") + lit(i * shift)))
+        .reduce(_.unionByName(_))
+      val nEmb = e1.count() * k
+      val target = base.filter(col("lang") === "en").select(col("text"))
+      val (packed, _) = jobs.TrainingPipeline.run(spark, sfDir,
+        input = Some(df),
+        ingestHtml = true,
+        templateMinDf = Some(5L),
+        maxRepetition = Some(0.08),
+        semanticThreshold = 0.38,
+        embeddings = Some(emb),
+        semanticCells = math.max(32L, nEmb / 64).toInt,
+        dsirTarget = Some(target),
+        tokenBudgets = Map("src0" -> 400L, "src1" -> 200L),
+        budgetShards = 2,
+        normalize = true, report = false)
+      noop(packed)
+    }
+
+
     // reference benchmark harnesses (MRBench.java:173-233 avg latency;
     // TestDFSIO.java:88-103 sequential MB/s), sized small enough to not
     // dominate the round but large enough to exceed fixed overhead
     // a harness failure reports -1, never swallows the whole JSON line
     val (mrAvg, wMbps, rMbps) =
-      try {
+      if (skipLanes || probeOnly.isDefined) (-1.0, -1.0, -1.0)
+      else try {
         val mrRuns = jobs.LoadGen.mrbench(spark, s"$benchDir/mrbench", inputLines = 1000, runs = 4)
         val dfsioMb = sys.env.getOrElse("SPARK_GRAFT_DFSIO_MB", "256").toInt
         val dfsioFiles = 8
@@ -499,7 +515,8 @@ object Bench {
     // each harness fails alone: an nnbench error must not discard the
     // three measurements above
     val nnOps =
-      try jobs.LoadGen.nnbench(spark, s"$benchDir/nnbench", files = 2000)
+      if (skipLanes || probeOnly.isDefined) -1.0
+      else try jobs.LoadGen.nnbench(spark, s"$benchDir/nnbench", files = 2000)
         .getOrElse("create_write", -1.0)
       catch { case _: Throwable => -1.0 }
     // FileBench / Slive analogs (MapredTestDriver.java:60-105 family):
@@ -507,11 +524,13 @@ object Bench {
     // sustained mixed-op rate (a slive failure count would surface as a
     // collapsed ops/sec, so the single metric still carries the signal)
     val fbSeqRead =
-      try jobs.LoadGen.fileBench(spark, s"$benchDir/filebench", mb = 64)
+      if (skipLanes || probeOnly.isDefined) -1.0
+      else try jobs.LoadGen.fileBench(spark, s"$benchDir/filebench", mb = 64)
         .getOrElse("seq_read", -1.0)
       catch { case _: Throwable => -1.0 }
     val sliveOps =
-      try {
+      if (skipLanes || probeOnly.isDefined) -1.0
+      else try {
         val (_, rate, fails) =
           jobs.LoadGen.slive(spark, s"$benchDir/slive", filesPerTask = 100)
         if (fails > 0) -1.0 else rate
@@ -520,10 +539,12 @@ object Bench {
     // BigMapOutput / ThreadedMapBenchmark analogs: binary-record shuffle
     // MB/s and map-side external-sort MB/s
     val bmoMbps =
-      try jobs.LoadGen.bigMapOutput(spark, s"$benchDir/bmo", mb = 64)._2
+      if (skipLanes || probeOnly.isDefined) -1.0
+      else try jobs.LoadGen.bigMapOutput(spark, s"$benchDir/bmo", mb = 64)._2
       catch { case _: Throwable => -1.0 }
     val tmbMbps =
-      try jobs.LoadGen.threadedMapBench(spark, mb = 64)._2
+      if (skipLanes || probeOnly.isDefined) -1.0
+      else try jobs.LoadGen.threadedMapBench(spark, mb = 64)._2
       catch { case _: Throwable => -1.0 }
       finally {
         try sources.TeraIO.delete(spark, benchDir)

@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(TextExpressions.fixMojibakeFunction)
     e.injectFunction(CompressExpressions.deflatedSizeFunction)
     e.injectFunction(MediaExpressions.aHash64Function)
+    e.injectFunction(MediaExpressions.byteHistFunction)
     e.injectFunction(MatchExpressions.multiMatchCountsFunction)
     e.injectFunction(MathExpressions.ieeeLnFunction)
   }

@@ -343,56 +343,45 @@ object Multimodal {
   }
 
   /** [[byteEntropy]]'s ENGINE-REPLAYABLE twin (the uniq_hll_portable
-    * discipline applied to entropy): the byte histogram is computed
-    * RELATIONALLY — hex-pair projection, explode, one map-side-combined
-    * count per (doc, byte) — so its exact-integer core (n_distinct,
-    * max_count, and every count feeding the estimator) is
+    * discipline applied to entropy): the byte histogram comes from the
+    * codegen'd [[graft.functions.ByteHist]] expression (one pass per
+    * item, 256 exact-integer counts in byte order), so the estimator's
+    * integer core (n_distinct, max_count, every count) is
     * oracle-hash-checkable, and the one float step is a FIXED-ORDER
     * expression both engines evaluate identically:
     * `H = (ln(n) − (Σ c·ln(c)) / n) / ln2`, the Σ a left-to-right
-    * `aggregate` over counts sorted by byte value (DuckDB: list_reduce
-    * over list(c ORDER BY b) — same associativity, double-for-double).
-    * NATURAL log only — via [[graft.functions.IeeeLn]] (platform
-    * Math.log == std::log, the oracle's ln) — with ln2 as a shared
-    * literal. Neither builtin alternative replays: Spark's own
-    * `log`/`log2` call fdlibm StrictMath (one-ulp off std::log on ~1%
-    * of small integers — 3, 48, 185, 196, ... — observed failing on
-    * this very fixture), and DuckDB's log2 is a distinct primitive.
+    * `aggregate` over the present counts in byte order (DuckDB:
+    * list_reduce over list(c ORDER BY b) — same associativity,
+    * double-for-double; the oracle rebuilds the same histogram
+    * relationally from hex pairs). NATURAL log only — via
+    * [[graft.functions.IeeeLn]] (platform Math.log == std::log, the
+    * oracle's ln) — with ln2 as a shared literal. Neither builtin
+    * alternative replays: Spark's own `log`/`log2` call fdlibm
+    * StrictMath (one-ulp off std::log on ~1% of small integers — 3,
+    * 48, 185, 196, ... — observed failing on this very fixture), and
+    * DuckDB's log2 is a distinct primitive.
     *
-    * Scale shape: the explode emits n_bytes rows per doc but the
-    * partial aggregation collapses them to ≤ 256 rows per doc BEFORE
-    * the shuffle (map-side combine), so the exchange carries bounded
-    * histogram rows, never content bytes. The [[byteEntropy]]
-    * mapPartitions kernel remains the zero-shuffle production form;
-    * OperatorSpec pins the two within 1e-9 (float-sum order is the
-    * only difference).
+    * Scale shape: a PURE PROJECTION — no explode, no shuffle, nothing
+    * but (id, long, long, long, double) rows out (the first cut
+    * exploded content to per-byte rows and measured 27× slower than
+    * [[byteEntropy]]; this form matches the kernel's cost while
+    * keeping the oracle). OperatorSpec pins the two within 1e-9
+    * (float-sum order is the only difference).
     */
   def byteEntropyRelational(media: DataFrame): DataFrame = {
-    val m = media.select(col("doc_id"), hex(col("content")).as("hx"),
-      length(col("content")).cast("long").as("n_bytes"))
-    val hist = m.filter(col("n_bytes") > 0)
+    val ieeeLn = graft.functions.MathExpressions.ieee_ln _
+    media.select(col("doc_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        filter(graft.functions.MediaExpressions.byte_hist(col("content")),
+          c => c > 0L).as("hc"))
       .select(col("doc_id"), col("n_bytes"),
-        explode(sequence(lit(0L), col("n_bytes") - 1)).as("i"), col("hx"))
-      .select(col("doc_id"), col("n_bytes"),
-        conv(col("hx").substr((col("i") * 2 + 1).cast("int"), lit(2)), 16, 10)
-          .cast("int").as("b"))
-      .groupBy(col("doc_id"), col("n_bytes"), col("b"))
-      .agg(count(lit(1)).as("c"))
-    val agg0 = hist.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_distinct"),
-        max(col("c")).cast("long").as("max_count"),
-        sort_array(collect_list(struct(col("b"), col("c")))).as("hc"))
-    m.join(agg0, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_bytes"),
-        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-        coalesce(col("max_count"), lit(0L)).as("max_count"),
+        size(col("hc")).cast("long").as("n_distinct"),
+        coalesce(array_max(col("hc")), lit(0L)).as("max_count"),
         when(col("n_bytes") > 0,
-          (graft.functions.MathExpressions.ieee_ln(col("n_bytes").cast("double")) -
+          (ieeeLn(col("n_bytes").cast("double")) -
             aggregate(
-              transform(col("hc"), x =>
-                x.getField("c").cast("double") *
-                  graft.functions.MathExpressions.ieee_ln(
-                    x.getField("c").cast("double"))),
+              transform(col("hc"), c =>
+                c.cast("double") * ieeeLn(c.cast("double"))),
               lit(0.0), (acc, t) => acc + t) / col("n_bytes")) /
             lit(0.6931471805599453))
           .otherwise(lit(0.0)).as("entropy_bits"))

@@ -144,6 +144,12 @@ object Sketches {
     * small-range linear-counting correction. The constant expression
     * is written in the SAME op order as the SQL oracle, so both
     * engines produce the identical double before the one division.
+    * The linear-counting ln goes through [[graft.functions.IeeeLn]]
+    * (platform Math.log == the oracle's std::log): Spark's builtin
+    * `log` is fdlibm StrictMath.log, one ulp off on ~1% of inputs —
+    * the current fixture's m/v values happened to avoid the divergent
+    * set, but that was luck, not a contract (the multimodal_entropy
+    * lane DID hit it; see MathExpressions).
     */
   def portableEstimate(s: Column, v: Column): Column = {
     val m = PortableM.toDouble                            // 4096.0
@@ -151,6 +157,7 @@ object Sketches {
       lit(m) * lit(m) * lit(PortableEmpty.toDouble)       // 2^49
     val raw = c / s.cast("double")
     when(raw <= lit(2.5 * m) && v > 0,                    // 10240.0
-      lit(m) * log(lit(m) / v.cast("double"))).otherwise(raw)
+      lit(m) * graft.functions.MathExpressions.ieee_ln(
+        lit(m) / v.cast("double"))).otherwise(raw)
   }
 }

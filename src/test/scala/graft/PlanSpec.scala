@@ -156,6 +156,16 @@ class PlanSpec extends AnyFunSuite {
       s"non-fusion SortMergeJoin in hybrid_rrf:\n${smj.mkString("\n")}")
   }
 
+  test("multimodal_entropy is a shuffle-free byte_hist projection") {
+    // the oracle twin must not pay for its replayability: histogram,
+    // integer core and fixed-order estimator are all row-local
+    val df = SparkEntry.queries("multimodal_entropy")(spark, dir)
+    df.foreach(_ => ())
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"entropy lane shuffles:\n$p")
+    assert(p.toLowerCase.contains("bytehist"), s"byte_hist not in plan:\n$p")
+  }
+
   test("substring dedup: owner election and rejoin stay hash equi-joins") {
     // the Lee-et-al lanes' only joins are the gram-hash equi-join
     // (first-occurrence rejoin) and the doc-keyed apply join — nothing
