@@ -491,6 +491,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(hamming <= 3, s"3-byte damage flipped $hamming bits")
   }
 
+  test("ByteHist: exact counts, negative-byte cells, empty content, eval == codegen") {
+    val rows = Seq(
+      (1L, Array.tabulate[Byte](512)(i => (i % 256).toByte)), // uniform: every cell 2
+      (2L, Array.fill[Byte](100)(0xFF.toByte)),               // signed -1 lands in cell 255
+      (3L, Array.empty[Byte]))
+    val df = rows.toDF("doc_id", "content")
+    val h = df.select(col("doc_id"),
+        graft.functions.MediaExpressions.byte_hist(col("content")).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(h(1L).length == 256 && h(1L).forall(_ == 2L), s"uniform: ${h(1L).take(5)}")
+    assert(h(2L)(255) == 100L && h(2L).sum == 100L, "0xFF must count unsigned")
+    assert(h(3L).length == 256 && h(3L).forall(_ == 0L))
+    // the interpreted eval path agrees with the codegen'd run above
+    val g = graft.functions.ByteHist(
+        org.apache.spark.sql.catalyst.expressions.Literal(rows(1)._2))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    assert(g(255) == 100L && g.sum == 100L)
+  }
+
   test("Multimodal.byteEntropy exact on known patterns; non-image content passes resize with NULL dims") {
     import graft.multimodal.Multimodal
     val rows = Seq(
