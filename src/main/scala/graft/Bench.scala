@@ -152,6 +152,12 @@ object Bench {
         val (d1, d3) = mk()
         def run(df: org.apache.spark.sql.DataFrame): Double = {
           spark.catalog.clearCache()
+          // settle the JVM before sampling: after the 500+ timed lane
+          // jobs the heap carries enough garbage that probe samples
+          // (esp. the 3× side) absorb collector pauses — knn_ivf's t3x
+          // read 23s in-suite vs 5.5s isolated on the same box, turning
+          // a 0.3 exponent into 0.76. The GC runs OUTSIDE the timer.
+          System.gc()
           val t0 = System.nanoTime()
           lane(df)
           (System.nanoTime() - t0) / 1e9
