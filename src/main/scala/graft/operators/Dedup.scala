@@ -1029,22 +1029,24 @@ object Dedup {
       .select(col(id), col("pos"))
   }
 
-  /** Exact-substring dedup ACCOUNTING: per doc, the token count, the
-    * number of duplicated (non-first) rolling w-gram occurrences, and
-    * the number of tokens a [[substringDedupApply]] pass would remove
-    * (the union length of the dup grams' [pos, pos+w) coverage
-    * intervals) with its fraction. The union length needs NO w×
-    * coverage expansion: dup positions sort per doc, so interval ends
+  /** Interval-union ACCOUNTING over a marked-gram frame: `marks` is
+    * any (id, pos) set of w-gram positions (non-first duplicates for
+    * [[substringStats]], eval-suite-shared grams for
+    * [[substringDecontamStats]]); per doc this returns the token
+    * count, the mark count, and the union length of the marks'
+    * [pos, pos+w) coverage intervals with its fraction — the tokens a
+    * [[stripCoveredTokens]] pass removes. The union length needs NO w×
+    * coverage expansion: mark positions sort per doc, so interval ends
     * pos+w are sorted too and each row's new coverage is
     * max(0, (pos+w) − max(pos, running max end over earlier rows)) —
-    * one window over the (already bounded) dup-position rows. Spec law:
-    * n_removed_tokens == n_tokens − n_kept of the apply lane, per doc.
+    * one window over the (already bounded) mark rows.
     */
-  def substringStats(df: DataFrame, id: String, text: String, w: Int): DataFrame = {
+  private def gramCoverageStats(df: DataFrame, id: String, text: String,
+                                w: Int, marks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col(id)).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val contrib = dupGramPositions(df, id, text, w)
+    val contrib = marks
       .withColumn("prev_end", max(col("pos") + lit(w)).over(win))
       .withColumn("cov", greatest(lit(0), (col("pos") + lit(w)) -
         greatest(col("pos"), coalesce(col("prev_end"), col("pos")))))
@@ -1053,13 +1055,26 @@ object Dedup {
     df.select(col(id), size(tokens(col(text))).cast("long").as("n_tokens"))
       .join(perDoc, Seq(id), "left")
       .select(col(id), col("n_tokens"),
-        coalesce(col("nd"), lit(0L)).cast("long").as("n_dup_grams"),
-        coalesce(col("nr"), lit(0L)).cast("long").as("n_removed_tokens"))
-      .withColumn("removed_frac",
+        coalesce(col("nd"), lit(0L)).cast("long").as("n_marked_grams"),
+        coalesce(col("nr"), lit(0L)).cast("long").as("n_covered_tokens"))
+      .withColumn("covered_frac",
         when(col("n_tokens") > 0,
-          col("n_removed_tokens").cast("double") / col("n_tokens"))
+          col("n_covered_tokens").cast("double") / col("n_tokens"))
           .otherwise(lit(0.0)))
   }
+
+  /** Exact-substring dedup ACCOUNTING: per doc, the duplicated
+    * (non-first) rolling w-gram occurrences and the tokens a
+    * [[substringDedupApply]] pass would remove (interval-union
+    * arithmetic in [[gramCoverageStats]]). Spec law:
+    * n_removed_tokens == n_tokens − n_kept of the apply lane, per doc.
+    */
+  def substringStats(df: DataFrame, id: String, text: String, w: Int): DataFrame =
+    gramCoverageStats(df, id, text, w, dupGramPositions(df, id, text, w))
+      .select(col(id), col("n_tokens"),
+        col("n_marked_grams").as("n_dup_grams"),
+        col("n_covered_tokens").as("n_removed_tokens"),
+        col("covered_frac").as("removed_frac"))
 
   /** The apply step of [[substringStats]] — Lee-et-al exact-substring
     * dedup: every token covered by a duplicated (non-first) rolling
@@ -1080,8 +1095,23 @@ object Dedup {
     * (starts = [0] ++ (dp+w), ends = dp ++ [n_tokens], keep where
     * end > start) — no per-token membership scan.
     */
-  def substringDedupApply(df: DataFrame, id: String, text: String, w: Int): DataFrame = {
-    val dp = dupGramPositions(df, id, text, w)
+  def substringDedupApply(df: DataFrame, id: String, text: String, w: Int): DataFrame =
+    stripCoveredTokens(df, id, text, w, dupGramPositions(df, id, text, w))
+
+  /** Rebuild each doc minus the tokens covered by any marked w-gram —
+    * the apply tail [[substringDedupApply]] and
+    * [[substringDecontamApply]] share. Marked positions per doc
+    * aggregate to ONE sorted int array (bounded by doc length); the
+    * single text-bearing operation is the final doc-keyed join whose
+    * kept-segment slicing is row-local and O(tokens + marks): with dp
+    * sorted, coverage-interval ends dp_i + w are sorted too, so the
+    * kept segments are exactly the gaps (starts = [0] ++ (dp+w),
+    * ends = dp ++ [n_tokens], keep where end > start) — no per-token
+    * membership scan. Docs whose every token is covered vanish.
+    */
+  private def stripCoveredTokens(df: DataFrame, id: String, text: String,
+                                 w: Int, marks: DataFrame): DataFrame = {
+    val dp = marks
       .groupBy(col(id)).agg(sort_array(collect_list(col("pos"))).as("dp"))
     val t = tokens(col(text))
     val dpc = coalesce(col("dp"), array().cast("array<int>"))
@@ -1095,6 +1125,59 @@ object Dedup {
         size(kept).cast("long").as("n_kept"))
       .filter(col("n_kept") > 0)
   }
+
+  /** Positions of corpus w-grams that appear ANYWHERE in the eval
+    * suite — the mark generator for exact-substring DECONTAMINATION
+    * (the Lee-et-al/GPT-3 discipline: any >= w-token span shared with
+    * a benchmark is contamination, whatever its alignment — the
+    * n-gram-ratio and bloom gates flag documents, THIS finds the exact
+    * spans). One hash equi-join of the corpus gram table against the
+    * suite's DISTINCT gram hashes (AQE broadcasts the suite side when
+    * it is small — benchmarks usually are; nothing unbounded
+    * broadcasts when it is not).
+    */
+  private def contamGramPositions(df: DataFrame, id: String, text: String,
+                                  evalDf: DataFrame, evalText: String,
+                                  w: Int): DataFrame = {
+    // synthetic per-row ids: the gram window partitions per eval DOC
+    // (a shared constant id would interleave all suite docs' tokens
+    // into one garbage token stream — and one executor's partition)
+    val evalHashes = leadShingles(
+        evalDf.select(monotonically_increasing_id().as("__eid"),
+          col(evalText)), "__eid", evalText, w)
+      .select(h1(col("sh")).as("h")).distinct()
+    leadShingles(df, id, text, w)
+      .select(col(id), col("pos"), h1(col("sh")).as("h"))
+      .join(evalHashes, "h")
+      .select(col(id), col("pos"))
+  }
+
+  /** Exact-substring decontamination ACCOUNTING: per corpus doc, the
+    * eval-shared w-gram occurrences and the tokens a
+    * [[substringDecontamApply]] pass would strip (the coverage union).
+    * Spec law: n_contam_tokens == n_tokens − n_kept of the apply lane.
+    */
+  def substringDecontamStats(df: DataFrame, id: String, text: String,
+                             evalDf: DataFrame, evalText: String,
+                             w: Int): DataFrame =
+    gramCoverageStats(df, id, text, w,
+      contamGramPositions(df, id, text, evalDf, evalText, w))
+      .select(col(id), col("n_tokens"),
+        col("n_marked_grams").as("n_contam_grams"),
+        col("n_covered_tokens").as("n_contam_tokens"),
+        col("covered_frac").as("contam_frac"))
+
+  /** The apply step of [[substringDecontamStats]]: every token covered
+    * by an eval-shared w-gram is stripped; docs that are wholly
+    * benchmark text vanish. Trimming the span (not dropping the doc)
+    * is the high-recall decon mode — a long document quoting one
+    * benchmark question keeps its unrelated text.
+    */
+  def substringDecontamApply(df: DataFrame, id: String, text: String,
+                             evalDf: DataFrame, evalText: String,
+                             w: Int): DataFrame =
+    stripCoveredTokens(df, id, text, w,
+      contamGramPositions(df, id, text, evalDf, evalText, w))
 
   def fingerprints(df: DataFrame, id: String, text: String,
                    k: Int, window: Int): DataFrame = {

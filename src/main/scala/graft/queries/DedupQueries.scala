@@ -183,6 +183,28 @@ object DedupQueries extends QueryModule {
     "substring_dedup_apply" -> ((s, dir) =>
       Dedup.substringDedupApply(docs(s, dir), "doc_id", "text", w = 10)),
 
+    // exact-substring DECONTAMINATION (Lee-et-al/GPT-3 span
+    // discipline) against the %97 mock eval suite: the stats lane
+    // reports the exact shared-span coverage per doc (the n-gram-ratio
+    // and bloom gates flag documents; this finds the spans), and the
+    // apply lane strips exactly the covered tokens — the high-recall
+    // mode where a doc quoting one benchmark question keeps its
+    // unrelated text. Suite docs are themselves wholly covered and
+    // vanish from the apply output (flagged 1.0 in stats).
+    "decontaminate_substring" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.substringDecontamStats(d, "doc_id", "text",
+          d.filter(col("doc_id") % 97 === 0).select(col("text")), "text",
+          w = 10)
+        .withColumn("flagged", (col("contam_frac") >= 0.5).cast("long"))
+    }),
+    "decontaminate_substring_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.substringDecontamApply(d, "doc_id", "text",
+        d.filter(col("doc_id") % 97 === 0).select(col("text")), "text",
+        w = 10)
+    }),
+
     // stop-shingles (document frequency > 100) are dropped before the
     // candidate self-join — see Dedup.jaccardPairs. Shingles are reduced
     // to 60-bit md5 hashes first (8-byte join keys, not strings), and
@@ -590,6 +612,70 @@ object DedupQueries extends QueryModule {
         |), cov AS (
         |  SELECT DISTINCT doc_id, ti FROM (
         |    SELECT doc_id, unnest(list_transform(range(0, 10), u -> i + u)) AS ti FROM dup)
+        |), tok AS (
+        |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS ti, t FROM toks
+        |), kept AS (
+        |  SELECT k.doc_id, k.ti, k.t[k.ti] AS w
+        |  FROM tok k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.ti = k.ti
+        |  WHERE c.ti IS NULL
+        |)
+        |SELECT doc_id, string_agg(w, ' ' ORDER BY ti) AS clean_text,
+        |       CAST(COUNT(*) AS BIGINT) AS n_kept
+        |FROM kept GROUP BY doc_id""".stripMargin,
+    // Replay of Dedup.substringDecontamStats / -Apply: the same rolling
+    // 10-gram chain, marks = membership in the suite's DISTINCT gram
+    // hashes (vs substring_dedup's first-occurrence election), then the
+    // identical window union-length / coverage-strip replays.
+    "decontaminate_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(range(1, len(t) - 8)) AS i, t FROM toks
+        |), h AS (
+        |  SELECT doc_id, i,
+        |         ('0x' || substring(md5(array_to_string(list_slice(t, i, i + 9), ' ')), 1, 15))::BIGINT AS h
+        |  FROM g
+        |), eh AS (
+        |  SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0
+        |), mark AS (
+        |  SELECT doc_id, i FROM h JOIN eh USING (h)
+        |), contrib AS (
+        |  SELECT doc_id, i,
+        |         GREATEST(0, (i + 10) - GREATEST(i, COALESCE(
+        |           MAX(i + 10) OVER (PARTITION BY doc_id ORDER BY i
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), i))) AS cov
+        |  FROM mark
+        |), perdoc AS (
+        |  SELECT doc_id, COUNT(*) AS nd, SUM(cov) AS nr FROM contrib GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |       CAST(COALESCE(p.nd, 0) AS BIGINT) AS n_contam_grams,
+        |       CAST(COALESCE(p.nr, 0) AS BIGINT) AS n_contam_tokens,
+        |       CASE WHEN len(t.t) > 0
+        |            THEN CAST(COALESCE(p.nr, 0) AS DOUBLE) / len(t.t)
+        |            ELSE 0.0 END AS contam_frac,
+        |       CAST(CASE WHEN len(t.t) > 0
+        |                 AND CAST(COALESCE(p.nr, 0) AS DOUBLE) / len(t.t) >= 0.5
+        |            THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM toks t LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
+    "decontaminate_substring_apply" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(range(1, len(t) - 8)) AS i, t FROM toks
+        |), h AS (
+        |  SELECT doc_id, i,
+        |         ('0x' || substring(md5(array_to_string(list_slice(t, i, i + 9), ' ')), 1, 15))::BIGINT AS h
+        |  FROM g
+        |), eh AS (
+        |  SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0
+        |), mark AS (
+        |  SELECT doc_id, i FROM h JOIN eh USING (h)
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, ti FROM (
+        |    SELECT doc_id, unnest(list_transform(range(0, 10), u -> i + u)) AS ti FROM mark)
         |), tok AS (
         |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS ti, t FROM toks
         |), kept AS (

@@ -1384,6 +1384,31 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("Dedup.substringDecontamStats / -Apply: exact shared-span decontamination laws") {
+    val bench = (1 to 12).map(i => s"b$i").mkString(" ")  // a "benchmark question"
+    val evalDf = Seq(Tuple1(bench)).toDF("text")
+    val docs = Seq(
+      (1L, s"intro words here $bench and unrelated analysis a1 a2 a3"), // quotes it
+      (2L, bench),                                                      // IS the benchmark
+      (3L, "clean c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11")                  // untouched
+    ).toDF("doc_id", "text")
+    val kept = Dedup.substringDecontamApply(docs, "doc_id", "text",
+        evalDf, "text", w = 10)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // the quoting doc loses EXACTLY the benchmark span, keeps the rest
+    assert(kept(1L)._1 == "intro words here and unrelated analysis a1 a2 a3")
+    assert(!kept.contains(2L), "a doc that IS benchmark text must vanish")
+    assert(kept(3L)._1 == "clean c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11")
+    // accounting ≡ apply, per doc
+    val stats = Dedup.substringDecontamStats(docs, "doc_id", "text",
+      evalDf, "text", w = 10).collect()
+    stats.foreach { r =>
+      val (id, nTok, nCov) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      val nKept = kept.get(id).map(_._2).getOrElse(0L)
+      assert(nCov == nTok - nKept, s"doc $id: covered $nCov != $nTok - $nKept")
+    }
+  }
+
   test("brute-force mining forms refuse a corpus-sized broadcast side") {
     // the guard reads optimizer stats — no job runs, the require fires
     // at plan time (50M-row range: nothing materializes)

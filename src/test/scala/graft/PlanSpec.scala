@@ -170,7 +170,8 @@ class PlanSpec extends AnyFunSuite {
     // the Lee-et-al lanes' only joins are the gram-hash equi-join
     // (first-occurrence rejoin) and the doc-keyed apply join — nothing
     // all-pairs, whatever the corpus size
-    for (name <- Seq("substring_dedup", "substring_dedup_apply")) {
+    for (name <- Seq("substring_dedup", "substring_dedup_apply",
+        "decontaminate_substring", "decontaminate_substring_apply")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.foreach(_ => ())
       val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
