@@ -49,7 +49,13 @@ object MathExpressions {
     new ExpressionInfo(classOf[IeeeLn].getName, "ieee_ln"),
     (children: Seq[Expression]) => IeeeLn(children.head))
 
-  /** Column form (resolved through the registered SQL function). */
+  /** Column form. Built from the expression directly (not
+    * `call_function`), so library entry points whose float chain needs
+    * the platform ln ([[graft.operators.Sketches.portableEstimate]])
+    * work in any session — no [[graft.GraftExtensions]] registration
+    * required. The SQL-name registration remains for `spark.sql` users.
+    */
   def ieee_ln(x: Column): Column =
-    org.apache.spark.sql.functions.call_function("ieee_ln", x)
+    org.apache.spark.sql.GraftColumnShim.column(
+      IeeeLn(org.apache.spark.sql.GraftColumnShim.expression(x)))
 }

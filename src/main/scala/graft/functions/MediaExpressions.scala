@@ -150,7 +150,12 @@ object MediaExpressions {
   def ahash64(content: Column): Column =
     org.apache.spark.sql.functions.call_function("ahash64", content)
 
-  /** Column form: 256-cell byte histogram (array<bigint>). */
+  /** Column form: 256-cell byte histogram (array<bigint>). Built from
+    * the expression directly so [[graft.multimodal.Multimodal.byteEntropyRelational]]
+    * works without [[graft.GraftExtensions]] registered (the SQL-name
+    * registration remains for `spark.sql` users).
+    */
   def byte_hist(content: Column): Column =
-    org.apache.spark.sql.functions.call_function("byte_hist", content)
+    org.apache.spark.sql.GraftColumnShim.column(
+      ByteHist(org.apache.spark.sql.GraftColumnShim.expression(content)))
 }

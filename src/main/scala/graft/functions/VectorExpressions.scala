@@ -425,9 +425,15 @@ object VectorExpressions {
     new ExpressionInfo(classOf[NearestCentroidL2].getName, "nearest_centroid_l2"),
     (children: Seq[Expression]) => NearestCentroidL2(children(0), children(1)))
 
-  /** Column form (resolved through the registered SQL function). */
+  /** Column form. Built from the expression directly (not
+    * `call_function`) so the whole Similarity family works without
+    * [[graft.GraftExtensions]] registered; the SQL-name registration
+    * remains for `spark.sql` users.
+    */
   def dot_product(a: Column, b: Column): Column =
-    org.apache.spark.sql.functions.call_function("dot_product", a, b)
+    org.apache.spark.sql.GraftColumnShim.column(DotProduct(
+      org.apache.spark.sql.GraftColumnShim.expression(a),
+      org.apache.spark.sql.GraftColumnShim.expression(b)))
 
   /** Column form: 0-based indices of the n nearest codebook rows, best
     * first. */

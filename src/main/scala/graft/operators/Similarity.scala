@@ -237,12 +237,30 @@ object Similarity {
     */
   val BruteForceMaxRows = 2000000L
 
+  /** Session override for the brute-force guard:
+    * `spark.graft.bruteForce.maxRows` replaces [[BruteForceMaxRows]];
+    * any value <= 0 disables the guard entirely. The escape hatch
+    * exists because [[estimateRows]] falls back to the optimizer's
+    * sizeInBytes when no rowCount statistic is available (no CBO), and
+    * a Filter does NOT reduce sizeInBytes — so a legitimately small
+    * query batch obtained by filtering a large table can estimate at
+    * the full table size and spuriously trip the guard. A caller who
+    * knows the side is bounded sets the conf (or filters into a
+    * localCheckpoint / fresh DataFrame, which re-derives statistics).
+    */
+  val BruteForceMaxRowsConf = "spark.graft.bruteForce.maxRows"
+
   private def requireSmallSide(df: DataFrame, op: String, alt: String): Unit = {
-    val est = estimateRows(df)
-    require(est <= BruteForceMaxRows,
-      s"$op: broadcast side estimated at $est rows (> BruteForceMaxRows = " +
-        s"$BruteForceMaxRows) — this form is quadratic and broadcasts that " +
-        s"side whole; use $alt at this scale")
+    val cap = df.sparkSession.conf
+      .get(BruteForceMaxRowsConf, BruteForceMaxRows.toString).toLong
+    if (cap > 0) {
+      val est = estimateRows(df)
+      require(est <= cap,
+        s"$op: broadcast side estimated at $est rows (> max = $cap) — this " +
+          s"form is quadratic and broadcasts that side whole; use $alt at " +
+          s"this scale, or set $BruteForceMaxRowsConf (<= 0 disables) if " +
+          s"the estimate is a sizeInBytes artifact of filtering a large table")
+    }
   }
 
   /** Row-count estimate WITHOUT running a job: catalog/plan statistics
@@ -554,25 +572,35 @@ object Similarity {
     * candidate set; with full probing the candidate set is total and
     * the result equals [[bitextMine]] exactly (spec-pinned).
     */
-  /** MINING-shape cell sizing: nCells = max(16, n/32) — cells grow ∝ n,
-    * so expected cell population (and with it per-query candidate work)
-    * stays CONSTANT as the corpus grows, making total candidate volume
-    * linear. This is the `bitext_ivf` scale probe's sizing. Distinct
-    * from the serving-shape [[autoCells]] √(n/64): there the QUERY
-    * batch is bounded, so √n cell growth is fine; in a
-    * both-sides-growing mining lane it would creep per-pair work
-    * superlinear. A FIXED cellCount is worse still — per-cell work
-    * degrades toward quadratic — which is why [[bitextMineIvf]]
-    * defaults to this function and hand-rolled index callers should
-    * too.
+  /** MINING-shape cell sizing for the flat-codebook IVF wrapper:
+    * nCells = max(16, n/32), CLAMPED at [[MiningCellsCap]]. Below the
+    * cap cells grow ∝ n, so expected cell population (and with it
+    * per-query candidate work) stays constant as the corpus grows —
+    * but a FLAT codebook's assignment pass then costs n·cells =
+    * Θ(n²/32) distance evaluations, and the codebook itself is an
+    * O(n) driver artifact embedded as a literal expression tree, so
+    * the shape only holds to ~10⁵ rows per side. The cap makes that
+    * bound explicit: past n = 32·cap (~131k rows/side) candidate
+    * volume degrades toward quadratic and [[bitextMineIvf]] is the
+    * WRONG operator — [[bitextMineLsh]] (sign-hyperplane buckets:
+    * O(n·log n) assignment, O(log n)-sized plane artifact, linear
+    * candidate volume at any scale) is the growing-corpus mining path.
+    * Distinct from the serving-shape [[autoCells]] √(n/64): there the
+    * QUERY batch is bounded, so √n cell growth is fine.
     */
-  private[graft] def miningCells(n: Long): Int = math.max(16L, n / 32L).toInt
+  val MiningCellsCap = 4096
 
-  /** End-to-end IVF bitext mining with SAFE cell sizing — the overload
-    * callers should reach for: builds one [[kmeansCodebook]] index per
-    * side with cells ∝ n ([[miningCells]] of an exact per-side count —
-    * one column-pruned count pass, negligible next to the n·cells
-    * index build), probes BOTH directions, and feeds
+  private[graft] def miningCells(n: Long): Int =
+    math.min(MiningCellsCap.toLong, math.max(16L, n / 32L)).toInt
+
+  /** End-to-end IVF bitext mining with SAFE cell sizing for BOUNDED
+    * corpora (hard bound: ~32·[[MiningCellsCap]] ≈ 131k rows per side,
+    * where [[miningCells]] saturates — past it, use [[bitextMineLsh]],
+    * the genuinely linear growing-corpus path): builds one
+    * [[kmeansCodebook]] index per side with cells ∝ n ([[miningCells]]
+    * of an exact per-side count — pass `srcCount`/`tgtCount` if the
+    * caller already knows the sizes, else one column-pruned count pass
+    * per side), probes BOTH directions, and feeds
     * [[bitextMineFromCandidates]]. Hand-rolling the two indexes with a
     * fixed cellCount silently degrades per-cell candidate work toward
     * quadratic as the corpora grow; this wrapper makes the safe sizing
@@ -581,16 +609,18 @@ object Similarity {
     */
   def bitextMineIvf(src: DataFrame, tgt: DataFrame, idCol: String,
                     vecCol: String, k: Int = 4, threshold: Double = 1.05,
-                    nProbe: Int = 4, rep: Int = 4, iters: Int = 2): DataFrame = {
-    def index(half: DataFrame): (Seq[(Long, Array[Double])], DataFrame) = {
+                    nProbe: Int = 4, rep: Int = 4, iters: Int = 2,
+                    srcCount: Long = -1L, tgtCount: Long = -1L): DataFrame = {
+    def index(half: DataFrame, known: Long): (Seq[(Long, Array[Double])], DataFrame) = {
+      val n = if (known >= 0L) known else half.select(col(idCol)).count()
       val cb = kmeansCodebook(half, idCol, vecCol,
-        nCells = miningCells(half.select(col(idCol)).count()), iters = iters)
+        nCells = miningCells(n), iters = iters)
       (cb, assignCells(
         half.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("nv")),
         "n_id", "nv", cb, rep = rep))
     }
-    val (cbT, asgT) = index(tgt)
-    val (cbS, asgS) = index(src)
+    val (cbT, asgT) = index(tgt, tgtCount)
+    val (cbS, asgS) = index(src, srcCount)
     val c1 = ivfCandidates(cbT, asgT, src.select(col(idCol), col(vecCol)),
         idCol, vecCol, nProbe, broadcastProbes = false)
       .select(col("q_id").as("src_id"), col("n_id").as("tgt_id"))
@@ -598,6 +628,127 @@ object Similarity {
         idCol, vecCol, nProbe, broadcastProbes = false)
       .select(col("n_id").as("src_id"), col("q_id").as("tgt_id"))
     bitextMineFromCandidates(src, tgt, idCol, vecCol, c1.union(c2), k, threshold)
+  }
+
+  /** Sign-LSH bit count for a mining corpus of `n` rows per side:
+    * ceil(log2(n/32)) clamped to [0, 30] — buckets (2^bits per table)
+    * double as the corpus doubles, holding expected bucket population
+    * ≈ 32 constant. Per-table candidate volume is then Σ_cell
+    * |srcBucket|·|tgtBucket| ≈ n·32 — LINEAR in n — while the
+    * assignment pass costs n·tables·bits·dim = O(n log n) flops and
+    * the plane artifact is tables·bits·dim signs = O(log n) bytes.
+    * This is the sizing law that fixes the flat-codebook wrapper's
+    * quadratic assign term (n·cells with cells ∝ n): hyperplane cuts
+    * refine the partition without ever scanning a codebook.
+    */
+  private[graft] def miningBits(n: Long): Int =
+    if (n <= 32L) 0
+    else math.min(30, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+
+  /** Sign-LSH cell ids, one per table, as a PURE PROJECTION (no join,
+    * no shuffle, no trained state): cell_t = Σ_j 2^j · [plane(t·bits+j)
+    * · v >= 0]. Planes are the deterministic [[jlSign]] md5-parity ±1
+    * vectors — sign(p, i) = +1 iff the first hex digit of md5("p:i")
+    * is even — so the whole blocking replays in any SQL engine with
+    * md5, exactly like [[jlProject]]. Each plane projection is ONE
+    * codegen'd [[graft.functions.DotProduct]] whose ascending
+    * fixed-order sum an oracle replays with an ordered list_reduce
+    * (multiplication by ±1.0 is exact, so no float-order hazard
+    * beyond the pinned sum order). bits = 0 degenerates to a single
+    * bucket per table — every cross pair becomes a candidate, the
+    * brute-force-equality limit the spec pins.
+    *
+    * Scale: the plane matrix is a tables·bits × dim literal — KBs,
+    * growing with log n when sized by [[miningBits]], never with n —
+    * vs the flat codebook's n/32 × dim driver collect. Random
+    * hyperplane LSH (Charikar, STOC 2002): P[same bit] =
+    * 1 − θ/π per plane, recall across `tables` OR-ed tables =
+    * 1 − (1 − p^bits)^tables.
+    */
+  def signLshCells(vec: Column, dim: Int, bits: Int, tables: Int): Column = {
+    require(bits >= 0 && bits <= 30, s"signLshCells: bits out of [0,30]: $bits")
+    require(tables >= 1, s"signLshCells: tables must be positive: $tables")
+    val cells = (0 until tables).map { t =>
+      (0 until bits).map { j =>
+        val plane = (0 until dim).map(i => jlSign(t * bits + j, i).toDouble)
+        when(graft.functions.VectorExpressions.dot_product(
+          vec, typedLit(plane)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduceOption[Column](_ + _).getOrElse(lit(0L))
+    }
+    array(cells: _*)
+  }
+
+  /** (t, cell, id) assignment table for one side of a sign-LSH
+    * blocking — one projection + explode, then an explicit hash
+    * exchange on the join keys (the [[lshAssignments]] small-fixture
+    * discipline: without it a one-split parquet read would run all
+    * candidate scoring on one core, while at cluster scale the
+    * (t, cell) exchange is the plan the non-broadcastable equi-join
+    * takes anyway).
+    */
+  private def signLshAssignments(df: DataFrame, idCol: String, vecCol: String,
+                                 dim: Int, bits: Int, tables: Int): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.select(col(idCol).cast("long").as("id"),
+        posexplode(signLshCells(col(vecCol), dim, bits, tables))
+          .as(Seq("t", "cell")))
+      .repartition(parts, col("t"), col("cell"))
+  }
+
+  /** Bitext mining over deterministic sign-LSH blocking — the
+    * GROWING-CORPUS scale path (both sides web-scale, the mined-
+    * parallel-corpus shape): assign both sides to 2^bits hyperplane
+    * buckets per table with the SHARED [[jlSign]] plane matrix,
+    * candidates from the per-table (t, cell) equi-join, then the
+    * identical [[bitextMineFromCandidates]] margin tail. With `bits`
+    * sized by [[miningBits]] (the default: ceil(log2(max-side/32)))
+    * every term is linear-or-better in corpus size:
+    *   - assignment: n·tables·bits·dim flops = O(n log n), a pure
+    *     projection — no codebook scan, no training, no driver collect;
+    *   - candidate volume: expected bucket population stays ≈ 32, so
+    *     ≈ 32·tables·n pairs total;
+    *   - driver artifact: the tables·bits·dim ±1 plane literal — KBs.
+    * This is what the flat-codebook [[bitextMineIvf]] cannot do past
+    * ~131k rows/side (its n·cells assign term is Θ(n²/32) when cells
+    * grow ∝ n — the r10-adjudicated scale-killer this operator
+    * replaces).
+    *
+    * Recall: a true pair lands in the same bucket of ≥ 1 table with
+    * probability 1 − (1 − p^bits)^tables, p = 1 − θ/π — raise
+    * `tables` for recall, `bits` for precision/volume. bits = 0 with
+    * tables = 1 makes every cross pair a candidate and the result
+    * equals [[bitextMine]] exactly (spec-pinned).
+    *
+    * `maxBucket` > 0 drops (t, cell) buckets larger than the cap on
+    * either side BEFORE the join — the [[cosinePairsLsh]] hot-bucket
+    * contract (a degenerate embedding repeated 100k× would otherwise
+    * emit O(dups²) candidate pairs); dropped buckets lose their pairs,
+    * so collapse exact-duplicate vectors first when dup-heavy. Pass
+    * `srcCount`/`tgtCount` when the caller already knows the sizes to
+    * skip the two sizing count passes.
+    */
+  def bitextMineLsh(src: DataFrame, tgt: DataFrame, idCol: String,
+                    vecCol: String, k: Int = 4, threshold: Double = 1.05,
+                    bits: Int = -1, tables: Int = 4, maxBucket: Int = 0,
+                    srcCount: Long = -1L, tgtCount: Long = -1L): DataFrame = {
+    val dim = src.select(size(col(vecCol))).head().getInt(0)
+    val b =
+      if (bits >= 0) bits
+      else miningBits(math.max(
+        if (srcCount >= 0L) srcCount else src.select(col(idCol)).count(),
+        if (tgtCount >= 0L) tgtCount else tgt.select(col(idCol)).count()))
+    def side(half: DataFrame, idAs: String): DataFrame = {
+      val asg = signLshAssignments(half, idCol, vecCol, dim, b, tables)
+        .select(col("t"), col("cell"), col("id").as(idAs))
+      if (maxBucket <= 0) asg
+      else asg.join(
+        asg.groupBy("t", "cell").agg(count(lit(1)).as("n"))
+          .filter(col("n") <= maxBucket).select("t", "cell"),
+        Seq("t", "cell"), "left_semi")
+    }
+    val cands = side(src, "src_id").join(side(tgt, "tgt_id"), Seq("t", "cell"))
+      .select("src_id", "tgt_id")
+    bitextMineFromCandidates(src, tgt, idCol, vecCol, cands, k, threshold)
   }
 
   def bitextMineFromCandidates(src: DataFrame, tgt: DataFrame,

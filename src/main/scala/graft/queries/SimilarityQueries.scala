@@ -107,36 +107,24 @@ object SimilarityQueries extends QueryModule {
     // each source aligns to its best target by the Artetxe-Schwenk
     // margin (cosine normalized by both neighborhoods' top-4 averages,
     // accept at >= 1.05). BOTH sides are web-scale in the real
-    // workload, so candidate pairs come from two IVF indexes probed in
-    // both directions (src->tgt and tgt->src, plain cell equi-joins —
-    // no cross join, no unbounded broadcast) and the margin tail runs
-    // over candidate sims only. The margin arithmetic is a fixed IEEE
-    // expression tree over rank-ordered sims and the index is the
-    // bit-replayable kmeansCodebook, so DuckDB replays the mined pairs
-    // bit-for-bit.
+    // workload, so candidates come from bitextMineLsh's deterministic
+    // sign-hyperplane blocking — assignment is a pure O(n·bits·dim)
+    // projection (no codebook to train, collect, or scan: the r10
+    // flat-codebook index cost n·cells = Θ(n²/32) to assign when cells
+    // grew ∝ n) and the (t, cell) equi-join emits linear candidate
+    // volume. bits/tables are PINNED (3/4) rather than count-derived
+    // so the static oracle SQL replays the identical plane grid at
+    // every sf; a production caller omits `bits` and gets the
+    // miningBits(n) = ceil(log2(n/32)) auto-sizing. The margin
+    // arithmetic is a fixed IEEE expression tree over rank-ordered
+    // sims and the blocking is md5-parity planes + fixed-order sums,
+    // so DuckDB replays the mined pairs bit-for-bit.
     "bitext_mine" -> ((s, dir) => {
       val base = emb(s, dir)
       val src = base.filter(col("vec_id") % 2 === 0)
       val tgt = base.filter(col("vec_id") % 2 === 1)
-      def index(half: DataFrame): (Seq[(Long, Array[Double])], DataFrame) = {
-        val cb = Similarity.kmeansCodebook(half, "vec_id", "embedding",
-          nCells = 16, iters = 2)
-        (cb, Similarity.assignCells(
-          half.select(col("vec_id").cast("long").as("n_id"),
-            col("embedding").as("nv")), "n_id", "nv", cb, rep = 4))
-      }
-      val (cbT, asgT) = index(tgt)
-      val (cbS, asgS) = index(src)
-      val srcToTgt = Similarity.ivfCandidates(cbT, asgT,
-          src.select("vec_id", "embedding"), "vec_id", "embedding",
-          nProbe = 4, broadcastProbes = false)
-        .select(col("q_id").as("src_id"), col("n_id").as("tgt_id"))
-      val tgtToSrc = Similarity.ivfCandidates(cbS, asgS,
-          tgt.select("vec_id", "embedding"), "vec_id", "embedding",
-          nProbe = 4, broadcastProbes = false)
-        .select(col("n_id").as("src_id"), col("q_id").as("tgt_id"))
-      Similarity.bitextMineFromCandidates(src, tgt, "vec_id", "embedding",
-        srcToTgt.union(tgtToSrc), k = 4, threshold = 1.05)
+      Similarity.bitextMineLsh(src, tgt, "vec_id", "embedding",
+        k = 4, threshold = 1.05, bits = 3, tables = 4)
     }),
 
     // Embedding-cosine near-dup (scale extension): the fixture has no
@@ -470,6 +458,26 @@ object SimilarityQueries extends QueryModule {
        |  SELECT DISTINCT pp.q_id, a.n_id FROM ${p}pr pp JOIN ${p}asg a USING (cell) WHERE a.n_id <> pp.q_id
        |)""".stripMargin
 
+  // Replay of Similarity.signLshCells(bits, tables) over the
+  // (vec_id, v) table `src`: plane p = t*bits + j, sign(p, i) = +1 iff
+  // the first hex digit of md5('p:i') is even (the jlSign law shared
+  // with jl_project), each plane projection a fixed ascending-order
+  // list_reduce — bit-equal to the codegen'd DotProduct loop, since
+  // multiplying by ±1.0 is exact and both engines sum in index order —
+  // and the bucket id an integer bit sum (order-free). Ends at
+  // `${p}cell(vec_id, t, cell)`.
+  private def signLshCte(p: String, src: String, bits: Int, tables: Int): String =
+    s"""${p}sb AS (
+       |  SELECT e.vec_id, g.t, g.j,
+       |         list_reduce(list_prepend(0.0, list_transform(range(1, len(e.v)+1),
+       |           i -> e.v[i] * (CASE WHEN substr(md5(CAST(g.t*$bits+g.j AS VARCHAR) || ':' || CAST(i-1 AS VARCHAR)),1,1) IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END))),
+       |           (x,y) -> x+y) AS s
+       |  FROM $src e, (SELECT g1.t, g2.j FROM range(0, $tables) g1(t), range(0, $bits) g2(j)) g
+       |), ${p}cell AS (
+       |  SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN 1<<j ELSE 0 END) AS BIGINT) AS cell
+       |  FROM ${p}sb GROUP BY vec_id, t
+       |)""".stripMargin
+
   // The exact-cosine rerank over a candidate table — the
   // topKFromCandidates tail: `${p}sc(q_id, n_id, sim)` from
   // `${p}cand`, vectors rejoined from `src`.
@@ -543,23 +551,19 @@ object SimilarityQueries extends QueryModule {
          |       CASE WHEN p.pred_label = q.label THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS correct
          |FROM pred p JOIN embeddings q ON q.vec_id = p.q_id""".stripMargin,
 
-    // two replayed IVF indexes (one per language side), probed in both
-    // directions; the margin tail runs over the DISTINCT candidate
-    // sims, exactly like Similarity.bitextMineFromCandidates
+    // the replayed sign-LSH blocking (shared md5-parity plane grid,
+    // bits=3 tables=4 — the lane's pinned sizing) on both language
+    // sides; candidates from the (t, cell) equi-join; the margin tail
+    // runs over the DISTINCT candidate sims, exactly like
+    // Similarity.bitextMineFromCandidates
     "bitext_mine" ->
       s"""WITH es AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 0
         |), et AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 1
-        |), ${ivfIndexCte("ti", "et", nCells = 16, rep = 4)}, tiqs AS (
-        |  SELECT vec_id AS q_id, v AS qv FROM es
-        |), ${ivfProbeCte("ti", "tiqs", nProbe = 4)}, ${ivfIndexCte("si", "es", nCells = 16, rep = 4)}, siqs AS (
-        |  SELECT vec_id AS q_id, v AS qv FROM et
-        |), ${ivfProbeCte("si", "siqs", nProbe = 4)}, pairs AS (
-        |  SELECT DISTINCT src_id, tgt_id FROM (
-        |    SELECT q_id AS src_id, n_id AS tgt_id FROM ticand
-        |    UNION ALL
-        |    SELECT n_id AS src_id, q_id AS tgt_id FROM sicand)
+        |), ${signLshCte("s", "es", bits = 3, tables = 4)}, ${signLshCte("t", "et", bits = 3, tables = 4)}, pairs AS (
+        |  SELECT DISTINCT sc.vec_id AS src_id, tc.vec_id AS tgt_id
+        |  FROM scell sc JOIN tcell tc ON sc.t = tc.t AND sc.cell = tc.cell
         |), sims AS (
         |  SELECT p.src_id, p.tgt_id,
         |         list_inner_product(ea.v, eb.v) /

@@ -1309,12 +1309,17 @@ class OperatorSpec extends AnyFunSuite {
 
   test("Similarity.bitextMineIvf defaults to mining cell sizing; equals bitextMine at full probe") {
     // the sizing law: cells ∝ n (max(16, n/32)) — constant expected
-    // cell population as both corpora grow, the bitext_ivf probe's
-    // sizing (a fixed cellCount degrades per-cell work toward quadratic)
+    // cell population as both corpora grow, CAPPED at MiningCellsCap:
+    // past ~32·cap rows/side the flat-codebook shape is the wrong
+    // operator (its n·cells assign term is quadratic when cells ∝ n)
+    // and bitextMineLsh is the scale path. The cap also keeps the
+    // Int conversion overflow-safe at any corpus size.
     assert(Similarity.miningCells(100L) == 16)
     assert(Similarity.miningCells(512L) == 16)
     assert(Similarity.miningCells(3200L) == 100)
     assert(Similarity.miningCells(64000L) == 2000)
+    assert(Similarity.miningCells(10000000L) == Similarity.MiningCellsCap)
+    assert(Similarity.miningCells(Long.MaxValue) == Similarity.MiningCellsCap)
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val src = emb.filter(col("vec_id") % 2 === 0)
     val tgt = emb.filter(col("vec_id") % 2 === 1)
@@ -1327,6 +1332,110 @@ class OperatorSpec extends AnyFunSuite {
         k = 4, threshold = 1.05)
       .as[(Long, Long)].collect().toSet
     assert(ivf == bf, s"bitextMineIvf diverged: ${ivf.diff(bf)} / ${bf.diff(ivf)}")
+  }
+
+  test("Similarity.bitextMineLsh: miningBits law, brute-force limit, deterministic blocking") {
+    // the sizing law: bits = ceil(log2(n/32)) — buckets double as the
+    // corpus doubles, holding expected bucket population ≈ 32, so
+    // candidate volume is linear while assignment stays a pure
+    // O(n·bits·dim) projection (no codebook, no n·cells scan — the
+    // fix for the r10 flat-codebook quadratic assign term)
+    assert(Similarity.miningBits(32L) == 0)
+    assert(Similarity.miningBits(64L) == 1)
+    assert(Similarity.miningBits(1024L) == 5)
+    assert(Similarity.miningBits(1025L) == 6)
+    assert(Similarity.miningBits(1000000L) == 15)
+    assert(Similarity.miningBits(Long.MaxValue) == 30)
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    // bits = 0, tables = 1: a single shared bucket — every cross pair
+    // is a candidate, so the result must equal bitextMine EXACTLY
+    // (same sims, same rank-pivoted neighborhood averages, same tie
+    // rules) — pinning that the LSH path changed candidate generation
+    // and nothing else
+    val lsh0 = Similarity.bitextMineLsh(src, tgt, "vec_id", "embedding",
+        k = 4, threshold = 1.05, bits = 0, tables = 1)
+      .as[(Long, Long)].collect().toSet
+    val bf = Similarity.bitextMine(src, tgt, "vec_id", "embedding",
+        k = 4, threshold = 1.05)
+      .as[(Long, Long)].collect().toSet
+    assert(lsh0 == bf, s"bitextMineLsh diverged at the brute-force " +
+      s"limit: ${lsh0.diff(bf)} / ${bf.diff(lsh0)}")
+    // the declared lane's pinned shape: deterministic across
+    // partitionings (md5-parity planes + fixed-order sums — the
+    // property the DuckDB oracle depends on), and aligned src->tgt
+    val lsh = Similarity.bitextMineLsh(src, tgt, "vec_id", "embedding",
+        k = 4, threshold = 1.05, bits = 3, tables = 4)
+      .as[(Long, Long)].collect().toSet
+    val lsh2 = Similarity.bitextMineLsh(src.repartition(7), tgt.repartition(5),
+        "vec_id", "embedding", k = 4, threshold = 1.05, bits = 3, tables = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(lsh == lsh2, "sign-LSH mining drifted across partitionings")
+    assert(lsh.nonEmpty && lsh.forall { case (s, t) => s % 2 == 0 && t % 2 == 1 })
+    val cells = emb.select(col("vec_id"),
+        Similarity.signLshCells(col("embedding"), 64, 8, 2).as("c"))
+      .as[(Long, Seq[Long])].collect()
+    assert(cells.forall(_._2.length == 2))
+    assert(cells.forall(_._2.forall(c => c >= 0 && c < 256)))
+  }
+
+  test("requireSmallSide escape hatch: spark.graft.bruteForce.maxRows <= 0 disables the guard") {
+    // the guard reads sizeInBytes when no rowCount statistic exists, and
+    // a Filter does not reduce sizeInBytes — so a legitimately bounded
+    // filtered batch can estimate at full-table size; the conf is the
+    // documented way out (plan-time only: nothing executes here)
+    val big = spark.range(50000000L)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0), lit(0.0)).as("embedding"),
+        (col("id") % 2).as("label"))
+    val small = big.limit(4)
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(small, big, "vec_id", "embedding", "label", 3)
+    }
+    spark.conf.set(Similarity.BruteForceMaxRowsConf, "0")
+    try {
+      // guard off: planning succeeds (the quadratic plan is the
+      // caller's informed choice); nothing is executed
+      Similarity.hardNegatives(small, big, "vec_id", "embedding", "label", 3)
+    } finally spark.conf.unset(Similarity.BruteForceMaxRowsConf)
+    // and back on after unset
+    intercept[IllegalArgumentException] {
+      Similarity.knnClassify(small, big, "vec_id", "embedding", "label", 3)
+    }
+  }
+
+  test("expression-backed Column wrappers work without GraftExtensions registration") {
+    // ieee_ln / byte_hist / dot_product build their Columns from the
+    // Catalyst expressions directly, so library entry points
+    // (Sketches.portableEstimate, Multimodal.byteEntropyRelational,
+    // the whole Similarity family) do not depend on the SQL-name
+    // registry — proven by dropping the registrations and using the
+    // Column API anyway
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = spark.sessionState.functionRegistry
+    val dropped = Seq("ieee_ln", "byte_hist", "dot_product")
+    dropped.foreach(f => reg.dropFunction(FunctionIdentifier(f)))
+    try {
+      val r = spark.range(1).select(
+        graft.functions.MathExpressions.ieee_ln(lit(3.0)).as("ln"),
+        graft.functions.MediaExpressions.byte_hist(
+          lit(Array[Byte](1, 1, 2))).as("bh"),
+        graft.functions.VectorExpressions.dot_product(
+          array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("dp"))
+        .head()
+      assert(r.getDouble(0) == java.lang.Math.log(3.0))
+      assert(r.getSeq[Long](1)(1) == 2L && r.getSeq[Long](1)(2) == 1L)
+      assert(r.getDouble(2) == 11.0)
+    } finally {
+      // restore for any later spec that goes through spark.sql(...)
+      Seq(graft.functions.MathExpressions.ieeeLnFunction,
+          graft.functions.MediaExpressions.byteHistFunction,
+          graft.functions.VectorExpressions.dotProductFunction)
+        .foreach { case (id, info, builder) =>
+          reg.registerFunction(id, info, builder)
+        }
+    }
   }
 
   test("ivfCandidates keeps cross-corpus pairs whose numeric ids collide") {

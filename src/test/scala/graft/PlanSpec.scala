@@ -184,10 +184,10 @@ class PlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries("bitext_mine")(spark, dir)
     df.foreach(_ => ())
     val p = df.queryExecution.executedPlan.toString
-    // candidate pairs come from two IVF indexes probed via cell
-    // equi-joins (never a cross join), the candidate sim table is
-    // persisted once (InMemoryTableScan) and feeds all four margin-tail
-    // consumers
+    // candidate pairs come from the sign-LSH (t, cell) equi-join
+    // (never a cross join — and never a codebook scan: assignment is a
+    // pure projection), the candidate sim table is persisted once
+    // (InMemoryTableScan) and feeds all four margin-tail consumers
     assert(!p.contains("CartesianProduct"), s"cartesian sims:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs scoring:\n$p")
     assert(p.contains("InMemoryTableScan"), s"sim table not persisted/reused:\n$p")
