@@ -180,6 +180,36 @@ object Bench {
       (d1, replicate3(d1, "doc_id"))
     }
 
+    val benchDir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-bench-${ProcessHandle.current().pid()}"
+
+    // deterministic synthetic embedding fixture for the similarity-family
+    // structural probes: the shipped sf0.1 embeddings table (2k rows)
+    // leaves 1x probe samples sub-second, where per-job scheduling floors
+    // swamp the 1x/3x ratio (r10 measured knn_ivf anywhere from 0.19 to
+    // 0.69 on identical code). Components derive from xxhash64(id, dim) —
+    // seeded, no RNG — so the fixture is a pure function of n: identical
+    // across rounds and machines, written once under /tmp and reused.
+    // SPARK_GRAFT_PROBE_VECS sizes the 1x set (default 100k — sized so
+    // the cheapest embedding probe's t1x clears ~3s, above floor noise;
+    // the 3x pass reads the 3n fixture — a superset with the same
+    // distribution, so probes scale REAL rows, not replicas).
+    val probeN = sys.env.getOrElse("SPARK_GRAFT_PROBE_VECS", "100000").toLong
+    def probeVectors(n: Long): org.apache.spark.sql.DataFrame = {
+      val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-probe-vecs-v1-$n"
+      if (!new java.io.File(s"$path/_SUCCESS").isFile)
+        spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            d => ((pmod(xxhash64(col("id"), d), lit(2000001L)) - lit(1000000L))
+              .cast("double") / lit(1000000.0)).cast("float")).as("embedding"))
+          .repartition(16)
+          .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+
+    // the probe pass, callable in-process (probe-only child / fallback
+    // mode) — the full run forks it into a fresh JVM instead (below)
+    def probePass(): Seq[(String, Option[(Double, Double, Double)])] = {
+
     val dedupScale = scaleProbe("dedup", docsPair) { df =>
       noop(operators.Dedup.simhash(df, "doc_id", "text"))
       noop(operators.Dedup.fingerprints(df, "doc_id", "text", 3, 4))
@@ -233,8 +263,6 @@ object Bench {
     val substringScale = scaleProbe("substring", docsPair) { df =>
       noop(operators.Dedup.substringDedupApply(df, "doc_id", "text", w = 10))
     }
-
-    val benchDir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-bench-${ProcessHandle.current().pid()}"
 
     // semantic dedup: LSH pairs → pointer-doubling CC → representatives,
     // the suite's top CC cost center. Replicas are NOT near-dups of the
@@ -368,26 +396,24 @@ object Bench {
       ()
     }
 
-    // the r8-flagged mining lanes, IVF-fed (the round-9 rewrite). knn:
-    // the SERVING shape — a bounded query batch (the 10 lowest ids,
-    // identical at both sizes) k-NN-votes against an index over the
-    // growing corpus at the shipped autoCells sizing (√(n/64) clamped
-    // to [16,256]); index build (n·cells distance evals) and probe
-    // (nProbe·cellSize candidates per query) are both linear in n, so
-    // the exponent checks that nothing in the candidate-fed path — the
-    // r8 version broadcast a 20% corpus fraction and scanned n per
-    // query — reintroduced a superlinear term. (A query side that is
-    // itself a corpus FRACTION makes total k-NN work Θ(n²/cells) in any
-    // flat-codebook implementation: linear total needs cells ∝ n, which
-    // makes the n·cells assignment quadratic instead — so the fraction
-    // shape is not probeable for a sub-1 exponent and the serving shape
-    // is the honest claim.) Measured at 3× vs 9× replication: the
-    // 500-row embeddings fixture makes the 1× lane sub-second, where
-    // scheduling floors swamp the ratio (a stage-level bisect shows
-    // every stage ≤ 2× for 3× data; the 1×/3× probe still read
-    // 1.2-1.5 from floor noise alone).
+    // the r8-flagged mining lanes. knn: the SERVING shape — a bounded
+    // query batch (the 10 lowest ids, identical at both sizes)
+    // k-NN-votes against an index over the growing corpus at the
+    // shipped autoCells sizing (√(n/64) clamped to [16,256]); index
+    // build (n·cells distance evals) and probe (nProbe·cellSize
+    // candidates per query) are both linear in n, so the exponent
+    // checks that nothing in the candidate-fed path — the r8 version
+    // broadcast a 20% corpus fraction and scanned n per query —
+    // reintroduced a superlinear term. (A query side that is itself a
+    // corpus FRACTION makes total k-NN work Θ(n²/cells) in any
+    // flat-codebook implementation — so the fraction shape is not
+    // probeable for a sub-1 exponent and the serving shape is the
+    // honest claim.) As of r11 both embedding probes run on the
+    // 50k-row deterministic fixture (probeVectors) at true 1×/3× —
+    // the 2k-row table needed 3×/9× replication and still sat under
+    // the scheduling floor.
     val knnIvfScale = scaleProbe("knn_ivf",
-        () => (embReplicate(3), embReplicate(9))) { df =>
+        () => (probeVectors(probeN), probeVectors(3 * probeN))) { df =>
       val cb = operators.Similarity.kmeansCodebook(df, "vec_id", "embedding",
         nCells = operators.Similarity.autoCells(df.count()), iters = 2)
       val assigned = operators.Similarity.assignCells(
@@ -405,36 +431,26 @@ object Bench {
         queries.select(col("vec_id").cast("long").as("q_id"),
           (col("vec_id") % 7).cast("long").as("label"))))
     }
-    // bitext: two half-corpus indexes probed in BOTH directions + the
-    // candidate-sim margin tail — both text sides grow together (the
-    // mined-parallel-corpus shape), cells scale ∝ n so per-candidate
-    // work stays constant and candidate volume grows linearly (the
-    // replaced plan was an n·m cross join — unprobeable by definition).
-    val bitextIvfScale = scaleProbe("bitext_ivf", embPair3) { df =>
+    // bitext: BOTH text sides grow together (the mined-parallel-corpus
+    // shape). As of r11 the lane under probe is bitextMineLsh — the
+    // shipped scale path: sign-hyperplane blocking whose assignment is
+    // a pure O(n·bits·dim) projection and whose (t, cell) equi-join
+    // emits linear candidate volume at miningBits' cells-∝-n sizing.
+    // It replaces the flat-codebook two-index build, whose n·cells
+    // assign term (cells ∝ n) is Θ(n²/32) — the r10 driver record
+    // measured that lane's exponent at 1.142, the adjudicated
+    // scale-killer. The JSON key keeps its historical name so
+    // per-round records stay comparable. miningBits' ceil makes bucket
+    // population saw-tooth between 16 and 32 across sizes, so the
+    // exponent carries discretization wobble BELOW 1; the claim under
+    // test is "no superlinear term".
+    val bitextIvfScale = scaleProbe("bitext_ivf",
+        () => (probeVectors(probeN), probeVectors(3 * probeN))) { df =>
       val src = df.filter(col("vec_id") % 2 === 0)
       val tgt = df.filter(col("vec_id") % 2 === 1)
-      val cells = math.max(16L, src.count() / 32).toInt
-      def index(half: org.apache.spark.sql.DataFrame) = {
-        val cb = operators.Similarity.kmeansCodebook(half, "vec_id", "embedding",
-          nCells = cells, iters = 2)
-        (cb, operators.Similarity.assignCells(
-          half.select(col("vec_id").cast("long").as("n_id"),
-            col("embedding").as("nv")), "n_id", "nv", cb, rep = 4))
-      }
-      val (cbT, asgT) = index(tgt)
-      val (cbS, asgS) = index(src)
-      val c1 = operators.Similarity.ivfCandidates(cbT, asgT,
-          src.select("vec_id", "embedding"), "vec_id", "embedding",
-          nProbe = 4, broadcastProbes = false)
-        .select(col("q_id").as("src_id"), col("n_id").as("tgt_id"))
-      val c2 = operators.Similarity.ivfCandidates(cbS, asgS,
-          tgt.select("vec_id", "embedding"), "vec_id", "embedding",
-          nProbe = 4, broadcastProbes = false)
-        .select(col("n_id").as("src_id"), col("q_id").as("tgt_id"))
       // the internal candidate-sim persist is released by the probe
       // harness's clearCache before the next sample
-      noop(operators.Similarity.bitextMineFromCandidates(
-        src, tgt, "vec_id", "embedding", c1.union(c2),
+      noop(operators.Similarity.bitextMineLsh(src, tgt, "vec_id", "embedding",
         k = 4, threshold = 1.05))
     }
 
@@ -503,6 +519,15 @@ object Bench {
       noop(packed)
     }
 
+    Seq("dedup_scale" -> dedupScale, "kmeans_scale" -> kmeansScale,
+      "dsir_scale" -> dsirScale, "paragraph_scale" -> paragraphScale,
+      "substring_scale" -> substringScale,
+      "pipeline_full_scale" -> pipelineFullScale,
+      "semantic_scale" -> semanticScale,
+      "streaming_funnel_scale" -> funnelScale,
+      "pipeline_scale" -> pipelineScale, "pca_scale" -> pcaScale,
+      "knn_ivf_scale" -> knnIvfScale, "bitext_ivf_scale" -> bitextIvfScale)
+    } // end probePass
 
     // reference benchmark harnesses (MRBench.java:173-233 avg latency;
     // TestDFSIO.java:88-103 sequential MB/s), sized small enough to not
@@ -573,20 +598,119 @@ object Bench {
       p.map { case (t1, t3, e) =>
         s""","$name":{"t1x":${fmt(t1, 3)},"t3x":${fmt(t3, 3)},"exponent":${fmt(e, 3)}}"""
       }.getOrElse("")
-    val scaleJson = scaleEntry("dedup_scale", dedupScale) +
-      scaleEntry("kmeans_scale", kmeansScale) +
-      scaleEntry("dsir_scale", dsirScale) +
-      scaleEntry("paragraph_scale", paragraphScale) +
-      scaleEntry("substring_scale", substringScale) +
-      scaleEntry("pipeline_full_scale", pipelineFullScale) +
-      scaleEntry("semantic_scale", semanticScale) +
-      scaleEntry("streaming_funnel_scale", funnelScale) +
-      scaleEntry("pipeline_scale", pipelineScale) +
-      scaleEntry("pca_scale", pcaScale) +
-      scaleEntry("knn_ivf_scale", knnIvfScale) +
-      scaleEntry("bitext_ivf_scale", bitextIvfScale)
+    def localScaleJson(): String =
+      probePass().map { case (n, p) => scaleEntry(n, p) }.mkString
+
+    // ---- probe isolation (fresh JVM) ---------------------------------
+    // r10 adjudication: probe exponents from the committed quiet-box
+    // (probe-only) runs and the driver's post-suite record disagreed
+    // (knn_ivf 0.19 vs 0.69, bitext 0.84 vs 1.14) at equal loadavg —
+    // after 500+ timed lane jobs the JVM carries heap/page-cache state
+    // no in-process System.gc() fully settles. The full run therefore
+    // forks ONE child JVM (same flags and classpath, probe-only mode)
+    // that executes the probe pass from a cold start — exactly the
+    // conditions the committed records were produced under — and
+    // splices the child's scale entries into this run's JSON, so the
+    // driver's record and an isolated run measure the same thing.
+    // SPARK_GRAFT_NO_FORK_PROBES=1 restores the in-process pass; any
+    // fork failure falls back to it too (a bench line is never lost).
+    val probeLabels = Seq("dedup", "kmeans", "dsir", "paragraph",
+      "substring", "semantic", "streaming_funnel", "pipeline", "pca",
+      "knn_ivf", "bitext_ivf", "pipeline_full")
+    def forkedScaleJson(): Option[String] =
+      try {
+        val outFile = java.io.File.createTempFile("graft-probes-", ".json")
+        val stdoutFile = java.io.File.createTempFile("graft-probes-", ".out")
+        val mx = java.lang.management.ManagementFactory.getRuntimeMXBean
+        val jvmArgs = new java.util.ArrayList[String]()
+        jvmArgs.add(s"${sys.props("java.home")}/bin/java")
+        mx.getInputArguments.forEach { a =>
+          if (!a.startsWith("-agentlib") && !a.startsWith("-javaagent"))
+            jvmArgs.add(a)
+        }
+        jvmArgs.add("-cp"); jvmArgs.add(sys.props("java.class.path"))
+        jvmArgs.add("graft.Bench")
+        val pb = new ProcessBuilder(jvmArgs)
+        pb.environment().put("SPARK_GRAFT_PROBES", probeLabels.mkString(","))
+        pb.environment().put("SPARK_GRAFT_SKIP_LANES", "1")
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.getAbsolutePath)
+        // the child's own compact JSON line must not pollute THIS
+        // process's stdout (the driver parses it)
+        pb.redirectOutput(java.lang.ProcessBuilder.Redirect.to(stdoutFile))
+        pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
+        val p = pb.start()
+        val done = p.waitFor(90, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) {
+          p.destroyForcibly(); p.waitFor()
+          System.err.println("[bench] probe child timed out"); None
+        } else if (p.exitValue() != 0) {
+          System.err.println(s"[bench] probe child exited ${p.exitValue()}"); None
+        } else {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(outFile.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val snips = probeLabels.flatMap { l =>
+            ("\"" + l + "_scale\":\\{[^}]*\\}").r.findFirstIn(txt)
+              .map("," + _)
+          }
+          if (snips.isEmpty) {
+            System.err.println("[bench] probe child wrote no scale entries")
+            None
+          } else Some(snips.mkString)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] probe fork failed: $e"); None }
+
+    val scaleJson =
+      if (probeOnly.isDefined || skipLanes ||
+          sys.env.get("SPARK_GRAFT_NO_FORK_PROBES").contains("1"))
+        localScaleJson()
+      else forkedScaleJson().getOrElse(localScaleJson())
+
+    // one sf1 (10 GB in + 10 GB out) disk-to-disk gray-sort point per
+    // round: TeraGen 100M rows -> TeraSort -> TeraValidate + checksum
+    // over the RE-READ output, all inside the timing — the suite's
+    // terasort lane is 1 GB, so the BASELINE.md Yahoo-2009 GB/node/min
+    // comparison was previously a 10× extrapolation. Defaults ON in
+    // the driver-shape run (sf0.1 dir, lanes on); SPARK_GRAFT_TERA_SF1=0
+    // skips it, =1 forces it elsewhere. Runs LAST so its ~20 GB of
+    // disk traffic perturbs nothing (probes already forked).
+    val teraSf1Sec = {
+      val want = sys.env.get("SPARK_GRAFT_TERA_SF1") match {
+        case Some("0") => false
+        case Some(_)   => true
+        case None      => !skipLanes && probeOnly.isEmpty && sfDir.contains("sf0.1")
+      }
+      if (!want) -1.0
+      else try {
+        val rows = 100000000L
+        val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
+          s"/graft-terasf1-${ProcessHandle.current().pid()}"
+        val inDir = s"$dir/input"; val outDir = s"$dir/output"
+        try {
+          val t0 = System.nanoTime()
+          sources.TeraIO.write(jobs.TeraSort.teraGen(spark, rows, 128), inDir)
+          val genChecksum =
+            jobs.TeraSort.teraChecksum(sources.TeraIO.read(spark, inDir))
+          sources.TeraIO.write(
+            jobs.TeraSort.teraSort(sources.TeraIO.read(spark, inDir), 128), outDir)
+          val (ok, count, outChecksum) =
+            jobs.TeraSort.teraValidateChecksum(sources.TeraIO.read(spark, outDir))
+          val t = (System.nanoTime() - t0) / 1e9
+          if (ok && count == rows && outChecksum == genChecksum) t
+          else {
+            System.err.println(s"[bench] terasort_sf1 validation failed: " +
+              s"ok=$ok count=$count checksums=$genChecksum/$outChecksum")
+            -1.0
+          }
+        } finally sources.TeraIO.delete(spark, dir)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] terasort_sf1 failed: $e"); -1.0 }
+    }
     val harnessJson =
-      s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)},"nnbench_create_ops_sec":${fmt(nnOps, 1)},"filebench_seq_read_mbps":${fmt(fbSeqRead, 1)},"slive_ops_sec":${fmt(sliveOps, 1)},"bigmap_shuffle_mbps":${fmt(bmoMbps, 1)},"threadedmap_sort_mbps":${fmt(tmbMbps, 1)}}"""
+      s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)},"nnbench_create_ops_sec":${fmt(nnOps, 1)},"filebench_seq_read_mbps":${fmt(fbSeqRead, 1)},"slive_ops_sec":${fmt(sliveOps, 1)},"bigmap_shuffle_mbps":${fmt(bmoMbps, 1)},"threadedmap_sort_mbps":${fmt(tmbMbps, 1)},"terasort_sf1_sec":${fmt(teraSf1Sec, 1)}}"""
     val head =
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters,"failed":$failedJson"""
     // stdout gets the COMPACT line: the driver's tail capture truncated
