@@ -687,12 +687,72 @@ object Similarity {
     * takes anyway).
     */
   private def signLshAssignments(df: DataFrame, idCol: String, vecCol: String,
-                                 dim: Int, bits: Int, tables: Int): DataFrame = {
+                                 dim: Int, bits: Int, tables: Int,
+                                 keepVec: Boolean = false): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    df.select(col(idCol).cast("long").as("id"),
-        posexplode(signLshCells(col(vecCol), dim, bits, tables))
-          .as(Seq("t", "cell")))
-      .repartition(parts, col("t"), col("cell"))
+    val assigned =
+      if (keepVec)
+        // `v`/`nrm` ride the assignment rows for the scoring tails
+        // (one dot per candidate, the lshAssignments discipline)
+        df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+          .withColumn("nrm", l2norm(col("v")))
+          .select(col("id"), col("v"), col("nrm"),
+            posexplode(signLshCells(col("v"), dim, bits, tables))
+              .as(Seq("t", "cell")))
+          .select(col("t"), col("cell"), col("id"), col("v"), col("nrm"))
+      else
+        df.select(col(idCol).cast("long").as("id"),
+          posexplode(signLshCells(col(vecCol), dim, bits, tables))
+            .as(Seq("t", "cell")))
+    assigned.repartition(parts, col("t"), col("cell"))
+  }
+
+  /** Sign-LSH bit count for a SELF-join candidate corpus of `n` rows:
+    * ceil(log2(n/64)) — bucket population ≈ 64, the [[knnJoinLsh]]
+    * sizing law, clamped to [0, 30].
+    */
+  private[graft] def pairBits(n: Long): Int =
+    if (n <= 64L) 0
+    else math.min(30, math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt)
+
+  /** [[cosinePairsLsh]] with sign-hyperplane blocking — the beyond-10⁵
+    * variant: same deterministic SQL replayability (md5-parity planes,
+    * fixed-order sums), same (t, cell) equi-join + one-dot exact-cosine
+    * verify + threshold + [[capCells]] hot-bucket contract, but
+    * assignment is the O(n·bits·dim) [[signLshCells]] projection with
+    * an O(log n) plane artifact instead of the codebook scan whose
+    * n·cells cost and O(n) driver artifact cap the codebook variant at
+    * ~10⁵ rows. bits <= 0 sizes by [[pairBits]] (exact count, so an
+    * oracle replays the sizing). Recall follows the hyperplane law
+    * (P[pair candidates] = 1 − (1 − p^bits)^tables, p = 1 − θ/π):
+    * strong for genuinely near vectors, weaker at low thresholds —
+    * raise `tables` for recall; bits = 0 with tables = 1 degenerates
+    * to the exact all-pairs join (spec-pinned).
+    */
+  def cosinePairsSignLsh(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, bits: Int = -1, tables: Int = 6,
+                         maxBucket: Int = 0): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val b = if (bits >= 0) bits else pairBits(df.count())
+    boundedCandidates(
+      signLshAssignments(df, idCol, vecCol, dim, b, tables, keepVec = true),
+      maxBucket)(pairScoreTail(_, threshold))
+  }
+
+  /** [[knnJoinLsh]] with sign-hyperplane blocking — same scoring tail,
+    * same bounded top-k, same recall trade as [[cosinePairsSignLsh]];
+    * the per-doc neighbor-list primitive at corpus sizes where the
+    * codebook blocking's n·cells assignment and O(n) driver artifact
+    * stop scaling.
+    */
+  def knnJoinSignLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                     bits: Int = -1, tables: Int = 6,
+                     maxBucket: Int = 0): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val b = if (bits >= 0) bits else pairBits(df.count())
+    boundedCandidates(
+      signLshAssignments(df, idCol, vecCol, dim, b, tables, keepVec = true),
+      maxBucket)(knnScoreTail(_, k))
   }
 
   /** Bitext mining over deterministic sign-LSH blocking — the
@@ -947,6 +1007,13 @@ object Similarity {
     * vector in its top-`rep` cells per table, candidates from the
     * per-table (table, cell) equi-join, verified by exact cosine.
     *
+    * Sizing bound: with `nCells` ∝ n (the constant-bucket-population
+    * sizing) the codebook scoring pass costs n·cells dot products and
+    * the codebooks are O(n) driver artifacts — fine to ~10⁵ rows,
+    * past which the [[signLshCells]] hyperplane blocking (O(n·log n)
+    * assignment, O(log n) artifact — the [[bitextMineLsh]] recipe) is
+    * the scale path for candidate generation.
+    *
     * Union-of-tables recall: a pair is kept if the two vectors share a
     * cell in ANY table — 1-(1-p)^L against a single codebook's p, the
     * standard multi-hash-table ANN trade (candidate volume grows ~L×,
@@ -964,26 +1031,32 @@ object Similarity {
                      threshold: Double, nCells: Int, rep: Int = 2,
                      tables: Int = 6, maxBucket: Int = 0): DataFrame = {
     boundedCandidates(
-      lshAssignments(df, idCol, vecCol, nCells, rep, tables), maxBucket) { assigned =>
-      val a = assigned.select(col("t"), col("cell"),
-        col("id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-      val b = assigned.select(col("t"), col("cell"),
-        col("id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-      // score IN PLACE on the candidate join (a pair met in several
-      // (t, cell) buckets recomputes an identical codegen'd dot — a
-      // few map-local flops), then dedupe only the thresholded 16-byte id
-      // pairs. The former pre-scoring distinct shuffled BOTH vectors per
-      // candidate row — the one non-narrow shuffle in the plan, and the
-      // part that could not survive a 100x scale-up. Norms ride the
-      // assignment rows (computed once per vector in lshAssignments), so
-      // each candidate costs ONE dot product, not three.
-      a.join(b, Seq("t", "cell"))
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .filter(col("sim") >= threshold)
-        .select("vec_a", "vec_b")
-        .distinct()
-    }
+      lshAssignments(df, idCol, vecCol, nCells, rep, tables),
+      maxBucket)(pairScoreTail(_, threshold))
+  }
+
+  /** The thresholded-pair scoring tail shared by the codebook
+    * ([[cosinePairsLsh]]) and sign-hyperplane ([[cosinePairsSignLsh]])
+    * blockings, over any (t, cell, id, v, nrm) assignment table: score
+    * IN PLACE on the candidate join (a pair met in several (t, cell)
+    * buckets recomputes an identical codegen'd dot — a few map-local
+    * flops), then dedupe only the thresholded 16-byte id pairs. A
+    * pre-scoring distinct would shuffle BOTH vectors per candidate row
+    * — the one non-narrow shuffle, the part that could not survive a
+    * 100x scale-up. Norms ride the assignment rows (computed once per
+    * vector), so each candidate costs ONE dot product, not three.
+    */
+  private def pairScoreTail(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("t"), col("cell"),
+      col("id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("t"), col("cell"),
+      col("id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("t", "cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b")
+      .distinct()
   }
 
   /** Drop (t, cell) buckets larger than `maxBucket` BEFORE a cell
@@ -1094,36 +1167,47 @@ object Similarity {
     // candidate volume per vector is ~tables·rep²·(base/cells): scale
     // cells with an EXACT count (parquet metadata job; exact so a SQL
     // oracle replays GREATEST(32, n // 64) identically) to hold per-cell
-    // population ≈ 64 — constant per-vector candidate work at any size
+    // population ≈ 64 — constant per-vector candidate work at any size.
+    // Same flat-codebook bound as cosinePairsLsh: the n·cells scoring
+    // pass and the O(n) codebook artifacts hold to ~10⁵ rows; past
+    // that, block with signLshCells (the bitextMineLsh recipe) and
+    // keep this scoring tail
     val cells =
       if (nCells > 0) nCells
       else math.max(32, (df.count() / 64).toInt)
     boundedCandidates(
-      lshAssignments(df, idCol, vecCol, cells, rep, tables), maxBucket) { assigned =>
-      val a = assigned.select(col("t"), col("cell"),
-        col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val b = assigned.select(col("t"), col("cell"),
-        col("id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
-      // no candidate distinct: a (q, n) pair met in several buckets scores
-      // the identical cosine each time, and TopKByScore keeps one entry
-      // per n_id (best score) — so duplicates cost a few map-local flops
-      // instead of a full-width shuffle of both vectors per candidate row.
-      // Norms ride the assignment rows (once per vector, lshAssignments),
-      // so each candidate costs ONE dot product, not three — and only the
-      // q < n half of the symmetric self-join computes it: the scored row
-      // explodes into both directions in the same stage (dot and norms
-      // commute bitwise, so the mirrored sim is bit-equal to scoring
-      // (n, q) directly). Halves the hot loop again.
-      val scored = a.join(b, Seq("t", "cell"))
-        .filter(col("q_id") < col("n_id"))
-        .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-        .select(explode(array(
-          struct(col("q_id"), col("n_id"), col("sim")),
-          struct(col("n_id").as("q_id"), col("q_id").as("n_id"), col("sim")))).as("p"))
-        .select(col("p.q_id").as("q_id"), col("p.n_id").as("n_id"),
-          col("p.sim").as("sim"))
-      topKRank(scored, k)
-    }
+      lshAssignments(df, idCol, vecCol, cells, rep, tables),
+      maxBucket)(knnScoreTail(_, k))
+  }
+
+  /** The k-NN scoring tail shared by the codebook ([[knnJoinLsh]]) and
+    * sign-hyperplane ([[knnJoinSignLsh]]) blockings, over any
+    * (t, cell, id, v, nrm) assignment table. No candidate distinct: a
+    * (q, n) pair met in several buckets scores the identical cosine
+    * each time, and TopKByScore keeps one entry per n_id (best score)
+    * — so duplicates cost a few map-local flops instead of a
+    * full-width shuffle of both vectors per candidate row. Norms ride
+    * the assignment rows (once per vector), so each candidate costs
+    * ONE dot product, not three — and only the q < n half of the
+    * symmetric self-join computes it: the scored row explodes into
+    * both directions in the same stage (dot and norms commute bitwise,
+    * so the mirrored sim is bit-equal to scoring (n, q) directly).
+    * Halves the hot loop again.
+    */
+  private def knnScoreTail(assigned: DataFrame, k: Int): DataFrame = {
+    val a = assigned.select(col("t"), col("cell"),
+      col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val b = assigned.select(col("t"), col("cell"),
+      col("id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+    val scored = a.join(b, Seq("t", "cell"))
+      .filter(col("q_id") < col("n_id"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .select(explode(array(
+        struct(col("q_id"), col("n_id"), col("sim")),
+        struct(col("n_id").as("q_id"), col("q_id").as("n_id"), col("sim")))).as("p"))
+      .select(col("p.q_id").as("q_id"), col("p.n_id").as("n_id"),
+        col("p.sim").as("sim"))
+    topKRank(scored, k)
   }
 
   /** Per-dimension distribution stats over 1e-6-quantized embedding

@@ -1380,6 +1380,55 @@ class OperatorSpec extends AnyFunSuite {
     assert(cells.forall(_._2.forall(c => c >= 0 && c < 256)))
   }
 
+  test("Similarity sign-LSH pair/knn variants: brute-force limit, subset law, recall") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    // bits = 0, tables = 1: one shared bucket — candidates are ALL
+    // pairs, so both variants must equal their exact counterparts
+    // (pins that the sign blocking changed candidate generation and
+    // nothing else — the bitextMineLsh law, for this family)
+    val thr = 0.3
+    val exactPairs = Similarity.cosinePairs(emb, "vec_id", "embedding", thr)
+      .as[(Long, Long)].collect().toSet
+    val sign0 = Similarity.cosinePairsSignLsh(emb, "vec_id", "embedding", thr,
+        bits = 0, tables = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(sign0 == exactPairs,
+      s"sign-LSH pairs diverged at the all-pairs limit: ${sign0.size} vs ${exactPairs.size}")
+    val knnSign0 = Similarity.knnJoinSignLsh(emb, "vec_id", "embedding", k = 5,
+        bits = 0, tables = 1)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val knnBf = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(knnSign0 == knnBf,
+      s"sign-LSH knn diverged at the all-pairs limit: ${knnSign0.diff(knnBf)}")
+    // working shape on the fixture's top-40 pair threshold: candidates
+    // verify by EXACT cosine, so blocked ⊆ exact always; recall follows
+    // the hyperplane law 1 − (1 − p^bits)^tables, p = 1 − θ/π
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val thr40 = a.join(b, col("ia") < col("ib"))
+      .select(Similarity.cosine(col("va"), col("vb")).as("sim"))
+      .orderBy(desc("sim")).limit(40)
+      .agg(min(col("sim"))).head().getDouble(0)
+    val exact40 = Similarity.cosinePairs(emb, "vec_id", "embedding", thr40)
+      .as[(Long, Long)].collect().toSet
+    val signed = Similarity.cosinePairsSignLsh(emb, "vec_id", "embedding", thr40,
+        bits = 4, tables = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(signed.subsetOf(exact40), "sign blocking must not invent pairs")
+    val recall = signed.size.toDouble / exact40.size
+    assert(recall >= 0.6, s"sign-LSH recall $recall too low (${exact40.size} exact)")
+    // determinism across partitionings (the md5-parity plane law)
+    val signed2 = Similarity.cosinePairsSignLsh(emb.repartition(7),
+        "vec_id", "embedding", thr40, bits = 4, tables = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(signed == signed2, "sign blocking drifted across partitionings")
+    // sizing law
+    assert(Similarity.pairBits(64L) == 0)
+    assert(Similarity.pairBits(2000L) == 5)
+    assert(Similarity.pairBits(Long.MaxValue) == 30)
+  }
+
   test("requireSmallSide escape hatch: spark.graft.bruteForce.maxRows <= 0 disables the guard") {
     // the guard reads sizeInBytes when no rowCount statistic exists, and
     // a Filter does not reduce sizeInBytes — so a legitimately bounded
