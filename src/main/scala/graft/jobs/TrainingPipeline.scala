@@ -39,7 +39,8 @@ object TrainingPipeline {
 
   case class Report(input: Long, afterFilter: Long, afterExact: Long,
                     afterNearDup: Long, afterSemantic: Long, afterDecontam: Long,
-                    afterDsir: Long, mixtureRows: Long, chunks: Long, packs: Long)
+                    afterSubstring: Long, afterDsir: Long, mixtureRows: Long,
+                    chunks: Long, packs: Long)
 
   /** `input`: the corpus frame — (doc_id, source, text)-shaped; None
     * reads the `documents` table from `dir` (a crawl pipeline passes
@@ -56,6 +57,19 @@ object TrainingPipeline {
     * against — (id, text)-shaped. None skips the decontamination stage
     * (a real pipeline should always pass its eval suites; the spec
     * passes a slice of the corpus as a stand-in).
+    *
+    * `decontamSubstringW`: enables stage 4c, exact-substring
+    * decontamination (the Lee-et-al/GPT-3 span discipline), at that
+    * w-gram width — every >= w-token span a SURVIVING doc shares with
+    * the eval suite is stripped in place
+    * ([[graft.operators.Dedup.substringDecontamApply]]): the
+    * high-recall complement of the doc-level gate above, which drops
+    * whole docs past `contamThreshold` but leaves sub-threshold quoted
+    * benchmark spans in the keepers. Requires `evalDocs` (the same
+    * canonicalized suite feeds both decon stages). Wholly-covered docs
+    * vanish (the apply contract); `n_toks` is refreshed to the
+    * post-strip count so the token-budget stage sees real lengths.
+    * None skips the stage.
     *
     * `dsirTarget`: optional curated-reference corpus (text column)
     * enabling the DSIR selection stage (4b) — documents whose hashed-
@@ -135,6 +149,7 @@ object TrainingPipeline {
           budgetShards: Int = 8,
           evalDocs: Option[DataFrame] = None,
           contamThreshold: Double = 0.8,
+          decontamSubstringW: Option[Int] = None,
           dsirTarget: Option[DataFrame] = None,
           dsirBuckets: Int = 1024,
           embeddings: Option[DataFrame] = None,
@@ -330,21 +345,22 @@ object TrainingPipeline {
 
     // 4. eval-set decontamination (eval hashes broadcast; the corpus
     // hash table is computed once and feeds both count branches);
-    // skipped when no eval corpus is supplied
+    // skipped when no eval corpus is supplied. The EVAL side gets the
+    // same canonicalization as the corpus (computed ONCE — both decon
+    // stages must see the same bytes): hashing normalized training
+    // text against raw eval text would let byte-unequal spellings of
+    // eval content slip through — exactly the mismatch `normalize`
+    // exists to close.
+    val evCanon = evalDocs.map { evRaw =>
+      require(evRaw.columns.contains("doc_id") && evRaw.columns.contains("text"),
+        "evalDocs needs (doc_id, text) columns")
+      val n = if (normalize)
+        evRaw.withColumn("text", TextOps.normalizeText(col("text"))) else evRaw
+      if (scrubPii) n.withColumn("text", Redact.scrubPii(col("text"))) else n
+    }
     var hs: Option[DataFrame] = None
-    val clean = evalDocs match {
-      case Some(evRaw) =>
-        require(evRaw.columns.contains("doc_id") && evRaw.columns.contains("text"),
-          "evalDocs needs (doc_id, text) columns")
-        // the EVAL side gets the same canonicalization as the corpus:
-        // hashing normalized training text against raw eval text would
-        // let byte-unequal spellings of eval content slip through —
-        // exactly the mismatch `normalize` exists to close
-        val ev = {
-          val n = if (normalize)
-            evRaw.withColumn("text", TextOps.normalizeText(col("text"))) else evRaw
-          if (scrubPii) n.withColumn("text", Redact.scrubPii(col("text"))) else n
-        }
+    val clean = evCanon match {
+      case Some(ev) =>
         val h = Dedup.shingleHashTable(semKept, "doc_id", "text", 3)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         hs = Some(h)
@@ -357,6 +373,36 @@ object TrainingPipeline {
       case None => semKept
     }
     val afterDecontam = tally(clean)
+
+    // 4c. optional exact-substring decontamination: strip every >= w
+    // token span the SURVIVORS share with the eval suite (stage 4
+    // dropped whole docs past the overlap threshold; this trims the
+    // sub-threshold quoted spans the doc gate deliberately keeps).
+    // Scale shape: one (hash, id, pos) equi-join of the corpus gram
+    // table against the suite's DISTINCT gram hashes, a bounded
+    // per-doc mark aggregation, and a row-local gap-slice rebuild —
+    // the stripped text re-attaches to the narrow (doc_id, source)
+    // side in one doc_id join (the stage's text-shuffle exception,
+    // like the budget stage's). `clean` feeds both the apply and the
+    // rejoin's left side, so it is pinned for the stage's lifetime
+    // (the stage-1b discipline). Wholly-covered docs vanish (the
+    // substringDecontamApply contract); n_toks is refreshed to the
+    // post-strip count so the token-budget stage sees real lengths.
+    val substringOn = evCanon.isDefined && decontamSubstringW.isDefined
+    val cleanP =
+      if (substringOn)
+        clean.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else clean
+    val stripped = (evCanon, decontamSubstringW) match {
+      case (Some(ev), Some(w)) =>
+        val appl = Dedup.substringDecontamApply(
+          cleanP, "doc_id", "text", ev, "text", w)
+        cleanP.drop("text", "n_toks").join(
+          appl.select(col("doc_id"), col("clean_text").as("text"),
+            col("n_kept").as("n_toks")), Seq("doc_id"))
+      case _ => cleanP
+    }
+    val afterSubstring = if (substringOn) tally(stripped) else afterDecontam
 
     // 4b. optional DSIR target-affinity selection (operators/Dsir):
     // train the hashed-unigram log-ratio model with the CLEANED corpus
@@ -373,17 +419,17 @@ object TrainingPipeline {
             tgtRaw.withColumn("text", TextOps.normalizeText(col("text"))) else tgtRaw
           if (scrubPii) n.withColumn("text", Redact.scrubPii(col("text"))) else n
         }
-        val lam = graft.operators.Dsir.logRatios(clean, tgt, "text", dsirBuckets)
+        val lam = graft.operators.Dsir.logRatios(stripped, tgt, "text", dsirBuckets)
         // the keep set pins as a NARROW doc_id frame: without it every
         // downstream action re-tokenizes the cleaned corpus through
         // importanceWeights plus the global-mean aggregate
         val keep = graft.operators.Dsir.selectAboveMean(
-          graft.operators.Dsir.importanceWeights(clean, "doc_id", "text",
+          graft.operators.Dsir.importanceWeights(stripped, "doc_id", "text",
             lam, dsirBuckets))
           .filter(col("keep") === 1L).select(col("doc_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        clean.join(keep, Seq("doc_id"), "left_semi")
-      case None => clean
+        stripped.join(keep, Seq("doc_id"), "left_semi")
+      case None => stripped
     }
     val afterDsir = tally(selected)
 
@@ -444,10 +490,12 @@ object TrainingPipeline {
     val packs = packedOut.count()
     (Seq(filtered, exactKept, nearKept) ++
       (if (embeddings.isDefined) Seq(semKept) else Nil) ++ hs ++
+      (if (substringOn) Seq(cleanP) else Nil) ++
       (if (tokenBudgets.nonEmpty) Seq(budgeted) else Nil))
       .foreach(_.unpersist(false))
 
     (packedOut, Report(inputRows, afterFilter, afterExact, afterNearDup,
-      afterSemantic, afterDecontam, afterDsir, mixtureRows, chunks, packs))
+      afterSemantic, afterDecontam, afterSubstring, afterDsir, mixtureRows,
+      chunks, packs))
   }
 }

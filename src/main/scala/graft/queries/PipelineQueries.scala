@@ -56,11 +56,16 @@ object PipelineQueries extends QueryModule {
     // pinned to 32 so the index replays), DSIR target-affinity
     // selection against the en slice, and per-source token budgets —
     // stacked on the default normalize → gate → exact → simhash chain
-    // and run through TrainingPipeline.run itself. pipeline_e2e proves
-    // the default chain composes; THIS row proves the optional stages
-    // compose with it and each other (stage order, frame handoffs,
-    // carried n_toks) — any drift hash-mismatches here even though
-    // every stage is green standalone.
+    // and run through TrainingPipeline.run itself. Since r11 the stack
+    // also includes BOTH decontamination modes against the %97 mock
+    // suite: the doc-level overlap gate (stage 4, threshold 0.8) and
+    // the exact-substring span strip (stage 4c, w = 10 — the
+    // decontaminate_substring_apply law applied INSIDE the chain, with
+    // the stripped token counts feeding DSIR and the token budgets).
+    // pipeline_e2e proves the default chain composes; THIS row proves
+    // the optional stages compose with it and each other (stage order,
+    // frame handoffs, carried n_toks) — any drift hash-mismatches here
+    // even though every stage is green standalone.
     "pipeline_full" -> ((s, dir) => {
       val d = docs(s, dir)
       val ids = col("doc_id").cast("string")
@@ -89,6 +94,9 @@ object PipelineQueries extends QueryModule {
         embeddings = Some(Tables(s, dir, "embeddings")
           .select(col("vec_id").as("doc_id"), col("embedding"))),
         semanticCells = 32,
+        evalDocs = Some(d.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("text"))),
+        decontamSubstringW = Some(10),
         dsirTarget = Some(d.filter(col("lang") === "en").select(col("text"))),
         tokenBudgets = Map("src0" -> 400L, "src1" -> 200L),
         budgetShards = 2,
@@ -465,6 +473,9 @@ object PipelineQueries extends QueryModule {
     // repetition_filter's 2-gram law as a gate (> 0.08),
     // dedup_embedding_blocked's LSH recipe over the survivors'
     // embeddings (cells pinned 32) + semantic_dedup's recursion,
+    // pipeline_e2e's %97 doc-level decontamination at 0.8 PLUS the
+    // decontaminate_substring_apply 10-gram span-strip replay (the
+    // stripped token lists feed everything downstream),
     // dsir_weights' λ/selection law with the normalized en target, and
     // token_budget_sample's per-(source, shard) prefix law — then the
     // shared chunk/pack tail at n_copies = 1
@@ -636,6 +647,52 @@ object PipelineQueries extends QueryModule {
         |  SELECT n3.* FROM neark n3 LEFT JOIN (
         |    SELECT id, MIN(r) AS mn FROM sreach GROUP BY id) rr3 ON rr3.id = n3.doc_id
         |  WHERE rr3.id IS NULL OR LEAST(rr3.mn, n3.doc_id) = n3.doc_id
+        |), evt AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |           trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')),
+        |           '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 97 = 0
+        |), evh AS (
+        |  SELECT DISTINCT ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h1 FROM (
+        |    SELECT unnest(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t)-1), i -> array_to_string(list_slice(t, i, i+2), ' '))
+        |      ELSE [] END) AS sh
+        |    FROM evt) e9
+        |), csh AS (
+        |  SELECT DISTINCT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h1 FROM (
+        |    SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t)-1), i -> array_to_string(list_slice(t, i, i+2), ' '))
+        |      ELSE [] END) AS sh
+        |    FROM semk) c9
+        |), contam AS (
+        |  SELECT doc_id FROM (
+        |    SELECT c.doc_id, COUNT(*) AS n_grams,
+        |           SUM(CASE WHEN e.h1 IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        |    FROM csh c LEFT JOIN evh e USING (h1) GROUP BY c.doc_id) x9
+        |  WHERE CAST(n_hit AS DOUBLE) / n_grams >= 0.8
+        |), cln AS MATERIALIZED (
+        |  SELECT * FROM semk WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        |), eh10 AS (
+        |  SELECT DISTINCT ('0x' || substring(md5(array_to_string(list_slice(t, i, i + 9), ' ')), 1, 15))::BIGINT AS h
+        |  FROM (SELECT t, unnest(range(1, len(t) - 8)) AS i FROM evt) z9
+        |), mk10 AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, i,
+        |           ('0x' || substring(md5(array_to_string(list_slice(t, i, i + 9), ' ')), 1, 15))::BIGINT AS h
+        |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS i FROM cln) g9) h9
+        |  JOIN eh10 USING (h)
+        |), cv10 AS (
+        |  SELECT DISTINCT doc_id, ti FROM (
+        |    SELECT doc_id, unnest(list_transform(range(0, 10), u -> i + u)) AS ti FROM mk10) u9
+        |), tk10 AS (
+        |  SELECT doc_id, source, unnest(range(1, len(t) + 1)) AS ti, t FROM cln
+        |), kp10 AS (
+        |  SELECT k.doc_id, k.source, k.ti, k.t[k.ti] AS w
+        |  FROM tk10 k LEFT JOIN cv10 c10 ON c10.doc_id = k.doc_id AND c10.ti = k.ti
+        |  WHERE c10.ti IS NULL
+        |), strip AS MATERIALIZED (
+        |  SELECT doc_id, source, list(w ORDER BY ti) AS t
+        |  FROM kp10 GROUP BY doc_id, source
         |), tbt AS (
         |  SELECT (('0x' || substring(md5(tt), 1, 15))::BIGINT % 1024) AS f FROM (
         |    SELECT unnest(list_filter(string_split_regex(
@@ -644,7 +701,7 @@ object PipelineQueries extends QueryModule {
         |    FROM documents WHERE lang = 'en') tx
         |), rbt AS (
         |  SELECT doc_id, (('0x' || substring(md5(tt), 1, 15))::BIGINT % 1024) AS f
-        |  FROM (SELECT doc_id, unnest(t) AS tt FROM semk) rx
+        |  FROM (SELECT doc_id, unnest(t) AS tt FROM strip) rx
         |), rc AS (
         |  SELECT f, CAST(COUNT(*) AS BIGINT) AS r FROM rbt GROUP BY f
         |), tc AS (
@@ -666,11 +723,11 @@ object PipelineQueries extends QueryModule {
         |  SELECT s4.doc_id,
         |         CAST(COALESCE(dsc.n, 0) AS BIGINT) AS n_toks,
         |         CAST(COALESCE(dsc.logw, 0) AS BIGINT) AS logw_fp
-        |  FROM semk s4 LEFT JOIN dsc USING (doc_id)
+        |  FROM strip s4 LEFT JOIN dsc USING (doc_id)
         |), dtot AS (
         |  SELECT CAST(SUM(logw_fp) AS HUGEINT) AS sl, CAST(SUM(n_toks) AS HUGEINT) AS sn FROM dw
         |), dsel AS MATERIALIZED (
-        |  SELECT s5.* FROM semk s5 JOIN dw ON dw.doc_id = s5.doc_id CROSS JOIN dtot
+        |  SELECT s5.* FROM strip s5 JOIN dw ON dw.doc_id = s5.doc_id CROSS JOIN dtot
         |  WHERE CAST(dw.logw_fp AS HUGEINT) * dtot.sn > dtot.sl * CAST(dw.n_toks AS HUGEINT)
         |), buds AS (
         |  SELECT doc_id, source, t,

@@ -528,6 +528,54 @@ class ExamplesSpec extends AnyFunSuite {
       s"identical snapshot should process nothing: $rSame")
   }
 
+  test("TrainingPipeline substring decontamination strips quoted eval spans in place") {
+    import graft.jobs.TrainingPipeline
+    import spark.implicits._
+    // three-doc corpus with provable stage routing at w = 10:
+    //  - docB IS a benchmark doc (eval1 verbatim) -> 3-gram frac 1.0,
+    //    the DOC-LEVEL gate (stage 4) drops it whole;
+    //  - docQ quotes the 10-token benchmark span eval2 inside unrelated
+    //    text -> frac 11/18 < 0.8 survives the doc gate, and stage 4c
+    //    strips exactly the quoted span;
+    //  - docC is clean and must pass untouched.
+    val e = (0 until 10).map(i => s"e$i").mkString(" ")
+    val docB = s"the a is of and $e"
+    val docQ = s"the a is of and t1 t2 t3 t4 t5 $e"
+    val docC = "the a is of and c1 c2 c3 c4 c5"
+    val corpus = Seq((1L, "s0", docQ), (2L, "s0", docB), (3L, "s0", docC))
+      .toDF("doc_id", "source", "text")
+    val evalSet = Seq((100L, docB), (101L, e)).toDF("doc_id", "text")
+    val (packed, r) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      input = Some(corpus), evalDocs = Some(evalSet),
+      decontamSubstringW = Some(10), lang = "en", minTokens = 5)
+    assert(r.afterNearDup == 3, s"near-dup must keep all three: $r")
+    assert(r.afterDecontam == 2, s"doc gate must drop exactly docB: $r")
+    assert(r.afterSubstring == 2, s"span strip must drop no whole doc: $r")
+    // the strip is IN PLACE: the damaged run's packed output equals a
+    // clean run over the already-stripped corpus (docQ minus the span,
+    // docB absent) with both decon stages off
+    val cleanCorpus = Seq(
+      (1L, "s0", "the a is of and t1 t2 t3 t4 t5"), (3L, "s0", docC))
+      .toDF("doc_id", "source", "text")
+    val (packedClean, _) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      input = Some(cleanCorpus), lang = "en", minTokens = 5)
+    assert(packed.exceptAll(packedClean).isEmpty &&
+      packedClean.exceptAll(packed).isEmpty,
+      "stripped-run packs != pre-stripped-corpus packs")
+    // without the stage, the quoted span rides through (afterSubstring
+    // mirrors afterDecontam and docQ keeps all 21 tokens)
+    val (packedOff, rOff) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      input = Some(corpus), evalDocs = Some(evalSet),
+      lang = "en", minTokens = 5)
+    assert(rOff.afterSubstring == rOff.afterDecontam,
+      s"skip path must pass through: $rOff")
+    val tokTotal = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(sum(col("tok_sum"))).head.getLong(0)
+    assert(tokTotal(packedOff) == tokTotal(packed) + 10,
+      s"strip must remove exactly the 10-token span: " +
+        s"${tokTotal(packedOff)} vs ${tokTotal(packed)}")
+  }
+
   test("TrainingPipeline composes the verified stages end-to-end") {
     import graft.jobs.TrainingPipeline
     // stand-in eval corpus: a fixed slice of the documents table
