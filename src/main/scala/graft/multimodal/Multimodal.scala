@@ -87,13 +87,35 @@ object Multimodal {
     * invert. Docs failing [[fixtureIsImage]] get their raw text bytes
     * (mime octet-stream) instead: in-domain corrupt/mislabeled media.
     */
-  /** One gradient frame of the fixture law: gray pixel (x, y) =
-    * (x + y + base) mod 256, PNG-encoded. Shared by the image and
-    * frame-stream fabricators so the fixture law and the SQL oracles
-    * cannot desynchronize.
+  /** Pixel law of frame f of doc id — shared by [[fabricateFrameStream]]
+    * and the multimodal_video / video_neardup_pairs oracles:
+    * (x² + y²·(f+1) + (x+y)·id + id + f) mod 256. QUADRATIC in both
+    * axes so the pattern is pseudo-random and frames carry real
+    * information: consecutive frames must differ structurally (a
+    * uniform brightness shift is invisible to the deliberately
+    * brightness-normalizing average-hash) and distinct docs' frames
+    * must not collide under an 8×8 perceptual hash (thresholded
+    * LINEAR ramps take only a handful of bit patterns — measured 4k+
+    * spurious near-dup pairs on the 500-doc fixture before this law).
     */
-  private def grayGradientPng(w: Int, h: Int, base: Long): Array[Byte] =
-    grayGradient(w, h, base, "png")
+  def videoPixel(docId: Long, f: Int, x: Int, y: Int): Int =
+    ((x.toLong * x + y.toLong * y * (f + 1) + (x + y).toLong * docId +
+      docId + f) % 256).toInt
+
+  private def framePng(w: Int, h: Int, docId: Long, f: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, videoPixel(docId, f, x, y)); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
 
   /** The same gradient encoded in any JDK writer format. BMP rides a
     * 24-bit RGB carrier (r=g=b=luma) so the decoded image has 3 bands —
@@ -404,13 +426,20 @@ object Multimodal {
       graft.functions.MediaExpressions.ahash64(col("content")).as("ahash"))
 
   /** Deterministic REAL-WAV fixture law for `doc_id` — shared by
-    * [[fabricateAudio]] and the analytic multimodal_audio oracle:
-    * mono 16-bit PCM at 8 kHz, frame count 256 + (id mod 512), sample
-    * i = ((i · (3 + id mod 5)) mod 2003) − 1001.
+    * [[fabricateAudio]] and the analytic multimodal_audio /
+    * audio_fingerprint oracles: mono 16-bit PCM at 8 kHz, frame count
+    * 256 + (id mod 512), sample
+    * i = ((i²·m + i·id + id) mod 2003) − 1001 with m = 3 + id mod 5.
+    * The QUADRATIC index term makes the waveform doc-unique and its
+    * band energies pseudo-random (the step i→i+1 jumps by
+    * (2i+1)·m + id mod 2003, wrapping every few samples), which is
+    * what the differential fingerprint lanes need — a linear sawtooth
+    * gives every doc the same energy-ramp signs and all fingerprints
+    * collide. Still pure integer arithmetic, so SQL replays it.
     */
   def audioFrames(docId: Long): Int = (256 + docId % 512).toInt
   def audioSample(docId: Long, i: Int): Int =
-    (((i.toLong * (3 + docId % 5)) % 2003) - 1001).toInt
+    (((i.toLong * i * (3 + docId % 5) + i * docId + docId) % 2003) - 1001).toInt
 
   /** Synthesize a media table of GENUINE WAV files (RIFF container,
     * PCM16 little-endian — written through `javax.sound.sampled`, the
@@ -418,14 +447,21 @@ object Multimodal {
     * [[fixtureIsImage]] carry their text bytes instead, as in
     * [[fabricateImages]]. PCM is lossless, so a decoder that truly
     * parses the container recovers the exact integer samples.
+    *
+    * `idOffset`/`maxFrames` plant deterministic NEAR-DUP variants (the
+    * multimodal_ahash_pairs damage discipline): the waveform law stays
+    * keyed on the ORIGINAL doc_id while the emitted id shifts by
+    * `idOffset` and the stream truncates to `maxFrames` — a clipped
+    * re-encode of the original, the audio_neardup_pairs fixture.
     */
-  def fabricateAudio(docs: DataFrame): DataFrame = {
+  def fabricateAudio(docs: DataFrame, idOffset: Long = 0L,
+                     maxFrames: Int = Int.MaxValue): DataFrame = {
     val spark = docs.sparkSession
     val rdd = docs.select("doc_id", "text").rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getAs[Long]("doc_id")
         if (fixtureIsImage(id)) {
-          val n = audioFrames(id)
+          val n = math.min(audioFrames(id), maxFrames)
           val pcm = new Array[Byte](n * 2)
           var i = 0
           while (i < n) {
@@ -441,8 +477,8 @@ object Multimodal {
           javax.sound.sampled.AudioSystem.write(ais,
             javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
           val bytes = baos.toByteArray
-          Row(id, bytes, Row("audio/wav", bytes.length.toLong))
-        } else textBytesRow(id, r.getAs[String]("text"))
+          Row(id + idOffset, bytes, Row("audio/wav", bytes.length.toLong))
+        } else textBytesRow(id + idOffset, r.getAs[String]("text"))
       }
     }
     spark.createDataFrame(rdd, mediaSchema)
@@ -456,6 +492,34 @@ object Multimodal {
     StructField("sum_abs", LongType, nullable = true),
     StructField("max_abs", LongType, nullable = true)))
 
+  /** Decode content to (sample_rate, channels, interleaved PCM16
+    * samples) via the JDK readers (WAV/AIFF/AU); None for content no
+    * reader accepts or non-16-bit encodings (null content included);
+    * never throws. The one real audio decode, shared by the stats and
+    * fingerprint kernels.
+    */
+  private def pcm16Samples(content: Array[Byte]
+                          ): Option[(Int, Int, Array[Int])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16) None
+      else {
+        val bytes = ais.readAllBytes()
+        val le = !fmt.isBigEndian
+        val out = new Array[Int](bytes.length / 2)
+        var i = 0
+        while (2 * i + 1 < bytes.length) {
+          out(i) =
+            if (le) ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+            else ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort.toInt
+          i += 1
+        }
+        Some((fmt.getSampleRate.toInt, fmt.getChannels.toInt, out))
+      }
+    } catch { case _: Exception => None }
+
   /** REAL audio decode: `AudioSystem.getAudioInputStream` over the
     * content (WAV/AIFF/AU — the JDK's built-in readers), then exact
     * integer amplitude stats over the PCM16 samples. NULLs for content
@@ -468,36 +532,157 @@ object Multimodal {
     val rdd = media.select("doc_id", "content").rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getAs[Long]("doc_id")
-        val content = r.getAs[Array[Byte]]("content")
-        try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(content))
-          val fmt = ais.getFormat
-          if (fmt.getSampleSizeInBits != 16) Row(id, null, null, null, null, null)
-          else {
-            val bytes = ais.readAllBytes()
-            val le = !fmt.isBigEndian
+        pcm16Samples(r.getAs[Array[Byte]]("content")) match {
+          case None => Row(id, null, null, null, null, null)
+          case Some((rate, channels, samples)) =>
             var (sum, maxAbs) = (0L, 0L)
             var i = 0
-            while (i + 1 < bytes.length) {
-              val s =
-                if (le) ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
-                else ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
-              val a = math.abs(s.toLong)
+            while (i < samples.length) {
+              val a = math.abs(samples(i).toLong)
               sum += a
               if (a > maxAbs) maxAbs = a
-              i += 2
+              i += 1
             }
-            val frames = bytes.length.toLong / (2L * fmt.getChannels)
-            Row(id, fmt.getSampleRate.toInt, fmt.getChannels.toInt,
-              frames, sum, maxAbs)
-          }
-        } catch {
-          case _: Exception => Row(id, null, null, null, null, null)
+            Row(id, rate, channels, samples.length.toLong / channels,
+              sum, maxAbs)
         }
       }
     }
     spark.createDataFrame(rdd, audioSchema)
+  }
+
+  private val subfpSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("win_idx", IntegerType, nullable = true),
+    StructField("subfp", LongType, nullable = true)))
+
+  /** Chromaprint-style audio subfingerprints over REAL decoded PCM16:
+    * per non-overlapping `window`-sample window, `bands` integer band
+    * energies E[b] = Σ|s| over window/bands consecutive samples, then
+    * per window t >= 1 a (2·(bands−1))-bit subfingerprint of
+    * differential signs — bit b (spatial) = E_t[b] > E_t[b+1], bit
+    * bands−1+b (temporal) = (E_t[b]−E_t[b+1]) > (E_{t−1}[b]−E_{t−1}[b+1])
+    * — the energy-band sign-of-difference shape of the published
+    * Chromaprint/Philips audio-fingerprint family, with plain
+    * band-energy sums in place of an FFT filterbank so every bit is
+    * exact integer arithmetic and a SQL oracle replays the whole chain.
+    * (A production lane would swap the energy kernel for a spectral
+    * one; the Spark plumbing — per-partition decode, (id, win, subfp)
+    * rows, the match join — is what this library owns.) One row per
+    * window; content that does not decode, or yields fewer than two
+    * full windows, emits one visible (id, NULL, NULL) row. Row-local,
+    * zero-shuffle — the fingerprint table feeds [[audioNearDupPairs]]'
+    * bounded equi-join.
+    */
+  def audioSubfingerprints(media: DataFrame, window: Int = 64,
+                           bands: Int = 8): DataFrame = {
+    require(bands >= 2 && window % bands == 0,
+      s"window ($window) must be a multiple of bands ($bands >= 2)")
+    val spark = media.sparkSession
+    val bw = window / bands
+    val rdd = media.select("doc_id", "content").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getAs[Long]("doc_id")
+        pcm16Samples(r.getAs[Array[Byte]]("content")) match {
+          case None => Seq(Row(id, null, null))
+          case Some((_, _, samples)) =>
+            val nw = samples.length / window
+            if (nw < 2) Seq(Row(id, null, null))
+            else {
+              // dd(t)(b) = E_t[b] − E_t[b+1], exact longs
+              val dd = Array.ofDim[Long](nw, bands - 1)
+              var t = 0
+              while (t < nw) {
+                val e = new Array[Long](bands)
+                var j = 0
+                while (j < window) {
+                  e(j / bw) += math.abs(samples(t * window + j).toLong)
+                  j += 1
+                }
+                var b = 0
+                while (b < bands - 1) { dd(t)(b) = e(b) - e(b + 1); b += 1 }
+                t += 1
+              }
+              (1 until nw).map { t =>
+                var fp = 0L
+                var b = 0
+                while (b < bands - 1) {
+                  if (dd(t)(b) > 0) fp |= 1L << b
+                  if (dd(t)(b) > dd(t - 1)(b)) fp |= 1L << (bands - 1 + b)
+                  b += 1
+                }
+                Row(id, t, fp)
+              }
+            }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, subfpSchema)
+  }
+
+  /** Audio near-dup pairs over [[audioSubfingerprints]] output: items
+    * sharing >= `minShared` aligned (win_idx, subfp) entries — clipped
+    * or re-encoded copies of a recording match on their common prefix
+    * windows. Scale shape: ONE equi-join on the (win_idx, subfp) key
+    * with a hot-key cap (`maxBucket` items per key — an anthem-intro
+    * window shared by millions of items generates candidates from
+    * nobody), never all-pairs; 14-bit subfingerprints over
+    * pseudo-random content keep buckets near-empty, so candidate
+    * volume is linear in the corpus.
+    */
+  def audioNearDupPairs(media: DataFrame, minShared: Int = 2,
+                        maxBucket: Int = 1000, window: Int = 64,
+                        bands: Int = 8): DataFrame = {
+    val fp = audioSubfingerprints(media, window, bands)
+      .filter(col("subfp").isNotNull)
+    sharedKeyPairs(fp, Seq("win_idx", "subfp"), minShared, maxBucket,
+      "aud_a", "aud_b", "n_matched")
+  }
+
+  /** Pairs of items sharing >= `minShared` distinct fingerprint keys —
+    * the shared match tail of [[audioNearDupPairs]] and
+    * [[videoNearDupPairs]]: distinct (id, key) rows, hot keys past
+    * `maxBucket` dropped (they identify nothing and would square the
+    * candidate volume), one self-equi-join, one bounded pair count.
+    */
+  private def sharedKeyPairs(fp: DataFrame, keys: Seq[String],
+                             minShared: Int, maxBucket: Int,
+                             aName: String, bName: String,
+                             nName: String): DataFrame = {
+    val kc = keys.map(col)
+    val tbl = fp.select((col("doc_id") +: kc): _*).distinct()
+    val ok = tbl.groupBy(kc: _*).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxBucket).select(kc: _*)
+    // the USING join reorders columns (keys first) — re-select before
+    // the positional rename of the self-join's right side
+    val kept = tbl.join(ok, keys).select(("doc_id" +: keys).map(col): _*)
+    kept
+      .join(kept.toDF(("doc_id" +: keys).map("y_" + _): _*),
+        keys.map(k => col(k) === col("y_" + k))
+          .reduce(_ && _) && col("doc_id") < col("y_doc_id"))
+      .groupBy(col("doc_id").as(aName), col("y_doc_id").as(bName))
+      .agg(count(lit(1)).as(nName))
+      .filter(col(nName) >= minShared)
+  }
+
+  /** Video near-dup pairs — the frame-ahash-sequence discipline: every
+    * frame of every stream REALLY decodes ([[framePlanes]]), resamples
+    * to the 8×8 luma grid, and hashes through the codegen'd perceptual
+    * [[graft.functions.AHash64]]; items sharing >= `minShared` distinct
+    * frame hashes pair (a clipped or re-encoded copy shares its whole
+    * frame sequence; a single coincidental frame — a black frame, a
+    * standard intro card — does not, and hot frame hashes past
+    * `maxBucket` are dropped entirely). Same bounded equi-join shape as
+    * [[audioNearDupPairs]]: candidate volume linear in total frames.
+    */
+  def videoNearDupPairs(media: DataFrame, minShared: Int = 2,
+                        maxBucket: Int = 1000): DataFrame = {
+    val fp = framePlanes(media, 8, 8)
+      .filter(col("luma").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.MediaExpressions.ahash64(col("luma")).as("fhash"))
+    sharedKeyPairs(fp, Seq("fhash"), minShared, maxBucket,
+      "vid_a", "vid_b", "n_shared")
   }
 
   /** Frame count law of the video fixture: 2 + (id mod 4) frames. */
@@ -505,13 +690,22 @@ object Multimodal {
 
   /** Synthesize a media table of frame SEQUENCES — each item is the
     * concatenation of [[videoFrames]] genuine PNGs (the MJPEG shape:
-    * a stream of independently-decodable still frames; frame f of doc
-    * id uses the [[fabricateImages]] gradient shifted by f). Real
-    * "video" work without a codec dependency: extraction must find
-    * frame boundaries in the byte stream and each frame must truly
-    * decode. Non-media docs (per [[fixtureIsImage]]) carry text bytes.
+    * a stream of independently-decodable still frames, each drawn from
+    * the pseudo-random [[videoPixel]] law — consecutive frames differ
+    * structurally, the way real video frames do). Real "video" work
+    * without a codec dependency: extraction must find frame boundaries
+    * in the byte stream and each frame must truly decode. Non-media
+    * docs (per [[fixtureIsImage]]) carry text bytes.
+    *
+    * `idOffset`/`frameShift` plant deterministic NEAR-DUP variants:
+    * dims and the gradient law stay keyed on the ORIGINAL doc_id while
+    * the emitted id shifts by `idOffset` and the stream starts at frame
+    * `frameShift` — a head-clipped re-encode whose every frame is
+    * byte-identical content to a frame of the original, the
+    * video_neardup_pairs fixture.
     */
-  def fabricateFrameStream(docs: DataFrame): DataFrame = {
+  def fabricateFrameStream(docs: DataFrame, idOffset: Long = 0L,
+                           frameShift: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     val rdd = docs.select("doc_id", "text").rdd.mapPartitions { it =>
       it.map { r =>
@@ -519,14 +713,14 @@ object Multimodal {
         if (fixtureIsImage(id)) {
           val (w, h) = fixtureDims(id)
           val baos = new java.io.ByteArrayOutputStream()
-          var f = 0
+          var f = frameShift
           while (f < videoFrames(id)) {
-            baos.write(grayGradientPng(w, h, id + f))
+            baos.write(framePng(w, h, id, f))
             f += 1
           }
           val bytes = baos.toByteArray
-          Row(id, bytes, Row("video/x-png-stream", bytes.length.toLong))
-        } else textBytesRow(id, r.getAs[String]("text"))
+          Row(id + idOffset, bytes, Row("video/x-png-stream", bytes.length.toLong))
+        } else textBytesRow(id + idOffset, r.getAs[String]("text"))
       }
     }
     spark.createDataFrame(rdd, mediaSchema)
@@ -622,6 +816,57 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, lumaSchema)
+  }
+
+  private val framePlaneSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("luma", BinaryType, nullable = true)))
+
+  /** REAL frame extraction + decode + nearest-neighbor resample to a
+    * fixed (targetW × targetH) luma grid, one binary plane per frame —
+    * [[decodeFrameStream]]'s boundary scan composed with [[resize]]'s
+    * exact integer resample rule (out(x, y) = luma(x·srcW div targetW,
+    * y·srcH div targetH)), without the PNG re-encode round trip per
+    * frame. The bridge from video bytes to per-frame perceptual
+    * hashing: ahash64 over each plane is the frame-sequence signature
+    * [[videoNearDupPairs]] matches on. Items with no extractable frame
+    * emit one visible (id, 0, NULL) row; undecodable frames carry NULL
+    * planes — never a throw, never a silent drop.
+    */
+  def framePlanes(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "content").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getAs[Long]("doc_id")
+        val content = r.getAs[Array[Byte]]("content")
+        val offs = if (content == null) Seq.empty else pngOffsets(content)
+        if (offs.isEmpty) Seq(Row(id, 0, null))
+        else offs.zipWithIndex.map { case (start, idx) =>
+          val end = if (idx + 1 < offs.length) offs(idx + 1) else content.length
+          val img = decodeImage(java.util.Arrays.copyOfRange(content, start, end))
+          if (img == null) Row(id, idx, null)
+          else {
+            val (sw, sh) = (img.getWidth, img.getHeight)
+            val out = new Array[Byte](targetW * targetH)
+            var y = 0
+            while (y < targetH) {
+              val sy = (y.toLong * sh / targetH).toInt
+              var x = 0
+              while (x < targetW) {
+                out(y * targetW + x) =
+                  lumaAt(img, (x.toLong * sw / targetW).toInt, sy).toByte
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, idx, out)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, framePlaneSchema)
   }
 
   /** Frame sampling: n evenly spaced byte offsets per media item (the

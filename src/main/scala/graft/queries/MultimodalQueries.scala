@@ -111,6 +111,47 @@ object MultimodalQueries extends QueryModule {
     "multimodal_audio" -> ((s, dir) =>
       Multimodal.decodeAudioFeatures(
         Multimodal.fabricateAudio(Tables(s, dir, "documents")))),
+    // chromaprint-style perceptual audio fingerprints over the REAL
+    // decoded PCM16 stream: 8 integer band energies per 64-sample
+    // window, 7 spatial + 7 temporal differential sign bits per window
+    // — every bit exact integer arithmetic, so the oracle replays the
+    // whole decode → energy → sign chain from the waveform law.
+    // Non-audio docs emit one visible (id, NULL, NULL) row.
+    "audio_fingerprint" -> ((s, dir) =>
+      Multimodal.audioSubfingerprints(
+        Multimodal.fabricateAudio(Tables(s, dir, "documents")))),
+    // audio near-dup pairs over the subfingerprints: planted CLIPPED
+    // re-encodes (every 25th audio doc truncated to 256 frames, the
+    // multimodal_ahash_pairs damage discipline) must match their
+    // originals on all three common fingerprint windows — one bounded
+    // (win_idx, subfp) equi-join, never all-pairs. Threshold 3 is
+    // fixture-calibrated: the planted clips match exactly 3 windows,
+    // and 14-bit subfingerprints leave only ~2 coincidental 3-window
+    // pairs on the 500-doc fixture (at 2 the coincidence tail is ~30).
+    // The oracle replays fingerprints for originals AND variants from
+    // the one waveform law and re-derives the same pair set.
+    "audio_neardup_pairs" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val wavs = Multimodal.fabricateAudio(d).unionByName(
+        Multimodal.fabricateAudio(d.filter(col("doc_id") % 25 === 0),
+          idOffset = 1000000L, maxFrames = 256))
+      Multimodal.audioNearDupPairs(wavs, minShared = 3, maxBucket = 1000)
+    }),
+    // video near-dup pairs — the frame-ahash-sequence discipline: every
+    // frame of every stream really decodes, resamples to the 8x8 luma
+    // grid and hashes through the perceptual ahash64; items sharing
+    // >= 2 distinct frame hashes pair. Planted HEAD-CLIPPED re-encodes
+    // (every 20th-ish video minus its first frame — ids %20 == 5, whose
+    // 3-frame streams leave 2 shared frames) must pair with their
+    // originals; the oracle replays the whole extract → resample →
+    // ahash → match chain from the per-frame pixel law.
+    "video_neardup_pairs" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val streams = Multimodal.fabricateFrameStream(d).unionByName(
+        Multimodal.fabricateFrameStream(d.filter(col("doc_id") % 20 === 5),
+          idOffset = 1000000L, frameShift = 1))
+      Multimodal.videoNearDupPairs(streams, minShared = 2, maxBucket = 1000)
+    }),
     // REAL video-shaped lane: per-doc frame STREAMS (concatenated
     // genuine PNGs, the MJPEG shape) — extraction finds the signature
     // boundaries in raw bytes and every frame truly decodes; one row
@@ -142,6 +183,34 @@ object MultimodalQueries extends QueryModule {
         media(s, dir).select("doc_id", "content").unionByName(sent))
     })
   )
+
+  // Replay of Multimodal.audioSubfingerprints(window=64, bands=8) over
+  // a `base` CTE of (doc_id, src, n, m): samples from the waveform law
+  // keyed on src (so planted variants reuse their original's
+  // waveform), 8 band energies per FULL 64-sample window, spatial sign
+  // bits (E[b] > E[b+1]) in bits 0..6 and temporal sign bits
+  // (dv_t > dv_{t-1}) in bits 7..13. Ends at fp(doc_id, win_idx,
+  // subfp); prepend WITH and a base.
+  private val subfpChain: String =
+    """smp AS (
+      |  SELECT doc_id, i.i AS i,
+      |         abs((i.i*i.i*m + i.i*src + src) % 2003 - 1001) AS a
+      |  FROM base, (SELECT unnest(range(0, 768)) AS i) i
+      |  WHERE i.i < (n // 64) * 64
+      |), eng AS (
+      |  SELECT doc_id, i // 64 AS t, (i % 64) // 8 AS b, SUM(a) AS en
+      |  FROM smp GROUP BY doc_id, i // 64, (i % 64) // 8
+      |), dd AS (
+      |  SELECT x.doc_id, x.t, x.b, x.en - y.en AS dv
+      |  FROM eng x JOIN eng y ON y.doc_id = x.doc_id AND y.t = x.t AND y.b = x.b + 1
+      |  WHERE x.b < 7
+      |), fp AS (
+      |  SELECT c.doc_id, CAST(c.t AS INTEGER) AS win_idx,
+      |         CAST(SUM(CASE WHEN c.dv > 0 THEN 1 << c.b ELSE 0 END) +
+      |              SUM(CASE WHEN c.dv > p.dv THEN 1 << (7 + c.b) ELSE 0 END) AS BIGINT) AS subfp
+      |  FROM dd c JOIN dd p ON p.doc_id = c.doc_id AND p.t = c.t - 1 AND p.b = c.b
+      |  GROUP BY c.doc_id, c.t
+      |)""".stripMargin
 
   // The aHash replay: byte k of the blob is hex-pair k of hex(blob);
   // sample positions, the integer mean threshold (64·v > Σv), and the
@@ -273,14 +342,16 @@ object MultimodalQueries extends QueryModule {
         |FROM px JOIN tt USING (doc_id)
         |GROUP BY px.doc_id""".stripMargin,
     // the waveform law: n = 256 + id%512 frames, sample i =
-    // ((i*(3+id%5)) mod 2003) - 1001, mono 8 kHz PCM16
+    // ((i²·m + i·id + id) mod 2003) - 1001 with m = 3 + id%5, mono
+    // 8 kHz PCM16 (quadratic in i so band energies are pseudo-random —
+    // see Multimodal.audioSample)
     "multimodal_audio" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(256 + doc_id % 512 AS BIGINT) AS n,
         |         3 + doc_id % 5 AS m
         |  FROM documents
         |), smp AS (
-        |  SELECT doc_id, abs((i.i * m) % 2003 - 1001) AS a
+        |  SELECT doc_id, abs((i.i*i.i*m + i.i*doc_id + doc_id) % 2003 - 1001) AS a
         |  FROM d, (SELECT unnest(range(0, 768)) AS i) i
         |  WHERE i.i < d.n
         |), agg AS (
@@ -293,8 +364,84 @@ object MultimodalQueries extends QueryModule {
         |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(agg.s AS BIGINT) END AS sum_abs,
         |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(agg.mx AS BIGINT) END AS max_abs
         |FROM d JOIN agg USING (doc_id)""".stripMargin,
-    // per-frame pixel law: frame f of doc id = the decode gradient
-    // shifted by f, dims from the shared fixture law
+    // the full decode → band-energy → sign-bit replay from the
+    // waveform law; non-audio docs carry the visible NULL row
+    "audio_fingerprint" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, doc_id AS src, CAST(256 + doc_id % 512 AS BIGINT) AS n,
+        |         3 + doc_id % 5 AS m
+        |  FROM documents WHERE doc_id % 10 != 7
+        |), $subfpChain
+        |SELECT doc_id, win_idx, subfp FROM fp
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
+        |FROM documents WHERE doc_id % 10 = 7""".stripMargin,
+    // the same chain over originals + truncated variants (src keeps
+    // the original id, n pinned to 192), then the hot-key-capped
+    // (win_idx, subfp) match join and the >= 2 pair law
+    "audio_neardup_pairs" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, doc_id AS src, CAST(256 + doc_id % 512 AS BIGINT) AS n,
+        |         3 + doc_id % 5 AS m
+        |  FROM documents WHERE doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, CAST(256 AS BIGINT), 3 + doc_id % 5
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id % 10 != 7
+        |), $subfpChain, ok AS (
+        |  SELECT win_idx, subfp FROM fp GROUP BY win_idx, subfp HAVING COUNT(*) <= 1000
+        |), k AS (
+        |  SELECT fp.* FROM fp JOIN ok USING (win_idx, subfp)
+        |)
+        |SELECT x.doc_id AS aud_a, y.doc_id AS aud_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_matched
+        |FROM k x JOIN k y
+        |  ON x.win_idx = y.win_idx AND x.subfp = y.subfp AND x.doc_id < y.doc_id
+        |GROUP BY x.doc_id, y.doc_id
+        |HAVING COUNT(*) >= 3""".stripMargin,
+    // the frame-ahash-sequence replay: per-frame 8x8 nearest-neighbor
+    // phash from the pixel law (frame f of src uses gradient base
+    // src + f; head-clipped variants start at f = 1), distinct
+    // (video, fhash), hot-hash cap, >= 2 shared law
+    "video_neardup_pairs" ->
+      """WITH vids AS (
+        |  SELECT doc_id, doc_id AS src, 0 AS sh FROM documents WHERE doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, 1 FROM documents WHERE doc_id % 20 = 5
+        |), frs AS (
+        |  SELECT doc_id, src, f.f AS f,
+        |         CAST(8 + src % 24 AS INTEGER) AS w,
+        |         CAST(8 + (src * 7) % 16 AS INTEGER) AS h
+        |  FROM vids, (SELECT unnest(range(0, 6)) AS f) f
+        |  WHERE f.f >= sh AND f.f < 2 + src % 4
+        |), px AS (
+        |  SELECT doc_id, f, i,
+        |         (xs*xs + ys*ys*(f + 1) + (xs + ys)*src + src + f) % 256 AS v
+        |  FROM (
+        |    SELECT doc_id, src, f,
+        |           (((i.i % 8) * w) // 8) AS xs, (((i.i // 8) * h) // 8) AS ys,
+        |           i.i AS i
+        |    FROM frs, (SELECT unnest(range(0, 64)) AS i) i) g
+        |), tt AS (
+        |  SELECT doc_id, f, SUM(v) AS tot FROM px GROUP BY doc_id, f
+        |), fh AS (
+        |  SELECT px.doc_id, px.f,
+        |         string_agg(CASE WHEN v * 64 > tt.tot THEN '1' ELSE '0' END, '' ORDER BY i) AS fhash
+        |  FROM px JOIN tt USING (doc_id, f) GROUP BY px.doc_id, px.f
+        |), fhd AS (
+        |  SELECT DISTINCT doc_id, fhash FROM fh
+        |), ok AS (
+        |  SELECT fhash FROM fhd GROUP BY fhash HAVING COUNT(*) <= 1000
+        |), k AS (
+        |  SELECT fhd.* FROM fhd JOIN ok USING (fhash)
+        |)
+        |SELECT x.doc_id AS vid_a, y.doc_id AS vid_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM k x JOIN k y ON x.fhash = y.fhash AND x.doc_id < y.doc_id
+        |GROUP BY x.doc_id, y.doc_id
+        |HAVING COUNT(*) >= 2""".stripMargin,
+    // per-frame pixel law (Multimodal.videoPixel): frame f of doc id
+    // has pixel (x² + y²·(f+1) + (x+y)·id + id + f) mod 256, dims from
+    // the shared fixture law
     "multimodal_video" ->
       """WITH dims AS (
         |  SELECT doc_id,
@@ -307,7 +454,8 @@ object MultimodalQueries extends QueryModule {
         |   fs AS (SELECT unnest(range(0, 6)) AS f),
         |px AS (
         |  SELECT doc_id, fs.f AS f,
-        |         SUM((xs.x + ys.y + doc_id + fs.f) % 256) AS s
+        |         SUM((xs.x*xs.x + ys.y*ys.y*(fs.f + 1) + (xs.x + ys.y)*doc_id
+        |              + doc_id + fs.f) % 256) AS s
         |  FROM dims, xs, ys, fs
         |  WHERE xs.x < dims.w AND ys.y < dims.h AND fs.f < dims.nf
         |  GROUP BY doc_id, fs.f

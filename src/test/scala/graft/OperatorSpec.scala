@@ -665,6 +665,76 @@ class OperatorSpec extends AnyFunSuite {
       "non-audio content must decode to NULL features, never throw")
   }
 
+  test("Multimodal audio subfingerprints: exact differential bits; clips match their original's windows") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((0L, "x"), (9L, "x"), (17L, "NOT audio")).toDF("doc_id", "text")
+    val fp = Multimodal.audioSubfingerprints(Multimodal.fabricateAudio(docs))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1)) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    // the exact-bit law, recomputed independently from the waveform
+    def expected(id: Long): Map[Int, Long] = {
+      val n = (Multimodal.audioFrames(id) / 64) * 64
+      val e = Array.tabulate(n / 64, 8)((t, b) =>
+        (0 until 8).map(j => math.abs(
+          Multimodal.audioSample(id, t * 64 + b * 8 + j).toLong)).sum)
+      val dd = e.map(row => (0 until 7).map(b => row(b) - row(b + 1)))
+      (1 until n / 64).map { t =>
+        t -> (0 until 7).map { b =>
+          (if (dd(t)(b) > 0) 1L << b else 0L) |
+            (if (dd(t)(b) > dd(t - 1)(b)) 1L << (7 + b) else 0L)
+        }.reduce(_ | _)
+      }.toMap
+    }
+    Seq(0L, 9L).foreach { id =>
+      val exp = expected(id)
+      exp.foreach { case (t, s) =>
+        assert(fp((id, t)) == s, s"doc $id window $t: ${fp((id, t))} != $s") }
+      assert(!fp.contains((id, 0)), "window 0 has no temporal diff")
+    }
+    assert(fp((17L, -1)) == -1L, "non-audio must emit the visible NULL row")
+    // a clipped re-encode fingerprints identically on common windows —
+    // the law audio_neardup_pairs matches on
+    val clip = Multimodal.audioSubfingerprints(
+      Multimodal.fabricateAudio(docs.filter($"doc_id" === 0L), maxFrames = 256))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(clip.keySet == Set(1, 2, 3), s"256-frame clip windows: ${clip.keySet}")
+    clip.foreach { case (t, s) =>
+      assert(fp((0L, t)) == s, s"clip window $t diverged from original") }
+  }
+
+  test("Multimodal framePlanes + videoNearDupPairs: head-clipped streams pair with their originals") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((1L, "x"), (9L, "x"), (17L, "NOT video")).toDF("doc_id", "text")
+    // plane law: real PNG decode + nearest-neighbor resample of the
+    // videoPixel pattern, per frame
+    val planes = Multimodal.framePlanes(
+        Multimodal.fabricateFrameStream(docs), 8, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    Seq(1L, 9L).foreach { id =>
+      val (w, h) = Multimodal.fixtureDims(id)
+      (0 until Multimodal.videoFrames(id)).foreach { f =>
+        val bytes = planes((id, f)).getAs[Array[Byte]]("luma")
+        assert(bytes.length == 64, s"doc $id frame $f plane size")
+        for { y <- 0 until 8; x <- 0 until 8 }
+          assert((bytes(y * 8 + x) & 0xff) ==
+            Multimodal.videoPixel(id, f, x * w / 8, y * h / 8),
+            s"doc $id frame $f pixel ($x,$y)")
+      }
+    }
+    assert(planes((17L, 0)).isNullAt(2), "non-video emits the visible NULL row")
+    // a head-clipped variant shares exactly nf-1 frame hashes with its
+    // original and nothing with anything else
+    val streams = Multimodal.fabricateFrameStream(docs).unionByName(
+      Multimodal.fabricateFrameStream(docs.filter($"doc_id" === 1L),
+        idOffset = 1000L, frameShift = 1))
+    val pairs = Multimodal.videoNearDupPairs(streams, minShared = 2, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 1001L, (Multimodal.videoFrames(1L) - 1).toLong)),
+      s"pairs: ${pairs.toSeq}")
+  }
+
   test("Multimodal decode handles gray+alpha and indexed-color without throwing; palette permutations hash alike") {
     import graft.multimodal.Multimodal
     import java.awt.image.{BufferedImage, ComponentColorModel, DataBuffer, IndexColorModel}
