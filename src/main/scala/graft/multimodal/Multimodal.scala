@@ -650,7 +650,13 @@ object Multimodal {
                              aName: String, bName: String,
                              nName: String): DataFrame = {
     val kc = keys.map(col)
+    // the fingerprint table feeds THREE plan branches (hot-key cap +
+    // both self-join sides); unpinned lineage would re-run the media
+    // decode per branch — decode dominates at any real scale, so pin
+    // the narrow (id, key) rows once (the Dedup banding discipline;
+    // the session's clearCache between queries releases it)
     val tbl = fp.select((col("doc_id") +: kc): _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = tbl.groupBy(kc: _*).agg(count(lit(1)).as("c"))
       .filter(col("c") <= maxBucket).select(kc: _*)
     // the USING join reorders columns (keys first) — re-select before

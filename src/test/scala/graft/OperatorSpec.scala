@@ -733,6 +733,12 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.toSeq == Seq((1L, 1001L, (Multimodal.videoFrames(1L) - 1).toLong)),
       s"pairs: ${pairs.toSeq}")
+    // the hot-key cap: every shared hash here lives in 2 items, so
+    // maxBucket = 1 drops them all and NO pair survives — a black
+    // frame shared by millions of videos generates candidates from
+    // nobody
+    assert(Multimodal.videoNearDupPairs(streams, minShared = 2, maxBucket = 1)
+      .isEmpty, "hot frame hashes past the cap must generate no candidates")
   }
 
   test("Multimodal decode handles gray+alpha and indexed-color without throwing; palette permutations hash alike") {
