@@ -397,9 +397,25 @@ object TrainingPipeline {
       case (Some(ev), Some(w)) =>
         val appl = Dedup.substringDecontamApply(
           cleanP, "doc_id", "text", ev, "text", w)
-        cleanP.drop("text", "n_toks").join(
+        // localCheckpoint, not persist: the stripped frame replaces
+        // `clean` for EVERY downstream consumer, and the downstream
+        // stages (DSIR trains + scores + semi-joins, then budget/
+        // mixture/chunk/pack) each layer the frame's LOGICAL plan into
+        // their own several times over — stacking the substring
+        // machinery (two windows + three joins) under that
+        // multiplication pushed Catalyst analysis over a cliff
+        // (pipeline_full measured ~95 s at sf0.01 AND sf0.1 —
+        // scale-INDEPENDENT, pure driver plan work; a cache pin does
+        // not help because analysis runs before cache substitution).
+        // Checkpointing truncates the lineage to a leaf at the stage
+        // boundary, the packedOut discipline; the one materialization
+        // is work every downstream action needs anyway.
+        val out = cleanP.drop("text", "n_toks").join(
           appl.select(col("doc_id"), col("clean_text").as("text"),
             col("n_kept").as("n_toks")), Seq("doc_id"))
+          .localCheckpoint()
+        cleanP.unpersist(false)
+        out
       case _ => cleanP
     }
     val afterSubstring = if (substringOn) tally(stripped) else afterDecontam
@@ -490,7 +506,6 @@ object TrainingPipeline {
     val packs = packedOut.count()
     (Seq(filtered, exactKept, nearKept) ++
       (if (embeddings.isDefined) Seq(semKept) else Nil) ++ hs ++
-      (if (substringOn) Seq(cleanP) else Nil) ++
       (if (tokenBudgets.nonEmpty) Seq(budgeted) else Nil))
       .foreach(_.unpersist(false))
 
