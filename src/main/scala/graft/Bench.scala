@@ -534,6 +534,12 @@ object Bench {
         semanticThreshold = 0.38,
         embeddings = Some(emb),
         semanticCells = math.max(32L, nEmb / 64).toInt,
+        // both decon modes, the r11 lane shape: the %97 suite is NOT
+        // replicated — a fixed-size benchmark suite against a growing
+        // corpus is exactly the production shape
+        evalDocs = Some(base.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("text"))),
+        decontamSubstringW = Some(10),
         dsirTarget = Some(target),
         tokenBudgets = Map("src0" -> 400L, "src1" -> 200L),
         budgetShards = 2,
