@@ -448,24 +448,28 @@ object Multimodal {
     * [[fabricateImages]]. PCM is lossless, so a decoder that truly
     * parses the container recovers the exact integer samples.
     *
-    * `idOffset`/`maxFrames` plant deterministic NEAR-DUP variants (the
-    * multimodal_ahash_pairs damage discipline): the waveform law stays
-    * keyed on the ORIGINAL doc_id while the emitted id shifts by
-    * `idOffset` and the stream truncates to `maxFrames` — a clipped
-    * re-encode of the original, the audio_neardup_pairs fixture.
+    * `idOffset`/`maxFrames`/`startFrame` plant deterministic NEAR-DUP
+    * variants (the multimodal_ahash_pairs damage discipline): the
+    * waveform law stays keyed on the ORIGINAL doc_id while the emitted
+    * id shifts by `idOffset` and the stream carries frames
+    * [startFrame, startFrame + maxFrames) — a clipped (and, with
+    * startFrame > 0, mid-stream) extract of the original: the
+    * audio_neardup_pairs / audio_clip_align fixtures.
     */
   def fabricateAudio(docs: DataFrame, idOffset: Long = 0L,
-                     maxFrames: Int = Int.MaxValue): DataFrame = {
+                     maxFrames: Int = Int.MaxValue,
+                     startFrame: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     val rdd = docs.select("doc_id", "text").rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getAs[Long]("doc_id")
         if (fixtureIsImage(id)) {
-          val n = math.min(audioFrames(id), maxFrames)
+          val n = math.max(0,
+            math.min(audioFrames(id) - startFrame, maxFrames))
           val pcm = new Array[Byte](n * 2)
           var i = 0
           while (i < n) {
-            val s = audioSample(id, i)
+            val s = audioSample(id, startFrame + i)
             pcm(2 * i) = (s & 0xff).toByte
             pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
             i += 1
@@ -690,6 +694,75 @@ object Multimodal {
     sharedKeyPairs(fp, Seq("fhash"), minShared, maxBucket,
       "vid_a", "vid_b", "n_shared")
   }
+
+  /** Offset-voting clip ALIGNMENT over a positioned fingerprint table
+    * (doc_id, idx, key) — the matching step of the published
+    * Haitsma-Kalker / ContentID family, shared by [[audioClipAlign]]
+    * and [[videoClipAlign]]: fingerprints match on the KEY alone (no
+    * index equality, so a clip extracted from anywhere in the original
+    * still matches), each match votes for the alignment
+    * offset = idx_a − idx_b, and a pair is reported at its
+    * best-supported offset when >= `minSupport` fingerprints agree —
+    * scattered coincidental matches at inconsistent offsets never
+    * reach the support bar, which is what makes key-only matching
+    * safe. Scale shape: hot keys past `maxBucket` are dropped before
+    * the join (the [[sharedKeyPairs]] contract), the vote aggregation
+    * is one narrow groupBy over match rows, and the best-offset
+    * election is a window over the (already pair-bounded) vote rows.
+    */
+  private def clipAlignPairs(fp: DataFrame, idxCol: String, keyCol: String,
+                             minSupport: Int, maxBucket: Int,
+                             aName: String, bName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tbl = fp.select(col("doc_id"), col(idxCol).as("idx"), col(keyCol).as("key"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ok = tbl.groupBy(col("key")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxBucket).select("key")
+    val kept = tbl.join(ok, Seq("key")).select("doc_id", "idx", "key")
+    val votes = kept
+      .join(kept.toDF("y_doc_id", "y_idx", "key"), Seq("key"))
+      .filter(col("doc_id") < col("y_doc_id"))
+      .groupBy(col("doc_id").as(aName), col("y_doc_id").as(bName),
+        (col("idx") - col("y_idx")).cast("long").as("offset"))
+      .agg(count(lit(1)).as("support"))
+    val best = Window.partitionBy(col(aName), col(bName))
+      .orderBy(col("support").desc, col("offset").asc)
+    votes.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1 && col("support") >= minSupport)
+      .drop("rn")
+  }
+
+  /** Audio clip detection at ARBITRARY offsets: [[audioSubfingerprints]]
+    * matched on the subfingerprint alone with offset voting
+    * ([[clipAlignPairs]]) — a mid-stream extract of a recording aligns
+    * to its original at the extraction offset, which aligned
+    * (win_idx, subfp) matching ([[audioNearDupPairs]]) can only see
+    * for prefix clips. One row per detected pair: both ids, the
+    * winning window offset, and its vote count.
+    */
+  def audioClipAlign(media: DataFrame, minSupport: Int = 2,
+                     maxBucket: Int = 1000, window: Int = 64,
+                     bands: Int = 8): DataFrame =
+    clipAlignPairs(
+      audioSubfingerprints(media, window, bands)
+        .filter(col("subfp").isNotNull),
+      "win_idx", "subfp", minSupport, maxBucket, "aud_a", "aud_b")
+
+  /** Video clip detection at ARBITRARY offsets: per-frame perceptual
+    * hashes ([[framePlanes]] + ahash64) matched on the hash alone with
+    * offset voting — the frame-sequence complement of
+    * [[videoNearDupPairs]]' set matching, reporting WHERE the clip
+    * aligns (the winning frame offset) alongside the match.
+    */
+  def videoClipAlign(media: DataFrame, minSupport: Int = 2,
+                     maxBucket: Int = 1000): DataFrame =
+    clipAlignPairs(
+      framePlanes(media, 8, 8)
+        .filter(col("luma").isNotNull)
+        .select(col("doc_id"), col("frame_idx"),
+          graft.functions.MediaExpressions.ahash64(col("luma")).as("fhash")),
+      "frame_idx", "fhash", minSupport, maxBucket, "vid_a", "vid_b")
 
   /** Frame count law of the video fixture: 2 + (id mod 4) frames. */
   def videoFrames(docId: Long): Int = (2 + docId % 4).toInt

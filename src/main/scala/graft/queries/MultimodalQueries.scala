@@ -152,6 +152,36 @@ object MultimodalQueries extends QueryModule {
           idOffset = 1000000L, frameShift = 1))
       Multimodal.videoNearDupPairs(streams, minShared = 2, maxBucket = 1000)
     }),
+    // clip detection at ARBITRARY offsets (the Haitsma-Kalker/ContentID
+    // matching step): fingerprints match on the key alone and vote for
+    // the alignment offset idx_a - idx_b; a pair reports at its
+    // best-supported offset. The planted MID-STREAM extracts (every
+    // 25th audio doc starting 64 samples in; every 20th-ish video minus
+    // its head frame) must align to their originals at offset +1 —
+    // which the aligned-index neardup join can only see for prefix
+    // clips. minSupport = 2 is the fixture floor (the shortest planted
+    // audio clips carry exactly 2 fingerprint windows); at that bar the
+    // 14-bit fingerprints admit a coincidence tail (~110 support-2
+    // pairs on the 500-doc fixture, vs 20 planted — support >= 3 is
+    // almost purely true matches), which is why `support` rides every
+    // row: the caller thresholds by corpus, the detector reports its
+    // evidence. Oracles replay fingerprinting for originals AND
+    // variants from the one fixture law plus the full vote/election
+    // tail.
+    "audio_clip_align" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val wavs = Multimodal.fabricateAudio(d).unionByName(
+        Multimodal.fabricateAudio(d.filter(col("doc_id") % 25 === 0),
+          idOffset = 1000000L, startFrame = 64))
+      Multimodal.audioClipAlign(wavs, minSupport = 2, maxBucket = 1000)
+    }),
+    "video_clip_align" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val streams = Multimodal.fabricateFrameStream(d).unionByName(
+        Multimodal.fabricateFrameStream(d.filter(col("doc_id") % 20 === 5),
+          idOffset = 1000000L, frameShift = 1))
+      Multimodal.videoClipAlign(streams, minSupport = 2, maxBucket = 1000)
+    }),
     // REAL video-shaped lane: per-doc frame STREAMS (concatenated
     // genuine PNGs, the MJPEG shape) — extraction finds the signature
     // boundaries in raw bytes and every frame truly decodes; one row
@@ -185,16 +215,17 @@ object MultimodalQueries extends QueryModule {
   )
 
   // Replay of Multimodal.audioSubfingerprints(window=64, bands=8) over
-  // a `base` CTE of (doc_id, src, n, m): samples from the waveform law
-  // keyed on src (so planted variants reuse their original's
-  // waveform), 8 band energies per FULL 64-sample window, spatial sign
-  // bits (E[b] > E[b+1]) in bits 0..6 and temporal sign bits
+  // a `base` CTE of (doc_id, src, n, m, off): n STREAM samples from
+  // the waveform law keyed on src at source position i + off (so
+  // planted variants reuse their original's waveform, clipped and/or
+  // mid-stream), 8 band energies per FULL 64-sample window, spatial
+  // sign bits (E[b] > E[b+1]) in bits 0..6 and temporal sign bits
   // (dv_t > dv_{t-1}) in bits 7..13. Ends at fp(doc_id, win_idx,
   // subfp); prepend WITH and a base.
   private val subfpChain: String =
     """smp AS (
       |  SELECT doc_id, i.i AS i,
-      |         abs((i.i*i.i*m + i.i*src + src) % 2003 - 1001) AS a
+      |         abs(((i.i+off)*(i.i+off)*m + (i.i+off)*src + src) % 2003 - 1001) AS a
       |  FROM base, (SELECT unnest(range(0, 768)) AS i) i
       |  WHERE i.i < (n // 64) * 64
       |), eng AS (
@@ -369,7 +400,7 @@ object MultimodalQueries extends QueryModule {
     "audio_fingerprint" ->
       s"""WITH base AS (
         |  SELECT doc_id, doc_id AS src, CAST(256 + doc_id % 512 AS BIGINT) AS n,
-        |         3 + doc_id % 5 AS m
+        |         3 + doc_id % 5 AS m, 0 AS off
         |  FROM documents WHERE doc_id % 10 != 7
         |), $subfpChain
         |SELECT doc_id, win_idx, subfp FROM fp
@@ -382,10 +413,10 @@ object MultimodalQueries extends QueryModule {
     "audio_neardup_pairs" ->
       s"""WITH base AS (
         |  SELECT doc_id, doc_id AS src, CAST(256 + doc_id % 512 AS BIGINT) AS n,
-        |         3 + doc_id % 5 AS m
+        |         3 + doc_id % 5 AS m, 0 AS off
         |  FROM documents WHERE doc_id % 10 != 7
         |  UNION ALL
-        |  SELECT doc_id + 1000000, doc_id, CAST(256 AS BIGINT), 3 + doc_id % 5
+        |  SELECT doc_id + 1000000, doc_id, CAST(256 AS BIGINT), 3 + doc_id % 5, 0
         |  FROM documents WHERE doc_id % 25 = 0 AND doc_id % 10 != 7
         |), $subfpChain, ok AS (
         |  SELECT win_idx, subfp FROM fp GROUP BY win_idx, subfp HAVING COUNT(*) <= 1000
@@ -398,6 +429,35 @@ object MultimodalQueries extends QueryModule {
         |  ON x.win_idx = y.win_idx AND x.subfp = y.subfp AND x.doc_id < y.doc_id
         |GROUP BY x.doc_id, y.doc_id
         |HAVING COUNT(*) >= 3""".stripMargin,
+    // the offset-voting replay: key-only subfp matches vote for
+    // idx_a - idx_b, row_number election (support desc, offset asc),
+    // support >= 2; variants are 64-samples-in mid-stream extracts
+    "audio_clip_align" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, doc_id AS src, CAST(256 + doc_id % 512 AS BIGINT) AS n,
+        |         3 + doc_id % 5 AS m, 0 AS off
+        |  FROM documents WHERE doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, CAST(256 + doc_id % 512 - 64 AS BIGINT),
+        |         3 + doc_id % 5, 64
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id % 10 != 7
+        |), $subfpChain, ok AS (
+        |  SELECT subfp FROM fp GROUP BY subfp HAVING COUNT(*) <= 1000
+        |), k AS (
+        |  SELECT fp.* FROM fp JOIN ok USING (subfp)
+        |), votes AS (
+        |  SELECT x.doc_id AS aud_a, y.doc_id AS aud_b,
+        |         CAST(x.win_idx - y.win_idx AS BIGINT) AS "offset",
+        |         COUNT(*) AS support
+        |  FROM k x JOIN k y ON x.subfp = y.subfp AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, 3
+        |), best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY aud_a, aud_b
+        |    ORDER BY support DESC, "offset" ASC) AS rn
+        |  FROM votes
+        |)
+        |SELECT aud_a, aud_b, "offset", CAST(support AS BIGINT) AS support
+        |FROM best WHERE rn = 1 AND support >= 2""".stripMargin,
     // the frame-ahash-sequence replay: per-frame 8x8 nearest-neighbor
     // phash from the pixel law (frame f of src uses gradient base
     // src + f; head-clipped variants start at f = 1), distinct
@@ -439,6 +499,52 @@ object MultimodalQueries extends QueryModule {
         |FROM k x JOIN k y ON x.fhash = y.fhash AND x.doc_id < y.doc_id
         |GROUP BY x.doc_id, y.doc_id
         |HAVING COUNT(*) >= 2""".stripMargin,
+    // the frame-offset-voting replay: the same per-frame phash chain
+    // carrying the STREAM index (variants start at law frame 1 ->
+    // idx = f - 1), key-only matches vote for idx_a - idx_b
+    "video_clip_align" ->
+      """WITH vids AS (
+        |  SELECT doc_id, doc_id AS src, 0 AS sh FROM documents WHERE doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, 1 FROM documents WHERE doc_id % 20 = 5
+        |), frs AS (
+        |  SELECT doc_id, src, f.f AS f, CAST(f.f - sh AS BIGINT) AS idx,
+        |         CAST(8 + src % 24 AS INTEGER) AS w,
+        |         CAST(8 + (src * 7) % 16 AS INTEGER) AS h
+        |  FROM vids, (SELECT unnest(range(0, 6)) AS f) f
+        |  WHERE f.f >= sh AND f.f < 2 + src % 4
+        |), px AS (
+        |  SELECT doc_id, f, idx, i,
+        |         (xs*xs + ys*ys*(f + 1) + (xs + ys)*src + src + f) % 256 AS v
+        |  FROM (
+        |    SELECT doc_id, src, f, idx,
+        |           (((i.i % 8) * w) // 8) AS xs, (((i.i // 8) * h) // 8) AS ys,
+        |           i.i AS i
+        |    FROM frs, (SELECT unnest(range(0, 64)) AS i) i) g
+        |), tt AS (
+        |  SELECT doc_id, f, SUM(v) AS tot FROM px GROUP BY doc_id, f
+        |), fh AS (
+        |  SELECT px.doc_id, px.f, px.idx,
+        |         string_agg(CASE WHEN v * 64 > tt.tot THEN '1' ELSE '0' END, '' ORDER BY i) AS fhash
+        |  FROM px JOIN tt USING (doc_id, f) GROUP BY px.doc_id, px.f, px.idx
+        |), fhd AS (
+        |  SELECT DISTINCT doc_id, idx, fhash FROM fh
+        |), ok AS (
+        |  SELECT fhash FROM fhd GROUP BY fhash HAVING COUNT(*) <= 1000
+        |), k AS (
+        |  SELECT fhd.* FROM fhd JOIN ok USING (fhash)
+        |), votes AS (
+        |  SELECT x.doc_id AS vid_a, y.doc_id AS vid_b,
+        |         CAST(x.idx - y.idx AS BIGINT) AS "offset", COUNT(*) AS support
+        |  FROM k x JOIN k y ON x.fhash = y.fhash AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, 3
+        |), best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vid_a, vid_b
+        |    ORDER BY support DESC, "offset" ASC) AS rn
+        |  FROM votes
+        |)
+        |SELECT vid_a, vid_b, "offset", CAST(support AS BIGINT) AS support
+        |FROM best WHERE rn = 1 AND support >= 2""".stripMargin,
     // per-frame pixel law (Multimodal.videoPixel): frame f of doc id
     // has pixel (x² + y²·(f+1) + (x+y)·id + id + f) mod 256, dims from
     // the shared fixture law

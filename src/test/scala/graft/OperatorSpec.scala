@@ -739,6 +739,30 @@ class OperatorSpec extends AnyFunSuite {
     // nobody
     assert(Multimodal.videoNearDupPairs(streams, minShared = 2, maxBucket = 1)
       .isEmpty, "hot frame hashes past the cap must generate no candidates")
+    // offset voting: the head-clipped variant aligns to its original at
+    // frame offset +1 with every shared frame voting
+    val aligned = Multimodal.videoClipAlign(streams, minSupport = 2, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(aligned.toSeq ==
+      Seq((1L, 1001L, 1L, (Multimodal.videoFrames(1L) - 1).toLong)),
+      s"aligned: ${aligned.toSeq}")
+  }
+
+  test("Multimodal audioClipAlign: a mid-stream extract aligns to its original at the extraction offset") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((200L, "x"), (9L, "x")).toDF("doc_id", "text")
+    // variant = doc 200's stream starting 128 samples (2 windows) in:
+    // aligned-index matching sees a DIFFERENT subfingerprint at every
+    // window index; offset voting recovers offset +2 with every common
+    // fingerprint window voting. doc 200: n = 456 -> 7 windows, fp at
+    // t = 1..6; variant: 328 samples -> 5 windows, fp at t' = 1..4,
+    // each equal to the original's t' + 2 -> support 4.
+    val wavs = Multimodal.fabricateAudio(docs).unionByName(
+      Multimodal.fabricateAudio(docs.filter($"doc_id" === 200L),
+        idOffset = 1000L, startFrame = 128))
+    val got = Multimodal.audioClipAlign(wavs, minSupport = 2, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((200L, 1200L, 2L, 4L)), s"aligned: ${got.toSeq}")
   }
 
   test("Multimodal decode handles gray+alpha and indexed-color without throwing; palette permutations hash alike") {
