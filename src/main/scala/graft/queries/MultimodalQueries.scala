@@ -222,7 +222,7 @@ object MultimodalQueries extends QueryModule {
   // sign bits (E[b] > E[b+1]) in bits 0..6 and temporal sign bits
   // (dv_t > dv_{t-1}) in bits 7..13. Ends at fp(doc_id, win_idx,
   // subfp); prepend WITH and a base.
-  private val subfpChain: String =
+  private[queries] val subfpChain: String =
     """smp AS (
       |  SELECT doc_id, i.i AS i,
       |         abs(((i.i+off)*(i.i+off)*m + (i.i+off)*src + src) % 2003 - 1001) AS a

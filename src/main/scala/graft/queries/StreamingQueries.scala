@@ -140,6 +140,26 @@ object StreamingQueries extends QueryModule {
       feed
     })
 
+  // the clip-detection query feed: MID-STREAM audio extracts (every
+  // 25th doc, 64 samples in) fingerprinted once per sf dir and landed
+  // as the parquet files a client would upload — the Shazam serving
+  // shape sends FINGERPRINTS over the wire, never audio
+  private val clipFeedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def clipFeed(s: SparkSession, dir: String): java.nio.file.Path =
+    clipFeedDirs.computeIfAbsent(dir, { _ =>
+      import graft.multimodal.Multimodal
+      val feed = java.nio.file.Files.createTempDirectory("graft-clip-feed")
+      feed.toFile.deleteOnExit()
+      Multimodal.audioSubfingerprints(Multimodal.fabricateAudio(
+          graft.Tables(s, dir, "documents").filter(col("doc_id") % 25 === 0),
+          idOffset = 1000000L, startFrame = 64))
+        .filter(col("subfp").isNotNull)
+        .coalesce(1).write.mode("overwrite").parquet(feed.toString)
+      feed
+    })
+
   // one shim dir per (sfDir, table) for the whole JVM: a long-lived
   // Verify+Bench session re-running a streaming query reuses the same
   // dir instead of leaking a fresh copy per run, and deleteOnExit is
@@ -420,6 +440,39 @@ object StreamingQueries extends QueryModule {
         "vec_id", "embedding", k = 5, nProbe = 4), "complete")
     }),
 
+    // STREAMING CLIP DETECTION (the Shazam serving shape): a stream of
+    // uploaded audio FINGERPRINTS (mid-stream extracts' subfingerprints
+    // — clients send fingerprints, never audio) probes the batch-built
+    // corpus fingerprint index via one stream-static equi-join on the
+    // subfingerprint alone, and the offset votes aggregate in complete
+    // mode — the audio_clip_align law executed as a serving job. The
+    // index side carries the hot-key cap (a viral jingle's window
+    // matches nobody); state is the vote table, bounded by true+
+    // coincidental matches, never by the stream. Oracle = the batch
+    // vote replay (stream-transparency, the streaming_ann contract).
+    "streaming_clip_align" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val idx = Multimodal.audioSubfingerprints(Multimodal.fabricateAudio(
+          graft.Tables(s, dir, "documents")))
+        .filter(col("subfp").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ok = idx.groupBy("subfp").agg(count(lit(1)).as("c"))
+        .filter(col("c") <= 1000).select("subfp")
+      val statik = idx.join(ok, Seq("subfp"))
+        .select(col("subfp"), col("doc_id").as("m_id"),
+          col("win_idx").as("m_win"))
+      val feed = clipFeed(s, dir)
+      val schema = s.read.parquet(feed.toString).schema
+      val qs = s.readStream.schema(schema).parquet(feed.toString)
+      runToTable(
+        qs.join(statik, Seq("subfp"))
+          .groupBy(col("doc_id").as("aud_q"), col("m_id").as("aud_m"),
+            (col("m_win") - col("win_idx")).cast("long").as("offset"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2),
+        "complete")
+    }),
+
     // STREAMING CDC MERGE: the daily-crawl story's missing streaming
     // leg — an I/U/D change stream arrives as three ORDERED
     // micro-batches (maxFilesPerTrigger=1 over mtime-sequenced files)
@@ -454,6 +507,33 @@ object StreamingQueries extends QueryModule {
     "streaming_ann" ->
       s"""WITH ${SimilarityQueries.ivfCte}
          |SELECT q_id, n_id, rnk FROM ivf WHERE rnk <= 5""".stripMargin,
+    // the batch vote replay of the serving join (stream-transparency):
+    // fingerprints for the corpus (off = 0) and the uploaded mid-stream
+    // extracts (off = 64) from the one waveform law, index side
+    // hot-capped, key-only matches vote for m_win - q_win
+    "streaming_clip_align" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, doc_id AS src, CAST(256 + doc_id % 512 AS BIGINT) AS n,
+        |         3 + doc_id % 5 AS m, 0 AS off
+        |  FROM documents WHERE doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, CAST(256 + doc_id % 512 - 64 AS BIGINT),
+        |         3 + doc_id % 5, 64
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id % 10 != 7
+        |), ${MultimodalQueries.subfpChain}, ok AS (
+        |  SELECT subfp FROM fp WHERE doc_id < 1000000
+        |  GROUP BY subfp HAVING COUNT(*) <= 1000
+        |), idx AS (
+        |  SELECT fp.* FROM fp JOIN ok USING (subfp) WHERE fp.doc_id < 1000000
+        |), qs AS (
+        |  SELECT * FROM fp WHERE doc_id >= 1000000
+        |)
+        |SELECT qs.doc_id AS aud_q, idx.doc_id AS aud_m,
+        |       CAST(idx.win_idx - qs.win_idx AS BIGINT) AS "offset",
+        |       CAST(COUNT(*) AS BIGINT) AS support
+        |FROM qs JOIN idx USING (subfp)
+        |GROUP BY 1, 2, 3
+        |HAVING COUNT(*) >= 2""".stripMargin,
     // the NET law of the three ordered change batches: %11 rows end
     // deleted (even when also updated), the %21 sub-stride of the %7
     // updates ends at the SECOND batch's value, %13 spawns fresh

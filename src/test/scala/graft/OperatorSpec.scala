@@ -763,6 +763,27 @@ class OperatorSpec extends AnyFunSuite {
     val got = Multimodal.audioClipAlign(wavs, minSupport = 2, maxBucket = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq((200L, 1200L, 2L, 4L)), s"aligned: ${got.toSeq}")
+    // distinct extraction offsets in ONE pass, each recovered exactly
+    // with every common fingerprint window voting (support = nw' − 1
+    // where nw' = (n − start) / 64): offsets 1, 2, 3 from three docs
+    val multi = Seq((200L, "x"), (309L, "x"), (449L, "x")).toDF("doc_id", "text")
+    val streams = Multimodal.fabricateAudio(multi)
+      .unionByName(Multimodal.fabricateAudio(
+        multi.filter($"doc_id" === 200L), idOffset = 1000L, startFrame = 64))
+      .unionByName(Multimodal.fabricateAudio(
+        multi.filter($"doc_id" === 309L), idOffset = 1000L, startFrame = 128))
+      .unionByName(Multimodal.fabricateAudio(
+        multi.filter($"doc_id" === 449L), idOffset = 1000L, startFrame = 192))
+    val planted = Multimodal.audioClipAlign(streams, minSupport = 2, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    def law(id: Long, start: Int) = {
+      val nwClip = (Multimodal.audioFrames(id) - start) / 64
+      (start / 64L, (nwClip - 1).toLong)
+    }
+    assert(planted((200L, 1200L)) == law(200L, 64), s"doc 200: $planted")
+    assert(planted((309L, 1309L)) == law(309L, 128), s"doc 309: $planted")
+    assert(planted((449L, 1449L)) == law(449L, 192), s"doc 449: $planted")
   }
 
   test("Multimodal decode handles gray+alpha and indexed-color without throwing; palette permutations hash alike") {
