@@ -764,6 +764,107 @@ object Multimodal {
           graft.functions.MediaExpressions.ahash64(col("luma")).as("fhash")),
       "frame_idx", "fhash", minSupport, maxBucket, "vid_a", "vid_b")
 
+  /** The audio fingerprint index as a DURABLE artifact — the
+    * [[graft.operators.Dedup.saveMinhashIndex]] discipline applied to
+    * clip detection: fingerprint the catalog ONCE, persist the narrow
+    * (doc_id, win_idx, subfp) rows + the fingerprinting parameters,
+    * append each day's new media without rescanning the catalog, probe
+    * with query fingerprints at serving time ([[probeClipIndex]] /
+    * the streaming_clip_align join). `fps` rows are tiny (24 bytes);
+    * the audio itself never persists and never rides a shuffle.
+    */
+  case class ClipIndex(fps: DataFrame, window: Int, bands: Int)
+
+  /** Fingerprint `media` into a [[ClipIndex]] (content that does not
+    * decode contributes no rows — an index of silence detects nothing).
+    */
+  def buildClipIndex(media: DataFrame, window: Int = 64,
+                     bands: Int = 8): ClipIndex =
+    ClipIndex(audioSubfingerprints(media, window, bands)
+      .filter(col("subfp").isNotNull), window, bands)
+
+  def saveClipIndex(index: ClipIndex, path: String): Unit = {
+    val spark = index.fps.sparkSession
+    import spark.implicits._
+    index.fps.select("doc_id", "win_idx", "subfp")
+      .write.mode("overwrite").parquet(s"$path/fingerprints")
+    Seq((index.window, index.bands)).toDF("window", "bands")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Restore the index; fingerprints dedupe on (doc_id, win_idx), so a
+    * crashed append retried is IDEMPOTENT — duplicate rows collapse
+    * before any probe sees them (the loadMinhashIndex contract).
+    */
+  def loadClipIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): ClipIndex = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    ClipIndex(
+      spark.read.parquet(s"$path/fingerprints")
+        .dropDuplicates("doc_id", "win_idx"),
+      m.getAs[Int]("window"), m.getAs[Int]("bands"))
+  }
+
+  /** The daily-crawl APPEND: fingerprint `media` with the SAVED
+    * parameters (a batch fingerprinted at a different window width
+    * would match nothing — the meta table exists to prevent exactly
+    * that) and parquet-append the one fingerprint table; the catalog
+    * is never rescanned and the index never rebuilds. Schema compared
+    * symmetrically before the append — mixed-schema part files that
+    * readers quietly null-fill are the failure mode.
+    */
+  def appendClipIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, media: DataFrame): Unit = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val batch = audioSubfingerprints(media,
+        m.getAs[Int]("window"), m.getAs[Int]("bands"))
+      .filter(col("subfp").isNotNull)
+      .select("doc_id", "win_idx", "subfp")
+    val saved = spark.read.parquet(s"$path/fingerprints").schema
+    batch.schema.fields.foreach { f =>
+      val s = saved.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"append column '${f.name}' absent from saved index schema $saved"))
+      require(s.dataType == f.dataType,
+        s"append column '${f.name}': ${f.dataType} != saved ${s.dataType}")
+    }
+    saved.fields.foreach { f =>
+      require(batch.schema.fields.exists(_.name == f.name),
+        s"saved column '${f.name}' absent from append batch")
+    }
+    batch.write.mode("append").parquet(s"$path/fingerprints")
+  }
+
+  /** Probe the index with QUERY media (decoded + fingerprinted with
+    * the index's own parameters): the [[clipAlignPairs]] vote/election
+    * law run asymmetrically — key-only subfingerprint matches vote for
+    * offset = index win − query win, each (query, match) pair reports
+    * its best-supported alignment at >= `minSupport` votes. The index
+    * side carries the hot-key cap; the sides are disjoint tables, so
+    * no self-join ordering is needed.
+    */
+  def probeClipIndex(index: ClipIndex, queries: DataFrame,
+                     minSupport: Int = 2, maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = index.fps.select("doc_id", "win_idx", "subfp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ok = idx.groupBy("subfp").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxBucket).select("subfp")
+    val statik = idx.join(ok, Seq("subfp"))
+      .select(col("subfp"), col("doc_id").as("aud_m"), col("win_idx").as("m_win"))
+    val qfp = audioSubfingerprints(queries, index.window, index.bands)
+      .filter(col("subfp").isNotNull)
+    val votes = qfp.join(statik, Seq("subfp"))
+      .groupBy(col("doc_id").as("aud_q"), col("aud_m"),
+        (col("m_win") - col("win_idx")).cast("long").as("offset"))
+      .agg(count(lit(1)).as("support"))
+    val best = Window.partitionBy(col("aud_q"), col("aud_m"))
+      .orderBy(col("support").desc, col("offset").asc)
+    votes.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1 && col("support") >= minSupport)
+      .drop("rn")
+  }
+
   /** Frame count law of the video fixture: 2 + (id mod 4) frames. */
   def videoFrames(docId: Long): Int = (2 + docId % 4).toInt
 

@@ -182,6 +182,31 @@ object MultimodalQueries extends QueryModule {
           idOffset = 1000000L, frameShift = 1))
       Multimodal.videoClipAlign(streams, minSupport = 2, maxBucket = 1000)
     }),
+    // the fingerprint index as a DURABLE artifact, exercised for real
+    // (the incremental_dedup discipline applied to clip detection):
+    // day 1 (even ids) fingerprinted + saved, day 2 (odd ids) APPENDED
+    // with the saved parameters — the catalog is never rescanned —
+    // then the loaded index serves mid-stream extract queries drawn
+    // from BOTH days (%25 ids alternate parity), so a lost append or a
+    // parameter drift hash-mismatches. Oracle = the one waveform-law
+    // fingerprint replay + the vote/election tail; save/append/load
+    // are transparent to it by construction (the spec pins
+    // appended ≡ fresh-union and crashed-retry idempotence).
+    "clip_index_incremental" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-clip-idx").toString
+      Multimodal.saveClipIndex(
+        Multimodal.buildClipIndex(
+          Multimodal.fabricateAudio(d.filter(col("doc_id") % 2 === 0))), path)
+      Multimodal.appendClipIndex(s, path,
+        Multimodal.fabricateAudio(d.filter(col("doc_id") % 2 =!= 0)))
+      Multimodal.probeClipIndex(
+        Multimodal.loadClipIndex(s, path),
+        Multimodal.fabricateAudio(d.filter(col("doc_id") % 25 === 0),
+          idOffset = 1000000L, startFrame = 64),
+        minSupport = 2, maxBucket = 1000)
+    }),
     // REAL video-shaped lane: per-doc frame STREAMS (concatenated
     // genuine PNGs, the MJPEG shape) — extraction finds the signature
     // boundaries in raw bytes and every frame truly decodes; one row
@@ -457,6 +482,38 @@ object MultimodalQueries extends QueryModule {
         |  FROM votes
         |)
         |SELECT aud_a, aud_b, "offset", CAST(support AS BIGINT) AS support
+        |FROM best WHERE rn = 1 AND support >= 2""".stripMargin,
+    // the persisted-index probe replay: index = ALL image docs (the
+    // two parity days reunited — save/append/load are transparent),
+    // queries = the mid-stream extracts, asymmetric vote + election
+    "clip_index_incremental" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, doc_id AS src, CAST(256 + doc_id % 512 AS BIGINT) AS n,
+        |         3 + doc_id % 5 AS m, 0 AS off
+        |  FROM documents WHERE doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, CAST(256 + doc_id % 512 - 64 AS BIGINT),
+        |         3 + doc_id % 5, 64
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id % 10 != 7
+        |), $subfpChain, ok AS (
+        |  SELECT subfp FROM fp WHERE doc_id < 1000000
+        |  GROUP BY subfp HAVING COUNT(*) <= 1000
+        |), idx AS (
+        |  SELECT fp.* FROM fp JOIN ok USING (subfp) WHERE fp.doc_id < 1000000
+        |), qs AS (
+        |  SELECT * FROM fp WHERE doc_id >= 1000000
+        |), votes AS (
+        |  SELECT qs.doc_id AS aud_q, idx.doc_id AS aud_m,
+        |         CAST(idx.win_idx - qs.win_idx AS BIGINT) AS "offset",
+        |         COUNT(*) AS support
+        |  FROM qs JOIN idx USING (subfp)
+        |  GROUP BY 1, 2, 3
+        |), best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY aud_q, aud_m
+        |    ORDER BY support DESC, "offset" ASC) AS rn
+        |  FROM votes
+        |)
+        |SELECT aud_q, aud_m, "offset", CAST(support AS BIGINT) AS support
         |FROM best WHERE rn = 1 AND support >= 2""".stripMargin,
     // the frame-ahash-sequence replay: per-frame 8x8 nearest-neighbor
     // phash from the pixel law (frame f of src uses gradient base

@@ -786,6 +786,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(planted((449L, 1449L)) == law(449L, 192), s"doc 449: $planted")
   }
 
+  test("Multimodal clip index: append == fresh union build, crashed retry idempotent, probe serves both days") {
+    import graft.multimodal.Multimodal
+    val day1 = Seq((200L, "x"), (9L, "x")).toDF("doc_id", "text")
+    val day2 = Seq((449L, "x"), (309L, "x")).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-clip-idx-spec").toString
+    Multimodal.saveClipIndex(
+      Multimodal.buildClipIndex(Multimodal.fabricateAudio(day1)), path)
+    Multimodal.appendClipIndex(spark, path, Multimodal.fabricateAudio(day2))
+    def fpSet(ix: Multimodal.ClipIndex) = ix.fps
+      .select("doc_id", "win_idx", "subfp").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val appended = fpSet(Multimodal.loadClipIndex(spark, path))
+    val fresh = fpSet(Multimodal.buildClipIndex(
+      Multimodal.fabricateAudio(day1.unionByName(day2))))
+    assert(appended == fresh, "appended index != fresh union build")
+    // a crashed append retried must change nothing after load
+    Multimodal.appendClipIndex(spark, path, Multimodal.fabricateAudio(day2))
+    assert(fpSet(Multimodal.loadClipIndex(spark, path)) == fresh,
+      "append retry not idempotent under load's dedup")
+    // the loaded index serves a day-2 extract at its exact offset
+    val probe = Multimodal.probeClipIndex(
+      Multimodal.loadClipIndex(spark, path),
+      Multimodal.fabricateAudio(day2.filter($"doc_id" === 449L),
+        idOffset = 1000L, startFrame = 192),
+      minSupport = 2, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nwClip = (Multimodal.audioFrames(449L) - 192) / 64
+    assert(probe.toSeq == Seq((1449L, 449L, 3L, (nwClip - 1).toLong)),
+      s"probe: ${probe.toSeq}")
+  }
+
   test("Multimodal decode handles gray+alpha and indexed-color without throwing; palette permutations hash alike") {
     import graft.multimodal.Multimodal
     import java.awt.image.{BufferedImage, ComponentColorModel, DataBuffer, IndexColorModel}
