@@ -351,6 +351,12 @@ object TrainingPipeline {
     // text against raw eval text would let byte-unequal spellings of
     // eval content slip through — exactly the mismatch `normalize`
     // exists to close.
+    // stage 4c strips spans shared with the eval suite — configured
+    // without the suite it would silently no-op and ship
+    // uncontaminated-LOOKING output, so the misconfiguration fails fast
+    require(decontamSubstringW.isEmpty || evalDocs.isDefined,
+      "decontamSubstringW requires evalDocs (stage 4c strips the spans " +
+        "shared with the eval suite; without the suite there is nothing to strip)")
     val evCanon = evalDocs.map { evRaw =>
       require(evRaw.columns.contains("doc_id") && evRaw.columns.contains("text"),
         "evalDocs needs (doc_id, text) columns")

@@ -580,8 +580,13 @@ object Multimodal {
     */
   def audioSubfingerprints(media: DataFrame, window: Int = 64,
                            bands: Int = 8): DataFrame = {
-    require(bands >= 2 && window % bands == 0,
-      s"window ($window) must be a multiple of bands ($bands >= 2)")
+    // bands <= 32: the subfingerprint packs 2*(bands-1) sign bits into
+    // one long (spatial bits 0..bands-2, temporal bits bands-1..
+    // 2*bands-3); at bands >= 34 the temporal shift 1L << (bands-1+b)
+    // exceeds 63 and Java's mod-64 shift wrap would silently overlap
+    // the spatial bits — fail fast instead
+    require(bands >= 2 && bands <= 32 && window % bands == 0,
+      s"bands ($bands) must be in [2,32] and divide window ($window)")
     val spark = media.sparkSession
     val bw = window / bands
     val rdd = media.select("doc_id", "content").rdd.mapPartitions { it =>
@@ -633,14 +638,23 @@ object Multimodal {
     * nobody), never all-pairs; 14-bit subfingerprints over
     * pseudo-random content keep buckets near-empty, so candidate
     * volume is linear in the corpus.
+    *
+    * CACHING CONTRACT: the narrow (id, key) fingerprint table is
+    * `persist(MEMORY_AND_DISK)`-pinned across the returned plan's
+    * three branches (hot-key census + both self-join sides) so the
+    * media decode runs once, and stays pinned until the caller runs
+    * `spark.catalog.clearCache()` (the Verify/Bench harness does this
+    * between queries) — a long-lived library caller issuing many of
+    * these should clear the cache between calls.
     */
   def audioNearDupPairs(media: DataFrame, minShared: Int = 2,
                         maxBucket: Int = 1000, window: Int = 64,
-                        bands: Int = 8): DataFrame = {
+                        bands: Int = 8,
+                        collapseExact: Boolean = false): DataFrame = {
     val fp = audioSubfingerprints(media, window, bands)
       .filter(col("subfp").isNotNull)
     sharedKeyPairs(fp, Seq("win_idx", "subfp"), minShared, maxBucket,
-      "aud_a", "aud_b", "n_matched")
+      "aud_a", "aud_b", "n_matched", collapseExact)
   }
 
   /** Pairs of items sharing >= `minShared` distinct fingerprint keys —
@@ -649,18 +663,71 @@ object Multimodal {
     * `maxBucket` dropped (they identify nothing and would square the
     * candidate volume), one self-equi-join, one bounded pair count.
     */
+  /** Group items whose ENTIRE distinct fingerprint set over `keyCols`
+    * is identical — exact re-uploads of the same content — into
+    * (doc_id, rep_id) rows, rep_id = the group's lowest doc_id. The
+    * digest is an order-insensitive exact combination of the per-row
+    * key hashes (count + wrapping sum + xor + min + max of
+    * xxhash64(keyCols)), so it costs ONE narrow groupBy — no per-doc
+    * collect_list, no sort, rows never widen past five longs — and two
+    * docs collide only on an xxhash64 5-way coincidence. This is the
+    * text `Dedup.exact` discipline for media: dup-heavy corpora (the
+    * production clip-detection case — the same viral clip re-uploaded
+    * millions of times) must collapse to representatives BEFORE pair
+    * mining, or the copies blow every shared key past `maxBucket` and
+    * the cap drops the genuine matches along with the spam (pass
+    * `collapseExact = true` to [[audioNearDupPairs]] /
+    * [[videoNearDupPairs]] / [[audioClipAlign]] / [[videoClipAlign]]
+    * to apply it in-line).
+    */
+  def exactFingerprintGroups(fp: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val dig = fp.select(col("doc_id"),
+        xxhash64(keyCols.map(col): _*).as("_kh")).distinct()
+      .groupBy(col("doc_id"))
+      // the sum component folds hashes into [0, 2^31): ANSI mode (the
+      // session default) raises on long overflow, and 2^31-bounded
+      // addends keep any physically possible fingerprint count
+      // (< 2^32 rows/doc) inside a long
+      .agg(count(lit(1)).as("_n"),
+        sum(pmod(col("_kh"), lit(2147483647L))).as("_s"),
+        expr("bit_xor(_kh)").as("_x"),
+        min(col("_kh")).as("_mn"), max(col("_kh")).as("_mx"))
+    val digKeys = Seq("_n", "_s", "_x", "_mn", "_mx")
+    val rep = dig.groupBy(digKeys.map(col): _*)
+      .agg(min(col("doc_id")).as("rep_id"))
+    dig.join(rep, digKeys).select(col("doc_id"), col("rep_id"))
+  }
+
+  /** Keep only each exact-dup group's representative rows of `tbl`
+    * (identity when `collapseExact` is false).
+    */
+  private def collapseReps(tbl: DataFrame, keyCols: Seq[String],
+                           collapseExact: Boolean): DataFrame =
+    if (!collapseExact) tbl
+    else {
+      val reps = exactFingerprintGroups(tbl, keyCols)
+        .filter(col("doc_id") === col("rep_id")).select("doc_id")
+      tbl.join(reps, Seq("doc_id"))
+    }
+
   private def sharedKeyPairs(fp: DataFrame, keys: Seq[String],
                              minShared: Int, maxBucket: Int,
                              aName: String, bName: String,
-                             nName: String): DataFrame = {
+                             nName: String,
+                             collapseExact: Boolean = false): DataFrame = {
     val kc = keys.map(col)
     // the fingerprint table feeds THREE plan branches (hot-key cap +
     // both self-join sides); unpinned lineage would re-run the media
     // decode per branch — decode dominates at any real scale, so pin
     // the narrow (id, key) rows once (the Dedup banding discipline;
-    // the session's clearCache between queries releases it)
-    val tbl = fp.select((col("doc_id") +: kc): _*).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the session's clearCache between queries releases it). The
+    // optional exact-dup collapse runs on the PINNED rows, before the
+    // hot-key census, so re-uploads neither evict genuine hot keys
+    // nor pair quadratically among themselves.
+    val tbl = collapseReps(
+      fp.select((col("doc_id") +: kc): _*).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      keys, collapseExact)
     val ok = tbl.groupBy(kc: _*).agg(count(lit(1)).as("c"))
       .filter(col("c") <= maxBucket).select(kc: _*)
     // the USING join reorders columns (keys first) — re-select before
@@ -684,16 +751,14 @@ object Multimodal {
     * standard intro card — does not, and hot frame hashes past
     * `maxBucket` are dropped entirely). Same bounded equi-join shape as
     * [[audioNearDupPairs]]: candidate volume linear in total frames.
+    * Caching contract as [[audioNearDupPairs]] (the frame-hash table
+    * stays pinned until the caller's `clearCache()`).
     */
   def videoNearDupPairs(media: DataFrame, minShared: Int = 2,
-                        maxBucket: Int = 1000): DataFrame = {
-    val fp = framePlanes(media, 8, 8)
-      .filter(col("luma").isNotNull)
-      .select(col("doc_id"),
-        graft.functions.MediaExpressions.ahash64(col("luma")).as("fhash"))
-    sharedKeyPairs(fp, Seq("fhash"), minShared, maxBucket,
-      "vid_a", "vid_b", "n_shared")
-  }
+                        maxBucket: Int = 1000,
+                        collapseExact: Boolean = false): DataFrame =
+    sharedKeyPairs(videoFrameHashes(media), Seq("fhash"), minShared,
+      maxBucket, "vid_a", "vid_b", "n_shared", collapseExact)
 
   /** Offset-voting clip ALIGNMENT over a positioned fingerprint table
     * (doc_id, idx, key) — the matching step of the published
@@ -712,11 +777,16 @@ object Multimodal {
     */
   private def clipAlignPairs(fp: DataFrame, idxCol: String, keyCol: String,
                              minSupport: Int, maxBucket: Int,
-                             aName: String, bName: String): DataFrame = {
+                             aName: String, bName: String,
+                             collapseExact: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tbl = fp.select(col("doc_id"), col(idxCol).as("idx"), col(keyCol).as("key"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // positioned collapse: an exact re-upload has the identical
+    // (idx, key) SEQUENCE, so the digest hashes both columns
+    val tbl = collapseReps(
+      fp.select(col("doc_id"), col(idxCol).as("idx"), col(keyCol).as("key"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      Seq("idx", "key"), collapseExact)
     val ok = tbl.groupBy(col("key")).agg(count(lit(1)).as("c"))
       .filter(col("c") <= maxBucket).select("key")
     val kept = tbl.join(ok, Seq("key")).select("doc_id", "idx", "key")
@@ -739,30 +809,34 @@ object Multimodal {
     * to its original at the extraction offset, which aligned
     * (win_idx, subfp) matching ([[audioNearDupPairs]]) can only see
     * for prefix clips. One row per detected pair: both ids, the
-    * winning window offset, and its vote count.
+    * winning window offset, and its vote count. Caching contract as
+    * [[audioNearDupPairs]] (the fingerprint table stays pinned until
+    * the caller's `clearCache()`).
     */
   def audioClipAlign(media: DataFrame, minSupport: Int = 2,
                      maxBucket: Int = 1000, window: Int = 64,
-                     bands: Int = 8): DataFrame =
+                     bands: Int = 8,
+                     collapseExact: Boolean = false): DataFrame =
     clipAlignPairs(
       audioSubfingerprints(media, window, bands)
         .filter(col("subfp").isNotNull),
-      "win_idx", "subfp", minSupport, maxBucket, "aud_a", "aud_b")
+      "win_idx", "subfp", minSupport, maxBucket, "aud_a", "aud_b",
+      collapseExact)
 
   /** Video clip detection at ARBITRARY offsets: per-frame perceptual
     * hashes ([[framePlanes]] + ahash64) matched on the hash alone with
     * offset voting — the frame-sequence complement of
     * [[videoNearDupPairs]]' set matching, reporting WHERE the clip
-    * aligns (the winning frame offset) alongside the match.
+    * aligns (the winning frame offset) alongside the match. Caching
+    * contract as [[audioNearDupPairs]] (the frame-hash table stays
+    * pinned until the caller's `clearCache()`).
     */
   def videoClipAlign(media: DataFrame, minSupport: Int = 2,
-                     maxBucket: Int = 1000): DataFrame =
-    clipAlignPairs(
-      framePlanes(media, 8, 8)
-        .filter(col("luma").isNotNull)
-        .select(col("doc_id"), col("frame_idx"),
-          graft.functions.MediaExpressions.ahash64(col("luma")).as("fhash")),
-      "frame_idx", "fhash", minSupport, maxBucket, "vid_a", "vid_b")
+                     maxBucket: Int = 1000,
+                     collapseExact: Boolean = false): DataFrame =
+    clipAlignPairs(videoFrameHashes(media),
+      "frame_idx", "fhash", minSupport, maxBucket, "vid_a", "vid_b",
+      collapseExact)
 
   /** The audio fingerprint index as a DURABLE artifact — the
     * [[graft.operators.Dedup.saveMinhashIndex]] discipline applied to
@@ -841,29 +915,143 @@ object Multimodal {
     * offset = index win − query win, each (query, match) pair reports
     * its best-supported alignment at >= `minSupport` votes. The index
     * side carries the hot-key cap; the sides are disjoint tables, so
-    * no self-join ordering is needed.
+    * no self-join ordering is needed. Caching contract as
+    * [[audioNearDupPairs]] (the index fingerprints stay pinned until
+    * the caller's `clearCache()`).
     */
   def probeClipIndex(index: ClipIndex, queries: DataFrame,
-                     minSupport: Int = 2, maxBucket: Int = 1000): DataFrame = {
+                     minSupport: Int = 2, maxBucket: Int = 1000): DataFrame =
+    probeIndexPairs(
+      index.fps.select(col("doc_id"), col("win_idx").as("idx"), col("subfp").as("key")),
+      audioSubfingerprints(queries, index.window, index.bands)
+        .filter(col("subfp").isNotNull)
+        .select(col("doc_id"), col("win_idx").as("idx"), col("subfp").as("key")),
+      "aud_q", "aud_m", minSupport, maxBucket)
+
+  /** The asymmetric vote/election shared by [[probeClipIndex]] and
+    * [[probeVideoClipIndex]]: key-only matches of query fingerprints
+    * against the persisted index vote for offset = index idx − query
+    * idx; each (query, match) pair reports its best-supported
+    * alignment at >= `minSupport` votes. The index side carries the
+    * hot-key cap; the sides are disjoint tables, so no self-join
+    * ordering is needed.
+    */
+  private def probeIndexPairs(idxFps: DataFrame, qFps: DataFrame,
+                              qName: String, mName: String,
+                              minSupport: Int, maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val idx = index.fps.select("doc_id", "win_idx", "subfp")
+    val idx = idxFps
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ok = idx.groupBy("subfp").agg(count(lit(1)).as("c"))
-      .filter(col("c") <= maxBucket).select("subfp")
-    val statik = idx.join(ok, Seq("subfp"))
-      .select(col("subfp"), col("doc_id").as("aud_m"), col("win_idx").as("m_win"))
-    val qfp = audioSubfingerprints(queries, index.window, index.bands)
-      .filter(col("subfp").isNotNull)
-    val votes = qfp.join(statik, Seq("subfp"))
-      .groupBy(col("doc_id").as("aud_q"), col("aud_m"),
-        (col("m_win") - col("win_idx")).cast("long").as("offset"))
+    val ok = idx.groupBy("key").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxBucket).select("key")
+    val statik = idx.join(ok, Seq("key"))
+      .select(col("key"), col("doc_id").as(mName), col("idx").as("m_idx"))
+    val votes = qFps.join(statik, Seq("key"))
+      .groupBy(col("doc_id").as(qName), col(mName),
+        (col("m_idx") - col("idx")).cast("long").as("offset"))
       .agg(count(lit(1)).as("support"))
-    val best = Window.partitionBy(col("aud_q"), col("aud_m"))
+    val best = Window.partitionBy(col(qName), col(mName))
       .orderBy(col("support").desc, col("offset").asc)
     votes.withColumn("rn", row_number().over(best))
       .filter(col("rn") === 1 && col("support") >= minSupport)
       .drop("rn")
   }
+
+  /** Per-frame perceptual hashes of a frame-stream table — the video
+    * fingerprint primitive shared by [[videoNearDupPairs]],
+    * [[videoClipAlign]], and the durable [[VideoClipIndex]]: every
+    * frame REALLY decodes ([[framePlanes]]), resamples to the
+    * `gridW`×`gridH` luma grid, and hashes through the codegen'd
+    * [[graft.functions.AHash64]]. One (doc_id, frame_idx, fhash) row
+    * per decodable frame; row-local, zero-shuffle.
+    */
+  def videoFrameHashes(media: DataFrame, gridW: Int = 8,
+                       gridH: Int = 8): DataFrame =
+    framePlanes(media, gridW, gridH)
+      .filter(col("luma").isNotNull)
+      .select(col("doc_id"), col("frame_idx"),
+        graft.functions.MediaExpressions.ahash64(col("luma")).as("fhash"))
+
+  /** The video frame-hash index as a DURABLE artifact — the audio
+    * [[ClipIndex]] discipline applied to the frame-ahash table: hash
+    * the catalog ONCE, persist the narrow (doc_id, frame_idx, fhash)
+    * rows + the grid parameters, append each day's new media without
+    * rescanning the catalog, probe with query frame hashes at serving
+    * time ([[probeVideoClipIndex]]). Rows are narrow (id, idx, and the
+    * 64-bit hash string); the video itself never persists and never
+    * rides a shuffle.
+    */
+  case class VideoClipIndex(fps: DataFrame, gridW: Int, gridH: Int)
+
+  /** Hash `media` frame streams into a [[VideoClipIndex]] (content
+    * that does not decode contributes no rows).
+    */
+  def buildVideoClipIndex(media: DataFrame, gridW: Int = 8,
+                          gridH: Int = 8): VideoClipIndex =
+    VideoClipIndex(videoFrameHashes(media, gridW, gridH), gridW, gridH)
+
+  def saveVideoClipIndex(index: VideoClipIndex, path: String): Unit = {
+    val spark = index.fps.sparkSession
+    import spark.implicits._
+    index.fps.select("doc_id", "frame_idx", "fhash")
+      .write.mode("overwrite").parquet(s"$path/fingerprints")
+    Seq((index.gridW, index.gridH)).toDF("grid_w", "grid_h")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Restore the index; hashes dedupe on (doc_id, frame_idx), so a
+    * crashed append retried is IDEMPOTENT (the [[loadClipIndex]]
+    * contract).
+    */
+  def loadVideoClipIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): VideoClipIndex = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    VideoClipIndex(
+      spark.read.parquet(s"$path/fingerprints")
+        .dropDuplicates("doc_id", "frame_idx"),
+      m.getAs[Int]("grid_w"), m.getAs[Int]("grid_h"))
+  }
+
+  /** The daily-crawl APPEND with the SAVED grid parameters (a batch
+    * hashed at a different grid would match nothing — the meta table
+    * exists to prevent exactly that); schema compared symmetrically
+    * before the append, the [[appendClipIndex]] contract.
+    */
+  def appendVideoClipIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, media: DataFrame): Unit = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val batch = videoFrameHashes(media,
+        m.getAs[Int]("grid_w"), m.getAs[Int]("grid_h"))
+      .select("doc_id", "frame_idx", "fhash")
+    val saved = spark.read.parquet(s"$path/fingerprints").schema
+    batch.schema.fields.foreach { f =>
+      val s = saved.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"append column '${f.name}' absent from saved index schema $saved"))
+      require(s.dataType == f.dataType,
+        s"append column '${f.name}': ${f.dataType} != saved ${s.dataType}")
+    }
+    saved.fields.foreach { f =>
+      require(batch.schema.fields.exists(_.name == f.name),
+        s"saved column '${f.name}' absent from append batch")
+    }
+    batch.write.mode("append").parquet(s"$path/fingerprints")
+  }
+
+  /** Probe the video index with QUERY frame streams (decoded + hashed
+    * with the index's own grid): the [[probeClipIndex]] law over frame
+    * hashes — one (vid_q, vid_m, offset, support) row per detected
+    * alignment. Caching contract as [[audioNearDupPairs]].
+    */
+  def probeVideoClipIndex(index: VideoClipIndex, queries: DataFrame,
+                          minSupport: Int = 2, maxBucket: Int = 1000): DataFrame =
+    probeIndexPairs(
+      index.fps.select(col("doc_id"), col("frame_idx").as("idx"),
+        col("fhash").as("key")),
+      videoFrameHashes(queries, index.gridW, index.gridH)
+        .select(col("doc_id"), col("frame_idx").as("idx"),
+          col("fhash").as("key")),
+      "vid_q", "vid_m", minSupport, maxBucket)
 
   /** Frame count law of the video fixture: 2 + (id mod 4) frames. */
   def videoFrames(docId: Long): Int = (2 + docId % 4).toInt

@@ -160,6 +160,24 @@ object StreamingQueries extends QueryModule {
       feed
     })
 
+  // the VIDEO clip-detection query feed: head-clipped re-encodes
+  // (every 20th-ish doc minus its head frame) frame-hashed once per
+  // sf dir — clients upload frame HASHES, never video
+  private val vclipFeedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def vclipFeed(s: SparkSession, dir: String): java.nio.file.Path =
+    vclipFeedDirs.computeIfAbsent(dir, { _ =>
+      import graft.multimodal.Multimodal
+      val feed = java.nio.file.Files.createTempDirectory("graft-vclip-feed")
+      feed.toFile.deleteOnExit()
+      Multimodal.videoFrameHashes(Multimodal.fabricateFrameStream(
+          graft.Tables(s, dir, "documents").filter(col("doc_id") % 20 === 5),
+          idOffset = 1000000L, frameShift = 1))
+        .coalesce(1).write.mode("overwrite").parquet(feed.toString)
+      feed
+    })
+
   // one shim dir per (sfDir, table) for the whole JVM: a long-lived
   // Verify+Bench session re-running a streaming query reuses the same
   // dir instead of leaking a fresh copy per run, and deleteOnExit is
@@ -473,6 +491,34 @@ object StreamingQueries extends QueryModule {
         "complete")
     }),
 
+    // STREAMING VIDEO CLIP DETECTION: the streaming_clip_align shape
+    // over the frame-ahash table — a stream of uploaded frame HASHES
+    // probes the batch-built corpus index via one stream-static
+    // equi-join on the hash alone, offset votes aggregate in complete
+    // mode, the index side carries the hot-key cap. Oracle = the batch
+    // vote replay (stream-transparency).
+    "streaming_video_clip" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val idx = Multimodal.videoFrameHashes(Multimodal.fabricateFrameStream(
+          graft.Tables(s, dir, "documents")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ok = idx.groupBy("fhash").agg(count(lit(1)).as("c"))
+        .filter(col("c") <= 1000).select("fhash")
+      val statik = idx.join(ok, Seq("fhash"))
+        .select(col("fhash"), col("doc_id").as("m_id"),
+          col("frame_idx").as("m_idx"))
+      val feed = vclipFeed(s, dir)
+      val schema = s.read.parquet(feed.toString).schema
+      val qs = s.readStream.schema(schema).parquet(feed.toString)
+      runToTable(
+        qs.join(statik, Seq("fhash"))
+          .groupBy(col("doc_id").as("vid_q"), col("m_id").as("vid_m"),
+            (col("m_idx") - col("frame_idx")).cast("long").as("offset"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2),
+        "complete")
+    }),
+
     // STREAMING CDC MERGE: the daily-crawl story's missing streaming
     // leg — an I/U/D change stream arrives as three ORDERED
     // micro-batches (maxFilesPerTrigger=1 over mtime-sequenced files)
@@ -532,6 +578,29 @@ object StreamingQueries extends QueryModule {
         |       CAST(idx.win_idx - qs.win_idx AS BIGINT) AS "offset",
         |       CAST(COUNT(*) AS BIGINT) AS support
         |FROM qs JOIN idx USING (subfp)
+        |GROUP BY 1, 2, 3
+        |HAVING COUNT(*) >= 2""".stripMargin,
+    // the video serving join's batch vote replay: frame hashes for the
+    // corpus (sh = 0) and the uploaded head-clipped extracts (sh = 1)
+    // from the one pixel law, index side hot-capped, key-only matches
+    // vote for m_idx - q_idx
+    "streaming_video_clip" ->
+      s"""WITH vids AS (
+        |  SELECT doc_id, doc_id AS src, 0 AS sh FROM documents WHERE doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, 1 FROM documents WHERE doc_id % 20 = 5
+        |), ${MultimodalQueries.frameHashChain}, ok AS (
+        |  SELECT fhash FROM fhd WHERE doc_id < 1000000
+        |  GROUP BY fhash HAVING COUNT(*) <= 1000
+        |), idx AS (
+        |  SELECT fhd.* FROM fhd JOIN ok USING (fhash) WHERE fhd.doc_id < 1000000
+        |), qs AS (
+        |  SELECT * FROM fhd WHERE doc_id >= 1000000
+        |)
+        |SELECT qs.doc_id AS vid_q, idx.doc_id AS vid_m,
+        |       CAST(idx.idx - qs.idx AS BIGINT) AS "offset",
+        |       CAST(COUNT(*) AS BIGINT) AS support
+        |FROM qs JOIN idx USING (fhash)
         |GROUP BY 1, 2, 3
         |HAVING COUNT(*) >= 2""".stripMargin,
     // the NET law of the three ordered change batches: %11 rows end

@@ -11,7 +11,39 @@ import graft.operators.{KeyFieldSpec, Pipe, TotalOrderSort}
   */
 object ToolQueries extends QueryModule {
 
+  // one SequenceFile copy of the orders key/priority pair per sf dir
+  // for the JVM (the clipFeed discipline): written ONCE through the
+  // real SequenceFileOutputFormat (BLOCK-compressed), then every run
+  // reads it back through the DSv2 split-at-sync reader
+  private val seqDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def seqFileDir(s: SparkSession, dir: String): String =
+    seqDirs.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft-seqfile")
+      p.toFile.deleteOnExit()
+      val out = s"$p/orders"
+      graft.sources.sequencefile.SequenceFileIO.write(
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        out, "BLOCK")
+      out
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the SequenceFile format family under the driver's hash gate (the
+    // r11 optional item): orders (key = orderkey, value = priority)
+    // round-trips through the REAL Hadoop SequenceFile container —
+    // BLOCK-compressed SequenceFileOutputFormat write, read back via
+    // the DSv2 source (header-inferred schema, sync-split byte
+    // ranges) — then aggregates per priority. A header drift, writable
+    // coercion bug, or lost record hash-mismatches against the oracle
+    // computed straight off the parquet table.
+    "seqfile_roundtrip" -> ((s, dir) => {
+      graft.sources.sequencefile.SequenceFileIO.read(s, seqFileDir(s, dir))
+        .groupBy(col("value").as("priority"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
+    }),
     // KeyFieldBasedComparator spec "-k1,1 -k3,3nr -k4,4n -k5,5n" over
     // space-joined lines: text field asc, numeric field desc, numeric
     // tiebreakers — total order, ranked without a global bottleneck.
@@ -54,6 +86,13 @@ object ToolQueries extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the round trip is transparent by contract, so the oracle reads
+    // the parquet table directly — any byte lost or coerced in the
+    // SequenceFile container shows up as a value/hash mismatch
+    "seqfile_roundtrip" ->
+      """SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1""".stripMargin,
     "keyfield_sort" ->
       """WITH t AS (
         |  SELECT concat_ws(' ', l_returnflag, l_linestatus, CAST(l_quantity AS VARCHAR),

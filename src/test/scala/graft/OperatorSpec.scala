@@ -818,6 +818,93 @@ class OperatorSpec extends AnyFunSuite {
       s"probe: ${probe.toSeq}")
   }
 
+  test("Multimodal video clip index: append == fresh union build, retry idempotent, probe aligns head-clipped re-encodes") {
+    import graft.multimodal.Multimodal
+    val day1 = Seq((1L, "x"), (9L, "x")).toDF("doc_id", "text")
+    val day2 = Seq((13L, "x"), (17L, "NOT video")).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-vclip-idx-spec").toString
+    Multimodal.saveVideoClipIndex(
+      Multimodal.buildVideoClipIndex(
+        Multimodal.fabricateFrameStream(day1)), path)
+    Multimodal.appendVideoClipIndex(spark, path,
+      Multimodal.fabricateFrameStream(day2))
+    def fpSet(ix: Multimodal.VideoClipIndex) = ix.fps
+      .select("doc_id", "frame_idx", "fhash").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val appended = fpSet(Multimodal.loadVideoClipIndex(spark, path))
+    val fresh = fpSet(Multimodal.buildVideoClipIndex(
+      Multimodal.fabricateFrameStream(day1.unionByName(day2))))
+    assert(appended == fresh, "appended video index != fresh union build")
+    // the non-video doc contributes no rows (an index of undecodable
+    // bytes detects nothing)
+    assert(!appended.exists(_._1 == 17L), "non-video doc leaked rows")
+    // a crashed append retried must change nothing after load
+    Multimodal.appendVideoClipIndex(spark, path,
+      Multimodal.fabricateFrameStream(day2))
+    assert(fpSet(Multimodal.loadVideoClipIndex(spark, path)) == fresh,
+      "video append retry not idempotent under load's dedup")
+    // the loaded index aligns a day-2 head-clipped re-encode at frame
+    // offset +1 with every shared frame voting
+    val probe = Multimodal.probeVideoClipIndex(
+      Multimodal.loadVideoClipIndex(spark, path),
+      Multimodal.fabricateFrameStream(day2.filter($"doc_id" === 13L),
+        idOffset = 1000L, frameShift = 1),
+      minSupport = 2, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(probe.toSeq ==
+      Seq((1013L, 13L, 1L, (Multimodal.videoFrames(13L) - 1).toLong)),
+      s"video probe: ${probe.toSeq}")
+  }
+
+  test("Multimodal collapseExact: a flood of exact re-uploads past maxBucket cannot evict the genuine match") {
+    import graft.multimodal.Multimodal
+    // 2×maxBucket byte-identical re-uploads of doc 200's recording +
+    // one genuine mid-stream extract. Without collapse every shared
+    // subfingerprint bucket holds 21 > maxBucket = 10 items, the cap
+    // drops them all, and the true pair vanishes — the spam evicted
+    // the match. With collapseExact the copies collapse to ONE
+    // representative before the census, buckets hold 2, and the
+    // extract aligns to the representative (the lowest id) exactly as
+    // it would against a clean corpus.
+    val base = Seq((200L, "x")).toDF("doc_id", "text")
+    val uploads = (0 until 20).map(i =>
+        Multimodal.fabricateAudio(base, idOffset = 10000L + i * 1000L))
+      .reduce(_ unionByName _)
+    val corpus = Multimodal.fabricateAudio(base).unionByName(uploads)
+      .unionByName(Multimodal.fabricateAudio(base,
+        idOffset = 1000L, startFrame = 128))
+    val capped = Multimodal.audioClipAlign(corpus,
+      minSupport = 2, maxBucket = 10)
+    assert(capped.isEmpty,
+      "without collapse the re-upload flood must blow the cap (the failure this law exists for)")
+    val got = Multimodal.audioClipAlign(corpus,
+        minSupport = 2, maxBucket = 10, collapseExact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((200L, 1200L, 2L, 4L)),
+      s"collapsed align: ${got.toSeq}")
+    // same law through the shared-key (near-dup) path: prefix clips of
+    // one recording pair with the original only once collapsed
+    val prefixDup = Multimodal.fabricateAudio(base).unionByName(uploads)
+    assert(Multimodal.audioNearDupPairs(prefixDup,
+      minShared = 2, maxBucket = 10).isEmpty, "cap must drop the flood")
+    val ndp = Multimodal.audioNearDupPairs(prefixDup,
+        minShared = 2, maxBucket = 10, collapseExact = true)
+      .collect()
+    // all 21 items are byte-identical -> ONE representative, and a
+    // single item pairs with nobody: collapse must not fabricate pairs
+    assert(ndp.isEmpty, s"identical-only corpus must collapse to no pairs: ${ndp.toSeq}")
+    // the groups table names every member's representative
+    val fp = Multimodal.audioSubfingerprints(prefixDup)
+      .filter($"subfp".isNotNull)
+    val groups = Multimodal.exactFingerprintGroups(
+        fp.select($"doc_id", $"win_idx".as("idx"), $"subfp".as("key")),
+        Seq("idx", "key"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.size == 21 && groups.values.toSet == Set(200L),
+      s"groups: $groups")
+  }
+
   test("Multimodal decode handles gray+alpha and indexed-color without throwing; palette permutations hash alike") {
     import graft.multimodal.Multimodal
     import java.awt.image.{BufferedImage, ComponentColorModel, DataBuffer, IndexColorModel}
