@@ -220,6 +220,32 @@ object MultimodalQueries extends QueryModule {
           idOffset = 1000000L, startFrame = 64),
         minSupport = 2, maxBucket = 1000)
     }),
+    // the exact-dup collapse under the driver's hash gate: the corpus
+    // carries THREE byte-identical re-uploads of every 50th recording
+    // (same waveform law, shifted ids) plus the mid-stream extracts.
+    // collapseExact folds each identical fingerprint set to its
+    // lowest-id representative BEFORE the hot-key census, so the
+    // re-uploads neither inflate buckets toward the cap nor pair
+    // quadratically; extracts align to the REPRESENTATIVE (the
+    // original, which has the lowest id in its group). The oracle
+    // replays the collapse literally — group docs by their full
+    // ordered (win, subfp) set — where Spark groups by the
+    // order-insensitive exact digest; they agree unless xxhash64
+    // collides five ways at once.
+    "clip_align_collapsed" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val dups = (1 to 3).map(k =>
+          Multimodal.fabricateAudio(d.filter(col("doc_id") % 50 === 0),
+            idOffset = k * 2000000L))
+        .reduce(_ unionByName _)
+      val wavs = Multimodal.fabricateAudio(d)
+        .unionByName(dups)
+        .unionByName(Multimodal.fabricateAudio(
+          d.filter(col("doc_id") % 25 === 0),
+          idOffset = 1000000L, startFrame = 64))
+      Multimodal.audioClipAlign(wavs, minSupport = 2, maxBucket = 1000,
+        collapseExact = true)
+    }),
     // the VIDEO-side durable index (r11 residual #2): the same
     // save/append/load/probe discipline over the frame-ahash table —
     // day 1 (even ids) hashed + saved, day 2 (odd ids) APPENDED with
@@ -582,6 +608,49 @@ object MultimodalQueries extends QueryModule {
         |  FROM votes
         |)
         |SELECT aud_q, aud_m, "offset", CAST(support AS BIGINT) AS support
+        |FROM best WHERE rn = 1 AND support >= 2""".stripMargin,
+    // the collapse replay, literal form: docs grouped by their FULL
+    // ordered (win, subfp) set, each group's min-id row kept, then the
+    // standard hot-cap + vote + election over the representatives only
+    "clip_align_collapsed" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, doc_id AS src, CAST(256 + doc_id % 512 AS BIGINT) AS n,
+        |         3 + doc_id % 5 AS m, 0 AS off
+        |  FROM documents WHERE doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + k.k * 2000000, doc_id, CAST(256 + doc_id % 512 AS BIGINT),
+        |         3 + doc_id % 5, 0
+        |  FROM documents, (SELECT unnest(range(1, 4)) AS k) k
+        |  WHERE doc_id % 50 = 0 AND doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, CAST(256 + doc_id % 512 - 64 AS BIGINT),
+        |         3 + doc_id % 5, 64
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id % 10 != 7
+        |), $subfpChain, sig AS (
+        |  SELECT doc_id,
+        |         string_agg(win_idx || ':' || subfp, ',' ORDER BY win_idx) AS fset
+        |  FROM fp GROUP BY doc_id
+        |), reps AS (
+        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fset) AS rep FROM sig
+        |), kept AS (
+        |  SELECT fp.* FROM fp JOIN reps ON fp.doc_id = reps.doc_id
+        |  WHERE reps.doc_id = reps.rep
+        |), ok AS (
+        |  SELECT subfp FROM kept GROUP BY subfp HAVING COUNT(*) <= 1000
+        |), k AS (
+        |  SELECT kept.* FROM kept JOIN ok USING (subfp)
+        |), votes AS (
+        |  SELECT x.doc_id AS aud_a, y.doc_id AS aud_b,
+        |         CAST(x.win_idx - y.win_idx AS BIGINT) AS "offset",
+        |         COUNT(*) AS support
+        |  FROM k x JOIN k y ON x.subfp = y.subfp AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, 3
+        |), best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY aud_a, aud_b
+        |    ORDER BY support DESC, "offset" ASC) AS rn
+        |  FROM votes
+        |)
+        |SELECT aud_a, aud_b, "offset", CAST(support AS BIGINT) AS support
         |FROM best WHERE rn = 1 AND support >= 2""".stripMargin,
     // the video persisted-index probe replay: index = ALL video docs
     // (the two parity days reunited — save/append/load are
