@@ -957,6 +957,48 @@ object Multimodal {
       .drop("rn")
   }
 
+  /** End-to-end media dedup — the semantic_dedup composition over
+    * audio fingerprints, the pipeline a dup-heavy media corpus
+    * actually ships: fingerprint once, collapse exact re-uploads to
+    * representatives ([[exactFingerprintGroups]]), mine clip-level
+    * near-dup pairs among the representatives at ARBITRARY offsets
+    * (the [[audioClipAlign]] vote law — a mid-stream extract clusters
+    * with its original, which aligned-key matching cannot see), glue
+    * exact-group membership edges back in, run connected components,
+    * and keep each cluster's lowest-id member. Items that do not
+    * decode keep themselves (there is nothing to compare). Returns the
+    * keeper doc_ids. Scale shape: the narrow fingerprint rows are
+    * pinned once for every branch (decode never re-runs), exact-group
+    * edges are linear in members, pair candidates ride the hot-capped
+    * key equi-join, and components use pointer-doubling — no stage is
+    * all-pairs. Caching contract as [[audioNearDupPairs]].
+    */
+  def audioDedup(media: DataFrame, minSupport: Int = 2,
+                 maxBucket: Int = 1000, window: Int = 64,
+                 bands: Int = 8): DataFrame = {
+    val fp = audioSubfingerprints(media, window, bands)
+      .select(col("doc_id"), col("win_idx"), col("subfp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // undecodable items ride fp as their visible (id, NULL) row, so
+    // the universe needs no second decode pass
+    val universe = fp.select("doc_id").distinct()
+    val fpd = fp.filter(col("subfp").isNotNull)
+    val groups = exactFingerprintGroups(
+      fpd.select(col("doc_id"), col("win_idx").as("idx"),
+        col("subfp").as("key")), Seq("idx", "key"))
+    val aligned = clipAlignPairs(fpd, "win_idx", "subfp", minSupport,
+        maxBucket, "a", "b", collapseExact = true)
+      .select("a", "b")
+    val edges = aligned.unionByName(
+      groups.filter(col("doc_id") =!= col("rep_id"))
+        .select(col("doc_id").as("a"), col("rep_id").as("b")))
+    val cc = graft.operators.Dedup.connectedComponents(edges, "a", "b")
+      .withColumnRenamed("a", "doc_id")
+    universe.join(cc, Seq("doc_id"), "left")
+      .filter(coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+      .select(col("doc_id"))
+  }
+
   /** Per-frame perceptual hashes of a frame-stream table — the video
     * fingerprint primitive shared by [[videoNearDupPairs]],
     * [[videoClipAlign]], and the durable [[VideoClipIndex]]: every

@@ -246,6 +246,28 @@ object MultimodalQueries extends QueryModule {
       Multimodal.audioClipAlign(wavs, minSupport = 2, maxBucket = 1000,
         collapseExact = true)
     }),
+    // the media-dedup COMPOSITION end-to-end (the pipeline_e2e
+    // discipline applied to media): same dup-heavy fixture as
+    // clip_align_collapsed — fingerprint once, collapse the exact
+    // re-uploads, offset-voting clip pairs among representatives,
+    // exact-group edges glued back, connected components, min-id
+    // keeper per cluster; undecodable items keep themselves. Oracle
+    // stacks the verified CTEs: fingerprint replay → set collapse →
+    // vote law (max support over offsets >= 2) → recursive closure →
+    // keeper election.
+    "media_dedup_e2e" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val dups = (1 to 3).map(k =>
+          Multimodal.fabricateAudio(d.filter(col("doc_id") % 50 === 0),
+            idOffset = k * 2000000L))
+        .reduce(_ unionByName _)
+      val wavs = Multimodal.fabricateAudio(d)
+        .unionByName(dups)
+        .unionByName(Multimodal.fabricateAudio(
+          d.filter(col("doc_id") % 25 === 0),
+          idOffset = 1000000L, startFrame = 64))
+      Multimodal.audioDedup(wavs, minSupport = 2, maxBucket = 1000)
+    }),
     // the VIDEO-side durable index (r11 residual #2): the same
     // save/append/load/probe discipline over the frame-ahash table —
     // day 1 (even ids) hashed + saved, day 2 (odd ids) APPENDED with
@@ -652,6 +674,72 @@ object MultimodalQueries extends QueryModule {
         |)
         |SELECT aud_a, aud_b, "offset", CAST(support AS BIGINT) AS support
         |FROM best WHERE rn = 1 AND support >= 2""".stripMargin,
+    // the media-dedup composition replay: collapse (full ordered set
+    // grouping) -> key-only vote pairs among representatives (pair
+    // exists iff its best offset gathers >= 2 votes) -> exact-group
+    // membership edges -> recursive closure -> min-reachable keeper
+    // election over the full universe (undecodable %10=7 docs never
+    // fingerprint and keep themselves)
+    "media_dedup_e2e" ->
+      s"""WITH RECURSIVE base AS (
+        |  SELECT doc_id, doc_id AS src, CAST(256 + doc_id % 512 AS BIGINT) AS n,
+        |         3 + doc_id % 5 AS m, 0 AS off
+        |  FROM documents WHERE doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + k.k * 2000000, doc_id, CAST(256 + doc_id % 512 AS BIGINT),
+        |         3 + doc_id % 5, 0
+        |  FROM documents, (SELECT unnest(range(1, 4)) AS k) k
+        |  WHERE doc_id % 50 = 0 AND doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, CAST(256 + doc_id % 512 - 64 AS BIGINT),
+        |         3 + doc_id % 5, 64
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id % 10 != 7
+        |), $subfpChain, sig AS (
+        |  SELECT doc_id,
+        |         string_agg(win_idx || ':' || subfp, ',' ORDER BY win_idx) AS fset
+        |  FROM fp GROUP BY doc_id
+        |), grp AS (
+        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fset) AS rep FROM sig
+        |), kept AS (
+        |  SELECT fp.* FROM fp JOIN grp ON fp.doc_id = grp.doc_id
+        |  WHERE grp.doc_id = grp.rep
+        |), ok AS (
+        |  SELECT subfp FROM kept GROUP BY subfp HAVING COUNT(*) <= 1000
+        |), k AS (
+        |  SELECT kept.* FROM kept JOIN ok USING (subfp)
+        |), prs AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |           x.win_idx - y.win_idx AS off, COUNT(*) AS support
+        |    FROM k x JOIN k y ON x.subfp = y.subfp AND x.doc_id < y.doc_id
+        |    GROUP BY 1, 2, 3)
+        |  GROUP BY a, b HAVING MAX(support) >= 2
+        |), alledges AS (
+        |  SELECT a, b FROM prs
+        |  UNION ALL
+        |  SELECT doc_id, rep FROM grp WHERE doc_id != rep
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM alledges
+        |  UNION ALL
+        |  SELECT b, a FROM alledges
+        |), reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT g.src, reach.r FROM edges g JOIN reach ON reach.id = g.dst
+        |), u AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + k.k * 2000000 FROM documents,
+        |    (SELECT unnest(range(1, 4)) AS k) k
+        |  WHERE doc_id % 50 = 0 AND doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 FROM documents
+        |  WHERE doc_id % 25 = 0 AND doc_id % 10 != 7
+        |)
+        |SELECT u.doc_id
+        |FROM u LEFT JOIN reach ON reach.id = u.doc_id
+        |GROUP BY u.doc_id
+        |HAVING CAST(COALESCE(LEAST(MIN(reach.r), u.doc_id), u.doc_id) AS BIGINT) = u.doc_id""".stripMargin,
     // the video persisted-index probe replay: index = ALL video docs
     // (the two parity days reunited — save/append/load are
     // transparent), queries = the head-clipped re-encodes, asymmetric

@@ -857,6 +857,23 @@ class OperatorSpec extends AnyFunSuite {
       s"video probe: ${probe.toSeq}")
   }
 
+  test("Multimodal audioDedup: copies and mid-stream extracts collapse to one keeper; undecodables keep themselves") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((200L, "x"), (9L, "x"), (17L, "NOT media")).toDF("doc_id", "text")
+    val wavs = Multimodal.fabricateAudio(docs)
+      // a byte-identical re-upload of doc 200 (collapses exactly) ...
+      .unionByName(Multimodal.fabricateAudio(docs.filter($"doc_id" === 200L),
+        idOffset = 10000L))
+      // ... and a mid-stream extract (clusters via the clip-align vote)
+      .unionByName(Multimodal.fabricateAudio(docs.filter($"doc_id" === 200L),
+        idOffset = 1000L, startFrame = 128))
+    val keep = Multimodal.audioDedup(wavs, minSupport = 2, maxBucket = 10)
+      .collect().map(_.getLong(0)).toSet
+    // 10200 (exact copy) and 1200 (extract) fold into keeper 200; doc 9
+    // is untouched; doc 17 never decodes and keeps itself
+    assert(keep == Set(9L, 17L, 200L), s"keepers: $keep")
+  }
+
   test("Multimodal collapseExact: a flood of exact re-uploads past maxBucket cannot evict the genuine match") {
     import graft.multimodal.Multimodal
     // 2×maxBucket byte-identical re-uploads of doc 200's recording +
