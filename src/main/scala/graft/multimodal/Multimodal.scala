@@ -999,6 +999,39 @@ object Multimodal {
       .select(col("doc_id"))
   }
 
+  /** [[audioDedup]] for video streams: collapse byte-identical
+    * re-uploads of a frame sequence, mine offset-voting frame-hash
+    * clip pairs among the representatives (a head-clipped re-encode
+    * clusters with its original), glue exact-group edges back, run
+    * connected components, keep each cluster's lowest-id member;
+    * streams that do not decode keep themselves. Same scale shape and
+    * caching contract as [[audioDedup]].
+    */
+  def videoDedup(media: DataFrame, minSupport: Int = 2,
+                 maxBucket: Int = 1000): DataFrame = {
+    val fp = framePlanes(media, 8, 8)
+      .select(col("doc_id"), col("frame_idx"),
+        when(col("luma").isNotNull,
+          graft.functions.MediaExpressions.ahash64(col("luma"))).as("fhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val universe = fp.select("doc_id").distinct()
+    val fpd = fp.filter(col("fhash").isNotNull)
+    val groups = exactFingerprintGroups(
+      fpd.select(col("doc_id"), col("frame_idx").as("idx"),
+        col("fhash").as("key")), Seq("idx", "key"))
+    val aligned = clipAlignPairs(fpd, "frame_idx", "fhash", minSupport,
+        maxBucket, "a", "b", collapseExact = true)
+      .select("a", "b")
+    val edges = aligned.unionByName(
+      groups.filter(col("doc_id") =!= col("rep_id"))
+        .select(col("doc_id").as("a"), col("rep_id").as("b")))
+    val cc = graft.operators.Dedup.connectedComponents(edges, "a", "b")
+      .withColumnRenamed("a", "doc_id")
+    universe.join(cc, Seq("doc_id"), "left")
+      .filter(coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+      .select(col("doc_id"))
+  }
+
   /** Per-frame perceptual hashes of a frame-stream table — the video
     * fingerprint primitive shared by [[videoNearDupPairs]],
     * [[videoClipAlign]], and the durable [[VideoClipIndex]]: every

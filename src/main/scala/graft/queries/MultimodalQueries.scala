@@ -268,6 +268,23 @@ object MultimodalQueries extends QueryModule {
           idOffset = 1000000L, startFrame = 64))
       Multimodal.audioDedup(wavs, minSupport = 2, maxBucket = 1000)
     }),
+    // the video twin of media_dedup_e2e: re-upload floods of frame
+    // streams collapse, head-clipped re-encodes cluster with their
+    // originals through the frame-hash vote, components elect min-id
+    // keepers, non-video docs keep themselves
+    "video_dedup_e2e" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val dups = (1 to 3).map(k =>
+          Multimodal.fabricateFrameStream(d.filter(col("doc_id") % 50 === 0),
+            idOffset = k * 2000000L))
+        .reduce(_ unionByName _)
+      val streams = Multimodal.fabricateFrameStream(d)
+        .unionByName(dups)
+        .unionByName(Multimodal.fabricateFrameStream(
+          d.filter(col("doc_id") % 20 === 5),
+          idOffset = 1000000L, frameShift = 1))
+      Multimodal.videoDedup(streams, minSupport = 2, maxBucket = 1000)
+    }),
     // the VIDEO-side durable index (r11 residual #2): the same
     // save/append/load/probe discipline over the frame-ahash table —
     // day 1 (even ids) hashed + saved, day 2 (odd ids) APPENDED with
@@ -735,6 +752,64 @@ object MultimodalQueries extends QueryModule {
         |  UNION ALL
         |  SELECT doc_id + 1000000 FROM documents
         |  WHERE doc_id % 25 = 0 AND doc_id % 10 != 7
+        |)
+        |SELECT u.doc_id
+        |FROM u LEFT JOIN reach ON reach.id = u.doc_id
+        |GROUP BY u.doc_id
+        |HAVING CAST(COALESCE(LEAST(MIN(reach.r), u.doc_id), u.doc_id) AS BIGINT) = u.doc_id""".stripMargin,
+    // the video media-dedup replay: frame-hash chain -> set collapse ->
+    // frame-offset vote pairs among representatives -> exact-group
+    // edges -> recursive closure -> keeper election over all docs +
+    // planted copies + head-clipped variants
+    "video_dedup_e2e" ->
+      s"""WITH RECURSIVE vids AS (
+        |  SELECT doc_id, doc_id AS src, 0 AS sh FROM documents WHERE doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + k.k * 2000000, doc_id, 0
+        |  FROM documents, (SELECT unnest(range(1, 4)) AS k) k
+        |  WHERE doc_id % 50 = 0 AND doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, 1 FROM documents WHERE doc_id % 20 = 5
+        |), $frameHashChain, sig AS (
+        |  SELECT doc_id,
+        |         string_agg(idx || ':' || fhash, ',' ORDER BY idx) AS fset
+        |  FROM fhd GROUP BY doc_id
+        |), grp AS (
+        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fset) AS rep FROM sig
+        |), kept AS (
+        |  SELECT fhd.* FROM fhd JOIN grp ON fhd.doc_id = grp.doc_id
+        |  WHERE grp.doc_id = grp.rep
+        |), ok AS (
+        |  SELECT fhash FROM kept GROUP BY fhash HAVING COUNT(*) <= 1000
+        |), k AS (
+        |  SELECT kept.* FROM kept JOIN ok USING (fhash)
+        |), prs AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |           x.idx - y.idx AS off, COUNT(*) AS support
+        |    FROM k x JOIN k y ON x.fhash = y.fhash AND x.doc_id < y.doc_id
+        |    GROUP BY 1, 2, 3)
+        |  GROUP BY a, b HAVING MAX(support) >= 2
+        |), alledges AS (
+        |  SELECT a, b FROM prs
+        |  UNION ALL
+        |  SELECT doc_id, rep FROM grp WHERE doc_id != rep
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM alledges
+        |  UNION ALL
+        |  SELECT b, a FROM alledges
+        |), reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT g.src, reach.r FROM edges g JOIN reach ON reach.id = g.dst
+        |), u AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + k.k * 2000000 FROM documents,
+        |    (SELECT unnest(range(1, 4)) AS k) k
+        |  WHERE doc_id % 50 = 0 AND doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 20 = 5
         |)
         |SELECT u.doc_id
         |FROM u LEFT JOIN reach ON reach.id = u.doc_id

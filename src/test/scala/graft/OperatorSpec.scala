@@ -874,6 +874,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(keep == Set(9L, 17L, 200L), s"keepers: $keep")
   }
 
+  test("Multimodal videoDedup: re-uploaded and head-clipped streams fold into one keeper") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((1L, "x"), (9L, "x"), (17L, "NOT video")).toDF("doc_id", "text")
+    val streams = Multimodal.fabricateFrameStream(docs)
+      .unionByName(Multimodal.fabricateFrameStream(docs.filter($"doc_id" === 1L),
+        idOffset = 10000L))
+      .unionByName(Multimodal.fabricateFrameStream(docs.filter($"doc_id" === 1L),
+        idOffset = 1000L, frameShift = 1))
+    val keep = Multimodal.videoDedup(streams, minSupport = 2, maxBucket = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(keep == Set(1L, 9L, 17L), s"keepers: $keep")
+  }
+
   test("Multimodal collapseExact: a flood of exact re-uploads past maxBucket cannot evict the genuine match") {
     import graft.multimodal.Multimodal
     // 2×maxBucket byte-identical re-uploads of doc 200's recording +
