@@ -86,6 +86,24 @@ object Bench {
         } finally src.close()
       } catch { case _: Throwable => -1L }
 
+    // total device io_ticks (ms with I/O in flight) across physical
+    // disks — the DISK complement of the other_cores signal: a
+    // CPU-quiet neighbor can still saturate the device (observed: a
+    // run whose every probe read other_cores <= 0.5 printed knn 1.22
+    // while dfsio_write collapsed 268 -> 29 MB/s). Self and co-tenant
+    // I/O are indistinguishable at this counter, so the per-sample
+    // utilization is recorded EVIDENCE in the scale entries, never a
+    // re-sample gate.
+    def diskIoTicksMs(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/diskstats")
+        try src.getLines().map(_.trim.split("\\s+")).collect {
+          case f if f.length > 12 &&
+            f(2).matches("(sd[a-z]+|nvme\\d+n\\d+|vd[a-z]+|xvd[a-z]+)") =>
+            f(12).toLong
+        }.sum finally src.close()
+      } catch { case _: Throwable => -1L }
+
     // dev-only isolation knobs (adjudicating contention vs regression):
     // SPARK_GRAFT_SKIP_LANES=1 skips the per-lane timing loops;
     // SPARK_GRAFT_PROBES=knn_ivf,bitext_ivf runs only the named scale
@@ -196,9 +214,11 @@ object Bench {
         .reduce(_.unionByName(_))
     }
     // one probe sample with its contention evidence: elapsed seconds,
-    // the 1-min loadavg as the sample started, and the co-tenant CPU
-    // (other-process cores) measured ACROSS the sample window
-    case class PSample(t: Double, load: Double, other: Double)
+    // the 1-min loadavg as the sample started, the co-tenant CPU
+    // (other-process cores) measured ACROSS the sample window, and the
+    // whole-box disk utilization (io_ticks fraction; > 1 with several
+    // devices) across the same window
+    case class PSample(t: Double, load: Double, other: Double, disk: Double)
     case class ProbeResult(t1: Double, tr: Double, exponent: Double,
                            ratio: Int, s1: Vector[PSample],
                            sr: Vector[PSample], polluted: Boolean)
@@ -235,14 +255,19 @@ object Bench {
           System.gc()
           val la = loadavg()
           val b0 = statBusyJiffies(); val j0 = selfJiffies()
+          val d0 = diskIoTicksMs()
           val t0 = System.nanoTime()
           lane(df)
           val el = (System.nanoTime() - t0) / 1e9
           val b1 = statBusyJiffies(); val j1 = selfJiffies()
+          val d1 = diskIoTicksMs()
           val other =
             if (b0 < 0 || b1 < 0 || j0 < 0 || j1 < 0 || el <= 0) -1.0
             else math.max(0.0, ((b1 - b0) - (j1 - j0)) / 100.0 / el)
-          PSample(el, la, other)
+          val disk =
+            if (d0 < 0 || d1 < 0 || el <= 0) -1.0
+            else (d1 - d0) / 1000.0 / el
+          PSample(el, la, other, disk)
         }
         // a sample with unreadable /proc counters (other = -1) cannot
         // be adjudicated and is treated as clean — no gate without a
@@ -740,6 +765,7 @@ object Bench {
           s""""exponent":${fmt(pr.exponent, 3)},""" +
           s""""loads_1x":${arr(pr.s1, _.load)},"loads_${pr.ratio}x":${arr(pr.sr, _.load)},""" +
           s""""other_cores_1x":${arr(pr.s1, _.other)},"other_cores_${pr.ratio}x":${arr(pr.sr, _.other)},""" +
+          s""""disk_util_1x":${arr(pr.s1, _.disk)},"disk_util_${pr.ratio}x":${arr(pr.sr, _.disk)},""" +
           s""""load_polluted":${pr.polluted}}"""
       }.getOrElse("")
     def localScaleJson(): String =
