@@ -1,6 +1,9 @@
 package graft
 
-/** Per-round benchmark harness. One JSON line to stdout.
+/** Per-round benchmark harness. One SHORT JSON line to stdout; the
+  * FULL record goes to `SPARK_GRAFT_BENCH_OUT` (default
+  * `bench_out.json`), checkpointed incrementally after every lane and
+  * probe so a wall-clock kill still leaves a parsed partial record.
   *
   * Methodology (the round-2 verdict's top item — single-shot timings
   * moved 3-10× between identical runs):
@@ -8,7 +11,12 @@ package graft
   *    SPARK_GRAFT_BENCH_ITERS): a query's N samples are separated in
   *    time, so a disk-contention spike hits one sample, not all of them;
   *    the reported per-query number is the MEDIAN, with min/max spread
-  *    alongside.
+  *    alongside. The THIRD pass is adaptive (the r12 driver-budget
+  *    timeout's first prong): a lane whose first two samples are both
+  *    sub-second AND within 30% of each other is floor-dominated and
+  *    stable — its third sample buys nothing, so it is skipped (the
+  *    two-sample median is their mean). Slow or noisy lanes keep all
+  *    N samples.
   *  - `spark.catalog.clearCache()` before every measurement: no query's
   *    persisted intermediates (dedup's shared shingle table) perturb a
   *    later query's sample.
@@ -17,6 +25,21 @@ package graft
   *    `failed` — a crash can't masquerade as a fast pass.
   *  - noop sink computes every declared column (count() would let
   *    Catalyst prune map-shaped work to nothing).
+  *
+  * BUDGET CONTRACT (the r12 lead item — the driver's own re-run hit
+  * its wall-clock limit, rc 124, and by this repo's standard a record
+  * the driver cannot finish does not exist): the whole run fits inside
+  * SPARK_GRAFT_BENCH_BUDGET_SEC (default 2400 s). Optional stages
+  * degrade in priority order as the budget drains — third-pass
+  * samples, quiet-window retries, the sf-small pass, then terasort_sf1
+  * — each skip recorded under "skipped" in the emitted record, and the
+  * forked probe child gets exactly the remaining budget as its
+  * timeout, with its incrementally-checkpointed partial entries
+  * spliced in even when it is killed. The stdout line is SHORT
+  * (< ~1.8 KB): the driver's capture keeps only a ~2000-char tail, so
+  * r03–r12's full compact line never parsed (`"parsed": null` even at
+  * rc 0); headline lanes + every scale exponent + the harness metrics
+  * fit the tail, and the full per-lane record lives in the file copy.
   *
   * Alongside the query suite, the reference's benchmark harnesses
   * (BASELINE.md metrics): MRBench small-job latency and TestDFSIO
@@ -36,6 +59,10 @@ object Bench {
     String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
 
   def main(args: Array[String]): Unit = {
+    val t0All = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - t0All) / 1e9
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // bench contract is local[32] (the driver may or may not export CPUS)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -68,10 +95,14 @@ object Bench {
       try {
         val src = scala.io.Source.fromFile("/proc/stat")
         try {
-          // cpu user nice system idle iowait irq softirq steal ...
+          // cpu user nice system idle iowait irq softirq steal guest
+          // guest_nice — busy = fields 0-7 minus idle (3) and iowait
+          // (4); guest and guest_nice (8, 9) are EXCLUDED because the
+          // kernel already folds guest time into user/nice — summing
+          // them double-counts VM time and flags a quiet box as loaded
           val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
           f.zipWithIndex.collect {
-            case (v, i) if i != 3 && i != 4 => v // drop idle + iowait
+            case (v, i) if i < 8 && i != 3 && i != 4 => v
           }.sum
         } finally src.close()
       } catch { case _: Throwable => -1L }
@@ -117,19 +148,107 @@ object Bench {
       names.map { case (n, _) => n -> Vector.empty[Double] }: _*)
     val loads = scala.collection.mutable.LinkedHashMap(
       names.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    // retry samples live in their OWN maps (never appended to
+    // `samples`): the emitted samples/loads arrays stay exactly
+    // len == iterations-run, so consumers that zip arrays against the
+    // iteration count parse retried lanes too, and a throwing retry
+    // sample (run precisely because the box was loaded) can never
+    // poison a lane whose original samples all succeeded
+    val retrySamples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    val retryLoads = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    val skippedStages = scala.collection.mutable.ArrayBuffer[String]()
     def timeLane(name: String, fn: (org.apache.spark.sql.SparkSession, String)
-                 => org.apache.spark.sql.DataFrame): Unit = {
+                 => org.apache.spark.sql.DataFrame,
+                 retry: Boolean = false): Unit = {
       spark.catalog.clearCache()
-      loads(name) = loads(name) :+ loadavg()
+      val la = loadavg()
       val t0 = System.nanoTime()
       val t =
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
-      samples(name) = samples(name) :+ t
+      if (retry) {
+        retrySamples(name) = retrySamples.getOrElse(name, Vector.empty) :+ t
+        retryLoads(name) = retryLoads.getOrElse(name, Vector.empty) :+ la
+      } else {
+        samples(name) = samples(name) :+ t
+        loads(name) = loads(name) :+ la
+      }
     }
-    for (_ <- 1 to iters; (name, fn) <- names) timeLane(name, fn)
+
+    // per-lane median: a lane FAILS only on a negative ORIGINAL sample
+    // (a crash can't masquerade as a fast pass); retry samples merge in
+    // non-negative only, and the median is over the best `iters` of the
+    // merged set — a quiet retry replaces an inflated sample, a
+    // still-loaded or throwing retry changes nothing
+    def medOf(n: String): Double = {
+      val ts = samples(n)
+      if (ts.isEmpty || ts.exists(_ < 0)) -1.0
+      else median((ts ++ retrySamples.getOrElse(n, Vector.empty)
+        .filter(_ >= 0)).sorted.take(iters))
+    }
+
+    // ---- incremental record checkpointing ----------------------------
+    // the full JSON record is REWRITTEN after every lane and probe
+    // (complete fields last, "partial" dropped only at the end), so a
+    // driver wall-clock kill at any point still leaves a parsed partial
+    // record in the file instead of nothing (the r12 lead item)
+    def jm(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    var scaleJsonStr = ""
+    var smallJsonStr = ""
+    var mrAvg = -1.0; var wMbps = -1.0; var rMbps = -1.0; var nnOps = -1.0
+    var fbSeqRead = -1.0; var sliveOps = -1.0; var bmoMbps = -1.0
+    var tmbMbps = -1.0; var teraSf1Sec = -1.0
+    def harnessJson: String =
+      s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)},"nnbench_create_ops_sec":${fmt(nnOps, 1)},"filebench_seq_read_mbps":${fmt(fbSeqRead, 1)},"slive_ops_sec":${fmt(sliveOps, 1)},"bigmap_shuffle_mbps":${fmt(bmoMbps, 1)},"threadedmap_sort_mbps":${fmt(tmbMbps, 1)},"terasort_sf1_sec":${fmt(teraSf1Sec, 1)}"""
+    def skippedJson: String =
+      skippedStages.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def fullJson(partial: Boolean): String = {
+      val med = names.map { case (n, _) => n -> medOf(n) }
+      val failed = med.collect { case (n, v) if v < 0 => n }
+      val total = med.collect { case (_, v) if v >= 0 => v }.sum
+      val qs = jm(med.map { case (k, v) => k -> fmt(v, 3) })
+      val spread = jm(samples.map { case (k, ts) =>
+        k -> ts.map(t => fmt(t, 3)).mkString("[", ",", "]")
+      })
+      val loadJson = jm(loads.map { case (k, ls) =>
+        k -> ls.map(l => fmt(l, 2)).mkString("[", ",", "]")
+      })
+      val retryJson =
+        if (retrySamples.isEmpty) ""
+        else s""","retry_samples":${jm(retrySamples.map { case (k, ts) =>
+          k -> ts.map(t => fmt(t, 3)).mkString("[", ",", "]") })}""" +
+          s""","retry_loads":${jm(retryLoads.map { case (k, ls) =>
+          k -> ls.map(l => fmt(l, 2)).mkString("[", ",", "]") })}"""
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val retriedJson = retrySamples.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters,"failed":$failedJson,"retried":$retriedJson""" +
+        (if (partial) ""","partial":true""" else "") +
+        s""","skipped":$skippedJson,"elapsed_sec":${fmt(elapsedSec, 1)}""" +
+        s""","samples":$spread,"loads":$loadJson""" + retryJson + smallJsonStr +
+        scaleJsonStr + harnessJson + "}"
+    }
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    def checkpoint(partial: Boolean = true): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (fullJson(partial) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+
+    // passes 1..iters round-robin; the third-and-later passes skip a
+    // lane that is already stable-and-floor-dominated (both samples
+    // sub-second and within 30%) and stop entirely past 55% of the
+    // budget — the budget's first casualty is the least informative
+    // sample in the suite
+    for (pass <- 1 to iters; (name, fn) <- names) {
+      val ts = samples(name)
+      val stableFast = pass > 2 && ts.length >= 2 && ts.forall(_ >= 0) &&
+        ts.max < 1.0 && (ts.max - ts.min) / math.max(ts.min, 1e-9) < 0.3
+      val overBudget = pass > 2 && elapsedSec > 0.55 * budgetSec
+      if (overBudget) { if (!skippedStages.contains("pass3_tail")) skippedStages += "pass3_tail" }
+      else if (!stableFast) { timeLane(name, fn); checkpoint() }
+    }
     spark.catalog.clearCache()
 
     // quiet-window retry (r11 optional item 7): co-tenant load is
@@ -140,28 +259,25 @@ object Bench {
     // extra sample at end-of-run; the median is then taken over the
     // best `iters` samples, so a still-loaded retry changes nothing
     // and a quiet one replaces the inflated sample. All samples and
-    // their loadavgs stay in the record (nothing is hidden) and the
-    // retried lanes are listed under "retried". SPARK_GRAFT_RETRY_WORST
-    // sets N (default 3; 0 disables).
+    // their loadavgs stay in the record (retry samples under their own
+    // keys, so the per-pass arrays stay zip-safe) and the retried
+    // lanes are listed under "retried". SPARK_GRAFT_RETRY_WORST
+    // sets N (default 3; 0 disables). Skipped wholesale past 60% of
+    // the budget — a retry exists to polish evidence, not to blow the
+    // driver's wall clock.
     val retryWorst =
       math.max(0, sys.env.getOrElse("SPARK_GRAFT_RETRY_WORST", "3").toInt)
-    val retried =
-      if (iters < 2) Seq.empty[String]
+    if (iters >= 2 && retryWorst > 0) {
+      if (elapsedSec > 0.6 * budgetSec) skippedStages += "retry"
       else names.filter { case (n, _) =>
           val ts = samples(n)
-          ts.forall(_ >= 0) && ts.min > 0.2 && median(ts) / ts.min > 1.3
+          ts.nonEmpty && ts.forall(_ >= 0) && ts.min > 0.2 && median(ts) / ts.min > 1.3
         }
         .sortBy { case (n, _) => -(median(samples(n)) - samples(n).min) }
         .take(retryWorst)
-        .map { case (n, fn) => timeLane(n, fn); n }
-    spark.catalog.clearCache()
-
-    val med = samples.map { case (name, ts) =>
-      name -> (if (ts.exists(_ < 0)) -1.0
-               else median(ts.sorted.take(iters)))
+        .foreach { case (n, fn) => timeLane(n, fn, retry = true); checkpoint() }
     }
-    val failed = med.collect { case (n, v) if v < 0 => n }.toSeq
-    val total = med.values.filter(_ >= 0).sum
+    spark.catalog.clearCache()
 
     // scale separation: one pass at the next-smaller sf (when present)
     // so a query's fixed overhead (~0.2-0.3s planning/JVM floor) is
@@ -172,29 +288,26 @@ object Bench {
       if (guess != sfDir && new java.io.File(guess).isDirectory) Some(guess)
       else None
     }
-    val small = smallDir.map { sd =>
-      names.map { case (name, fn) =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val t =
-          try {
-            fn(spark, sd).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => -1.0 }
-        name -> t
+    smallDir.foreach { sd =>
+      if (elapsedSec > 0.65 * budgetSec) skippedStages += "sf_small"
+      else {
+        val sq = names.map { case (name, fn) =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val t =
+            try {
+              fn(spark, sd).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            } catch { case _: Throwable => -1.0 }
+          name -> t
+        }
+        smallJsonStr =
+          s""","sf_small":"$sd","queries_small":${jm(sq.map { case (k, v) => k -> fmt(v, 3) })}"""
+        checkpoint()
       }
     }
     spark.catalog.clearCache()
 
-    // dedup-family scale probe above the largest fixture: the linear
-    // stages (simhash signatures, winnowing fingerprints, exact dedup)
-    // timed on the corpus and a 3× self-replication (ids shifted so
-    // keys stay distinct). The banding/pair stages are excluded — a
-    // replicated corpus is near-dup-dense by construction, which would
-    // measure output explosion, not scan scaling. exponent =
-    // ln(t3/t1)/ln 3 → 1.0 is perfect linear scaling; < 1 means the
-    // fixed per-job floor still amortizes at this corpus size (t = f +
-    // c·n), > 1 would flag a superlinear stage.
     // ---- scale probes (shared discipline) ----------------------------
     // time a lane on the corpus and a 3× self-replication (ids shifted
     // past the real range so keys stay distinct), median of 3
@@ -233,6 +346,14 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_PROBE_MAX_OTHER_CORES", "4.0").toDouble
     val probeRetries =
       math.max(0, sys.env.getOrElse("SPARK_GRAFT_PROBE_RETRIES", "2").toInt)
+    // hard wall-clock ceiling on the OPTIONAL re-sampling the load gate
+    // can add across the whole probe pass (r12 verdict item 5:
+    // measurement hygiene must never again be the thing that blows the
+    // driver budget) — once the retry pairs have burned this many
+    // seconds, further polluted sides stand with load_polluted=true
+    var probeRetrySecLeft =
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_RETRY_BUDGET_SEC",
+        fmt(math.min(300.0, 0.15 * budgetSec), 0)).toDouble
     // fixture setup runs INSIDE the probe's try (mk thunk): a missing
     // table, absent column, or empty fixture (max(id) null) must read
     // as that probe's failure line, never abort the whole bench
@@ -276,10 +397,12 @@ object Bench {
         run(d1) // untimed warmup of the probe's codegen
         var pairs = Vector.fill(samplePairs)((run(d1), run(d3)))
         var extra = 0
-        while (extra < probeRetries &&
+        while (extra < probeRetries && probeRetrySecLeft > 0 &&
                (!pairs.exists(p => clean(p._1)) ||
                 !pairs.exists(p => clean(p._2)))) {
+          val tr0 = System.nanoTime()
           pairs = pairs :+ ((run(d1), run(d3)))
+          probeRetrySecLeft -= (System.nanoTime() - tr0) / 1e9
           extra += 1
         }
         // MIN, not median: contention/GC only ever ADDS time, so the
@@ -337,153 +460,6 @@ object Bench {
       spark.read.parquet(path)
     }
 
-    // the probe pass, callable in-process (probe-only child / fallback
-    // mode) — the full run forks it into a fresh JVM instead (below)
-    def probePass(): Seq[(String, Option[ProbeResult])] = {
-
-    // the two GRADED structural exponents (knn serving shape, bitext
-    // mining shape) run FIRST in the pass — in the forked child that
-    // means on the coldest possible JVM/heap state; the text-family
-    // probes follow and the ~4-minute pipeline_full stays last.
-    // the r8-flagged mining lanes. knn: the SERVING shape — a bounded
-    // query batch (the 10 lowest ids, identical at both sizes)
-    // k-NN-votes against an index over the growing corpus. Cells are
-    // PINNED to 256 — the autoCells clamp, i.e. the value every corpus
-    // past ~4.2 M rows gets — at BOTH sizes: with cells constant the
-    // index build (n·cells distance evals) and probe (nProbe·cellSize
-    // candidates per query) are both linear in n by construction, so
-    // the exponent checks that nothing in the candidate-fed path — the
-    // r8 version broadcast a 20% corpus fraction and scanned n per
-    // query — reintroduced a superlinear term. (The un-pinned √(n/64)
-    // autoCells sizing the probe ran through r11 is BELOW the clamp in
-    // the 150k–450k probe range, making the build genuinely
-    // Θ(n·√n) there — a real n^1.5 sub-term that box load amplified
-    // into the r11 record's 1.054; the serving claim is the clamped
-    // regime, so the probe now measures that regime.) (A query side that is itself a
-    // corpus FRACTION makes total k-NN work Θ(n²/cells) in any
-    // flat-codebook implementation — so the fraction shape is not
-    // probeable for a sub-1 exponent and the serving shape is the
-    // honest claim.) As of r11 both embedding probes run on the
-    // 50k-row deterministic fixture (probeVectors) at true 1×/3× —
-    // the 2k-row table needed 3×/9× replication and still sat under
-    // the scheduling floor.
-    val knnIvfScale = scaleProbe("knn_ivf",
-        () => (probeVectors(probeN), probeVectors(3 * probeN))) { df =>
-      // 256 = the autoCells clamp (the >= 4.2 M-row serving sizing),
-      // constant across both probe sizes — see the probe comment above
-      val cb = operators.Similarity.kmeansCodebook(df, "vec_id", "embedding",
-        nCells = 256, iters = 2)
-      val assigned = operators.Similarity.assignCells(
-        df.select(col("vec_id").cast("long").as("n_id"),
-          col("embedding").as("nv")), "n_id", "nv", cb, rep = 4)
-      val queries = df.filter(col("vec_id") % 50 === 0)
-        .orderBy("vec_id").limit(10)
-      val topk = operators.Similarity.topKFromCandidates(
-        operators.Similarity.ivfCandidates(cb, assigned,
-          queries.select("vec_id", "embedding"), "vec_id", "embedding",
-          nProbe = 4), k = 5)
-      noop(operators.Similarity.knnVote(topk,
-        df.select(col("vec_id").cast("long").as("n_id"),
-          (col("vec_id") % 7).cast("long").as("n_lab")),
-        queries.select(col("vec_id").cast("long").as("q_id"),
-          (col("vec_id") % 7).cast("long").as("label"))))
-    }
-    // bitext: BOTH text sides grow together (the mined-parallel-corpus
-    // shape). As of r11 the lane under probe is bitextMineLsh — the
-    // shipped scale path: sign-hyperplane blocking whose assignment is
-    // a pure O(n·bits·dim) projection and whose (t, cell) equi-join
-    // emits linear candidate volume at miningBits' cells-∝-n sizing.
-    // It replaces the flat-codebook two-index build, whose n·cells
-    // assign term (cells ∝ n) is Θ(n²/32) — the r10 driver record
-    // measured that lane's exponent at 1.142, the adjudicated
-    // scale-killer. The JSON key keeps its historical name so
-    // per-round records stay comparable. Measured at 1x/4x, not 1x/3x:
-    // miningBits = ceil(log2(n/32)) shifts by EXACTLY 2 under a 4x
-    // step for any n, so expected bucket population — and with it
-    // per-pair candidate work — is identical at both sizes and the
-    // exponent measures pure scaling; a 3x step lands the two sizes at
-    // different phases of the ceil saw-tooth and can swing measured
-    // candidate volume between 1.5x and 4.5x (observed 0.73 and 1.14
-    // on identical code), which is discretization, not asymptotics.
-    // probeN/2 at 1x (not probeN): keeps the 4x sample near ~1 min —
-    // 100s+ samples exposed enough run-level drift (page cache, GC,
-    // co-tenants) to swing even a min-of-3 exponent by 0.08 between
-    // fresh-JVM runs; 5 sample pairs tighten the min further
-    val bitextIvfScale = scaleProbe("bitext_ivf",
-        () => (probeVectors(probeN / 2), probeVectors(2 * probeN)),
-        ratio = 4, samplePairs = 5) { df =>
-      val src = df.filter(col("vec_id") % 2 === 0)
-      val tgt = df.filter(col("vec_id") % 2 === 1)
-      // the internal candidate-sim persist is released by the probe
-      // harness's clearCache before the next sample
-      noop(operators.Similarity.bitextMineLsh(src, tgt, "vec_id", "embedding",
-        k = 4, threshold = 1.05))
-    }
-
-
-    val dedupScale = scaleProbe("dedup", docsPair) { df =>
-      noop(operators.Dedup.simhash(df, "doc_id", "text"))
-      noop(operators.Dedup.fingerprints(df, "doc_id", "text", 3, 4))
-      noop(operators.Dedup.exact(df, "doc_id", "text"))
-    }
-    // k-means: fit (2 Lloyd rounds of partial integer sums) + the
-    // shuffle-free assignment — linear in points even when replicas are
-    // identical vectors; semDedup's in-cluster pair join is the
-    // excluded dup-dense stage
-    val kmeansScale = scaleProbe("kmeans", () => {
-      val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding"))
-      (e1, replicate3(e1, "vec_id"))
-    }) { df =>
-      noop(operators.Kmeans.fitAssign(df, "vec_id", "embedding",
-        k = 8, iters = 2))
-    }
-    // DSIR: the raw corpus grows, the curated target (and so the
-    // 1024-bucket λ table) stays fixed — the production shape; scoring
-    // is the row-local lane under test
-    val dsirScale = scaleProbe("dsir", docsPair) { df =>
-      noop(operators.Dsir.weights(df,
-        df.sparkSession.read.parquet(s"$sfDir/documents.parquet")
-          .select(col("doc_id"), col("text"), col("lang"))
-          .filter(col("lang") === "en"),
-        "doc_id", "text", b = 1024))
-    }
-
-    // paragraph dedup: the replicated corpus is dup-dense by
-    // construction, but unlike pair generation the output is BOUNDED by
-    // input rows (drop lists, not pairs), so the probe measures the
-    // winner-agg + rewrite path scaling, which is the claim. Paragraph
-    // structure is injected by splitting on a frequent word.
-    val paragraphScale = scaleProbe("paragraph", () => {
-      val (d1, d3) = docsPair()
-      val para = (df: org.apache.spark.sql.DataFrame) =>
-        df.withColumn("text", regexp_replace(col("text"), " the ", "\n\n"))
-      (para(d1), para(d3))
-    }) { df =>
-      noop(operators.TextOps.paragraphDedup(df, "doc_id", "text"))
-    }
-
-    // exact-substring dedup (Lee et al.): rolling 10-gram fingerprints
-    // at every position → owner election → map-only strip. The
-    // replicated corpus is dup-dense by construction (replicas lose
-    // their whole text), but like the paragraph probe the output is
-    // BOUNDED by input rows (per-doc position lists, never pairs), and
-    // per-hash work is linear in occurrences — so the probe measures
-    // the gram shuffle + window + rejoin path, which is the scaling
-    // claim
-    val substringScale = scaleProbe("substring", docsPair) { df =>
-      noop(operators.Dedup.substringDedupApply(df, "doc_id", "text", w = 10))
-    }
-
-    // semantic dedup: LSH pairs → pointer-doubling CC → representatives,
-    // the suite's top CC cost center. Replicas are NOT near-dups of the
-    // originals: each replica i sign-flips half the embedding dims
-    // (i=1: odd dims, i=2: even dims — replicas 1 and 2 are mutual
-    // negations, cosine ≈ 0 / −1 across groups), so pair density per
-    // replica stays that of the real corpus and the probe measures
-    // node/edge graph scaling, not dup-explosion output. Cell count
-    // auto-scales with n exactly as knn_join ships it, so per-cell
-    // candidate work is constant across the two runs.
     // shared embedding replication for the similarity-family probes:
     // each replica i sign-flips half the dims (i=1: odd, i=2: even —
     // replicas 1 and 2 are mutual negations, cosine ≈ 0 / −1 across
@@ -519,7 +495,158 @@ object Bench {
     def embPair3(): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
       (embReplicate(1), embReplicate(3))
 
-    val semanticScale = scaleProbe("semantic", embPair3) { df =>
+    // the probe pass, callable in-process (probe-only child / fallback
+    // mode) — the full run forks it into a fresh JVM instead (below).
+    // Probes are (label, thunk) pairs run in ORDER with a record
+    // checkpoint after each, so a killed child still leaves every
+    // completed probe's entry in its file for the parent to splice.
+    def probeThunks(): Seq[(String, () => Option[ProbeResult])] = Seq(
+
+    // the two GRADED structural exponents (knn serving shape, bitext
+    // mining shape) run FIRST in the pass — in the forked child that
+    // means on the coldest possible JVM/heap state; the text-family
+    // probes follow and the heavy compositions stay last.
+    // the r8-flagged mining lanes. knn: the SERVING shape — a bounded
+    // query batch (the 10 lowest ids, identical at both sizes)
+    // k-NN-votes against an index over the growing corpus. Cells are
+    // PINNED to 256 — the autoCells clamp, i.e. the value every corpus
+    // past ~4.2 M rows gets — at BOTH sizes: with cells constant the
+    // index build (n·cells distance evals) and probe (nProbe·cellSize
+    // candidates per query) are both linear in n by construction, so
+    // the exponent checks that nothing in the candidate-fed path — the
+    // r8 version broadcast a 20% corpus fraction and scanned n per
+    // query — reintroduced a superlinear term. (The un-pinned √(n/64)
+    // autoCells sizing the probe ran through r11 is BELOW the clamp in
+    // the 150k–450k probe range, making the build genuinely
+    // Θ(n·√n) there — a real n^1.5 sub-term that box load amplified
+    // into the r11 record's 1.054; the serving claim is the clamped
+    // regime, so the probe now measures that regime.) (A query side that is itself a
+    // corpus FRACTION makes total k-NN work Θ(n²/cells) in any
+    // flat-codebook implementation — so the fraction shape is not
+    // probeable for a sub-1 exponent and the serving shape is the
+    // honest claim.) As of r11 both embedding probes run on the
+    // deterministic fixture (probeVectors) at true 1×/3× — the 2k-row
+    // table needed 3×/9× replication and still sat under the
+    // scheduling floor.
+    "knn_ivf" -> (() => scaleProbe("knn_ivf",
+        () => (probeVectors(probeN), probeVectors(3 * probeN))) { df =>
+      // 256 = the autoCells clamp (the >= 4.2 M-row serving sizing),
+      // constant across both probe sizes — see the probe comment above
+      val cb = operators.Similarity.kmeansCodebook(df, "vec_id", "embedding",
+        nCells = 256, iters = 2)
+      val assigned = operators.Similarity.assignCells(
+        df.select(col("vec_id").cast("long").as("n_id"),
+          col("embedding").as("nv")), "n_id", "nv", cb, rep = 4)
+      val queries = df.filter(col("vec_id") % 50 === 0)
+        .orderBy("vec_id").limit(10)
+      val topk = operators.Similarity.topKFromCandidates(
+        operators.Similarity.ivfCandidates(cb, assigned,
+          queries.select("vec_id", "embedding"), "vec_id", "embedding",
+          nProbe = 4), k = 5)
+      noop(operators.Similarity.knnVote(topk,
+        df.select(col("vec_id").cast("long").as("n_id"),
+          (col("vec_id") % 7).cast("long").as("n_lab")),
+        queries.select(col("vec_id").cast("long").as("q_id"),
+          (col("vec_id") % 7).cast("long").as("label"))))
+    }),
+    // bitext: BOTH text sides grow together (the mined-parallel-corpus
+    // shape). As of r11 the lane under probe is bitextMineLsh — the
+    // shipped scale path: sign-hyperplane blocking whose assignment is
+    // a pure O(n·bits·dim) projection and whose (t, cell) equi-join
+    // emits linear candidate volume at miningBits' cells-∝-n sizing.
+    // It replaces the flat-codebook two-index build, whose n·cells
+    // assign term (cells ∝ n) is Θ(n²/32) — the r10 driver record
+    // measured that lane's exponent at 1.142, the adjudicated
+    // scale-killer. The JSON key keeps its historical name so
+    // per-round records stay comparable. Measured at 1x/4x, not 1x/3x:
+    // miningBits = ceil(log2(n/32)) shifts by EXACTLY 2 under a 4x
+    // step for any n, so expected bucket population — and with it
+    // per-pair candidate work — is identical at both sizes and the
+    // exponent measures pure scaling; a 3x step lands the two sizes at
+    // different phases of the ceil saw-tooth and can swing measured
+    // candidate volume between 1.5x and 4.5x (observed 0.73 and 1.14
+    // on identical code), which is discretization, not asymptotics.
+    // Sizes r13: probeN/4 at 1x → probeN at 4x (r12 ran probeN/2 →
+    // 2·probeN with 5 pairs ≈ 7 min of the driver's budget — the
+    // single biggest line in the r12 timeout; t1x ≈ 10 s at the new
+    // size is still 30× the scheduling floor, the 4× ratio and
+    // min-of-3 discipline are unchanged, only absolute t1x/t4x shift
+    // down ~2× vs prior records).
+    "bitext_ivf" -> (() => scaleProbe("bitext_ivf",
+        () => (probeVectors(probeN / 4), probeVectors(probeN)),
+        ratio = 4, samplePairs = 3) { df =>
+      val src = df.filter(col("vec_id") % 2 === 0)
+      val tgt = df.filter(col("vec_id") % 2 === 1)
+      // the internal candidate-sim persist is released by the probe
+      // harness's clearCache before the next sample
+      noop(operators.Similarity.bitextMineLsh(src, tgt, "vec_id", "embedding",
+        k = 4, threshold = 1.05))
+    }),
+
+    "dedup" -> (() => scaleProbe("dedup", docsPair) { df =>
+      noop(operators.Dedup.simhash(df, "doc_id", "text"))
+      noop(operators.Dedup.fingerprints(df, "doc_id", "text", 3, 4))
+      noop(operators.Dedup.exact(df, "doc_id", "text"))
+    }),
+    // k-means: fit (2 Lloyd rounds of partial integer sums) + the
+    // shuffle-free assignment — linear in points even when replicas are
+    // identical vectors; semDedup's in-cluster pair join is the
+    // excluded dup-dense stage
+    "kmeans" -> (() => scaleProbe("kmeans", () => {
+      val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      (e1, replicate3(e1, "vec_id"))
+    }) { df =>
+      noop(operators.Kmeans.fitAssign(df, "vec_id", "embedding",
+        k = 8, iters = 2))
+    }),
+    // DSIR: the raw corpus grows, the curated target (and so the
+    // 1024-bucket λ table) stays fixed — the production shape; scoring
+    // is the row-local lane under test
+    "dsir" -> (() => scaleProbe("dsir", docsPair) { df =>
+      noop(operators.Dsir.weights(df,
+        df.sparkSession.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"))
+          .filter(col("lang") === "en"),
+        "doc_id", "text", b = 1024))
+    }),
+
+    // paragraph dedup: the replicated corpus is dup-dense by
+    // construction, but unlike pair generation the output is BOUNDED by
+    // input rows (drop lists, not pairs), so the probe measures the
+    // winner-agg + rewrite path scaling, which is the claim. Paragraph
+    // structure is injected by splitting on a frequent word.
+    "paragraph" -> (() => scaleProbe("paragraph", () => {
+      val (d1, d3) = docsPair()
+      val para = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("text", regexp_replace(col("text"), " the ", "\n\n"))
+      (para(d1), para(d3))
+    }) { df =>
+      noop(operators.TextOps.paragraphDedup(df, "doc_id", "text"))
+    }),
+
+    // exact-substring dedup (Lee et al.): rolling 10-gram fingerprints
+    // at every position → owner election → map-only strip. The
+    // replicated corpus is dup-dense by construction (replicas lose
+    // their whole text), but like the paragraph probe the output is
+    // BOUNDED by input rows (per-doc position lists, never pairs), and
+    // per-hash work is linear in occurrences — so the probe measures
+    // the gram shuffle + window + rejoin path, which is the scaling
+    // claim
+    "substring" -> (() => scaleProbe("substring", docsPair) { df =>
+      noop(operators.Dedup.substringDedupApply(df, "doc_id", "text", w = 10))
+    }),
+
+    // semantic dedup: LSH pairs → pointer-doubling CC → representatives,
+    // the suite's top CC cost center. Replicas are NOT near-dups of the
+    // originals: each replica i sign-flips half the embedding dims
+    // (i=1: odd dims, i=2: even dims — replicas 1 and 2 are mutual
+    // negations, cosine ≈ 0 / −1 across groups), so pair density per
+    // replica stays that of the real corpus and the probe measures
+    // node/edge graph scaling, not dup-explosion output. Cell count
+    // auto-scales with n exactly as knn_join ships it, so per-cell
+    // candidate work is constant across the two runs.
+    "semantic" -> (() => scaleProbe("semantic", embPair3) { df =>
       val n = df.count()
       val pairs = operators.Similarity.cosinePairsLsh(df, "vec_id", "embedding",
         threshold = 0.3, nCells = math.max(32L, n / 64).toInt,
@@ -532,7 +659,7 @@ object Bench {
           .filter(coalesce(col("cluster_id"), col("vec_id")) === col("vec_id"))
           .select(col("vec_id")))
       } finally pairs.unpersist(false)
-    }
+    }),
 
     // streaming funnel: stream-stream interval join state growth. The
     // 3× feed shifts user_ids and event_ids per replica — 3× users, so
@@ -540,7 +667,7 @@ object Bench {
     // replication would square the per-key match count). Both runs use
     // the shipped deployment sizing (8 state partitions, no no-data
     // batches); source dirs are written once in mk, outside the timing.
-    val funnelScale = scaleProbe("streaming_funnel", () => {
+    "streaming_funnel" -> (() => scaleProbe("streaming_funnel", () => {
       val base = spark.read.parquet(s"$sfDir/events.parquet")
       val Array(uShift, eShift) = base
         .agg(max(col("user_id")), max(col("event_id"))).head()
@@ -571,7 +698,7 @@ object Bench {
         prevP.fold(spark.conf.unset(pKey))(spark.conf.set(pKey, _))
         prevN.fold(spark.conf.unset(nKey))(spark.conf.set(nKey, _))
       }
-    }
+    }),
 
     // training pipeline: the default chain (normalize → gate → exact
     // dedup → simhash near-dup → chunk → pack) through run() itself —
@@ -581,7 +708,7 @@ object Bench {
     // grows with a 3× crawl: the map-only ingestion gates, tokenize +
     // langID, and the 16-byte digest shuffle. Downstream stages are
     // dedup-bounded by design.
-    val pipelineScale = scaleProbe("pipeline", () => {
+    "pipeline" -> (() => scaleProbe("pipeline", () => {
       val (d1, d3) = docsPair()
       val src = (df: org.apache.spark.sql.DataFrame) =>
         df.withColumnRenamed("lang", "source")
@@ -590,7 +717,7 @@ object Bench {
       val (packed, _) = jobs.TrainingPipeline.run(spark, sfDir,
         input = Some(df), normalize = true, report = false)
       noop(packed)
-    }
+    }),
 
     // PCA: the distributed exact-integer moments pass is the part that
     // grows with the corpus (2080 map-side-combined co-moment partials
@@ -598,16 +725,44 @@ object Bench {
     // matrix is constant. Replication leaves the component meaningful —
     // identical copies don't change the covariance, only the row count
     // under scan, which is exactly the scaling under test.
-    val pcaScale = scaleProbe("pca", () => {
+    "pca" -> (() => scaleProbe("pca", () => {
       val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       (e1, replicate3(e1, "vec_id"))
     }) { df =>
       operators.Pca.topComponent(df, "embedding", dim = 64)
       ()
-    }
+    }),
 
-    // NOTE: deliberately ordered LAST of the probes — its ~4-minute
+    // media dedup: the r12 composition (fingerprint → exact-dup
+    // collapse → offset-voting clip pairs among representatives →
+    // exact-group edges → CC → min-id keeper) probed AS a composition
+    // (r12 verdict item 2 — its parts were probed, the whole was not).
+    // The 3× side replicates the ENTIRE 1× fixture (originals +
+    // mid-stream extracts) at shifted ids, so replicas are byte-
+    // identical re-uploads: the collapse folds them to the SAME
+    // representative population at both sizes — by construction the
+    // align join and CC see constant work, and the exponent measures
+    // the stage a 3× dup-flood actually grows: WAV synth + decode +
+    // fingerprint scan + the exact-collapse groupBy. That is the
+    // production claim (re-upload floods cost one linear collapse
+    // pass), the dup-dense pair stages stay excluded per the shared
+    // probe discipline.
+    "media_dedup" -> (() => scaleProbe("media_dedup", () => {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      def one(shift: Long) =
+        graft.multimodal.Multimodal.fabricateAudio(d, idOffset = shift)
+          .unionByName(graft.multimodal.Multimodal.fabricateAudio(
+            d.filter(col("doc_id") % 25 === 0),
+            idOffset = shift + 1000000L, startFrame = 64))
+      (one(0L), Seq(0L, 10000000L, 20000000L).map(one).reduce(_.unionByName(_)))
+    }, samplePairs = 2) { df =>
+      noop(graft.multimodal.Multimodal.audioDedup(df, minSupport = 2,
+        maxBucket = 1000))
+    }),
+
+    // NOTE: deliberately ordered LAST of the probes — its multi-minute
     // 1x/3x samples leave enough heap/page-cache pressure to inflate
     // the serving-shape probes that followed it (knn_ivf read 0.74
     // in-suite vs 0.20 isolated on the same quiet box; bitext 1.10 vs
@@ -623,8 +778,11 @@ object Bench {
     // stays constant (the semanticScale sizing). The DSIR target stays
     // fixed at 1× (the production shape). What grows 3× is the HTML
     // strip, template mining, gates, digest shuffle, and the semantic
-    // index — all linear paths.
-    val pipelineFullScale = scaleProbe("pipeline_full", () => {
+    // index — all linear paths. samplePairs = 2 as of r13 (budget
+    // prong: its ~100 s samples were the second-biggest line in the
+    // r12 timeout; the min-of-2 still rides the load gate's re-sample
+    // guarantee).
+    "pipeline_full" -> (() => scaleProbe("pipeline_full", () => {
       val base = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"), col("source"), col("lang"))
       val shift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
@@ -645,7 +803,7 @@ object Bench {
       }
       // the lane recovers k from max(doc_id) to size embeddings/cells
       (page(rep(base, 1)), page(rep(base, 3)))
-    }) { df =>
+    }, samplePairs = 2) { df =>
       val base = spark.read.parquet(s"$sfDir/documents.parquet")
       val shift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
       val k = ((df.agg(max(col("doc_id"))).head().getLong(0) + 1L
@@ -676,83 +834,9 @@ object Bench {
         budgetShards = 2,
         normalize = true, report = false)
       noop(packed)
-    }
+    }))
+    // end probeThunks
 
-    Seq("dedup_scale" -> dedupScale, "kmeans_scale" -> kmeansScale,
-      "dsir_scale" -> dsirScale, "paragraph_scale" -> paragraphScale,
-      "substring_scale" -> substringScale,
-      "pipeline_full_scale" -> pipelineFullScale,
-      "semantic_scale" -> semanticScale,
-      "streaming_funnel_scale" -> funnelScale,
-      "pipeline_scale" -> pipelineScale, "pca_scale" -> pcaScale,
-      "knn_ivf_scale" -> knnIvfScale, "bitext_ivf_scale" -> bitextIvfScale)
-    } // end probePass
-
-    // reference benchmark harnesses (MRBench.java:173-233 avg latency;
-    // TestDFSIO.java:88-103 sequential MB/s), sized small enough to not
-    // dominate the round but large enough to exceed fixed overhead
-    // a harness failure reports -1, never swallows the whole JSON line
-    val (mrAvg, wMbps, rMbps) =
-      if (skipLanes || probeOnly.isDefined) (-1.0, -1.0, -1.0)
-      else try {
-        val mrRuns = jobs.LoadGen.mrbench(spark, s"$benchDir/mrbench", inputLines = 1000, runs = 4)
-        val dfsioMb = sys.env.getOrElse("SPARK_GRAFT_DFSIO_MB", "256").toInt
-        val dfsioFiles = 8
-        val (_, w) = jobs.LoadGen.dfsioWrite(spark, s"$benchDir/dfsio", dfsioFiles, dfsioMb / dfsioFiles)
-        val (_, r) = jobs.LoadGen.dfsioRead(spark, s"$benchDir/dfsio")
-        (mrRuns.sum / mrRuns.length, w, r)
-      } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
-    // each harness fails alone: an nnbench error must not discard the
-    // three measurements above
-    val nnOps =
-      if (skipLanes || probeOnly.isDefined) -1.0
-      else try jobs.LoadGen.nnbench(spark, s"$benchDir/nnbench", files = 2000)
-        .getOrElse("create_write", -1.0)
-      catch { case _: Throwable => -1.0 }
-    // FileBench / Slive analogs (MapredTestDriver.java:60-105 family):
-    // one headline number each — the K/V-format read lane and the
-    // sustained mixed-op rate (a slive failure count would surface as a
-    // collapsed ops/sec, so the single metric still carries the signal)
-    val fbSeqRead =
-      if (skipLanes || probeOnly.isDefined) -1.0
-      else try jobs.LoadGen.fileBench(spark, s"$benchDir/filebench", mb = 64)
-        .getOrElse("seq_read", -1.0)
-      catch { case _: Throwable => -1.0 }
-    val sliveOps =
-      if (skipLanes || probeOnly.isDefined) -1.0
-      else try {
-        val (_, rate, fails) =
-          jobs.LoadGen.slive(spark, s"$benchDir/slive", filesPerTask = 100)
-        if (fails > 0) -1.0 else rate
-      }
-      catch { case _: Throwable => -1.0 }
-    // BigMapOutput / ThreadedMapBenchmark analogs: binary-record shuffle
-    // MB/s and map-side external-sort MB/s
-    val bmoMbps =
-      if (skipLanes || probeOnly.isDefined) -1.0
-      else try jobs.LoadGen.bigMapOutput(spark, s"$benchDir/bmo", mb = 64)._2
-      catch { case _: Throwable => -1.0 }
-    val tmbMbps =
-      if (skipLanes || probeOnly.isDefined) -1.0
-      else try jobs.LoadGen.threadedMapBench(spark, mb = 64)._2
-      catch { case _: Throwable => -1.0 }
-      finally {
-        try sources.TeraIO.delete(spark, benchDir)
-        catch { case _: Throwable => () }
-      }
-
-    def jm(m: Iterable[(String, String)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jm(med.map { case (k, v) => k -> fmt(v, 3) })
-    val spread = jm(samples.map { case (k, ts) =>
-      k -> ts.map(t => fmt(t, 3)).mkString("[", ",", "]")
-    })
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val smallJson = (small, smallDir) match {
-      case (Some(sq), Some(sd)) =>
-        s""","sf_small":"$sd","queries_small":${jm(sq.map { case (k, v) => k -> fmt(v, 3) })}"""
-      case _ => ""
-    }
     // per-sample loadavg + other-process cores ride the entry (flat
     // arrays — the fork-splice regex forbids nested braces), so a
     // polluted exponent is visibly annotated in the very record the
@@ -768,8 +852,55 @@ object Bench {
           s""""disk_util_1x":${arr(pr.s1, _.disk)},"disk_util_${pr.ratio}x":${arr(pr.sr, _.disk)},""" +
           s""""load_polluted":${pr.polluted}}"""
       }.getOrElse("")
-    def localScaleJson(): String =
-      probePass().map { case (n, p) => scaleEntry(n, p) }.mkString
+    def runLocalProbes(): Unit =
+      probeThunks().foreach { case (label, thunk) =>
+        scaleJsonStr += scaleEntry(s"${label}_scale", thunk())
+        checkpoint()
+      }
+
+    // reference benchmark harnesses (MRBench.java:173-233 avg latency;
+    // TestDFSIO.java:88-103 sequential MB/s), sized small enough to not
+    // dominate the round but large enough to exceed fixed overhead.
+    // Each harness fails (or is budget-skipped) ALONE — an nnbench
+    // error must not discard the measurements before it.
+    if (!skipLanes && probeOnly.isEmpty && elapsedSec < 0.8 * budgetSec) {
+      try {
+        val mrRuns = jobs.LoadGen.mrbench(spark, s"$benchDir/mrbench", inputLines = 1000, runs = 4)
+        val dfsioMb = sys.env.getOrElse("SPARK_GRAFT_DFSIO_MB", "256").toInt
+        val dfsioFiles = 8
+        val (_, w) = jobs.LoadGen.dfsioWrite(spark, s"$benchDir/dfsio", dfsioFiles, dfsioMb / dfsioFiles)
+        val (_, r) = jobs.LoadGen.dfsioRead(spark, s"$benchDir/dfsio")
+        mrAvg = mrRuns.sum / mrRuns.length; wMbps = w; rMbps = r
+      } catch { case _: Throwable => () }
+      checkpoint()
+      try nnOps = jobs.LoadGen.nnbench(spark, s"$benchDir/nnbench", files = 2000)
+        .getOrElse("create_write", -1.0)
+      catch { case _: Throwable => () }
+      // FileBench / Slive analogs (MapredTestDriver.java:60-105 family):
+      // one headline number each — the K/V-format read lane and the
+      // sustained mixed-op rate (a slive failure count would surface as
+      // a collapsed ops/sec, so the single metric still carries the
+      // signal)
+      try fbSeqRead = jobs.LoadGen.fileBench(spark, s"$benchDir/filebench", mb = 64)
+        .getOrElse("seq_read", -1.0)
+      catch { case _: Throwable => () }
+      try {
+        val (_, rate, fails) =
+          jobs.LoadGen.slive(spark, s"$benchDir/slive", filesPerTask = 100)
+        sliveOps = if (fails > 0) -1.0 else rate
+      } catch { case _: Throwable => () }
+      // BigMapOutput / ThreadedMapBenchmark analogs: binary-record
+      // shuffle MB/s and map-side external-sort MB/s
+      try bmoMbps = jobs.LoadGen.bigMapOutput(spark, s"$benchDir/bmo", mb = 64)._2
+      catch { case _: Throwable => () }
+      try tmbMbps = jobs.LoadGen.threadedMapBench(spark, mb = 64)._2
+      catch { case _: Throwable => () }
+      finally {
+        try sources.TeraIO.delete(spark, benchDir)
+        catch { case _: Throwable => () }
+      }
+      checkpoint()
+    } else if (!skipLanes && probeOnly.isEmpty) skippedStages += "harness"
 
     // ---- probe isolation (fresh JVM) ---------------------------------
     // r10 adjudication: probe exponents from the committed quiet-box
@@ -782,12 +913,29 @@ object Bench {
     // conditions the committed records were produced under — and
     // splices the child's scale entries into this run's JSON, so the
     // driver's record and an isolated run measure the same thing.
-    // SPARK_GRAFT_NO_FORK_PROBES=1 restores the in-process pass; any
-    // fork failure falls back to it too (a bench line is never lost).
+    // The child's timeout is the REMAINING run budget (minus a 150 s
+    // reserve for terasort_sf1 and the final write), and because the
+    // child checkpoints its record after every probe, a timed-out
+    // child still contributes every completed probe's entry — a
+    // partial splice beats both nothing and a 20-minute in-process
+    // re-run. SPARK_GRAFT_NO_FORK_PROBES=1 restores the in-process
+    // pass; a fork failure with NO salvageable entries falls back to
+    // it too (a bench line is never lost).
     val probeLabels = Seq("dedup", "kmeans", "dsir", "paragraph",
       "substring", "semantic", "streaming_funnel", "pipeline", "pca",
-      "knn_ivf", "bitext_ivf", "pipeline_full")
-    def forkedScaleJson(): Option[String] =
+      "knn_ivf", "bitext_ivf", "media_dedup", "pipeline_full")
+    def spliceFromChildFile(outFile: java.io.File): Option[String] =
+      try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(outFile.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val snips = probeLabels.flatMap { l =>
+          ("\"" + l + "_scale\":\\{[^}]*\\}").r.findFirstIn(txt)
+            .map("," + _)
+        }
+        if (snips.isEmpty) None else Some(snips.mkString)
+      } catch { case _: Throwable => None }
+    def forkedScaleJson(timeoutSec: Long): Option[String] =
       try {
         val outFile = java.io.File.createTempFile("graft-probes-", ".json")
         val stdoutFile = java.io.File.createTempFile("graft-probes-", ".out")
@@ -806,38 +954,42 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
         pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.getAbsolutePath)
+        pb.environment().put("SPARK_GRAFT_PROBE_RETRY_BUDGET_SEC",
+          fmt(probeRetrySecLeft, 0))
         // the child's own compact JSON line must not pollute THIS
         // process's stdout (the driver parses it)
         pb.redirectOutput(java.lang.ProcessBuilder.Redirect.to(stdoutFile))
         pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
         val p = pb.start()
-        val done = p.waitFor(90, java.util.concurrent.TimeUnit.MINUTES)
+        val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
         if (!done) {
           p.destroyForcibly(); p.waitFor()
-          System.err.println("[bench] probe child timed out"); None
-        } else if (p.exitValue() != 0) {
-          System.err.println(s"[bench] probe child exited ${p.exitValue()}"); None
+          System.err.println("[bench] probe child timed out; splicing its partial record")
+          val partial = spliceFromChildFile(outFile)
+          if (partial.isDefined) skippedStages += "probes_partial"
+          partial
         } else {
-          val txt = new String(
-            java.nio.file.Files.readAllBytes(outFile.toPath),
-            java.nio.charset.StandardCharsets.UTF_8)
-          val snips = probeLabels.flatMap { l =>
-            ("\"" + l + "_scale\":\\{[^}]*\\}").r.findFirstIn(txt)
-              .map("," + _)
-          }
-          if (snips.isEmpty) {
+          if (p.exitValue() != 0)
+            System.err.println(s"[bench] probe child exited ${p.exitValue()}; splicing what it wrote")
+          val snips = spliceFromChildFile(outFile)
+          if (snips.isEmpty)
             System.err.println("[bench] probe child wrote no scale entries")
-            None
-          } else Some(snips.mkString)
+          snips
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] probe fork failed: $e"); None }
 
-    val scaleJson =
-      if (probeOnly.isDefined || skipLanes ||
-          sys.env.get("SPARK_GRAFT_NO_FORK_PROBES").contains("1"))
-        localScaleJson()
-      else forkedScaleJson().getOrElse(localScaleJson())
+    if (probeOnly.isDefined || skipLanes ||
+        sys.env.get("SPARK_GRAFT_NO_FORK_PROBES").contains("1"))
+      runLocalProbes()
+    else {
+      val remain = math.max(120L, (budgetSec - elapsedSec).toLong - 150L)
+      forkedScaleJson(remain) match {
+        case Some(s) => scaleJsonStr = s; checkpoint()
+        case None    => if (elapsedSec < 0.9 * budgetSec) runLocalProbes()
+                        else skippedStages += "probes"
+      }
+    }
 
     // one sf1 (10 GB in + 10 GB out) disk-to-disk gray-sort point per
     // round: TeraGen 100M rows -> TeraSort -> TeraValidate + checksum
@@ -846,14 +998,17 @@ object Bench {
     // comparison was previously a 10× extrapolation. Defaults ON in
     // the driver-shape run (sf0.1 dir, lanes on); SPARK_GRAFT_TERA_SF1=0
     // skips it, =1 forces it elsewhere. Runs LAST so its ~20 GB of
-    // disk traffic perturbs nothing (probes already forked).
-    val teraSf1Sec = {
+    // disk traffic perturbs nothing (probes already done), and is the
+    // final budget casualty before the record itself.
+    teraSf1Sec = {
       val want = sys.env.get("SPARK_GRAFT_TERA_SF1") match {
         case Some("0") => false
         case Some(_)   => true
         case None      => !skipLanes && probeOnly.isEmpty && sfDir.contains("sf0.1")
       }
-      if (!want) -1.0
+      if (want && budgetSec - elapsedSec < 120) {
+        skippedStages += "terasort_sf1"; -1.0
+      } else if (!want) -1.0
       else try {
         val rows = 100000000L
         val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
@@ -879,28 +1034,45 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] terasort_sf1 failed: $e"); -1.0 }
     }
-    val harnessJson =
-      s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)},"nnbench_create_ops_sec":${fmt(nnOps, 1)},"filebench_seq_read_mbps":${fmt(fbSeqRead, 1)},"slive_ops_sec":${fmt(sliveOps, 1)},"bigmap_shuffle_mbps":${fmt(bmoMbps, 1)},"threadedmap_sort_mbps":${fmt(tmbMbps, 1)},"terasort_sf1_sec":${fmt(teraSf1Sec, 1)}}"""
-    val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val head =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters,"failed":$failedJson,"retried":$retriedJson"""
-    // stdout gets the COMPACT line: the driver's tail capture truncated
-    // the full line two rounds running (BENCH_r03/r04 "parsed": null) —
-    // per-sample spreads and the sf-small pass live only in the file copy
-    // per-lane per-sample 1-min loadavg, aligned with `samples`: the
-    // contention-vs-regression separator (file copy only, like samples)
-    val loadJson = jm(loads.map { case (k, ls) =>
-      k -> ls.map(l => fmt(l, 2)).mkString("[", ",", "]")
-    })
-    val compactJson = head + scaleJson + harnessJson
-    val fullJson =
-      head + s""","samples":$spread,"loads":$loadJson""" + smallJson +
-        scaleJson + harnessJson
-    println(compactJson)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+
+    // final write: the complete record, "partial" dropped
+    checkpoint(partial = false)
+
+    // the SHORT stdout line — built to fit entirely inside the
+    // driver's ~2000-char output tail (the full compact line never
+    // parsed there: r03–r12 all read "parsed": null). Headline lanes
+    // only; EVERY scale exponent; all harness metrics; the full
+    // per-lane record is in the file copy named under "full_record".
+    val headline = Seq("wordcount", "join_inner", "window_agg", "topk",
+      "total_sort", "terasort", "dedup_minhash", "substring_dedup",
+      "semantic_dedup", "knn_join", "ann_ivf_topk", "media_dedup_e2e",
+      "video_dedup_e2e", "pipeline_e2e", "pipeline_full",
+      "streaming_sessionize")
+    val medAll = names.map { case (n, _) => n -> medOf(n) }.toMap
+    val failedAll = names.collect { case (n, _) if medAll(n) < 0 => n }
+    val exps = scaleJsonStr // parse-free: re-extract exponent fields
+    val expJson = probeLabels.flatMap { l =>
+      (s""""${l}_scale":\\{"t1x":[^}]*"exponent":(-?\\d+\\.\\d+)""").r
+        .findFirstMatchIn(exps).map(m => l -> m.group(1))
+    }
+    val pollutedJson = probeLabels.filter(l =>
+      (s""""${l}_scale":\\{[^}]*"load_polluted":true""").r
+        .findFirstIn(exps).isDefined)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val summary =
+      s"""{"metric":"total","value":${fmt(medAll.values.filter(_ >= 0).sum, 2)},"unit":"sec","sf":"$sfDir","iterations":$iters,"lanes":${names.length},""" +
+        s""""failed":${failedAll.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""skipped":$skippedJson,"elapsed_sec":${fmt(elapsedSec, 1)},""" +
+        s""""queries":${jm(headline.filter(medAll.contains).map(n => n -> fmt(medAll(n), 3)))},""" +
+        s""""exponents":${jm(expJson)},"load_polluted":$pollutedJson""" +
+        harnessJson + s""","full_record":"$out"}"""
+    // stop FIRST so no Spark log line can land after the summary in
+    // either stream's tail; the line is mirrored to stderr because the
+    // driver's 2000-char tail capture has been observed on both
+    // streams (r11: stdout, r12: stderr)
     spark.stop()
+    println(summary)
+    Console.flush()
+    System.err.println(summary)
   }
 }
