@@ -714,7 +714,8 @@ object Multimodal {
                              minShared: Int, maxBucket: Int,
                              aName: String, bName: String,
                              nName: String,
-                             collapseExact: Boolean = false): DataFrame = {
+                             collapseExact: Boolean = false,
+                             collapseKeys: Seq[String] = Nil): DataFrame = {
     val kc = keys.map(col)
     // the fingerprint table feeds THREE plan branches (hot-key cap +
     // both self-join sides); unpinned lineage would re-run the media
@@ -724,10 +725,29 @@ object Multimodal {
     // optional exact-dup collapse runs on the PINNED rows, before the
     // hot-key census, so re-uploads neither evict genuine hot keys
     // nor pair quadratically among themselves.
-    val tbl = collapseReps(
-      fp.select((col("doc_id") +: kc): _*).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      keys, collapseExact)
+    //
+    // `collapseKeys` (default: the match keys) lets a SET-matching
+    // caller collapse on POSITIONED rows: videoNearDupPairs matches on
+    // the frame hash alone, but collapsing on the distinct hash SET
+    // would fold reordered/looped/truncated streams that merely share
+    // their distinct frames — not exact re-uploads (r12 advice). With
+    // positioned collapse keys the digest hashes (frame_idx, fhash)
+    // rows, so only byte-identical frame sequences group; the pinned
+    // table is then the positioned one (decode still runs once) and
+    // the match table is its narrow re-distinct projection.
+    val tbl =
+      if (!collapseExact)
+        fp.select((col("doc_id") +: kc): _*).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else {
+        val ck = if (collapseKeys.isEmpty) keys else collapseKeys
+        val pos = fp.select((col("doc_id") +: ck.map(col)): _*).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val collapsed = collapseReps(pos, ck, collapseExact = true)
+        if (ck == keys) collapsed
+        else collapsed.select((col("doc_id") +: kc): _*).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     val ok = tbl.groupBy(kc: _*).agg(count(lit(1)).as("c"))
       .filter(col("c") <= maxBucket).select(kc: _*)
     // the USING join reorders columns (keys first) — re-select before
@@ -752,13 +772,20 @@ object Multimodal {
     * `maxBucket` are dropped entirely). Same bounded equi-join shape as
     * [[audioNearDupPairs]]: candidate volume linear in total frames.
     * Caching contract as [[audioNearDupPairs]] (the frame-hash table
-    * stays pinned until the caller's `clearCache()`).
+    * stays pinned until the caller's `clearCache()`). `collapseExact`
+    * collapses on POSITIONED (frame_idx, fhash) rows even though the
+    * matching is set-shaped, so only byte-identical frame sequences
+    * fold to a representative — reordered, looped, or truncated
+    * streams that merely share their distinct frame hashes stay
+    * separate items and still PAIR through the set match (r12 advice:
+    * the set-digest collapse silently vanished them as "re-uploads").
     */
   def videoNearDupPairs(media: DataFrame, minShared: Int = 2,
                         maxBucket: Int = 1000,
                         collapseExact: Boolean = false): DataFrame =
     sharedKeyPairs(videoFrameHashes(media), Seq("fhash"), minShared,
-      maxBucket, "vid_a", "vid_b", "n_shared", collapseExact)
+      maxBucket, "vid_a", "vid_b", "n_shared", collapseExact,
+      collapseKeys = Seq("frame_idx", "fhash"))
 
   /** Offset-voting clip ALIGNMENT over a positioned fingerprint table
     * (doc_id, idx, key) — the matching step of the published

@@ -935,6 +935,38 @@ class OperatorSpec extends AnyFunSuite {
       s"groups: $groups")
   }
 
+  test("Multimodal videoNearDupPairs collapseExact is POSITIONAL: reordered frames still pair, only byte-identical streams collapse") {
+    import graft.multimodal.Multimodal
+    def png(pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for { x <- 0 until 8; y <- 0 until 8 }
+        img.getRaster.setSample(x, y, 0, pix(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val fa = png((x, _) => if (x >= 4) 255 else 0) // right half bright
+    val fb = png((_, y) => if (y >= 4) 255 else 0) // bottom half bright
+    val rows = Seq(1L -> (fa ++ fb), 2L -> (fb ++ fa), 3L -> (fa ++ fb))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, bytes) =>
+        org.apache.spark.sql.Row(id, bytes,
+          org.apache.spark.sql.Row("video/x-png-stream", bytes.length.toLong))
+      }), Multimodal.mediaSchema)
+    // doc 2 holds the SAME distinct frame hashes as doc 1 in reversed
+    // order — a re-cut, not a re-upload: the positioned (frame_idx,
+    // fhash) collapse keeps it a separate item and the set match still
+    // pairs it with the representative. Doc 3 is byte-identical to doc
+    // 1 and folds away. (The r12-advised failure: a set-identity
+    // digest collapsed all three to doc 1 and the re-cut silently
+    // vanished from the pair output.)
+    val got = Multimodal.videoNearDupPairs(media, minShared = 2,
+        maxBucket = 10, collapseExact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2L)), s"pairs: ${got.toSeq}")
+  }
+
   test("Multimodal decode handles gray+alpha and indexed-color without throwing; palette permutations hash alike") {
     import graft.multimodal.Multimodal
     import java.awt.image.{BufferedImage, ComponentColorModel, DataBuffer, IndexColorModel}
