@@ -38,7 +38,8 @@ import graft.operators.{Dedup, Html, Redact, Sampling, Similarity, TextOps}
 object TrainingPipeline {
 
   case class Report(input: Long, afterFilter: Long, afterExact: Long,
-                    afterNearDup: Long, afterSemantic: Long, afterDecontam: Long,
+                    afterNearDup: Long, afterSemantic: Long, afterMedia: Long,
+                    afterDecontam: Long,
                     afterSubstring: Long, afterDsir: Long, mixtureRows: Long,
                     chunks: Long, packs: Long)
 
@@ -84,6 +85,17 @@ object TrainingPipeline {
     * `semanticCells` pins the stage's LSH cell count explicitly (what a
     * bit-reproducible / oracle-replayable run wants); 0 auto-sizes from
     * plan statistics.
+    *
+    * `audioMedia` / `videoMedia`: optional media frames — (doc_id,
+    * content, meta)-shaped ([[graft.multimodal.Multimodal
+    * .mediaSchema]]), doc_id keyed to the corpus — enabling stage 3c,
+    * end-to-end media dedup: a doc whose audio recording / video
+    * stream loses its duplicate-cluster election (exact re-uploads
+    * and arbitrary-offset clip extracts cluster with the lowest-id
+    * holder of the content) is dropped. Docs without a media row are
+    * always kept; undecodable media keeps itself. None skips the
+    * stage. `mediaMinSupport` / `mediaMaxBucket` are the clip-vote
+    * and hot-key-cap knobs of the underlying audioDedup/videoDedup.
     *
     * `previousSnapshot`: the PREVIOUS crawl's raw corpus frame —
     * (doc_id, text)-shaped, same raw form as `input`. When present,
@@ -155,6 +167,10 @@ object TrainingPipeline {
           embeddings: Option[DataFrame] = None,
           semanticThreshold: Double = 0.3,
           semanticCells: Int = 0,
+          audioMedia: Option[DataFrame] = None,
+          videoMedia: Option[DataFrame] = None,
+          mediaMinSupport: Int = 2,
+          mediaMaxBucket: Int = 1000,
           normalize: Boolean = false,
           scrubPii: Boolean = false,
           shardsOut: Option[String] = None,
@@ -343,6 +359,44 @@ object TrainingPipeline {
     }
     val afterSemantic = tally(semKept)
 
+    // 3c. optional MEDIA dedup — the r12 end-to-end media-dedup
+    // composition wired into the one-call pipeline, so a multimodal
+    // corpus gets the same treatment text does: run the keeper
+    // election (fingerprint once → exact-dup collapse → offset-voting
+    // clip pairs among representatives → exact-group edges →
+    // connected components → min-id keeper; [[graft.multimodal
+    // .Multimodal.audioDedup]] / [[graft.multimodal.Multimodal
+    // .videoDedup]]) over the caller's media frames, and drop every
+    // doc whose media LOST its cluster election. Docs without a media
+    // row never enter the media universe and are always kept — like
+    // the embeddings stage, media dedup only ever removes evidenced
+    // duplicates; undecodable media keeps itself (the audioDedup
+    // contract). Scale shape: fingerprints are narrow pinned rows,
+    // candidate joins are hot-key-capped among exact-collapse
+    // representatives, components use pointer doubling, and the drop
+    // set is universe ∖ keepers — one narrow doc_id anti-join; media
+    // bytes never ride a shuffle here.
+    val mediaOn = audioMedia.isDefined || videoMedia.isDefined
+    val mediaKept = if (!mediaOn) semKept else {
+      def dropsOf(m: DataFrame, keep: DataFrame): DataFrame =
+        m.select(col("doc_id")).distinct()
+          .join(keep, Seq("doc_id"), "left_anti")
+      val drops = (audioMedia.map { m =>
+          require(m.columns.contains("doc_id") && m.columns.contains("content"),
+            "audioMedia needs (doc_id, content) columns")
+          dropsOf(m, graft.multimodal.Multimodal.audioDedup(m,
+            minSupport = mediaMinSupport, maxBucket = mediaMaxBucket))
+        } ++ videoMedia.map { m =>
+          require(m.columns.contains("doc_id") && m.columns.contains("content"),
+            "videoMedia needs (doc_id, content) columns")
+          dropsOf(m, graft.multimodal.Multimodal.videoDedup(m,
+            minSupport = mediaMinSupport, maxBucket = mediaMaxBucket))
+        }).reduce(_.unionByName(_))
+      semKept.join(drops.distinct(), Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val afterMedia = if (mediaOn) tally(mediaKept) else afterSemantic
+
     // 4. eval-set decontamination (eval hashes broadcast; the corpus
     // hash table is computed once and feeds both count branches);
     // skipped when no eval corpus is supplied. The EVAL side gets the
@@ -367,16 +421,16 @@ object TrainingPipeline {
     var hs: Option[DataFrame] = None
     val clean = evCanon match {
       case Some(ev) =>
-        val h = Dedup.shingleHashTable(semKept, "doc_id", "text", 3)
+        val h = Dedup.shingleHashTable(mediaKept, "doc_id", "text", 3)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         hs = Some(h)
         val overlap = Dedup.evalOverlapFromHashes(h,
           Dedup.shingleHashTable(ev, "doc_id", "text", 3).select(col("h1")),
           "doc_id", contamThreshold)
-        semKept.join(
+        mediaKept.join(
           overlap.filter(col("contaminated")).select(col("doc_id")),
           Seq("doc_id"), "left_anti")
-      case None => semKept
+      case None => mediaKept
     }
     val afterDecontam = tally(clean)
 
@@ -511,12 +565,13 @@ object TrainingPipeline {
     val packedOut = packed.localCheckpoint()
     val packs = packedOut.count()
     (Seq(filtered, exactKept, nearKept) ++
-      (if (embeddings.isDefined) Seq(semKept) else Nil) ++ hs ++
+      (if (embeddings.isDefined) Seq(semKept) else Nil) ++
+      (if (mediaOn) Seq(mediaKept) else Nil) ++ hs ++
       (if (tokenBudgets.nonEmpty) Seq(budgeted) else Nil))
       .foreach(_.unpersist(false))
 
     (packedOut, Report(inputRows, afterFilter, afterExact, afterNearDup,
-      afterSemantic, afterDecontam, afterSubstring, afterDsir, mixtureRows,
-      chunks, packs))
+      afterSemantic, afterMedia, afterDecontam, afterSubstring, afterDsir,
+      mixtureRows, chunks, packs))
   }
 }

@@ -62,12 +62,27 @@ object PipelineQueries extends QueryModule {
     // the exact-substring span strip (stage 4c, w = 10 — the
     // decontaminate_substring_apply law applied INSIDE the chain, with
     // the stripped token counts feeding DSIR and the token budgets).
-    // pipeline_e2e proves the default chain composes; THIS row proves
-    // the optional stages compose with it and each other (stage order,
-    // frame handoffs, carried n_toks) — any drift hash-mismatches here
-    // even though every stage is green standalone.
+    // Since r13 the stack also includes stage 3c, end-to-end MEDIA
+    // dedup (the media_dedup_e2e composition wired into the one-call
+    // pipeline): every %10 doc carries a genuine WAV of its waveform
+    // law, every %40 doc's recording is re-uploaded byte-identically
+    // under doc_id+3, and every %30 doc's recording reappears as a
+    // mid-stream extract (64 samples in) under doc_id+5 — so docs
+    // id+3 / id+5 (when they exist in the corpus) lose the cluster
+    // election to the lower-id holder of the content and are dropped;
+    // docs without media are untouched. pipeline_e2e proves the
+    // default chain composes; THIS row proves the optional stages
+    // compose with it and each other (stage order, frame handoffs,
+    // carried n_toks) — any drift hash-mismatches here even though
+    // every stage is green standalone.
     "pipeline_full" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
       val d = docs(s, dir)
+      val wavs = Multimodal.fabricateAudio(d.filter(col("doc_id") % 10 === 0))
+        .unionByName(Multimodal.fabricateAudio(
+          d.filter(col("doc_id") % 40 === 0), idOffset = 3))
+        .unionByName(Multimodal.fabricateAudio(
+          d.filter(col("doc_id") % 30 === 0), idOffset = 5, startFrame = 64))
       val ids = col("doc_id").cast("string")
       val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
         "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
@@ -94,6 +109,7 @@ object PipelineQueries extends QueryModule {
         embeddings = Some(Tables(s, dir, "embeddings")
           .select(col("vec_id").as("doc_id"), col("embedding"))),
         semanticCells = 32,
+        audioMedia = Some(wavs),
         evalDocs = Some(d.filter(col("doc_id") % 97 === 0)
           .select(col("doc_id"), col("text"))),
         decontamSubstringW = Some(10),
@@ -478,7 +494,15 @@ object PipelineQueries extends QueryModule {
     // stripped token lists feed everything downstream),
     // dsir_weights' λ/selection law with the normalized en target, and
     // token_budget_sample's per-(source, shard) prefix law — then the
-    // shared chunk/pack tail at n_copies = 1
+    // shared chunk/pack tail at n_copies = 1. Since r13 the stack also
+    // carries the media_dedup_e2e replay between the semantic and
+    // decontamination stages: the audio-law fingerprint chain over the
+    // %10 originals + %40 byte-copies (id+3) + %30 mid-stream extracts
+    // (id+5), set collapse on the full ordered (win, subfp) sequence,
+    // offset-vote pairs among representatives, exact-group edges,
+    // recursive closure, and the min-reachable election — docs that
+    // lose it (mdrops) leave the chain exactly where stage 3c drops
+    // them in TrainingPipeline.run
     "pipeline_full" ->
       raw"""WITH RECURSIVE p0 AS MATERIALIZED (
         |  SELECT doc_id, source,
@@ -647,6 +671,58 @@ object PipelineQueries extends QueryModule {
         |  SELECT n3.* FROM neark n3 LEFT JOIN (
         |    SELECT id, MIN(r) AS mn FROM sreach GROUP BY id) rr3 ON rr3.id = n3.doc_id
         |  WHERE rr3.id IS NULL OR LEAST(rr3.mn, n3.doc_id) = n3.doc_id
+        |), base AS (
+        |  SELECT doc_id, doc_id AS src, CAST(256 + doc_id % 512 AS BIGINT) AS n,
+        |         3 + doc_id % 5 AS m, 0 AS off
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3, doc_id, CAST(256 + doc_id % 512 AS BIGINT),
+        |         3 + doc_id % 5, 0
+        |  FROM documents WHERE doc_id % 40 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 5, doc_id, CAST(256 + doc_id % 512 - 64 AS BIGINT),
+        |         3 + doc_id % 5, 64
+        |  FROM documents WHERE doc_id % 30 = 0
+        |), ${MultimodalQueries.subfpChain}, msig AS (
+        |  SELECT doc_id,
+        |         string_agg(win_idx || ':' || subfp, ',' ORDER BY win_idx) AS fset
+        |  FROM fp GROUP BY doc_id
+        |), mgrp AS (
+        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fset) AS rep FROM msig
+        |), mkept AS (
+        |  SELECT fp.* FROM fp JOIN mgrp ON fp.doc_id = mgrp.doc_id
+        |  WHERE mgrp.doc_id = mgrp.rep
+        |), mok AS (
+        |  SELECT subfp FROM mkept GROUP BY subfp HAVING COUNT(*) <= 1000
+        |), mkk AS (
+        |  SELECT mkept.* FROM mkept JOIN mok USING (subfp)
+        |), mprs AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |           x.win_idx - y.win_idx AS off, COUNT(*) AS support
+        |    FROM mkk x JOIN mkk y ON x.subfp = y.subfp AND x.doc_id < y.doc_id
+        |    GROUP BY 1, 2, 3)
+        |  GROUP BY a, b HAVING MAX(support) >= 2
+        |), malledges AS (
+        |  SELECT a, b FROM mprs
+        |  UNION ALL
+        |  SELECT doc_id, rep FROM mgrp WHERE doc_id != rep
+        |), medges AS (
+        |  SELECT a AS mi, b AS mj FROM malledges
+        |  UNION ALL
+        |  SELECT b, a FROM malledges
+        |), mreach AS (
+        |  SELECT mi AS id, mj AS r FROM medges
+        |  UNION
+        |  SELECT g5.mi, mreach.r FROM medges g5 JOIN mreach ON mreach.id = g5.mj
+        |), mdrops AS (
+        |  SELECT mu.doc_id
+        |  FROM (SELECT DISTINCT doc_id FROM base) mu
+        |  LEFT JOIN mreach ON mreach.id = mu.doc_id
+        |  GROUP BY mu.doc_id
+        |  HAVING CAST(COALESCE(LEAST(MIN(mreach.r), mu.doc_id), mu.doc_id) AS BIGINT) != mu.doc_id
+        |), mediak AS MATERIALIZED (
+        |  SELECT * FROM semk WHERE doc_id NOT IN (SELECT doc_id FROM mdrops)
         |), evt AS MATERIALIZED (
         |  SELECT doc_id, list_filter(string_split_regex(
         |           trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')),
@@ -663,7 +739,7 @@ object PipelineQueries extends QueryModule {
         |    SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3
         |      THEN list_transform(range(1, len(t)-1), i -> array_to_string(list_slice(t, i, i+2), ' '))
         |      ELSE [] END) AS sh
-        |    FROM semk) c9
+        |    FROM mediak) c9
         |), contam AS (
         |  SELECT doc_id FROM (
         |    SELECT c.doc_id, COUNT(*) AS n_grams,
@@ -671,7 +747,7 @@ object PipelineQueries extends QueryModule {
         |    FROM csh c LEFT JOIN evh e USING (h1) GROUP BY c.doc_id) x9
         |  WHERE CAST(n_hit AS DOUBLE) / n_grams >= 0.8
         |), cln AS MATERIALIZED (
-        |  SELECT * FROM semk WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        |  SELECT * FROM mediak WHERE doc_id NOT IN (SELECT doc_id FROM contam)
         |), eh10 AS (
         |  SELECT DISTINCT ('0x' || substring(md5(array_to_string(list_slice(t, i, i + 9), ' ')), 1, 15))::BIGINT AS h
         |  FROM (SELECT t, unnest(range(1, len(t) - 8)) AS i FROM evt) z9
