@@ -178,6 +178,44 @@ object StreamingQueries extends QueryModule {
       feed
     })
 
+  // the ADMISSION-GATE upload feed: candidate uploads a UGC platform
+  // would check before admission — mid-stream extracts of every 25th
+  // corpus recording (dup-flood candidates, to be REJECTED) plus
+  // genuinely NOVEL recordings (every 25th+1 doc's waveform law
+  // re-keyed to the unused 500000+id space — content in no corpus
+  // item, to be ADMITTED). Clients upload fingerprints, never audio.
+  private val gateFeedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def gateFeed(s: SparkSession, dir: String): java.nio.file.Path =
+    gateFeedDirs.computeIfAbsent(dir, { _ =>
+      import graft.multimodal.Multimodal
+      val d = graft.Tables(s, dir, "documents")
+      val feed = java.nio.file.Files.createTempDirectory("graft-gate-feed")
+      feed.toFile.deleteOnExit()
+      Multimodal.audioSubfingerprints(
+          Multimodal.fabricateAudio(d.filter(col("doc_id") % 25 === 0),
+            idOffset = 1000000L, startFrame = 64)
+          .unionByName(Multimodal.fabricateAudio(
+            d.filter(col("doc_id") % 25 === 1)
+              .withColumn("doc_id", col("doc_id") + 500000L))))
+        .filter(col("subfp").isNotNull)
+        .coalesce(1).write.mode("overwrite").parquet(feed.toString)
+      feed
+    })
+
+  // the durable gate index artifact dir, one per sf dir for the JVM
+  // (the cachedIdxDir discipline)
+  private val gateIdxDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def gateIdxDir(dir: String): String =
+    gateIdxDirs.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft-gate-idx")
+      p.toFile.deleteOnExit()
+      p.toString
+    })
+
   // one shim dir per (sfDir, table) for the whole JVM: a long-lived
   // Verify+Bench session re-running a streaming query reuses the same
   // dir instead of leaking a fresh copy per run, and deleteOnExit is
@@ -519,6 +557,56 @@ object StreamingQueries extends QueryModule {
         "complete")
     }),
 
+    // THE STREAMING MEDIA ADMISSION GATE (r12 optional item 6): the
+    // streaming_dedup_gate discipline applied to the DURABLE clip
+    // index — uploads are checked against the persisted corpus
+    // fingerprint ARTIFACT before admission, the UGC-platform shape.
+    // The index is built + saved + LOADED from parquet (the
+    // clip_index_incremental artifact — a restarted gate serves from
+    // disk, never re-fingerprints its catalog), hot-key-capped on the
+    // index side; the upload feed (mid-stream extracts of every 25th
+    // recording + genuinely novel recordings) streams through ONE
+    // stream-static equi-join on the subfingerprint, offset votes
+    // aggregate in complete mode at support >= 2, and the batch
+    // election tail (the streaming_quantile_sketch post-processing
+    // discipline) emits ONE verdict row per upload: rejected with its
+    // best-supported corpus match, or admitted with NULL match
+    // columns. Oracle = the batch vote replay + election
+    // (stream-transparency).
+    "streaming_media_gate" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val path = gateIdxDir(dir)
+      Multimodal.saveClipIndex(
+        Multimodal.buildClipIndex(Multimodal.fabricateAudio(
+          graft.Tables(s, dir, "documents"))), path)
+      val idx = Multimodal.loadClipIndex(s, path).fps
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ok = idx.groupBy("subfp").agg(count(lit(1)).as("c"))
+        .filter(col("c") <= 1000).select("subfp")
+      val statik = idx.join(ok, Seq("subfp"))
+        .select(col("subfp"), col("doc_id").as("m_id"),
+          col("win_idx").as("m_win"))
+      val feed = gateFeed(s, dir)
+      val schema = s.read.parquet(feed.toString).schema
+      val qs = s.readStream.schema(schema).parquet(feed.toString)
+      val votes = runToTable(
+        qs.join(statik, Seq("subfp"))
+          .groupBy(col("doc_id").as("up_id"), col("m_id"),
+            (col("m_win") - col("win_idx")).cast("long").as("offset"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2),
+        "complete")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("up_id")
+        .orderBy(col("support").desc, col("offset").asc, col("m_id").asc)
+      val best = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      s.read.parquet(feed.toString)
+        .select(col("doc_id").as("up_id")).distinct()
+        .join(best, Seq("up_id"), "left")
+        .select(col("up_id"), col("m_id").isNotNull.as("rejected"),
+          col("m_id"), col("offset"), col("support"))
+    }),
+
     // STREAMING CDC MERGE: the daily-crawl story's missing streaming
     // leg — an I/U/D change stream arrives as three ORDERED
     // micro-batches (maxFilesPerTrigger=1 over mtime-sequenced files)
@@ -603,6 +691,50 @@ object StreamingQueries extends QueryModule {
         |FROM qs JOIN idx USING (fhash)
         |GROUP BY 1, 2, 3
         |HAVING COUNT(*) >= 2""".stripMargin,
+    // the admission-gate replay: corpus fingerprints (off 0) vs the
+    // upload feed — %25 mid-stream extracts (ids +1000000, off 64) and
+    // %25+1 NOVEL recordings (law re-keyed to 500000+id) — index side
+    // hot-capped, votes at support >= 2, then the per-upload election
+    // (support desc, offset asc, match asc) and the left-join verdict:
+    // extracts reject against their originals, novel uploads admit
+    // with NULL match columns
+    "streaming_media_gate" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, doc_id AS src, CAST(256 + doc_id % 512 AS BIGINT) AS n,
+        |         3 + doc_id % 5 AS m, 0 AS off
+        |  FROM documents WHERE doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, CAST(256 + doc_id % 512 - 64 AS BIGINT),
+        |         3 + doc_id % 5, 64
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 500000, doc_id + 500000,
+        |         CAST(256 + (doc_id + 500000) % 512 AS BIGINT),
+        |         3 + (doc_id + 500000) % 5, 0
+        |  FROM documents WHERE doc_id % 25 = 1
+        |), ${MultimodalQueries.subfpChain}, ok AS (
+        |  SELECT subfp FROM fp WHERE doc_id < 500000
+        |  GROUP BY subfp HAVING COUNT(*) <= 1000
+        |), idx AS (
+        |  SELECT fp.* FROM fp JOIN ok USING (subfp) WHERE fp.doc_id < 500000
+        |), qs AS (
+        |  SELECT * FROM fp WHERE doc_id >= 500000
+        |), votes AS (
+        |  SELECT qs.doc_id AS up_id, idx.doc_id AS m_id,
+        |         CAST(idx.win_idx - qs.win_idx AS BIGINT) AS "offset",
+        |         CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM qs JOIN idx USING (subfp)
+        |  GROUP BY 1, 2, 3
+        |  HAVING COUNT(*) >= 2
+        |), best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY up_id
+        |    ORDER BY support DESC, "offset" ASC, m_id ASC) AS rn
+        |  FROM votes
+        |)
+        |SELECT u.up_id, (b.m_id IS NOT NULL) AS rejected,
+        |       b.m_id, b."offset", b.support
+        |FROM (SELECT DISTINCT doc_id AS up_id FROM fp WHERE doc_id >= 500000) u
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (up_id)""".stripMargin,
     // the NET law of the three ordered change batches: %11 rows end
     // deleted (even when also updated), the %21 sub-stride of the %7
     // updates ends at the SECOND batch's value, %13 spawns fresh
