@@ -34,7 +34,11 @@ object LoadGen {
   def mrbench(spark: SparkSession, workDir: String, inputLines: Long = 1,
               runs: Int = 4): Seq[Double] = {
     val in = s"$workDir/mr_input"
-    // MRBench.generateTextFile: zero-padded line numbers, one per line
+    // MRBench.generateTextFile: zero-padded line numbers, one per line.
+    // coalesce(1) is INTENTIONAL: MRBench's contract is one tiny input
+    // file (the harness measures small-job framework latency, and a
+    // 1000-line fixture split over 32 parts would measure task-launch
+    // fan-out instead) — do not "fix" this into a parallel write.
     val padding = inputLines.toString.length
     spark.range(inputLines)
       .select(format_string(s"%0${padding}d", col("id")).as("value"))
