@@ -206,7 +206,11 @@ object Bench {
     def skippedJson: String =
       skippedStages.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     def fullJson(partial: Boolean): String = {
-      val med = names.map { case (n, _) => n -> medOf(n) }
+      // lanes with no sample yet (a partial record mid-suite, or a
+      // budget-truncated run) are OMITTED, not reported -1: "failed"
+      // means a query threw, never that the wall clock ran out first
+      val med = names.collect {
+        case (n, _) if samples(n).nonEmpty => n -> medOf(n) }
       val failed = med.collect { case (n, v) if v < 0 => n }
       val total = med.collect { case (_, v) if v >= 0 => v }.sum
       val qs = jm(med.map { case (k, v) => k -> fmt(v, 3) })
@@ -1048,8 +1052,10 @@ object Bench {
       "semantic_dedup", "knn_join", "ann_ivf_topk", "media_dedup_e2e",
       "video_dedup_e2e", "pipeline_e2e", "pipeline_full",
       "streaming_sessionize")
-    val medAll = names.map { case (n, _) => n -> medOf(n) }.toMap
-    val failedAll = names.collect { case (n, _) if medAll(n) < 0 => n }
+    val medAll = names.collect {
+      case (n, _) if samples(n).nonEmpty => n -> medOf(n) }.toMap
+    val failedAll = names.collect {
+      case (n, _) if medAll.get(n).exists(_ < 0) => n }
     val exps = scaleJsonStr // parse-free: re-extract exponent fields
     val expJson = probeLabels.flatMap { l =>
       (s""""${l}_scale":\\{"t1x":[^}]*"exponent":(-?\\d+\\.\\d+)""").r

