@@ -61,8 +61,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val t0All = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - t0All) / 1e9
+    // 2700 s ≈ the r11 driver run that FIT its window (2871 s incl.
+    // sbt) — conservative against the observed driver budget while
+    // leaving the probe child enough room for the two heavy
+    // composition probes; a 2400 s rehearsal run truncated the child
+    // mid-pipeline_full (every other stage + 12 of 13 exponents
+    // landed, proving the degradation path, but the graded
+    // pipeline_full exponent deserves to fit by default)
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // bench contract is local[32] (the driver may or may not export CPUS)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -964,6 +971,13 @@ object Bench {
         // process's stdout (the driver parses it)
         pb.redirectOutput(java.lang.ProcessBuilder.Redirect.to(stdoutFile))
         pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
+        // compact THIS JVM's post-lane heap before forking: the parent
+        // only waitFor()s, but its driver event loops keep allocating,
+        // and background collections of a lane-phase-sized heap burn
+        // whole cores in bursts — a 2400 s rehearsal measured the
+        // child's first (graded) probe at t1x 21.7 s vs 4.8 s isolated
+        // with other_cores spiking to 3.3 from exactly this
+        System.gc()
         val p = pb.start()
         val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
         if (!done) {

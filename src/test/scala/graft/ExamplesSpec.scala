@@ -576,6 +576,55 @@ class ExamplesSpec extends AnyFunSuite {
         s"${tokTotal(packedOff)} vs ${tokTotal(packed)}")
   }
 
+  test("TrainingPipeline media stage drops cluster losers; media-less, undecodable, and non-corpus ids are untouched") {
+    import graft.jobs.TrainingPipeline
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // controlled corpus: distinct english texts (pass the lang/length
+    // gates, no text-level dup in sight) so every drop below is the
+    // MEDIA stage's doing
+    val corpus = Seq(
+      (10L, "src0", "the quick brown fox is one of a kind and jumps high"),
+      (13L, "src0", "a completely different story about rivers is told of the north and east"),
+      (15L, "src0", "markets of the old town are busy and a trader is shouting prices"),
+      (21L, "src0", "the engine room hums and a gauge is close to the red line of danger"),
+      (24L, "src0", "children of the valley play a game and the winner is carried home"),
+      (40L, "src0", "a library card is the key of knowledge and shelves hold the maps"),
+      (55L, "src0", "the lighthouse keeper logs a storm and is glad of the thick walls"),
+      (77L, "src0", "a narrow bridge over the gorge is crossed by one cart of hay and salt")
+    ).toDF("doc_id", "source", "text")
+    val row = (id: Long) => corpus.filter(col("doc_id") === id)
+      .select(col("doc_id"), col("text"))
+    // audio: 13 re-uploads 10's recording byte-identically (exact
+    // group), 15 posts a mid-stream extract of it (offset vote), 40
+    // records its own, 77's media does not decode (text bytes — the
+    // %10=7 fixture law), and a NON-corpus id 999 loses to 40 (the
+    // drop of an id outside the corpus must be a no-op)
+    val wavs = Multimodal.fabricateAudio(row(10L))
+      .unionByName(Multimodal.fabricateAudio(row(10L), idOffset = 3))
+      .unionByName(Multimodal.fabricateAudio(row(10L), idOffset = 5, startFrame = 64))
+      .unionByName(Multimodal.fabricateAudio(row(40L)))
+      .unionByName(Multimodal.fabricateAudio(row(77L)))
+      .unionByName(Multimodal.fabricateAudio(row(40L), idOffset = 959))
+    // video: 24 is a head-clipped re-encode of 21's 3-frame stream
+    // (2 shared frame hashes -> support 2 at offset +1)
+    val vids = Multimodal.fabricateFrameStream(row(21L))
+      .unionByName(Multimodal.fabricateFrameStream(row(21L), idOffset = 3, frameShift = 1))
+    val (_, r) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      input = Some(corpus), lang = "en", minTokens = 5,
+      audioMedia = Some(wavs), videoMedia = Some(vids))
+    assert(r.afterSemantic == 8, s"pre-media stages must keep all 8: $r")
+    // exactly 13 (audio exact dup), 15 (audio extract), 24 (video
+    // clip) lose their elections; 10/21/40 keep as cluster minima,
+    // 55 has no media row, 77's media is undecodable, 999 is not a
+    // corpus doc
+    assert(r.afterMedia == 5, s"media stage must drop exactly {13,15,24}: $r")
+    // skip path: no media frames -> pass-through
+    val (_, rOff) = TrainingPipeline.run(spark, "/root/testdata/sf0.001",
+      input = Some(corpus), lang = "en", minTokens = 5)
+    assert(rOff.afterMedia == rOff.afterSemantic, s"media skip path filtered: $rOff")
+  }
+
   test("TrainingPipeline composes the verified stages end-to-end") {
     import graft.jobs.TrainingPipeline
     // stand-in eval corpus: a fixed slice of the documents table
