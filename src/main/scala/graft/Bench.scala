@@ -1089,10 +1089,13 @@ object Bench {
     // stop FIRST so no Spark log line can land after the summary in
     // either stream's tail; the line is mirrored to stderr because the
     // driver's 2000-char tail capture has been observed on both
-    // streams (r11: stdout, r12: stderr)
+    // streams (r11: stdout, r12: stderr). The mirror is TOP-LEVEL-RUN
+    // ONLY: the forked probe child inherits the parent's stderr, and a
+    // child summary (lanes: 0) arriving there could shadow the real
+    // record in a combined-stream tail.
     spark.stop()
     println(summary)
     Console.flush()
-    System.err.println(summary)
+    if (probeOnly.isEmpty && !skipLanes) System.err.println(summary)
   }
 }
