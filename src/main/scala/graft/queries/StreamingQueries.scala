@@ -204,14 +204,55 @@ object StreamingQueries extends QueryModule {
       feed
     })
 
-  // the durable gate index artifact dir, one per sf dir for the JVM
-  // (the cachedIdxDir discipline)
-  private val gateIdxDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // the VIDEO admission-gate upload feed: head-clipped re-encodes of
+  // the %20=15 catalog streams (5-frame sources, so every re-encode
+  // keeps 4 aligned frames — to be REJECTED at the support-3 bar; the
+  // 8x8 frame ahash is low-entropy enough that a support-2 bar can
+  // match on coincidental aligned pairs, which is why the video gate
+  // votes at 3 where the audio gate's high-entropy subfingerprints
+  // vote at 2) plus NOVEL uploads for the admit path. Novel uploads
+  // cannot come from the pixel law at a shifted id: the law's every
+  // src-dependent term reduces mod 256/24/16/4, so streams repeat
+  // with period 768 in src and any "new" id's stream already sits in
+  // a big-enough catalog (at sf0.1's 5000 docs every residue is
+  // taken — a re-keyed upload was measured rejecting 24/25 as
+  // byte-identical catalog twins). Novel clients therefore upload
+  // out-of-law hashes: 64-bit md5-derived bit strings keyed by
+  // (upload, frame), replayed exactly by the oracle
+  // (lpad(conv(hex,16,2))) and sharing nothing with any catalog
+  // frame. Clients upload frame hashes, never video.
+  private val vgateFeedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
-  private def gateIdxDir(dir: String): String =
-    gateIdxDirs.computeIfAbsent(dir, { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft-gate-idx")
+  private def vgateFeed(s: SparkSession, dir: String): java.nio.file.Path =
+    vgateFeedDirs.computeIfAbsent(dir, { _ =>
+      import graft.multimodal.Multimodal
+      val d = graft.Tables(s, dir, "documents")
+      val feed = java.nio.file.Files.createTempDirectory("graft-vgate-feed")
+      feed.toFile.deleteOnExit()
+      val novel = d.filter(col("doc_id") % 20 === 6)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          explode(sequence(lit(0),
+            (lit(1) + pmod(col("doc_id"), lit(4))).cast("int"))).as("frame_idx"))
+        .withColumn("fhash",
+          lpad(conv(substring(md5(concat_ws(":", lit("vg"),
+            col("doc_id"), col("frame_idx"))), 1, 15), 16, 2), 64, "0"))
+      Multimodal.videoFrameHashes(
+          Multimodal.fabricateFrameStream(d.filter(col("doc_id") % 20 === 15),
+            idOffset = 1000000L, frameShift = 1))
+        .unionByName(novel)
+        .coalesce(1).write.mode("overwrite").parquet(feed.toString)
+      feed
+    })
+
+  // the durable gate index artifact dirs (audio / video), one per sf
+  // dir for the JVM (the cachedIdxDir discipline)
+  private val gateIdxDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def gateIdxDir(dir: String, kind: String = "a"): String =
+    gateIdxDirs.computeIfAbsent((dir, kind), { _ =>
+      val p = java.nio.file.Files.createTempDirectory(s"graft-gate$kind-idx")
       p.toFile.deleteOnExit()
       p.toString
     })
@@ -607,6 +648,49 @@ object StreamingQueries extends QueryModule {
           col("m_id"), col("offset"), col("support"))
     }),
 
+    // the VIDEO admission gate: streaming_media_gate's shape over the
+    // durable frame-ahash index ([[saveVideoClipIndex]]/
+    // [[loadVideoClipIndex]] — a restarted gate serves from disk).
+    // Uploaded frame hashes stream through one stream-static equi-join
+    // on the hash, offset votes aggregate in complete mode at
+    // support >= 2, and the batch election tail emits one verdict row
+    // per upload: head-clipped re-encodes reject against their
+    // originals at frame offset +1, novel streams admit with NULL
+    // match columns. Oracle = the batch vote replay + election.
+    "streaming_video_gate" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val path = gateIdxDir(dir, "v")
+      Multimodal.saveVideoClipIndex(
+        Multimodal.buildVideoClipIndex(Multimodal.fabricateFrameStream(
+          graft.Tables(s, dir, "documents"))), path)
+      val idx = Multimodal.loadVideoClipIndex(s, path).fps
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ok = idx.groupBy("fhash").agg(count(lit(1)).as("c"))
+        .filter(col("c") <= 1000).select("fhash")
+      val statik = idx.join(ok, Seq("fhash"))
+        .select(col("fhash"), col("doc_id").as("m_id"),
+          col("frame_idx").as("m_idx"))
+      val feed = vgateFeed(s, dir)
+      val schema = s.read.parquet(feed.toString).schema
+      val qs = s.readStream.schema(schema).parquet(feed.toString)
+      val votes = runToTable(
+        qs.join(statik, Seq("fhash"))
+          .groupBy(col("doc_id").as("up_id"), col("m_id"),
+            (col("m_idx") - col("frame_idx")).cast("long").as("offset"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 3),
+        "complete")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("up_id")
+        .orderBy(col("support").desc, col("offset").asc, col("m_id").asc)
+      val best = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      s.read.parquet(feed.toString)
+        .select(col("doc_id").as("up_id")).distinct()
+        .join(best, Seq("up_id"), "left")
+        .select(col("up_id"), col("m_id").isNotNull.as("rejected"),
+          col("m_id"), col("offset"), col("support"))
+    }),
+
     // STREAMING CDC MERGE: the daily-crawl story's missing streaming
     // leg — an I/U/D change stream arrives as three ORDERED
     // micro-batches (maxFilesPerTrigger=1 over mtime-sequenced files)
@@ -734,6 +818,49 @@ object StreamingQueries extends QueryModule {
         |SELECT u.up_id, (b.m_id IS NOT NULL) AS rejected,
         |       b.m_id, b."offset", b.support
         |FROM (SELECT DISTINCT doc_id AS up_id FROM fp WHERE doc_id >= 500000) u
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (up_id)""".stripMargin,
+    // the video admission-gate replay: catalog frame hashes (sh 0) vs
+    // the upload feed — %20=15 head-clipped re-encodes (ids +1000000,
+    // sh 1, 4 aligned frames each) and %20=6 NOVEL uploads whose
+    // out-of-law md5-bit-string hashes are regenerated here verbatim
+    // (lpad(bin(hex-prefix-int)) == Spark's lpad(conv(hex,16,2))) —
+    // index side hot-capped, votes at support >= 3 (the low-entropy
+    // frame-ahash bar), per-upload election, left-join verdict
+    "streaming_video_gate" ->
+      s"""WITH vids AS (
+        |  SELECT doc_id, doc_id AS src, 0 AS sh FROM documents WHERE doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, 1 FROM documents WHERE doc_id % 20 = 15
+        |), ${MultimodalQueries.frameHashChain}, ok AS (
+        |  SELECT fhash FROM fhd WHERE doc_id < 500000
+        |  GROUP BY fhash HAVING COUNT(*) <= 1000
+        |), idx AS (
+        |  SELECT fhd.* FROM fhd JOIN ok USING (fhash) WHERE fhd.doc_id < 500000
+        |), nqs AS (
+        |  SELECT doc_id + 500000 AS doc_id, CAST(f.f AS BIGINT) AS idx,
+        |         lpad(bin(('0x' || substring(md5('vg:' || CAST(doc_id + 500000 AS VARCHAR)
+        |           || ':' || CAST(f.f AS VARCHAR)), 1, 15))::BIGINT), 64, '0') AS fhash
+        |  FROM documents, (SELECT unnest(range(0, 6)) AS f) f
+        |  WHERE doc_id % 20 = 6 AND f.f < 2 + (doc_id + 500000) % 4
+        |), qs AS (
+        |  SELECT * FROM fhd WHERE doc_id >= 500000
+        |  UNION ALL
+        |  SELECT * FROM nqs
+        |), votes AS (
+        |  SELECT qs.doc_id AS up_id, idx.doc_id AS m_id,
+        |         CAST(idx.idx - qs.idx AS BIGINT) AS "offset",
+        |         CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM qs JOIN idx USING (fhash)
+        |  GROUP BY 1, 2, 3
+        |  HAVING COUNT(*) >= 3
+        |), best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY up_id
+        |    ORDER BY support DESC, "offset" ASC, m_id ASC) AS rn
+        |  FROM votes
+        |)
+        |SELECT u.up_id, (b.m_id IS NOT NULL) AS rejected,
+        |       b.m_id, b."offset", b.support
+        |FROM (SELECT DISTINCT doc_id AS up_id FROM qs) u
         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (up_id)""".stripMargin,
     // the NET law of the three ordered change batches: %11 rows end
     // deleted (even when also updated), the %21 sub-stride of the %7
