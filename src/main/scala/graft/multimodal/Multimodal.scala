@@ -734,7 +734,13 @@ object Multimodal {
     // positioned collapse keys the digest hashes (frame_idx, fhash)
     // rows, so only byte-identical frame sequences group; the pinned
     // table is then the positioned one (decode still runs once) and
-    // the match table is its narrow re-distinct projection.
+    // the match table is its narrow re-distinct projection. CACHING
+    // NOTE: that branch pins TWO tables (the positioned rows and the
+    // narrow re-projection) — both narrow, both released by the
+    // session's clearCache; eagerly unpersisting the positioned one
+    // here would force the projection's lineage to re-run the decode,
+    // so a long-lived caller issuing many collapseExact calls should
+    // clearCache between them (the documented contract).
     val tbl =
       if (!collapseExact)
         fp.select((col("doc_id") +: kc): _*).distinct()
@@ -917,23 +923,11 @@ object Multimodal {
   def appendClipIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, media: DataFrame): Unit = {
     val m = spark.read.parquet(s"$path/meta").head()
-    val batch = audioSubfingerprints(media,
-        m.getAs[Int]("window"), m.getAs[Int]("bands"))
-      .filter(col("subfp").isNotNull)
-      .select("doc_id", "win_idx", "subfp")
-    val saved = spark.read.parquet(s"$path/fingerprints").schema
-    batch.schema.fields.foreach { f =>
-      val s = saved.fields.find(_.name == f.name).getOrElse(
-        throw new IllegalArgumentException(
-          s"append column '${f.name}' absent from saved index schema $saved"))
-      require(s.dataType == f.dataType,
-        s"append column '${f.name}': ${f.dataType} != saved ${s.dataType}")
-    }
-    saved.fields.foreach { f =>
-      require(batch.schema.fields.exists(_.name == f.name),
-        s"saved column '${f.name}' absent from append batch")
-    }
-    batch.write.mode("append").parquet(s"$path/fingerprints")
+    appendCheckedFingerprints(spark, path,
+      audioSubfingerprints(media,
+          m.getAs[Int]("window"), m.getAs[Int]("bands"))
+        .filter(col("subfp").isNotNull)
+        .select("doc_id", "win_idx", "subfp"))
   }
 
   /** Probe the index with QUERY media (decoded + fingerprinted with
@@ -1122,22 +1116,10 @@ object Multimodal {
   def appendVideoClipIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String, media: DataFrame): Unit = {
     val m = spark.read.parquet(s"$path/meta").head()
-    val batch = videoFrameHashes(media,
-        m.getAs[Int]("grid_w"), m.getAs[Int]("grid_h"))
-      .select("doc_id", "frame_idx", "fhash")
-    val saved = spark.read.parquet(s"$path/fingerprints").schema
-    batch.schema.fields.foreach { f =>
-      val s = saved.fields.find(_.name == f.name).getOrElse(
-        throw new IllegalArgumentException(
-          s"append column '${f.name}' absent from saved index schema $saved"))
-      require(s.dataType == f.dataType,
-        s"append column '${f.name}': ${f.dataType} != saved ${s.dataType}")
-    }
-    saved.fields.foreach { f =>
-      require(batch.schema.fields.exists(_.name == f.name),
-        s"saved column '${f.name}' absent from append batch")
-    }
-    batch.write.mode("append").parquet(s"$path/fingerprints")
+    appendCheckedFingerprints(spark, path,
+      videoFrameHashes(media,
+          m.getAs[Int]("grid_w"), m.getAs[Int]("grid_h"))
+        .select("doc_id", "frame_idx", "fhash"))
   }
 
   /** Probe the video index with QUERY frame streams (decoded + hashed
@@ -1154,6 +1136,323 @@ object Multimodal {
         .select(col("doc_id"), col("frame_idx").as("idx"),
           col("fhash").as("key")),
       "vid_q", "vid_m", minSupport, maxBucket)
+
+  /** Pixel law of the STILL-image dedup fixture for doc id — frame 0 of
+    * the [[videoPixel]] law: (x² + y² + (x+y)·id + id) mod 256.
+    * QUADRATIC for the same reason the video law is: an 8×8 perceptual
+    * hash of a thresholded LINEAR ramp takes only a handful of bit
+    * patterns, and distinct docs' stills would flood the hamming join
+    * with spurious near-dup pairs. Periodic in id mod 768 (pixels
+    * repeat mod 256, dims mod 24/16), so docs 768 apart with equal
+    * dims are BYTE-IDENTICAL images — deliberate: genuine cross-doc
+    * exact duplicates ride every fixture scale, and the oracle groups
+    * them by the (src mod 768, format) law.
+    */
+  def imagePixel(docId: Long, x: Int, y: Int): Int = videoPixel(docId, 0, x, y)
+
+  /** Synthesize a media table of GENUINE single still images under the
+    * quadratic [[imagePixel]] law: dims from [[fixtureDims]], container
+    * `fmt` = "png" (1-band gray) or "bmp" (24-bit RGB with r=g=b, the
+    * 3-band floor-mean decode path) — both LOSSLESS, so a re-encode
+    * (`fmt = "bmp"` over the same source id) is pixel-identical but
+    * byte-distinct: the classic image near-dup (same picture, different
+    * container) the perceptual hash must catch where byte dedup cannot.
+    * `idOffset` shifts emitted ids while the law stays keyed on the
+    * SOURCE doc (the fabricateAudio damage discipline); docs failing
+    * [[fixtureIsImage]] carry their text bytes (in-domain corrupt
+    * media).
+    */
+  def fabricateStillImages(docs: DataFrame, idOffset: Long = 0L,
+                           fmt: String = "png"): DataFrame = {
+    require(fmt == "png" || fmt == "bmp", s"lossless fixture formats only: $fmt")
+    val spark = docs.sparkSession
+    val rdd = docs.select("doc_id", "text").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Long]("doc_id")
+        if (fixtureIsImage(id)) {
+          val (w, h) = fixtureDims(id)
+          val imgType =
+            if (fmt == "bmp") java.awt.image.BufferedImage.TYPE_INT_RGB
+            else java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+          val img = new java.awt.image.BufferedImage(w, h, imgType)
+          val raster = img.getRaster
+          val bands = raster.getNumBands
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = imagePixel(id, x, y)
+              var b = 0
+              while (b < bands) { raster.setSample(x, y, b, v); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, baos)
+          val bytes = baos.toByteArray
+          Row(id + idOffset, bytes, Row(s"image/$fmt", bytes.length.toLong))
+        } else textBytesRow(id + idOffset, r.getAs[String]("text"))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  private val imageFeatureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("bhash", StringType, nullable = false),
+    StructField("asig", StringType, nullable = true),
+    StructField("dsig", StringType, nullable = true)))
+
+  /** ONE decode pass per still image → everything image dedup and the
+    * admission gate need: the exact byte digest (length + md5 — no
+    * second scan of the media bytes for the exact-dup collapse) and TWO
+    * independent perceptual signatures over the really-decoded luma
+    * plane:
+    *  - `asig`: average-hash over the `gridW`×`gridH` nearest-neighbor
+    *    resample — the [[graft.functions.AHash64]] rule exactly
+    *    (bit i = n·v(i) > Σv, strict, integer), so it equals
+    *    ahash64(8×8 luma plane) bit for bit (the multimodal_phash law);
+    *  - `dsig`: difference-hash (the published dHash recipe) over the
+    *    (gridW+1)×gridH resample — bit (x, y) = v(x+1, y) > v(x, y),
+    *    row-major. Gradient-based where aHash is mean-based: the two
+    *    signatures fail independently, which is what lets a gate demand
+    *    BOTH agree (support 2) before rejecting an upload on a 64-bit
+    *    low-entropy hash.
+    * Undecodable content carries NULL signatures (visible row, never a
+    * throw — the decodeFeatures contract). Row-local, zero-shuffle.
+    */
+  private[multimodal] def imageFeatures(media: DataFrame, gridW: Int = 8,
+                                        gridH: Int = 8): DataFrame = {
+    require(gridW > 0 && gridH > 0, "grid dims must be positive")
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "content").rdd.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val content = r.getAs[Array[Byte]]("content")
+        val nBytes = if (content == null) 0L else content.length.toLong
+        md.reset()
+        val bh = (if (content == null) Array.empty[Byte] else md.digest(content))
+          .map(b => f"${b & 0xff}%02x").mkString
+        val img = if (content == null) null else decodeImage(content)
+        if (img == null) Row(id, nBytes, bh, null, null)
+        else {
+          val (sw, sh) = (img.getWidth, img.getHeight)
+          // nearest-neighbor resample shared with resize/framePlanes:
+          // sample (x, y) of a gw×gh grid = luma(x·sw div gw, y·sh div gh)
+          def plane(gw: Int, gh: Int): Array[Int] = {
+            val out = new Array[Int](gw * gh)
+            var y = 0
+            while (y < gh) {
+              val sy = (y.toLong * sh / gh).toInt
+              var x = 0
+              while (x < gw) {
+                out(y * gw + x) = lumaAt(img, (x.toLong * sw / gw).toInt, sy)
+                x += 1
+              }
+              y += 1
+            }
+            out
+          }
+          val a = plane(gridW, gridH)
+          val n = a.length
+          var total = 0L
+          var i = 0
+          while (i < n) { total += a(i); i += 1 }
+          val aBits = new Array[Byte](n)
+          i = 0
+          while (i < n) {
+            aBits(i) = if (a(i).toLong * n > total) '1'.toByte else '0'.toByte
+            i += 1
+          }
+          val d9 = plane(gridW + 1, gridH)
+          val dBits = new Array[Byte](n)
+          var y = 0
+          while (y < gridH) {
+            var x = 0
+            while (x < gridW) {
+              dBits(y * gridW + x) =
+                if (d9(y * (gridW + 1) + x + 1) > d9(y * (gridW + 1) + x))
+                  '1'.toByte else '0'.toByte
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, nBytes, bh, new String(aBits, "US-ASCII"),
+            new String(dBits, "US-ASCII"))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, imageFeatureSchema)
+  }
+
+  /** The two perceptual signatures per still image in LONG format —
+    * (doc_id, kind, sig) with kind 'a' (average-hash) / 'd'
+    * (difference-hash), the row shape the admission gate's support vote
+    * and the durable [[ImageSigIndex]] store: one equi-join on
+    * (kind, sig), votes = agreeing signature kinds. Undecodable content
+    * emits one visible (doc_id, NULL, NULL) row (the
+    * audioSubfingerprints contract). See [[imageFeatures]] for the
+    * signature laws.
+    */
+  def imageSignatures(media: DataFrame, gridW: Int = 8,
+                      gridH: Int = 8): DataFrame =
+    imageFeatures(media, gridW, gridH).select(col("doc_id"),
+        explode(when(col("asig").isNotNull, array(
+            struct(lit("a").as("kind"), col("asig").as("sig")),
+            struct(lit("d").as("kind"), col("dsig").as("sig"))))
+          .otherwise(array(struct(lit(null).cast("string").as("kind"),
+            lit(null).cast("string").as("sig"))))).as("kv"))
+      .select(col("doc_id"), col("kv.kind").as("kind"), col("kv.sig").as("sig"))
+
+  /** End-to-end STILL-IMAGE dedup — [[audioDedup]]'s composition for
+    * the modality a multimodal-corpus user hits first: one decode pass
+    * ([[imageFeatures]]), exact byte collapse (length + md5 digest
+    * groups — re-upload floods fold to their lowest-id representative
+    * BEFORE any pair mining), banded-hamming perceptual near-dup pairs
+    * among the representatives (the [[graft.operators.Dedup
+    * .simhashPairs]] machinery over the average-hash — 4×16-bit bands,
+    * hot buckets past `maxBucket` dropped, never all-pairs; complete
+    * recall for `maxDist` < 4), exact-group edges glued back, connected
+    * components (pointer doubling), min-id keeper per cluster. Items
+    * that do not decode keep themselves (byte-exact dup detection
+    * among undecodables is [[graft.operators.Dedup.exact]]'s job on
+    * whatever that content really is — this operator only ever removes
+    * EVIDENCED image duplicates). Returns the keeper doc_ids.
+    *
+    * Scale shape: media bytes are read ONCE and never ride a shuffle
+    * (the decode pass emits five narrow columns); the digest groupBy,
+    * band join, and CC all shuffle hash-narrow rows. Caching contract
+    * as [[audioNearDupPairs]] — the feature table stays pinned until
+    * the caller's `clearCache()`.
+    */
+  def imageDedup(media: DataFrame, maxDist: Int = 3,
+                 maxBucket: Int = 1000): DataFrame = {
+    val ft = imageFeatures(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val universe = ft.select("doc_id").distinct()
+    val dec = ft.filter(col("asig").isNotNull)
+    val grp = dec.groupBy(col("n_bytes"), col("bhash"))
+      .agg(min(col("doc_id")).as("rep_id"))
+    val groups = dec.join(grp, Seq("n_bytes", "bhash"))
+      .select(col("doc_id"), col("rep_id"))
+    val reps = dec.join(
+        groups.filter(col("doc_id") === col("rep_id")).select("doc_id"),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("asig").as("simhash"))
+    val pairs = graft.operators.Dedup.simhashPairs(reps, "doc_id",
+        maxDist = maxDist, maxBucket = maxBucket)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edges = pairs.unionByName(
+      groups.filter(col("doc_id") =!= col("rep_id"))
+        .select(col("doc_id").as("a"), col("rep_id").as("b")))
+    val cc = graft.operators.Dedup.connectedComponents(edges, "a", "b")
+      .withColumnRenamed("a", "doc_id")
+    universe.join(cc, Seq("doc_id"), "left")
+      .filter(coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+      .select(col("doc_id"))
+  }
+
+  /** The still-image signature index as a DURABLE artifact — the
+    * [[ClipIndex]] discipline for the image admission gate: sign the
+    * catalog ONCE, persist the narrow (doc_id, kind, sig) rows + the
+    * grid parameters, append each day's new media without rescanning
+    * the catalog, probe with query signatures at serving time. Rows
+    * are tiny; the image bytes never persist and never ride a shuffle.
+    */
+  case class ImageSigIndex(sigs: DataFrame, gridW: Int, gridH: Int)
+
+  /** Sign `media` into an [[ImageSigIndex]] (content that does not
+    * decode contributes no rows — an index of nothing detects nothing).
+    */
+  def buildImageSigIndex(media: DataFrame, gridW: Int = 8,
+                         gridH: Int = 8): ImageSigIndex =
+    ImageSigIndex(imageSignatures(media, gridW, gridH)
+      .filter(col("sig").isNotNull), gridW, gridH)
+
+  def saveImageSigIndex(index: ImageSigIndex, path: String): Unit = {
+    val spark = index.sigs.sparkSession
+    import spark.implicits._
+    index.sigs.select("doc_id", "kind", "sig")
+      .write.mode("overwrite").parquet(s"$path/fingerprints")
+    Seq((index.gridW, index.gridH)).toDF("grid_w", "grid_h")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Restore the index; signatures dedupe on (doc_id, kind), so a
+    * crashed append retried is IDEMPOTENT (the [[loadClipIndex]]
+    * contract).
+    */
+  def loadImageSigIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): ImageSigIndex = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    ImageSigIndex(
+      spark.read.parquet(s"$path/fingerprints")
+        .dropDuplicates("doc_id", "kind"),
+      m.getAs[Int]("grid_w"), m.getAs[Int]("grid_h"))
+  }
+
+  /** The daily-crawl APPEND with the SAVED grid parameters (the
+    * [[appendClipIndex]] contract: parameter drift would make a batch
+    * match nothing; schemas compared symmetrically before the append).
+    */
+  def appendImageSigIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, media: DataFrame): Unit = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    appendCheckedFingerprints(spark, path,
+      imageSignatures(media, m.getAs[Int]("grid_w"), m.getAs[Int]("grid_h"))
+        .filter(col("sig").isNotNull)
+        .select("doc_id", "kind", "sig"))
+  }
+
+  /** Probe the index with QUERY media (decoded + signed with the
+    * index's own grid): one equi-join on (kind, sig), votes = the
+    * number of signature KINDS agreeing per (query, match) pair,
+    * reported at >= `minSupport` (2 = both the average-hash and the
+    * difference-hash agree — the still-image form of the clip lanes'
+    * offset-vote bar, needed because a single 64-bit perceptual hash
+    * of an 8×8 grid is low-entropy). The index side carries the
+    * hot-key cap. Caching contract as [[audioNearDupPairs]].
+    */
+  def probeImageSigIndex(index: ImageSigIndex, queries: DataFrame,
+                         minSupport: Int = 2, maxBucket: Int = 1000): DataFrame = {
+    val idx = index.sigs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ok = idx.groupBy("kind", "sig").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxBucket).select("kind", "sig")
+    val statik = idx.join(ok, Seq("kind", "sig"))
+      .select(col("kind"), col("sig"), col("doc_id").as("img_m"))
+    imageSignatures(queries, index.gridW, index.gridH)
+      .filter(col("sig").isNotNull)
+      .join(statik, Seq("kind", "sig"))
+      .groupBy(col("doc_id").as("img_q"), col("img_m"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /** The symmetric schema check + parquet append shared by the three
+    * durable-index appends: mixed-schema part files that readers
+    * quietly null-fill are the failure mode.
+    */
+  private def appendCheckedFingerprints(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame): Unit = {
+    val saved = spark.read.parquet(s"$path/fingerprints").schema
+    batch.schema.fields.foreach { f =>
+      val s = saved.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"append column '${f.name}' absent from saved index schema $saved"))
+      require(s.dataType == f.dataType,
+        s"append column '${f.name}': ${f.dataType} != saved ${s.dataType}")
+    }
+    saved.fields.foreach { f =>
+      require(batch.schema.fields.exists(_.name == f.name),
+        s"saved column '${f.name}' absent from append batch")
+    }
+    batch.write.mode("append").parquet(s"$path/fingerprints")
+  }
 
   /** Frame count law of the video fixture: 2 + (id mod 4) frames. */
   def videoFrames(docId: Long): Int = (2 + docId % 4).toInt

@@ -285,6 +285,34 @@ object MultimodalQueries extends QueryModule {
           idOffset = 1000000L, frameShift = 1))
       Multimodal.videoDedup(streams, minSupport = 2, maxBucket = 1000)
     }),
+    // the STILL-IMAGE end-to-end dedup — audioDedup's composition for
+    // the modality a multimodal corpus hits first: the corpus carries
+    // THREE byte-identical re-uploads of every 50th image (plus the
+    // deliberate cross-doc 768-law twins at every scale) and a
+    // LOSSLESS RE-ENCODE of every 25th image (same quadratic pixel
+    // law, BMP container — byte-distinct, pixel-identical). One decode
+    // pass digests bytes and average-hashes the 8×8 luma plane; exact
+    // groups collapse to min-id representatives BEFORE pair mining;
+    // banded-hamming pairs among representatives (re-encodes land at
+    // hamming 0); exact-group edges glue back; connected components;
+    // min-id keeper. Non-image docs (%10=7 text bytes) never decode
+    // and keep themselves. Oracle replays the whole chain from the
+    // imagePixel law: the exact-group key is (src mod 768, container)
+    // — the law's full byte-identity class — and the pair step is the
+    // literal 4×16-band + hot-cap + hamming<=3 replay.
+    "image_dedup_e2e" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val dups = (1 to 3).map(k =>
+          Multimodal.fabricateStillImages(d.filter(col("doc_id") % 50 === 0),
+            idOffset = k * 2000000L))
+        .reduce(_ unionByName _)
+      val imgs = Multimodal.fabricateStillImages(d)
+        .unionByName(dups)
+        .unionByName(Multimodal.fabricateStillImages(
+          d.filter(col("doc_id") % 25 === 0),
+          idOffset = 1000000L, fmt = "bmp"))
+      Multimodal.imageDedup(imgs, maxDist = 3, maxBucket = 1000)
+    }),
     // the VIDEO-side durable index (r11 residual #2): the same
     // save/append/load/probe discipline over the frame-ahash table —
     // day 1 (even ids) hashed + saved, day 2 (odd ids) APPENDED with
@@ -399,6 +427,51 @@ object MultimodalQueries extends QueryModule {
       |  FROM px JOIN tt USING (doc_id, f) GROUP BY px.doc_id, px.f, px.idx
       |), fhd AS (
       |  SELECT DISTINCT doc_id, idx, fhash FROM fh
+      |)""".stripMargin
+
+  // Replay of Multimodal.imageFeatures' two perceptual signatures over
+  // an `imgs` CTE of (doc_id, src[, ...]): dims from the shared fixture
+  // law, pixel (x, y) = (x² + y² + (x+y)·src + src) mod 256 (the
+  // imagePixel law — videoPixel at f = 0), nearest-neighbor resample to
+  // the 8×8 grid for the average-hash (the exact n·v > Σv rule) and to
+  // the 9×8 grid for the difference-hash (bit (x, y) = v(x+1, y) >
+  // v(x, y), row-major). Ends at iah(doc_id, sig), idh(doc_id, sig)
+  // and their long-format union isig(doc_id, kind, sig); prepend WITH
+  // and an imgs.
+  private[queries] val stillSigChain: String =
+    """idm AS (
+      |  SELECT doc_id, src, CAST(8 + src % 24 AS INTEGER) AS w,
+      |         CAST(8 + (src * 7) % 16 AS INTEGER) AS h
+      |  FROM imgs
+      |), iap AS (
+      |  SELECT doc_id, i, (xs*xs + ys*ys + (xs + ys)*src + src) % 256 AS v
+      |  FROM (
+      |    SELECT doc_id, src, i.i AS i,
+      |           (((i.i % 8) * w) // 8) AS xs, (((i.i // 8) * h) // 8) AS ys
+      |    FROM idm, (SELECT unnest(range(0, 64)) AS i) i) g
+      |), iat AS (
+      |  SELECT doc_id, SUM(v) AS tot FROM iap GROUP BY doc_id
+      |), iah AS (
+      |  SELECT iap.doc_id,
+      |         string_agg(CASE WHEN v * 64 > iat.tot THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+      |  FROM iap JOIN iat USING (doc_id) GROUP BY iap.doc_id
+      |), idp AS (
+      |  SELECT doc_id, a, b, (xs*xs + ys*ys + (xs + ys)*src + src) % 256 AS v
+      |  FROM (
+      |    SELECT doc_id, src, g.a AS a, g.b AS b,
+      |           ((g.a * w) // 9) AS xs, ((g.b * h) // 8) AS ys
+      |    FROM idm, (SELECT a.a, b.b FROM (SELECT unnest(range(0, 9)) AS a) a,
+      |               (SELECT unnest(range(0, 8)) AS b) b) g) q
+      |), idh AS (
+      |  SELECT l.doc_id,
+      |         string_agg(CASE WHEN r.v > l.v THEN '1' ELSE '0' END, '' ORDER BY l.b * 8 + l.a) AS sig
+      |  FROM idp l JOIN idp r ON r.doc_id = l.doc_id AND r.b = l.b AND r.a = l.a + 1
+      |  WHERE l.a < 8
+      |  GROUP BY l.doc_id
+      |), isig AS (
+      |  SELECT doc_id, 'a' AS kind, sig FROM iah
+      |  UNION ALL
+      |  SELECT doc_id, 'd' AS kind, sig FROM idh
       |)""".stripMargin
 
   // The aHash replay: byte k of the blob is hex-pair k of hex(blob);
@@ -815,6 +888,70 @@ object MultimodalQueries extends QueryModule {
         |FROM u LEFT JOIN reach ON reach.id = u.doc_id
         |GROUP BY u.doc_id
         |HAVING CAST(COALESCE(LEAST(MIN(reach.r), u.doc_id), u.doc_id) AS BIGINT) = u.doc_id""".stripMargin,
+    // the still-image dedup replay: average-hash chain from the
+    // quadratic pixel law over originals + byte-copies + BMP
+    // re-encodes; exact groups by the byte-identity class
+    // (src mod 768, container) with min-id reps; the literal 4×16-band
+    // + hot-cap + hamming<=3 pair replay among representatives;
+    // exact-group edges; recursive closure; min-reachable keeper
+    // election over the full universe (non-image %10=7 docs never
+    // decode and keep themselves)
+    "image_dedup_e2e" ->
+      s"""WITH RECURSIVE imgs AS (
+        |  SELECT doc_id, doc_id AS src, 0 AS bmp FROM documents WHERE doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + k.k * 2000000, doc_id, 0
+        |  FROM documents, (SELECT unnest(range(1, 4)) AS k) k
+        |  WHERE doc_id % 50 = 0 AND doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, 1
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id % 10 != 7
+        |), $stillSigChain, igrp AS (
+        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY src % 768, bmp) AS rep
+        |  FROM imgs
+        |), irep AS (
+        |  SELECT iah.doc_id, iah.sig AS phash
+        |  FROM iah JOIN igrp ON iah.doc_id = igrp.doc_id
+        |  WHERE igrp.doc_id = igrp.rep
+        |), ibnd AS (
+        |  SELECT doc_id, phash, b AS band, substring(phash, 1 + 16*b, 16) AS bits
+        |  FROM irep, (SELECT unnest(range(0, 4)) AS b)
+        |), ibk AS (
+        |  SELECT x.* FROM ibnd x
+        |  JOIN (SELECT band, bits FROM ibnd GROUP BY band, bits HAVING COUNT(*) <= 1000) ok
+        |    USING (band, bits)
+        |), iprs AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b, x.phash AS pa, y.phash AS pb
+        |    FROM ibk x JOIN ibk y
+        |      ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id)
+        |  WHERE bit_count(xor(pa::BIT, pb::BIT)) <= 3
+        |), ialledges AS (
+        |  SELECT a, b FROM iprs
+        |  UNION ALL
+        |  SELECT doc_id, rep FROM igrp WHERE doc_id != rep
+        |), iedges AS (
+        |  SELECT a AS src, b AS dst FROM ialledges
+        |  UNION ALL
+        |  SELECT b, a FROM ialledges
+        |), ireach AS (
+        |  SELECT src AS id, dst AS r FROM iedges
+        |  UNION
+        |  SELECT g.src, ireach.r FROM iedges g JOIN ireach ON ireach.id = g.dst
+        |), u AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + k.k * 2000000 FROM documents,
+        |    (SELECT unnest(range(1, 4)) AS k) k
+        |  WHERE doc_id % 50 = 0 AND doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 FROM documents
+        |  WHERE doc_id % 25 = 0 AND doc_id % 10 != 7
+        |)
+        |SELECT u.doc_id
+        |FROM u LEFT JOIN ireach ON ireach.id = u.doc_id
+        |GROUP BY u.doc_id
+        |HAVING CAST(COALESCE(LEAST(MIN(ireach.r), u.doc_id), u.doc_id) AS BIGINT) = u.doc_id""".stripMargin,
     // the video persisted-index probe replay: index = ALL video docs
     // (the two parity days reunited — save/append/load are
     // transparent), queries = the head-clipped re-encodes, asymmetric
