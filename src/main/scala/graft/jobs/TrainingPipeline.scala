@@ -86,16 +86,20 @@ object TrainingPipeline {
     * bit-reproducible / oracle-replayable run wants); 0 auto-sizes from
     * plan statistics.
     *
-    * `audioMedia` / `videoMedia`: optional media frames — (doc_id,
-    * content, meta)-shaped ([[graft.multimodal.Multimodal
-    * .mediaSchema]]), doc_id keyed to the corpus — enabling stage 3c,
+    * `audioMedia` / `videoMedia` / `imageMedia`: optional media frames
+    * — (doc_id, content, meta)-shaped ([[graft.multimodal.Multimodal
+    * .mediaSchema]], enforced on all three top-level columns so a
+    * malformed frame fails HERE with a clear message, not stages
+    * later), doc_id keyed to the corpus — enabling stage 3c,
     * end-to-end media dedup: a doc whose audio recording / video
-    * stream loses its duplicate-cluster election (exact re-uploads
-    * and arbitrary-offset clip extracts cluster with the lowest-id
-    * holder of the content) is dropped. Docs without a media row are
-    * always kept; undecodable media keeps itself. None skips the
-    * stage. `mediaMinSupport` / `mediaMaxBucket` are the clip-vote
-    * and hot-key-cap knobs of the underlying audioDedup/videoDedup.
+    * stream / still image loses its duplicate-cluster election (exact
+    * re-uploads, arbitrary-offset clip extracts, and — for images —
+    * lossless re-encodes cluster with the lowest-id holder of the
+    * content) is dropped. Docs without a media row are always kept;
+    * undecodable media keeps itself. None skips the stage.
+    * `mediaMinSupport` / `mediaMaxBucket` are the clip-vote and
+    * hot-key-cap knobs of the underlying audioDedup/videoDedup;
+    * `mediaHamming` is imageDedup's banded-hamming near-dup radius.
     *
     * `previousSnapshot`: the PREVIOUS crawl's raw corpus frame —
     * (doc_id, text)-shaped, same raw form as `input`. When present,
@@ -169,8 +173,10 @@ object TrainingPipeline {
           semanticCells: Int = 0,
           audioMedia: Option[DataFrame] = None,
           videoMedia: Option[DataFrame] = None,
+          imageMedia: Option[DataFrame] = None,
           mediaMinSupport: Int = 2,
           mediaMaxBucket: Int = 1000,
+          mediaHamming: Int = 3,
           normalize: Boolean = false,
           scrubPii: Boolean = false,
           shardsOut: Option[String] = None,
@@ -376,21 +382,35 @@ object TrainingPipeline {
     // representatives, components use pointer doubling, and the drop
     // set is universe ∖ keepers — one narrow doc_id anti-join; media
     // bytes never ride a shuffle here.
-    val mediaOn = audioMedia.isDefined || videoMedia.isDefined
+    val mediaOn =
+      audioMedia.isDefined || videoMedia.isDefined || imageMedia.isDefined
     val mediaKept = if (!mediaOn) semKept else {
+      // validate against the full mediaSchema contract (doc_id, content,
+      // meta), not just the columns this stage happens to read: a frame
+      // missing meta is malformed by the documented contract and should
+      // fail HERE with the frame's name, not wherever a meta-reading
+      // composition first touches it
+      def checkMedia(m: DataFrame, name: String): DataFrame = {
+        val want = graft.multimodal.Multimodal.mediaSchema.fieldNames
+        want.foreach(c => require(m.columns.contains(c),
+          s"$name needs the mediaSchema columns ${want.mkString("(", ", ", ")")}; missing '$c'"))
+        m
+      }
       def dropsOf(m: DataFrame, keep: DataFrame): DataFrame =
         m.select(col("doc_id")).distinct()
           .join(keep, Seq("doc_id"), "left_anti")
-      val drops = (audioMedia.map { m =>
-          require(m.columns.contains("doc_id") && m.columns.contains("content"),
-            "audioMedia needs (doc_id, content) columns")
+      val drops = (audioMedia.map { m0 =>
+          val m = checkMedia(m0, "audioMedia")
           dropsOf(m, graft.multimodal.Multimodal.audioDedup(m,
             minSupport = mediaMinSupport, maxBucket = mediaMaxBucket))
-        } ++ videoMedia.map { m =>
-          require(m.columns.contains("doc_id") && m.columns.contains("content"),
-            "videoMedia needs (doc_id, content) columns")
+        } ++ videoMedia.map { m0 =>
+          val m = checkMedia(m0, "videoMedia")
           dropsOf(m, graft.multimodal.Multimodal.videoDedup(m,
             minSupport = mediaMinSupport, maxBucket = mediaMaxBucket))
+        } ++ imageMedia.map { m0 =>
+          val m = checkMedia(m0, "imageMedia")
+          dropsOf(m, graft.multimodal.Multimodal.imageDedup(m,
+            maxDist = mediaHamming, maxBucket = mediaMaxBucket))
         }).reduce(_.unionByName(_))
       semKept.join(drops.distinct(), Seq("doc_id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

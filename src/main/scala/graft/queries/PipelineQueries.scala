@@ -70,11 +70,17 @@ object PipelineQueries extends QueryModule {
     // mid-stream extract (64 samples in) under doc_id+5 — so docs
     // id+3 / id+5 (when they exist in the corpus) lose the cluster
     // election to the lower-id holder of the content and are dropped;
-    // docs without media are untouched. pipeline_e2e proves the
-    // default chain composes; THIS row proves the optional stages
-    // compose with it and each other (stage order, frame handoffs,
-    // carried n_toks) — any drift hash-mismatches here even though
-    // every stage is green standalone.
+    // docs without media are untouched. Since r14 stage 3c also runs
+    // the IMAGE modality (image_dedup_e2e wired in): every %10=1 doc
+    // carries a genuine still of the quadratic pixel law, every %40=1
+    // doc's image is re-uploaded byte-identically under doc_id+7, and
+    // every %30=1 doc's image reappears as a lossless BMP re-encode
+    // (byte-distinct, pixel-identical) under doc_id+9 — docs id+7 /
+    // id+9 lose the image cluster election and are dropped too.
+    // pipeline_e2e proves the default chain composes; THIS row proves
+    // the optional stages compose with it and each other (stage order,
+    // frame handoffs, carried n_toks) — any drift hash-mismatches here
+    // even though every stage is green standalone.
     "pipeline_full" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       val d = docs(s, dir)
@@ -83,6 +89,11 @@ object PipelineQueries extends QueryModule {
           d.filter(col("doc_id") % 40 === 0), idOffset = 3))
         .unionByName(Multimodal.fabricateAudio(
           d.filter(col("doc_id") % 30 === 0), idOffset = 5, startFrame = 64))
+      val stills = Multimodal.fabricateStillImages(d.filter(col("doc_id") % 10 === 1))
+        .unionByName(Multimodal.fabricateStillImages(
+          d.filter(col("doc_id") % 40 === 1), idOffset = 7))
+        .unionByName(Multimodal.fabricateStillImages(
+          d.filter(col("doc_id") % 30 === 1), idOffset = 9, fmt = "bmp"))
       val ids = col("doc_id").cast("string")
       val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
         "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
@@ -110,6 +121,7 @@ object PipelineQueries extends QueryModule {
           .select(col("vec_id").as("doc_id"), col("embedding"))),
         semanticCells = 32,
         audioMedia = Some(wavs),
+        imageMedia = Some(stills),
         evalDocs = Some(d.filter(col("doc_id") % 97 === 0)
           .select(col("doc_id"), col("text"))),
         decontamSubstringW = Some(10),
@@ -502,7 +514,14 @@ object PipelineQueries extends QueryModule {
     // offset-vote pairs among representatives, exact-group edges,
     // recursive closure, and the min-reachable election — docs that
     // lose it (mdrops) leave the chain exactly where stage 3c drops
-    // them in TrainingPipeline.run
+    // them in TrainingPipeline.run. Since r14 the same slot also
+    // carries the image_dedup_e2e replay (idrops): the still-image
+    // phash chain over the %10=1 originals + %40=1 byte-copies (id+7)
+    // + %30=1 BMP re-encodes (id+9), exact groups by the
+    // (src mod 768, container) byte-identity class, the literal
+    // 4×16-band + hot-cap + hamming<=3 pair replay among
+    // representatives, exact-group edges, closure, and the keeper
+    // election — mediak excludes both drop sets
     "pipeline_full" ->
       raw"""WITH RECURSIVE p0 AS MATERIALIZED (
         |  SELECT doc_id, source,
@@ -721,8 +740,53 @@ object PipelineQueries extends QueryModule {
         |  LEFT JOIN mreach ON mreach.id = mu.doc_id
         |  GROUP BY mu.doc_id
         |  HAVING CAST(COALESCE(LEAST(MIN(mreach.r), mu.doc_id), mu.doc_id) AS BIGINT) != mu.doc_id
+        |), imgs AS (
+        |  SELECT doc_id, doc_id AS src, 0 AS bmp FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 7, doc_id, 0 FROM documents WHERE doc_id % 40 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 9, doc_id, 1 FROM documents WHERE doc_id % 30 = 1
+        |), ${MultimodalQueries.stillSigChain}, igrp AS (
+        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY src % 768, bmp) AS rep
+        |  FROM imgs
+        |), irep AS (
+        |  SELECT iah.doc_id, iah.sig AS phash
+        |  FROM iah JOIN igrp ON iah.doc_id = igrp.doc_id
+        |  WHERE igrp.doc_id = igrp.rep
+        |), ibnd AS (
+        |  SELECT doc_id, phash, b AS band, substring(phash, 1 + 16*b, 16) AS bits
+        |  FROM irep, (SELECT unnest(range(0, 4)) AS b)
+        |), ibk AS (
+        |  SELECT x.* FROM ibnd x
+        |  JOIN (SELECT band, bits FROM ibnd GROUP BY band, bits HAVING COUNT(*) <= 1000) iok
+        |    USING (band, bits)
+        |), iprs AS (
+        |  SELECT DISTINCT ia, ib FROM (
+        |    SELECT x.doc_id AS ia, y.doc_id AS ib, x.phash AS pa, y.phash AS pb
+        |    FROM ibk x JOIN ibk y
+        |      ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id)
+        |  WHERE bit_count(xor(pa::BIT, pb::BIT)) <= 3
+        |), ialledges AS (
+        |  SELECT ia, ib FROM iprs
+        |  UNION ALL
+        |  SELECT doc_id, rep FROM igrp WHERE doc_id != rep
+        |), iedges AS (
+        |  SELECT ia AS isrc, ib AS idst FROM ialledges
+        |  UNION ALL
+        |  SELECT ib, ia FROM ialledges
+        |), ireach AS (
+        |  SELECT isrc AS id, idst AS r FROM iedges
+        |  UNION
+        |  SELECT g7.isrc, ireach.r FROM iedges g7 JOIN ireach ON ireach.id = g7.idst
+        |), idrops AS (
+        |  SELECT iu.doc_id
+        |  FROM (SELECT DISTINCT doc_id FROM imgs) iu
+        |  LEFT JOIN ireach ON ireach.id = iu.doc_id
+        |  GROUP BY iu.doc_id
+        |  HAVING CAST(COALESCE(LEAST(MIN(ireach.r), iu.doc_id), iu.doc_id) AS BIGINT) != iu.doc_id
         |), mediak AS MATERIALIZED (
         |  SELECT * FROM semk WHERE doc_id NOT IN (SELECT doc_id FROM mdrops)
+        |    AND doc_id NOT IN (SELECT doc_id FROM idrops)
         |), evt AS MATERIALIZED (
         |  SELECT doc_id, list_filter(string_split_regex(
         |           trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')),
