@@ -245,8 +245,42 @@ object StreamingQueries extends QueryModule {
       feed
     })
 
-  // the durable gate index artifact dirs (audio / video), one per sf
-  // dir for the JVM (the cachedIdxDir discipline)
+  // the IMAGE admission-gate upload feed: lossless BMP re-encodes of
+  // the %20=5 catalog stills (pixel-identical, byte-distinct — both
+  // perceptual signatures match the catalog's, to be REJECTED at the
+  // support-2 two-signature bar) plus NOVEL uploads for the admit
+  // path. Novel uploads cannot come from the pixel law at a shifted
+  // id (the law repeats with period 768 in src — the vgateFeed
+  // caveat), so novel clients upload out-of-law signatures: 64-bit
+  // md5-derived bit strings keyed by (upload, signature kind),
+  // replayed exactly by the oracle and sharing nothing with any
+  // catalog image. Clients upload signatures, never image bytes.
+  private val igateFeedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def igateFeed(s: SparkSession, dir: String): java.nio.file.Path =
+    igateFeedDirs.computeIfAbsent(dir, { _ =>
+      import graft.multimodal.Multimodal
+      val d = graft.Tables(s, dir, "documents")
+      val feed = java.nio.file.Files.createTempDirectory("graft-igate-feed")
+      feed.toFile.deleteOnExit()
+      val novel = d.filter(col("doc_id") % 20 === 6)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          explode(array(lit("a"), lit("d"))).as("kind"))
+        .withColumn("sig",
+          lpad(conv(substring(md5(concat_ws(":", lit("ig"),
+            col("doc_id"), col("kind"))), 1, 15), 16, 2), 64, "0"))
+      Multimodal.imageSignatures(
+          Multimodal.fabricateStillImages(d.filter(col("doc_id") % 20 === 5),
+            idOffset = 1000000L, fmt = "bmp"))
+        .filter(col("sig").isNotNull)
+        .unionByName(novel)
+        .coalesce(1).write.mode("overwrite").parquet(feed.toString)
+      feed
+    })
+
+  // the durable gate index artifact dirs (audio / video / image), one
+  // per sf dir for the JVM (the cachedIdxDir discipline)
   private val gateIdxDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
@@ -691,6 +725,52 @@ object StreamingQueries extends QueryModule {
           col("m_id"), col("offset"), col("support"))
     }),
 
+    // the IMAGE admission gate: the streaming_media_gate discipline
+    // over the durable two-signature still index ([[saveImageSigIndex]]
+    // / [[loadImageSigIndex]] — a restarted gate serves from disk).
+    // Uploaded signatures stream through one stream-static equi-join
+    // on (kind, sig); votes aggregate in complete mode per
+    // (upload, match) and a rejection needs support >= 2 — BOTH the
+    // average-hash and the difference-hash must agree, the still-image
+    // form of the video gate's support bar (a single 64-bit hash of an
+    // 8×8 grid is low-entropy; two independent signature families
+    // colliding at once is the bar). The batch election tail (support
+    // desc, match asc — no offset for stills) emits one verdict row
+    // per upload: lossless re-encodes reject against their originals,
+    // novel uploads admit with NULL match columns. Oracle = the batch
+    // vote replay + election (stream-transparency).
+    "streaming_image_gate" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val path = gateIdxDir(dir, "i")
+      Multimodal.saveImageSigIndex(
+        Multimodal.buildImageSigIndex(Multimodal.fabricateStillImages(
+          graft.Tables(s, dir, "documents"))), path)
+      val idx = Multimodal.loadImageSigIndex(s, path).sigs
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ok = idx.groupBy("kind", "sig").agg(count(lit(1)).as("c"))
+        .filter(col("c") <= 1000).select("kind", "sig")
+      val statik = idx.join(ok, Seq("kind", "sig"))
+        .select(col("kind"), col("sig"), col("doc_id").as("m_id"))
+      val feed = igateFeed(s, dir)
+      val schema = s.read.parquet(feed.toString).schema
+      val qs = s.readStream.schema(schema).parquet(feed.toString)
+      val votes = runToTable(
+        qs.join(statik, Seq("kind", "sig"))
+          .groupBy(col("doc_id").as("up_id"), col("m_id"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2),
+        "complete")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("up_id")
+        .orderBy(col("support").desc, col("m_id").asc)
+      val best = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      s.read.parquet(feed.toString)
+        .select(col("doc_id").as("up_id")).distinct()
+        .join(best, Seq("up_id"), "left")
+        .select(col("up_id"), col("m_id").isNotNull.as("rejected"),
+          col("m_id"), col("support"))
+    }),
+
     // STREAMING CDC MERGE: the daily-crawl story's missing streaming
     // leg — an I/U/D change stream arrives as three ORDERED
     // micro-batches (maxFilesPerTrigger=1 over mtime-sequenced files)
@@ -860,6 +940,49 @@ object StreamingQueries extends QueryModule {
         |)
         |SELECT u.up_id, (b.m_id IS NOT NULL) AS rejected,
         |       b.m_id, b."offset", b.support
+        |FROM (SELECT DISTINCT doc_id AS up_id FROM qs) u
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (up_id)""".stripMargin,
+    // the image admission-gate replay: catalog signatures from the
+    // quadratic pixel law vs the upload feed — %20=5 lossless BMP
+    // re-encodes (ids +1000000, law signatures of their source) and
+    // %20=6 NOVEL uploads whose out-of-law md5-bit-string signatures
+    // are regenerated here verbatim (the vgate novel-hash pairing) —
+    // index side hot-capped on (kind, sig), votes at support >= 2
+    // (both signature kinds agree), per-upload election (support desc,
+    // match asc), left-join verdict
+    "streaming_image_gate" ->
+      s"""WITH imgs AS (
+        |  SELECT doc_id, doc_id AS src FROM documents WHERE doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 20 = 5
+        |), ${MultimodalQueries.stillSigChain}, nsig AS (
+        |  SELECT doc_id + 500000 AS doc_id, k.kind AS kind,
+        |         lpad(bin(('0x' || substring(md5('ig:' || CAST(doc_id + 500000 AS VARCHAR)
+        |           || ':' || k.kind), 1, 15))::BIGINT), 64, '0') AS sig
+        |  FROM documents, (SELECT unnest(['a', 'd']) AS kind) k
+        |  WHERE doc_id % 20 = 6
+        |), cat AS (
+        |  SELECT * FROM isig WHERE doc_id < 1000000
+        |), ok AS (
+        |  SELECT kind, sig FROM cat GROUP BY kind, sig HAVING COUNT(*) <= 1000
+        |), idx AS (
+        |  SELECT cat.* FROM cat JOIN ok USING (kind, sig)
+        |), qs AS (
+        |  SELECT * FROM isig WHERE doc_id >= 1000000
+        |  UNION ALL
+        |  SELECT * FROM nsig
+        |), votes AS (
+        |  SELECT qs.doc_id AS up_id, idx.doc_id AS m_id,
+        |         CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM qs JOIN idx USING (kind, sig)
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2
+        |), best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY up_id
+        |    ORDER BY support DESC, m_id ASC) AS rn
+        |  FROM votes
+        |)
+        |SELECT u.up_id, (b.m_id IS NOT NULL) AS rejected, b.m_id, b.support
         |FROM (SELECT DISTINCT doc_id AS up_id FROM qs) u
         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (up_id)""".stripMargin,
     // the NET law of the three ordered change batches: %11 rows end
