@@ -1223,8 +1223,8 @@ object Multimodal {
     * Undecodable content carries NULL signatures (visible row, never a
     * throw — the decodeFeatures contract). Row-local, zero-shuffle.
     */
-  private[multimodal] def imageFeatures(media: DataFrame, gridW: Int = 8,
-                                        gridH: Int = 8): DataFrame = {
+  private[graft] def imageFeatures(media: DataFrame, gridW: Int = 8,
+                                   gridH: Int = 8): DataFrame = {
     require(gridW > 0 && gridH > 0, "grid dims must be positive")
     val spark = media.sparkSession
     val rdd = media.select("doc_id", "content").rdd.mapPartitions { it =>

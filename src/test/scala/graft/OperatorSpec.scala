@@ -887,6 +887,116 @@ class OperatorSpec extends AnyFunSuite {
     assert(keep == Set(1L, 9L, 17L), s"keepers: $keep")
   }
 
+  test("Multimodal still images: encode determinism, 768-law twins, and both signature laws replay") {
+    import graft.multimodal.Multimodal
+    // encode determinism underpins the exact-dup collapse: the same
+    // raster written twice must be byte-identical (the JDK PNG/BMP
+    // writers carry no timestamps or nondeterministic chunks)
+    val one = Seq((1L, "x")).toDF("doc_id", "text")
+    def bytesOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("content")).toMap
+    val b1 = bytesOf(Multimodal.fabricateStillImages(one))(1L)
+    val b2 = bytesOf(Multimodal.fabricateStillImages(one))(1L)
+    assert(java.util.Arrays.equals(b1, b2), "PNG encode not deterministic")
+    // the deliberate byte-identity class: ids 768 apart share dims
+    // (768 ≡ 0 mod 24 and mod 16) and pixels (mod 256) → same bytes
+    val twins = Seq((1L, "x"), (769L, "x")).toDF("doc_id", "text")
+    val tb = bytesOf(Multimodal.fabricateStillImages(twins))
+    assert(java.util.Arrays.equals(tb(1L), tb(769L)), "768-law twins not byte-identical")
+    // a BMP re-encode is byte-distinct but signature-identical (both
+    // kinds), and the signatures replay the analytic law exactly
+    val png = Multimodal.fabricateStillImages(one)
+    val bmp = Multimodal.fabricateStillImages(one, fmt = "bmp")
+    def sigsOf(m: org.apache.spark.sql.DataFrame) = {
+      val r = Multimodal.imageFeatures(m).collect().head
+      (r.getAs[String]("asig"), r.getAs[String]("dsig"))
+    }
+    val (aP, dP) = sigsOf(png)
+    val (aB, dB) = sigsOf(bmp)
+    assert(!java.util.Arrays.equals(bytesOf(bmp)(1L), b1), "bmp == png bytes?")
+    assert(aP == aB && dP == dB, s"re-encode signatures differ: $aP/$aB $dP/$dB")
+    // analytic replay of both signature laws from imagePixel
+    val (w, h) = Multimodal.fixtureDims(1L)
+    def plane(gw: Int, gh: Int) = Array.tabulate(gw * gh) { i =>
+      val (x, y) = (i % gw, i / gw)
+      Multimodal.imagePixel(1L, (x.toLong * w / gw).toInt, (y.toLong * h / gh).toInt)
+    }
+    val a8 = plane(8, 8)
+    val tot = a8.map(_.toLong).sum
+    val wantA = a8.map(v => if (v.toLong * 64 > tot) '1' else '0').mkString
+    val p9 = plane(9, 8)
+    val wantD = (0 until 64).map { i =>
+      val (x, y) = (i % 8, i / 8)
+      if (p9(y * 9 + x + 1) > p9(y * 9 + x)) '1' else '0'
+    }.mkString
+    assert(aP == wantA, s"ahash law: $aP != $wantA")
+    assert(dP == wantD, s"dhash law: $dP != $wantD")
+    // the kernel's ahash equals the independent resize→lumaPlane→
+    // ahash64 chain (the multimodal_phash path) bit for bit
+    val chain = graft.multimodal.Multimodal.lumaPlane(
+        Multimodal.resize(png, 8, 8))
+      .select($"doc_id", graft.functions.MediaExpressions.ahash64($"luma"))
+      .collect().head.getString(1)
+    assert(chain == aP, s"kernel ahash != phash chain: $aP vs $chain")
+    // undecodable content: visible NULL-signature row, digest present
+    val txt = Seq((7L, "NOT an image")).toDF("doc_id", "text")
+    val ftxt = Multimodal.imageFeatures(Multimodal.fabricateStillImages(txt))
+      .collect().head
+    assert(ftxt.isNullAt(3) && ftxt.isNullAt(4) && ftxt.getString(2).nonEmpty)
+    val sigRows = Multimodal.imageSignatures(
+      Multimodal.fabricateStillImages(txt)).collect()
+    assert(sigRows.length == 1 && sigRows.head.isNullAt(1) && sigRows.head.isNullAt(2),
+      "undecodable must emit one visible NULL row")
+  }
+
+  test("Multimodal.imageDedup: byte copies collapse, lossless re-encodes cluster, undecodables keep themselves") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (7L, "NOT an image"))
+      .toDF("doc_id", "text")
+    val imgs = Multimodal.fabricateStillImages(docs)
+      // byte-identical re-upload of doc 1 (exact-group edge) ...
+      .unionByName(Multimodal.fabricateStillImages(
+        docs.filter($"doc_id" === 1L), idOffset = 1000L))
+      // ... and a BMP re-encode of doc 2 (hamming-0 perceptual pair)
+      .unionByName(Multimodal.fabricateStillImages(
+        docs.filter($"doc_id" === 2L), idOffset = 2000L, fmt = "bmp"))
+    val keep = Multimodal.imageDedup(imgs, maxDist = 3, maxBucket = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(keep == Set(1L, 2L, 3L, 7L), s"keepers: $keep")
+  }
+
+  test("Multimodal image signature index: append == fresh union, retry idempotent, probe needs both signatures") {
+    import graft.multimodal.Multimodal
+    val day1 = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "text")
+    val day2 = Seq((3L, "x"), (17L, "NOT an image")).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-img-idx-spec").toString
+    Multimodal.saveImageSigIndex(
+      Multimodal.buildImageSigIndex(Multimodal.fabricateStillImages(day1)), path)
+    Multimodal.appendImageSigIndex(spark, path,
+      Multimodal.fabricateStillImages(day2))
+    def sigSet(ix: Multimodal.ImageSigIndex) = ix.sigs
+      .select("doc_id", "kind", "sig").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val appended = sigSet(Multimodal.loadImageSigIndex(spark, path))
+    val fresh = sigSet(Multimodal.buildImageSigIndex(
+      Multimodal.fabricateStillImages(day1.unionByName(day2))))
+    assert(appended == fresh, "appended image index != fresh union build")
+    assert(!appended.exists(_._1 == 17L), "undecodable doc leaked index rows")
+    Multimodal.appendImageSigIndex(spark, path,
+      Multimodal.fabricateStillImages(day2))
+    assert(sigSet(Multimodal.loadImageSigIndex(spark, path)) == fresh,
+      "image append retry not idempotent under load's dedup")
+    // a day-2 lossless re-encode matches on BOTH kinds (support 2)
+    val probe = Multimodal.probeImageSigIndex(
+      Multimodal.loadImageSigIndex(spark, path),
+      Multimodal.fabricateStillImages(day2.filter($"doc_id" === 3L),
+        idOffset = 1000L, fmt = "bmp"),
+      minSupport = 2, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(probe.toSeq == Seq((1003L, 3L, 2L)), s"image probe: ${probe.toSeq}")
+  }
+
   test("Multimodal collapseExact: a flood of exact re-uploads past maxBucket cannot evict the genuine match") {
     import graft.multimodal.Multimodal
     // 2×maxBucket byte-identical re-uploads of doc 200's recording +
