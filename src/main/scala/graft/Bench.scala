@@ -29,7 +29,8 @@ package graft
   * BUDGET CONTRACT (the r12 lead item — the driver's own re-run hit
   * its wall-clock limit, rc 124, and by this repo's standard a record
   * the driver cannot finish does not exist): the whole run fits inside
-  * SPARK_GRAFT_BENCH_BUDGET_SEC (default 2400 s). Optional stages
+  * SPARK_GRAFT_BENCH_BUDGET_SEC (default 2700 s — see the budgetSec
+  * comment in main for the sizing). Optional stages
   * degrade in priority order as the budget drains — third-pass
   * samples, quiet-window retries, the sf-small pass, then terasort_sf1
   * — each skip recorded under "skipped" in the emitted record, and the
@@ -41,9 +42,20 @@ package graft
   * rc 0); headline lanes + every scale exponent + the harness metrics
   * fit the tail, and the full per-lane record lives in the file copy.
   *
+  * RECORD FORMAT NOTE (the emitted JSON contract): per-lane `samples`
+  * / `loads` arrays are RAGGED relative to the `iterations` field — a
+  * lane the adaptive third pass skipped carries 2 entries at
+  * iterations 3, and a budget-truncated run carries fewer. Consumers
+  * must size per-pass work by ARRAY LENGTH, never by zipping against
+  * `iterations`; retry samples live under their own `retry_samples` /
+  * `retry_loads` keys so the main arrays stay one-entry-per-pass-run.
+  *
   * Alongside the query suite, the reference's benchmark harnesses
   * (BASELINE.md metrics): MRBench small-job latency and TestDFSIO
-  * sequential write/read MB/s (graft.jobs.LoadGen).
+  * sequential write/read MB/s (graft.jobs.LoadGen), plus a once-per-run
+  * direct-I/O device probe (`device_mbps_write`/`device_mbps_read`) so
+  * disk-window swings in terasort_sf1 are mechanically adjudicable
+  * against the device's delivered bandwidth that day.
   */
 object Bench {
 
@@ -57,6 +69,62 @@ object Bench {
   // (de_DE) would make f"%.3f" emit '1,234' and break the JSON line
   private def fmt(d: Double, places: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
+
+  /** Every scale-probe label, in run order (heavy compositions LAST —
+    * a budget-killed probe child loses the tail, and the graded
+    * serving-shape probes must run on the coldest heap). Shared by the
+    * probe pass, the fork-splice regex, the summary line's exponent
+    * extraction, and the BenchContractSpec tail-budget test.
+    */
+  private[graft] val allProbeLabels = Seq("dedup", "kmeans", "dsir",
+    "paragraph", "substring", "semantic", "streaming_funnel", "pipeline",
+    "pca", "knn_ivf", "bitext_ivf", "media_dedup", "pipeline_full",
+    "pipeline_full_media")
+
+  /** The headline lanes of the stdout summary line — one per flagship
+    * shape, NOT the full suite (the full per-lane record lives in the
+    * checkpointed file). Adding a lane here costs ~20 bytes of the
+    * driver's ~2000-char tail; BenchContractSpec pins the total.
+    */
+  private[graft] val headlineLanes = Seq("wordcount", "join_inner",
+    "window_agg", "topk", "total_sort", "terasort", "dedup_minhash",
+    "substring_dedup", "semantic_dedup", "knn_join", "ann_ivf_topk",
+    "media_dedup_e2e", "video_dedup_e2e", "image_dedup_e2e",
+    "pipeline_e2e", "pipeline_full", "streaming_sessionize")
+
+  /** The harness-metric fields shared by the file record and the
+    * stdout summary line (object-level so BenchContractSpec sizes the
+    * real field list, not a copy that drifts).
+    */
+  private[graft] def harnessJsonStr(mrAvg: Double, wMbps: Double,
+      rMbps: Double, nnOps: Double, fbSeqRead: Double, sliveOps: Double,
+      bmoMbps: Double, tmbMbps: Double, devW: Double, devR: Double,
+      teraSf1: Double): String =
+    s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)},"nnbench_create_ops_sec":${fmt(nnOps, 1)},"filebench_seq_read_mbps":${fmt(fbSeqRead, 1)},"slive_ops_sec":${fmt(sliveOps, 1)},"bigmap_shuffle_mbps":${fmt(bmoMbps, 1)},"threadedmap_sort_mbps":${fmt(tmbMbps, 1)},"device_mbps_write":${fmt(devW, 1)},"device_mbps_read":${fmt(devR, 1)},"terasort_sf1_sec":${fmt(teraSf1, 1)}"""
+
+  /** Render the one-line stdout summary. TAIL CONTRACT: the driver
+    * captures only ~2000 trailing characters of output, so this line
+    * must stay under ~1.8 KB FULLY POPULATED (every headline lane
+    * timed, every probe exponent present, all harness metrics) or the
+    * round's record silently stops parsing — which is exactly what
+    * happened for rounds 3–12 with the old full-suite compact line.
+    * BenchContractSpec renders the worst-case line and asserts the
+    * budget plus the presence of every exponent key.
+    */
+  private[graft] def summaryLine(total: Double, sf: String, iters: Int,
+      lanes: Int, failed: Seq[String], skippedJson: String,
+      elapsedSec: Double, headlineVals: Seq[(String, String)],
+      exponents: Seq[(String, String)], pollutedJson: String,
+      harnessJson: String, fullRecord: String): String = {
+    def jm(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","sf":"$sf","iterations":$iters,"lanes":$lanes,""" +
+      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""skipped":$skippedJson,"elapsed_sec":${fmt(elapsedSec, 1)},""" +
+      s""""queries":${jm(headlineVals)},""" +
+      s""""exponents":${jm(exponents)},"load_polluted":$pollutedJson""" +
+      harnessJson + s""","full_record":"$fullRecord"}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val t0All = System.nanoTime()
@@ -208,8 +276,9 @@ object Bench {
     var mrAvg = -1.0; var wMbps = -1.0; var rMbps = -1.0; var nnOps = -1.0
     var fbSeqRead = -1.0; var sliveOps = -1.0; var bmoMbps = -1.0
     var tmbMbps = -1.0; var teraSf1Sec = -1.0
-    def harnessJson: String =
-      s""","mrbench_avg_latency_sec":${fmt(mrAvg, 3)},"dfsio_write_mbps":${fmt(wMbps, 1)},"dfsio_read_mbps":${fmt(rMbps, 1)},"nnbench_create_ops_sec":${fmt(nnOps, 1)},"filebench_seq_read_mbps":${fmt(fbSeqRead, 1)},"slive_ops_sec":${fmt(sliveOps, 1)},"bigmap_shuffle_mbps":${fmt(bmoMbps, 1)},"threadedmap_sort_mbps":${fmt(tmbMbps, 1)},"terasort_sf1_sec":${fmt(teraSf1Sec, 1)}"""
+    var devWMbps = -1.0; var devRMbps = -1.0
+    def harnessJson: String = harnessJsonStr(mrAvg, wMbps, rMbps, nnOps,
+      fbSeqRead, sliveOps, bmoMbps, tmbMbps, devWMbps, devRMbps, teraSf1Sec)
     def skippedJson: String =
       skippedStages.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     def fullJson(partial: Boolean): String = {
@@ -242,10 +311,20 @@ object Bench {
         scaleJsonStr + harnessJson + "}"
     }
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // atomic replace (temp file + ATOMIC_MOVE in the same directory):
+    // a driver kill landing mid-write must leave the PREVIOUS complete
+    // checkpoint, never an empty/torn file — a torn record is exactly
+    // the failure the per-lane checkpointing exists to prevent
     def checkpoint(partial: Boolean = true): Unit =
-      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (fullJson(partial) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case _: Throwable => () }
+      try {
+        val dst = java.nio.file.Paths.get(out).toAbsolutePath
+        val tmp = dst.resolveSibling(dst.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmp,
+          (fullJson(partial) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case _: Throwable => () }
 
     // passes 1..iters round-robin; the third-and-later passes skip a
     // lane that is already stable-and-floor-dominated (both samples
@@ -845,6 +924,89 @@ object Bench {
         budgetShards = 2,
         normalize = true, report = false)
       noop(packed)
+    }),
+
+    // pipeline_full WITH stage 3c media enabled — the full production
+    // shape's own cost curve (r13 verdict item 4: the exponent series
+    // deliberately excludes the media stage for cross-round
+    // comparability, so the media-enabled composition had components
+    // probed but never the whole). Same page fixture and stage stack
+    // as pipeline_full, plus the pipeline_full LANE's media fixture
+    // scaled with the corpus: audio for the %10=0 ids (+%40 byte
+    // copies, +%30 mid-stream extracts), stills for the %10=1 ids
+    // (+%40 byte copies, +%30 BMP re-encodes). Replica ids are
+    // distinct, so each replica's media is novel content (the audio
+    // law keys on the id) — decode, fingerprint, and collapse all
+    // grow linearly, which is the claim under probe. samplePairs = 1
+    // (budget prong: this probe exists to evidence the curve once per
+    // round; it runs LAST so a budget-killed child loses only it, and
+    // the load gate's retry pairs still guarantee a clean sample when
+    // the first is polluted).
+    "pipeline_full_media" -> (() => scaleProbe("pipeline_full_media", () => {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"), col("lang"))
+      val shift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def rep(df: org.apache.spark.sql.DataFrame, k: Int) =
+        (0 until k).map(i =>
+          df.withColumn("doc_id", col("doc_id") + lit(i * shift)))
+          .reduce(_.unionByName(_))
+      def page(df: org.apache.spark.sql.DataFrame) = {
+        val ids = col("doc_id").cast("string")
+        val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+          "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+        df.select(col("doc_id"), col("source"),
+          concat(lit("<html><head><title>Doc "), ids,
+            lit("</title><style>p{margin:0}</style></head><body><script>var d="),
+            ids, lit(";</script><h1>Doc "), ids, lit("</h1><p>"), esc,
+            lit("</p><div class=\"nav\"><a href=\"/s/1\">more</a></div>" +
+              "<!-- footer --></body></html>")).as("text"))
+      }
+      (page(rep(base, 1)), page(rep(base, 3)))
+    }, samplePairs = 1) { df =>
+      import graft.multimodal.Multimodal
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val shift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val k = ((df.agg(max(col("doc_id"))).head().getLong(0) + 1L
+        + shift - 1L) / shift).toInt
+      val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val emb = (0 until k).map(i =>
+          e1.withColumn("doc_id", col("doc_id") + lit(i * shift)))
+        .reduce(_.unionByName(_))
+      val nEmb = e1.count() * k
+      val target = base.filter(col("lang") === "en").select(col("text"))
+      // media carriers keyed to the REPLICATED ids: laws key on the
+      // id, so every replica's recordings/stills are novel content
+      val ids = df.select(col("doc_id"), lit("media carrier").as("text"))
+      val wavs = Multimodal.fabricateAudio(ids.filter(col("doc_id") % 10 === 0))
+        .unionByName(Multimodal.fabricateAudio(
+          ids.filter(col("doc_id") % 40 === 0), idOffset = 3))
+        .unionByName(Multimodal.fabricateAudio(
+          ids.filter(col("doc_id") % 30 === 0), idOffset = 5, startFrame = 64))
+      val stills = Multimodal.fabricateStillImages(
+          ids.filter(col("doc_id") % 10 === 1))
+        .unionByName(Multimodal.fabricateStillImages(
+          ids.filter(col("doc_id") % 40 === 1), idOffset = 7))
+        .unionByName(Multimodal.fabricateStillImages(
+          ids.filter(col("doc_id") % 30 === 1), idOffset = 9, fmt = "bmp"))
+      val (packed, _) = jobs.TrainingPipeline.run(spark, sfDir,
+        input = Some(df),
+        ingestHtml = true,
+        templateMinDf = Some(5L),
+        maxRepetition = Some(0.08),
+        semanticThreshold = 0.38,
+        embeddings = Some(emb),
+        semanticCells = math.max(32L, nEmb / 64).toInt,
+        audioMedia = Some(wavs),
+        imageMedia = Some(stills),
+        evalDocs = Some(base.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("text"))),
+        decontamSubstringW = Some(10),
+        dsirTarget = Some(target),
+        tokenBudgets = Map("src0" -> 400L, "src1" -> 200L),
+        budgetShards = 2,
+        normalize = true, report = false)
+      noop(packed)
     }))
     // end probeThunks
 
@@ -932,9 +1094,7 @@ object Bench {
     // re-run. SPARK_GRAFT_NO_FORK_PROBES=1 restores the in-process
     // pass; a fork failure with NO salvageable entries falls back to
     // it too (a bench line is never lost).
-    val probeLabels = Seq("dedup", "kmeans", "dsir", "paragraph",
-      "substring", "semantic", "streaming_funnel", "pipeline", "pca",
-      "knn_ivf", "bitext_ivf", "media_dedup", "pipeline_full")
+    val probeLabels = Bench.allProbeLabels
     def spliceFromChildFile(outFile: java.io.File): Option[String] =
       try {
         val txt = new String(
@@ -1009,6 +1169,45 @@ object Bench {
       }
     }
 
+    // ---- device bandwidth probe ------------------------------------
+    // the delivered DIRECT-I/O bandwidth of the device hosting tmpdir,
+    // measured in the same window terasort_sf1 is about to use (the
+    // lane it adjudicates): rounds r12→r13 swung that lane 66.8 →
+    // 96.6-178.1 s purely on device-side variance, adjudicated then by
+    // ad-hoc dd runs quoted in prose — this records the same evidence
+    // IN the bench record (device_mbps_write / device_mbps_read).
+    // oflag=direct bypasses the page cache, so the number is the
+    // device's, not the kernel's; 512 MiB is large enough to outlast
+    // any write-buffer burst and costs ~2-5 s per side. Timed here
+    // (not parsed from dd's locale-dependent summary), conv=fsync on
+    // the write so queued blocks land inside the timing.
+    def devDirectMbps(): (Double, Double) =
+      try {
+        val mb = 512
+        val f = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
+          s"/graft-devprobe-${ProcessHandle.current().pid()}.bin"
+        def run(cmd: Seq[String]): Double = {
+          val t0 = System.nanoTime()
+          val p = new ProcessBuilder(cmd: _*)
+            .redirectErrorStream(true).start()
+          p.getInputStream.readAllBytes()
+          val rc = p.waitFor()
+          val el = (System.nanoTime() - t0) / 1e9
+          if (rc != 0 || el <= 0) -1.0 else mb / el
+        }
+        val w = run(Seq("dd", "if=/dev/zero", s"of=$f", "bs=4M",
+          s"count=${mb / 4}", "oflag=direct", "conv=fsync"))
+        val r = run(Seq("dd", s"if=$f", "of=/dev/null", "bs=4M",
+          "iflag=direct"))
+        new java.io.File(f).delete()
+        (w, r)
+      } catch { case _: Throwable => (-1.0, -1.0) }
+    if (probeOnly.isEmpty && !skipLanes) {
+      val (dw, dr) = devDirectMbps()
+      devWMbps = dw; devRMbps = dr
+      checkpoint()
+    }
+
     // one sf1 (10 GB in + 10 GB out) disk-to-disk gray-sort point per
     // round: TeraGen 100M rows -> TeraSort -> TeraValidate + checksum
     // over the RE-READ output, all inside the timing — the suite's
@@ -1061,11 +1260,9 @@ object Bench {
     // parsed there: r03–r12 all read "parsed": null). Headline lanes
     // only; EVERY scale exponent; all harness metrics; the full
     // per-lane record is in the file copy named under "full_record".
-    val headline = Seq("wordcount", "join_inner", "window_agg", "topk",
-      "total_sort", "terasort", "dedup_minhash", "substring_dedup",
-      "semantic_dedup", "knn_join", "ann_ivf_topk", "media_dedup_e2e",
-      "video_dedup_e2e", "pipeline_e2e", "pipeline_full",
-      "streaming_sessionize")
+    // The builder and the lane/label lists live at object level so
+    // BenchContractSpec can render a fully-populated line and pin its
+    // byte budget — the contract rotted silently for ten rounds.
     val medAll = names.collect {
       case (n, _) if samples(n).nonEmpty => n -> medOf(n) }.toMap
     val failedAll = names.collect {
@@ -1079,13 +1276,14 @@ object Bench {
       (s""""${l}_scale":\\{[^}]*"load_polluted":true""").r
         .findFirstIn(exps).isDefined)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val summary =
-      s"""{"metric":"total","value":${fmt(medAll.values.filter(_ >= 0).sum, 2)},"unit":"sec","sf":"$sfDir","iterations":$iters,"lanes":${names.length},""" +
-        s""""failed":${failedAll.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""skipped":$skippedJson,"elapsed_sec":${fmt(elapsedSec, 1)},""" +
-        s""""queries":${jm(headline.filter(medAll.contains).map(n => n -> fmt(medAll(n), 3)))},""" +
-        s""""exponents":${jm(expJson)},"load_polluted":$pollutedJson""" +
-        harnessJson + s""","full_record":"$out"}"""
+    val summary = summaryLine(
+      total = medAll.values.filter(_ >= 0).sum, sf = sfDir, iters = iters,
+      lanes = names.length, failed = failedAll, skippedJson = skippedJson,
+      elapsedSec = elapsedSec,
+      headlineVals = headlineLanes.filter(medAll.contains)
+        .map(n => n -> fmt(medAll(n), 3)),
+      exponents = expJson, pollutedJson = pollutedJson,
+      harnessJson = harnessJson, fullRecord = out)
     // stop FIRST so no Spark log line can land after the summary in
     // either stream's tail; the line is mirrored to stderr because the
     // driver's 2000-char tail capture has been observed on both
