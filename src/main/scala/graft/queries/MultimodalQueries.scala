@@ -335,6 +335,31 @@ object MultimodalQueries extends QueryModule {
           idOffset = 1000000L, frameShift = 1),
         minSupport = 2, maxBucket = 1000)
     }),
+    // the IMAGE-side durable index: the clip_index_incremental
+    // discipline over the two-signature still index — day 1 (even ids)
+    // signed + saved, day 2 (odd ids) APPENDED with the saved grid,
+    // then the loaded index serves lossless BMP re-encodes of every
+    // %20=5 catalog image, each matching its source (and the source's
+    // 768-law twins, where the fixture is big enough to have them) on
+    // BOTH signature kinds — support 2, every match reported (the
+    // probe is vote-only; the gate lane layers the election). Oracle =
+    // the signature-chain replay + the asymmetric (kind, sig) vote;
+    // save/append/load are transparent to it by construction (the
+    // spec pins appended ≡ fresh-union and crashed-retry idempotence).
+    "image_index_incremental" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = cachedIdxDir(dir, "imgsig")
+      Multimodal.saveImageSigIndex(
+        Multimodal.buildImageSigIndex(
+          Multimodal.fabricateStillImages(d.filter(col("doc_id") % 2 === 0))), path)
+      Multimodal.appendImageSigIndex(s, path,
+        Multimodal.fabricateStillImages(d.filter(col("doc_id") % 2 =!= 0)))
+      Multimodal.probeImageSigIndex(
+        Multimodal.loadImageSigIndex(s, path),
+        Multimodal.fabricateStillImages(d.filter(col("doc_id") % 20 === 5),
+          idOffset = 1000000L, fmt = "bmp"),
+        minSupport = 2, maxBucket = 1000)
+    }),
     // REAL video-shaped lane: per-doc frame STREAMS (concatenated
     // genuine PNGs, the MJPEG shape) — extraction finds the signature
     // boundaries in raw bytes and every frame truly decodes; one row
@@ -1069,6 +1094,31 @@ object MultimodalQueries extends QueryModule {
         |)
         |SELECT vid_a, vid_b, "offset", CAST(support AS BIGINT) AS support
         |FROM best WHERE rn = 1 AND support >= 2""".stripMargin,
+    // the image persisted-index probe replay: index = ALL image docs
+    // (the two parity days reunited — save/append/load are
+    // transparent), queries = the BMP re-encodes, the asymmetric
+    // (kind, sig) vote at support >= 2 with the hot cap computed on
+    // the index side only (the probeImageSigIndex shape; no election —
+    // the probe reports every qualifying match)
+    "image_index_incremental" ->
+      s"""WITH imgs AS (
+        |  SELECT doc_id, doc_id AS src FROM documents WHERE doc_id % 10 != 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 20 = 5
+        |), $stillSigChain, ok AS (
+        |  SELECT kind, sig FROM isig WHERE doc_id < 1000000
+        |  GROUP BY kind, sig HAVING COUNT(*) <= 1000
+        |), idx AS (
+        |  SELECT isig.* FROM isig JOIN ok USING (kind, sig)
+        |  WHERE isig.doc_id < 1000000
+        |), qs AS (
+        |  SELECT * FROM isig WHERE doc_id >= 1000000
+        |)
+        |SELECT qs.doc_id AS img_q, idx.doc_id AS img_m,
+        |       CAST(COUNT(*) AS BIGINT) AS support
+        |FROM qs JOIN idx USING (kind, sig)
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 2""".stripMargin,
     // per-frame pixel law (Multimodal.videoPixel): frame f of doc id
     // has pixel (x² + y²·(f+1) + (x+y)·id + id + f) mod 256, dims from
     // the shared fixture law
