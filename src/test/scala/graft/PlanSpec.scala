@@ -440,6 +440,23 @@ class PlanSpec extends AnyFunSuite {
       s"a shuffle carries document text:\n${shuffles.mkString("\n")}")
   }
 
+  test("media dedup compositions shuffle hash-narrow: media bytes never cross an exchange") {
+    // the scaladoc claim on audioDedup/videoDedup/imageDedup — the
+    // decode kernels consume `content` per partition and emit narrow
+    // fingerprint/digest rows, so no exchange in any of the three
+    // compositions may carry the binary column (at 100 TB a content
+    // shuffle IS the job cost)
+    for (name <- Seq("media_dedup_e2e", "video_dedup_e2e", "image_dedup_e2e")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val shuffles = "Exchange [^\\n]*".r.findAllIn(p).toSeq
+      assert(shuffles.nonEmpty && shuffles.forall(!_.contains("content#")),
+        s"$name: a shuffle carries media bytes:\n${shuffles.mkString("\n")}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("chunk_docs, mixture_sample, topic_assign, split_assign, multimodal_meta, jl_project are map-only: zero shuffles") {
     for (name <- Seq("chunk_docs", "mixture_sample", "topic_assign", "split_assign",
                      "multimodal_meta", "jl_project")) {
