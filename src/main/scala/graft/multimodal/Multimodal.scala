@@ -1315,7 +1315,15 @@ object Multimodal {
     * among the representatives (the [[graft.operators.Dedup
     * .simhashPairs]] machinery over the average-hash — 4×16-bit bands,
     * hot buckets past `maxBucket` dropped, never all-pairs; complete
-    * recall for `maxDist` < 4), exact-group edges glued back, connected
+    * recall for `maxDist` < 4) VERIFIED by the second signature family
+    * — a candidate pair survives only when the difference-hashes also
+    * agree within `maxDist` (the admission gate's two-family bar
+    * applied to the batch path: a single 64-bit average-hash of an 8×8
+    * grid is low-entropy, and at billions of images its coincidental
+    * collisions would merge unrelated clusters TRANSITIVELY through
+    * the component step; the dHash verify is a row-local filter over
+    * the already-bounded candidates, so precision costs no extra
+    * shuffle) — then exact-group edges glued back, connected
     * components (pointer doubling), min-id keeper per cluster. Items
     * that do not decode keep themselves (byte-exact dup detection
     * among undecodables is [[graft.operators.Dedup.exact]]'s job on
@@ -1341,10 +1349,24 @@ object Multimodal {
     val reps = dec.join(
         groups.filter(col("doc_id") === col("rep_id")).select("doc_id"),
         Seq("doc_id"))
-      .select(col("doc_id"), col("asig").as("simhash"))
-    val pairs = graft.operators.Dedup.simhashPairs(reps, "doc_id",
+    val cand = graft.operators.Dedup.simhashPairs(
+        reps.select(col("doc_id"), col("asig").as("simhash")), "doc_id",
         maxDist = maxDist, maxBucket = maxBucket)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // dHash verify over the bounded candidates: band-parse each side's
+    // difference-hash to 4 longs and xor/bit_count — the simhashPairs
+    // hamming kernel, applied row-locally after two narrow id joins
+    val dh = reps.select(col("doc_id"), col("dsig"))
+    def dHamming(x: Column, y: Column): Column =
+      (0 until 4).map { c =>
+        bit_count(conv(substring(x, 1 + 16 * c, 16), 2, 10).cast("long")
+          .bitwiseXOR(conv(substring(y, 1 + 16 * c, 16), 2, 10).cast("long")))
+      }.reduce(_ + _)
+    val pairs = cand
+      .join(dh.toDF("a", "da"), Seq("a"))
+      .join(dh.toDF("b", "db"), Seq("b"))
+      .filter(dHamming(col("da"), col("db")) <= maxDist)
+      .select(col("a"), col("b"))
     val edges = pairs.unionByName(
       groups.filter(col("doc_id") =!= col("rep_id"))
         .select(col("doc_id").as("a"), col("rep_id").as("b")))

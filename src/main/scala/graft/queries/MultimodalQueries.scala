@@ -946,11 +946,14 @@ object MultimodalQueries extends QueryModule {
         |  JOIN (SELECT band, bits FROM ibnd GROUP BY band, bits HAVING COUNT(*) <= 1000) ok
         |    USING (band, bits)
         |), iprs AS (
-        |  SELECT DISTINCT a, b FROM (
-        |    SELECT x.doc_id AS a, y.doc_id AS b, x.phash AS pa, y.phash AS pb
+        |  SELECT DISTINCT c.a, c.b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b
         |    FROM ibk x JOIN ibk y
-        |      ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id)
-        |  WHERE bit_count(xor(pa::BIT, pb::BIT)) <= 3
+        |      ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id
+        |    WHERE bit_count(xor(x.phash::BIT, y.phash::BIT)) <= 3) c
+        |  JOIN idh da ON da.doc_id = c.a
+        |  JOIN idh db ON db.doc_id = c.b
+        |  WHERE bit_count(xor(da.sig::BIT, db.sig::BIT)) <= 3
         |), ialledges AS (
         |  SELECT a, b FROM iprs
         |  UNION ALL

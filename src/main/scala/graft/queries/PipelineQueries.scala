@@ -761,11 +761,14 @@ object PipelineQueries extends QueryModule {
         |  JOIN (SELECT band, bits FROM ibnd GROUP BY band, bits HAVING COUNT(*) <= 1000) iok
         |    USING (band, bits)
         |), iprs AS (
-        |  SELECT DISTINCT ia, ib FROM (
-        |    SELECT x.doc_id AS ia, y.doc_id AS ib, x.phash AS pa, y.phash AS pb
+        |  SELECT DISTINCT c9.ia, c9.ib FROM (
+        |    SELECT x.doc_id AS ia, y.doc_id AS ib
         |    FROM ibk x JOIN ibk y
-        |      ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id)
-        |  WHERE bit_count(xor(pa::BIT, pb::BIT)) <= 3
+        |      ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id
+        |    WHERE bit_count(xor(x.phash::BIT, y.phash::BIT)) <= 3) c9
+        |  JOIN idh ida ON ida.doc_id = c9.ia
+        |  JOIN idh idb ON idb.doc_id = c9.ib
+        |  WHERE bit_count(xor(ida.sig::BIT, idb.sig::BIT)) <= 3
         |), ialledges AS (
         |  SELECT ia, ib FROM iprs
         |  UNION ALL
