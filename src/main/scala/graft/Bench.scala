@@ -216,9 +216,15 @@ object Bench {
     // probes. The driver's round run sets neither.
     val skipLanes = sys.env.get("SPARK_GRAFT_SKIP_LANES").contains("1")
     val probeOnly = sys.env.get("SPARK_GRAFT_PROBES").map(_.split(",").toSet)
+    // dev-only lane filter (A/B config experiments): run only the named
+    // lanes under the full bench protocol (suite warmup pass + N-pass
+    // round-robin medians). The driver's round run sets nothing here.
+    val laneOnly = sys.env.get("SPARK_GRAFT_LANES").map(_.split(",").toSet)
 
     val names =
-      if (skipLanes) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1)
+      if (skipLanes) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => laneOnly.forall(_.contains(n)) }
     val samples = scala.collection.mutable.LinkedHashMap(
       names.map { case (n, _) => n -> Vector.empty[Double] }: _*)
     val loads = scala.collection.mutable.LinkedHashMap(

@@ -27,9 +27,12 @@ object ProfileLane {
     fn(spark, dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
-    case class J(id: Int, t0: Long, var t1: Long = -1L, var stages: Int = 0,
-                 var tasks: Int = 0, var taskMs: Long = 0L)
+    case class J(id: Int, t0: Long, var t1: Long = -1L)
+    case class S(name: String, tasks: Int, taskMs: Long, wallMs: Long,
+                 gcMs: Long = 0L, deserMs: Long = 0L, resSerMs: Long = 0L,
+                 cpuMs: Long = 0L)
     val jobs = mutable.LinkedHashMap[Int, J]()
+    val stages = mutable.ArrayBuffer[S]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobs.synchronized { jobs(e.jobId) = J(e.jobId, e.time) }
@@ -38,13 +41,13 @@ object ProfileLane {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         jobs.synchronized {
           val si = e.stageInfo
-          // attribute stage to the last-started unfinished job (good
-          // enough for a single-threaded lane)
-          jobs.values.toSeq.sortBy(-_.t0).find(_.t1 < 0).foreach { j =>
-            j.stages += 1
-            j.tasks += si.numTasks
-            j.taskMs += si.taskMetrics.executorRunTime
-          }
+          val tm = si.taskMetrics
+          stages += S(si.name.linesIterator.next(), si.numTasks,
+            tm.executorRunTime,
+            (for (a <- si.completionTime; b <- si.submissionTime) yield a - b)
+              .getOrElse(-1L),
+            tm.jvmGCTime, tm.executorDeserializeTime,
+            tm.resultSerializationTime, tm.executorCpuTime / 1000000L)
         }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -64,14 +67,23 @@ object ProfileLane {
       else if (b > ce) ce = b
     }
     covered += ce - cs
+    val ss = jobs.synchronized(stages.toVector)
     println(f"[profile] $name wall=${wallMs / 1000}%.3f s jobs=${js.size} " +
       f"jobWindow=${covered / 1000.0}%.3f s driverGap=${(wallMs - covered) / 1000}%.3f s " +
-      f"stages=${js.map(_.stages).sum} tasks=${js.map(_.tasks).sum} " +
-      f"taskTime=${js.map(_.taskMs).sum / 1000.0}%.3f s")
-    js.sortBy(j => -(j.t1 - j.t0)).take(25).foreach { j =>
-      println(f"[profile]   job ${j.id}%4d ${(j.t1 - j.t0) / 1000.0}%8.3f s " +
-        f"stages=${j.stages}%3d tasks=${j.tasks}%5d taskTime=${j.taskMs / 1000.0}%8.3f s")
-    }
+      f"stages=${ss.size} tasks=${ss.map(_.tasks).sum} " +
+      f"taskTime=${ss.map(_.taskMs).sum / 1000.0}%.3f s")
+    // group stages by name: repeated stage shapes (a recomputed subtree)
+    // show up as one line with a high count
+    ss.groupBy(_.name).toSeq
+      .map { case (n, g) => (n, g.size, g.map(_.tasks).sum, g.map(_.taskMs).sum,
+        g.map(_.wallMs).sum) }
+      .sortBy(-_._4).take(30).foreach { case (n, c, t, ms, w) =>
+        println(f"[profile]   ${ms / 1000.0}%8.3f s taskTime  n=$c%3d tasks=$t%6d wall=${w / 1000.0}%8.3f s  $n")
+      }
+    if (sys.env.get("PROFILE_STAGES").contains("1"))
+      ss.sortBy(-_.taskMs).take(40).foreach { s =>
+        println(f"[profile]   stage tasks=${s.tasks}%4d taskTime=${s.taskMs / 1000.0}%8.3f s cpu=${s.cpuMs / 1000.0}%7.3f gc=${s.gcMs / 1000.0}%6.3f deser=${s.deserMs / 1000.0}%6.3f wall=${s.wallMs / 1000.0}%7.3f s ${s.name}")
+      }
     spark.stop()
   }
 }

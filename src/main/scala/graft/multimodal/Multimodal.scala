@@ -812,7 +812,6 @@ object Multimodal {
                              minSupport: Int, maxBucket: Int,
                              aName: String, bName: String,
                              collapseExact: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // positioned collapse: an exact re-upload has the identical
     // (idx, key) SEQUENCE, so the digest hashes both columns
     val tbl = collapseReps(
@@ -820,6 +819,20 @@ object Multimodal {
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       Seq("idx", "key"), collapseExact)
+    clipAlignOnTable(tbl, minSupport, maxBucket, aName, bName)
+  }
+
+  /** The census + vote + election tail of [[clipAlignPairs]] over an
+    * already-prepared (doc_id, idx, key) table (distinct rows, any
+    * exact-dup collapse already applied) — split out so [[audioDedup]]/
+    * [[videoDedup]] can feed it the SAME collapsed table their
+    * exact-group digest already produced instead of digesting the
+    * fingerprint set a second time inside the collapse.
+    */
+  private def clipAlignOnTable(tbl: DataFrame, minSupport: Int,
+                               maxBucket: Int,
+                               aName: String, bName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ok = tbl.groupBy(col("key")).agg(count(lit(1)).as("c"))
       .filter(col("c") <= maxBucket).select("key")
     val kept = tbl.join(ok, Seq("key")).select("doc_id", "idx", "key")
@@ -1000,15 +1013,30 @@ object Multimodal {
     val fp = audioSubfingerprints(media, window, bands)
       .select(col("doc_id"), col("win_idx"), col("subfp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // undecodable items ride fp as their visible (id, NULL) row, so
-    // the universe needs no second decode pass
+    mediaDedupOn(fp, "win_idx", "subfp", minSupport, maxBucket)
+  }
+
+  /** The shared composition tail of [[audioDedup]] and [[videoDedup]]
+    * over a PERSISTED (doc_id, idxCol, keyCol) fingerprint table
+    * (undecodable items present as their visible (id, NULL) row, so
+    * the universe needs no second decode pass; positioned rows unique
+    * per (doc, idx) by the fingerprint contracts). The exact-group
+    * digest runs ONCE and feeds both the collapse (representatives
+    * into the align join) and the member→rep edges — the pre-r14 shape
+    * digested the identical positioned rows a second time inside
+    * [[clipAlignPairs]]' collapse.
+    */
+  private def mediaDedupOn(fp: DataFrame, idxCol: String, keyCol: String,
+                           minSupport: Int, maxBucket: Int): DataFrame = {
     val universe = fp.select("doc_id").distinct()
-    val fpd = fp.filter(col("subfp").isNotNull)
-    val groups = exactFingerprintGroups(
-      fpd.select(col("doc_id"), col("win_idx").as("idx"),
-        col("subfp").as("key")), Seq("idx", "key"))
-    val aligned = clipAlignPairs(fpd, "win_idx", "subfp", minSupport,
-        maxBucket, "a", "b", collapseExact = true)
+    val pos = fp.filter(col(keyCol).isNotNull)
+      .select(col("doc_id"), col(idxCol).as("idx"), col(keyCol).as("key"))
+    // narrow (doc_id, rep_id) rows, two consumers (reps filter + edges)
+    val groups = exactFingerprintGroups(pos, Seq("idx", "key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = groups.filter(col("doc_id") === col("rep_id")).select("doc_id")
+    val aligned = clipAlignOnTable(pos.join(reps, Seq("doc_id")),
+        minSupport, maxBucket, "a", "b")
       .select("a", "b")
     val edges = aligned.unionByName(
       groups.filter(col("doc_id") =!= col("rep_id"))
@@ -1035,22 +1063,7 @@ object Multimodal {
         when(col("luma").isNotNull,
           graft.functions.MediaExpressions.ahash64(col("luma"))).as("fhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val universe = fp.select("doc_id").distinct()
-    val fpd = fp.filter(col("fhash").isNotNull)
-    val groups = exactFingerprintGroups(
-      fpd.select(col("doc_id"), col("frame_idx").as("idx"),
-        col("fhash").as("key")), Seq("idx", "key"))
-    val aligned = clipAlignPairs(fpd, "frame_idx", "fhash", minSupport,
-        maxBucket, "a", "b", collapseExact = true)
-      .select("a", "b")
-    val edges = aligned.unionByName(
-      groups.filter(col("doc_id") =!= col("rep_id"))
-        .select(col("doc_id").as("a"), col("rep_id").as("b")))
-    val cc = graft.operators.Dedup.connectedComponents(edges, "a", "b")
-      .withColumnRenamed("a", "doc_id")
-    universe.join(cc, Seq("doc_id"), "left")
-      .filter(coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
-      .select(col("doc_id"))
+    mediaDedupOn(fp, "frame_idx", "fhash", minSupport, maxBucket)
   }
 
   /** Per-frame perceptual hashes of a frame-stream table — the video
