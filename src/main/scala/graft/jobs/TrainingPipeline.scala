@@ -189,6 +189,65 @@ object TrainingPipeline {
     // dashboard. A daily production run that only lands shards wants
     // this; a monitored run keeps the default.
     def tally(df: => DataFrame): Long = if (report) df.count() else -1L
+    // Stage-boundary pin = EAGER localCheckpoint, not bare persist
+    // (r14): a persist memoizes EXECUTION but not ANALYSIS — every
+    // downstream action re-analyzes the whole stacked logical plan
+    // before cache substitution, and by the packing stage that plan
+    // carries every gate, join and CC of the chain several times over
+    // (measured: pipeline_full spent 13.7 s of 35 s in driver gaps
+    // with no job running). Checkpointing truncates the plan to a leaf
+    // at each stage boundary — the substringDecontam stage's existing
+    // discipline applied to every pinned corpus frame. Same
+    // materialization count (the persist's first consumer becomes the
+    // eager checkpoint job), and the release fn unpersists the
+    // checkpointed blocks at end-of-run exactly like the old unpersist
+    // list (localCheckpoint has no Dataset-level unpersist, so the
+    // backing RDDs are resolved through sc.getPersistentRDDs).
+    val sc = spark.sparkContext
+    def pin(df: DataFrame): (DataFrame, () => Unit) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      val added = sc.getPersistentRDDs.keySet -- before
+      (out, () => added.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
+    }
+
+    // Stage 3c's media-duplicate elections launch HERE, before the text
+    // chain runs (r14): each election is an independent eager job chain
+    // (fingerprint → digest → align → connected components) over its
+    // own caller-supplied media frame, touching no pipeline frame —
+    // running them on pool threads overlaps their driver/scheduling
+    // floors with the text stages' (guide §2.6), and stage 3c just
+    // awaits the drop sets. Schema validation stays synchronous so a
+    // malformed frame still fails fast with its name.
+    def checkMedia(m: DataFrame, name: String): DataFrame = {
+      val want = graft.multimodal.Multimodal.mediaSchema.fieldNames
+      want.foreach(c => require(m.columns.contains(c),
+        s"$name needs the mediaSchema columns ${want.mkString("(", ", ", ")")}; missing '$c'"))
+      m
+    }
+    def dropsOf(m: DataFrame, keep: DataFrame): DataFrame =
+      m.select(col("doc_id")).distinct()
+        .join(keep, Seq("doc_id"), "left_anti")
+    implicit val mediaEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val mediaDropFutures: Seq[scala.concurrent.Future[DataFrame]] =
+      (audioMedia.map { m0 =>
+        val m = checkMedia(m0, "audioMedia")
+        scala.concurrent.Future(dropsOf(m,
+          graft.multimodal.Multimodal.audioDedup(m,
+            minSupport = mediaMinSupport, maxBucket = mediaMaxBucket)))
+      } ++ videoMedia.map { m0 =>
+        val m = checkMedia(m0, "videoMedia")
+        scala.concurrent.Future(dropsOf(m,
+          graft.multimodal.Multimodal.videoDedup(m,
+            minSupport = mediaMinSupport, maxBucket = mediaMaxBucket)))
+      } ++ imageMedia.map { m0 =>
+        val m = checkMedia(m0, "imageMedia")
+        scala.concurrent.Future(dropsOf(m,
+          graft.multimodal.Multimodal.imageDedup(m,
+            maxDist = mediaHamming, maxBucket = mediaMaxBucket)))
+      }).toSeq
     // 0. optional crawl ingestion: HTML -> line-structured prose, then
     // the C4 line gate — both pure projections riding the first scan
     val raw = {
@@ -304,21 +363,25 @@ object TrainingPipeline {
       if (classifierWeights.isDefined)
         ruleGated0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else ruleGated0
-    val filtered = classifierWeights.map { w =>
+    // eager pin BEFORE the gate-input unpersists below: in no-report
+    // mode nothing else materializes `filtered` this early, and
+    // unpinning the gate frames first would hand the checkpoint an
+    // unpersisted lineage (the exact re-run the stage-1b pins exist to
+    // avoid)
+    val (filtered, releaseFiltered) = pin(classifierWeights.map { w =>
       val keep = graft.operators.Classify
         .scoreDocs(ruleGated, "doc_id", "text", w)
         .filter(col("pred") === 1).select("doc_id")
       ruleGated.join(keep, Seq("doc_id"), "left_semi")
-    }.getOrElse(ruleGated)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }.getOrElse(ruleGated))
     val afterFilter = tally(filtered)
     if (maxRepetition.isDefined) gateInput.unpersist(false)
     if (classifierWeights.isDefined) ruleGated.unpersist(false)
 
     // 2. exact dedup to representatives (16-byte digests shuffle)
     val reps = Dedup.exact(filtered, "doc_id", "text").select(col("keep_id").as("doc_id"))
-    val exactKept = filtered.join(reps, Seq("doc_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (exactKept, releaseExact) =
+      pin(filtered.join(reps, Seq("doc_id"), "left_semi"))
     val afterExact = tally(exactKept)
 
     // 3. near-dup clusters over the survivors; keep cluster representatives
@@ -327,10 +390,9 @@ object TrainingPipeline {
       maxDist = 3, maxBucket = 1000)
     val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .withColumnRenamed("doc_a", "doc_id")
-    val nearKept = exactKept.join(cc, Seq("doc_id"), "left")
+    val (nearKept, releaseNear) = pin(exactKept.join(cc, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
-      .drop("cluster_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .drop("cluster_id"))
     val afterNearDup = tally(nearKept)
 
     // 3b. optional SEMANTIC dedup (SemDeDup): embedding-space near-dup
@@ -340,7 +402,7 @@ object TrainingPipeline {
     // keep each semantic cluster's min-id representative. Docs WITHOUT
     // an embedding row never pair, so they are always kept — the stage
     // only ever removes evidenced near-dups.
-    val semKept = embeddings match {
+    val (semKept, releaseSem) = embeddings match {
       case Some(embRaw) =>
         require(embRaw.columns.contains("doc_id") && embRaw.columns.contains("embedding"),
           "embeddings needs (doc_id, embedding) columns")
@@ -357,11 +419,10 @@ object TrainingPipeline {
           threshold = semanticThreshold, nCells = cells, maxBucket = 1000)
         val ccE = Dedup.connectedComponents(pairsE, "vec_a", "vec_b")
           .withColumnRenamed("vec_a", "doc_id")
-        nearKept.join(ccE, Seq("doc_id"), "left")
+        pin(nearKept.join(ccE, Seq("doc_id"), "left")
           .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
-          .drop("cluster_id")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      case None => nearKept
+          .drop("cluster_id"))
+      case None => (nearKept, () => ())
     }
     val afterSemantic = tally(semKept)
 
@@ -384,36 +445,18 @@ object TrainingPipeline {
     // bytes never ride a shuffle here.
     val mediaOn =
       audioMedia.isDefined || videoMedia.isDefined || imageMedia.isDefined
-    val mediaKept = if (!mediaOn) semKept else {
-      // validate against the full mediaSchema contract (doc_id, content,
-      // meta), not just the columns this stage happens to read: a frame
-      // missing meta is malformed by the documented contract and should
-      // fail HERE with the frame's name, not wherever a meta-reading
-      // composition first touches it
-      def checkMedia(m: DataFrame, name: String): DataFrame = {
-        val want = graft.multimodal.Multimodal.mediaSchema.fieldNames
-        want.foreach(c => require(m.columns.contains(c),
-          s"$name needs the mediaSchema columns ${want.mkString("(", ", ", ")")}; missing '$c'"))
-        m
-      }
-      def dropsOf(m: DataFrame, keep: DataFrame): DataFrame =
-        m.select(col("doc_id")).distinct()
-          .join(keep, Seq("doc_id"), "left_anti")
-      val drops = (audioMedia.map { m0 =>
-          val m = checkMedia(m0, "audioMedia")
-          dropsOf(m, graft.multimodal.Multimodal.audioDedup(m,
-            minSupport = mediaMinSupport, maxBucket = mediaMaxBucket))
-        } ++ videoMedia.map { m0 =>
-          val m = checkMedia(m0, "videoMedia")
-          dropsOf(m, graft.multimodal.Multimodal.videoDedup(m,
-            minSupport = mediaMinSupport, maxBucket = mediaMaxBucket))
-        } ++ imageMedia.map { m0 =>
-          val m = checkMedia(m0, "imageMedia")
-          dropsOf(m, graft.multimodal.Multimodal.imageDedup(m,
-            maxDist = mediaHamming, maxBucket = mediaMaxBucket))
-        }).reduce(_.unionByName(_))
-      semKept.join(drops.distinct(), Seq("doc_id"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (mediaKept, releaseMedia) = if (!mediaOn) (semKept, () => ()) else {
+      // the modality elections are INDEPENDENT jobs (each eager —
+      // fingerprint, digest, align, connected components — over its own
+      // media frame, touching no pipeline frame), so they run
+      // concurrently from a small thread pool (guide §2.6: overlap
+      // independent jobs so one election's scheduling tail back-fills
+      // with the next one's tasks). The drops union and the anti-join
+      // below are unchanged — identical rows, identical plan.
+      val drops = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(mediaDropFutures),
+        scala.concurrent.duration.Duration.Inf).reduce(_.unionByName(_))
+      pin(semKept.join(drops.distinct(), Seq("doc_id"), "left_anti"))
     }
     val afterMedia = if (mediaOn) tally(mediaKept) else afterSemantic
 
@@ -584,10 +627,9 @@ object TrainingPipeline {
     // four full-corpus frames each, forever)
     val packedOut = packed.localCheckpoint()
     val packs = packedOut.count()
-    (Seq(filtered, exactKept, nearKept) ++
-      (if (embeddings.isDefined) Seq(semKept) else Nil) ++
-      (if (mediaOn) Seq(mediaKept) else Nil) ++ hs ++
-      (if (tokenBudgets.nonEmpty) Seq(budgeted) else Nil))
+    Seq(releaseFiltered, releaseExact, releaseNear, releaseSem, releaseMedia)
+      .foreach(_.apply())
+    (hs ++ (if (tokenBudgets.nonEmpty) Seq(budgeted) else Nil))
       .foreach(_.unpersist(false))
 
     (packedOut, Report(inputRows, afterFilter, afterExact, afterNearDup,
