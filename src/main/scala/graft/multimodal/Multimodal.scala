@@ -156,7 +156,8 @@ object Multimodal {
 
   def fabricateImages(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val rdd = docs.select("doc_id", "text").rdd.mapPartitions { it =>
+    val rdd = graft.operators.Par.fanOut(
+      docs.select("doc_id", "text")).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getAs[Long]("doc_id")
         if (fixtureIsImage(id)) {
@@ -460,7 +461,8 @@ object Multimodal {
                      maxFrames: Int = Int.MaxValue,
                      startFrame: Int = 0): DataFrame = {
     val spark = docs.sparkSession
-    val rdd = docs.select("doc_id", "text").rdd.mapPartitions { it =>
+    val rdd = graft.operators.Par.fanOut(
+      docs.select("doc_id", "text")).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getAs[Long]("doc_id")
         if (fixtureIsImage(id)) {
@@ -474,18 +476,101 @@ object Multimodal {
             pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
             i += 1
           }
-          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-          val bytes = baos.toByteArray
+          // canonical RIFF/WAVE writer, byte-identical to
+          // AudioSystem.write for PCM16 mono LE (WavSpec pins the
+          // identity): AudioSystem routes every call through the
+          // static-synchronized provider registry, which serializes
+          // the 32 concurrent synth tasks on one JVM-global lock
+          val bytes = writeWavPcm16Mono(pcm, 8000)
           Row(id + idOffset, bytes, Row("audio/wav", bytes.length.toLong))
         } else textBytesRow(id + idOffset, r.getAs[String]("text"))
       }
     }
     spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Canonical PCM16 WAV bytes: 44-byte RIFF header + the LE sample
+    * data — exactly what `AudioSystem.write(..., Type.WAVE, ...)` emits
+    * for a 16-bit mono little-endian stream (WavSpec asserts the byte
+    * identity), without the JVM-global synchronized provider lookup
+    * AudioSystem routes every call through.
+    */
+  private[graft] def writeWavPcm16Mono(pcm: Array[Byte],
+                                       sampleRate: Int): Array[Byte] = {
+    val out = new Array[Byte](44 + pcm.length)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate = rate * blockAlign
+      .putShort(2)            // blockAlign = channels * 2
+      .putShort(16)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+      .put(pcm)
+    out
+  }
+
+  /** Strict canonical RIFF/WAVE PCM16 parse — the lock-free fast path
+    * of [[pcm16Samples]]. Returns None for ANYTHING non-canonical
+    * (wrong magic, non-PCM, non-16-bit, truncated or oversized chunks),
+    * in which case the caller falls back to the AudioSystem reader, so
+    * accept/reject behavior on exotic content is exactly the old
+    * path's. Chunk walk tolerates extra chunks before fmt/data (the
+    * WaveFileReader behavior for canonical files).
+    */
+  private def parseWavPcm16Strict(b: Array[Byte]
+                                 ): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+    if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+    var off = 12
+    var rate = -1
+    var channels = -1
+    var ok = true
+    var data: Option[(Int, Int)] = None // (offset, len)
+    while (ok && data.isEmpty && off + 8 <= b.length) {
+      val tag = fourcc(off)
+      val len = bb.getInt(off + 4)
+      if (len < 0 || off + 8 + len > b.length) ok = false
+      else tag match {
+        case "fmt " =>
+          if (len < 16) ok = false
+          else {
+            val fmtCode = bb.getShort(off + 8).toInt
+            val bits = bb.getShort(off + 22).toInt
+            channels = bb.getShort(off + 10).toInt
+            rate = bb.getInt(off + 12)
+            if (fmtCode != 1 || bits != 16 || channels <= 0 || rate <= 0)
+              ok = false
+          }
+          off += 8 + len + (len & 1)
+        case "data" =>
+          if (rate <= 0) ok = false // fmt must precede data
+          else data = Some((off + 8, len))
+        case _ =>
+          off += 8 + len + (len & 1)
+      }
+    }
+    data match {
+      case Some((dOff, dLen)) if ok =>
+        val n = dLen / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((b(dOff + 2 * i + 1) << 8) |
+            (b(dOff + 2 * i) & 0xff)).toShort.toInt
+          i += 1
+        }
+        Some((rate, channels, out))
+      case _ => None
+    }
   }
 
   private val audioSchema = StructType(Seq(
@@ -504,6 +589,13 @@ object Multimodal {
     */
   private def pcm16Samples(content: Array[Byte]
                           ): Option[(Int, Int, Array[Int])] =
+    // canonical-WAV fast path first: AudioSystem.getAudioInputStream
+    // serializes concurrent decode tasks on the JVM-global synchronized
+    // provider registry (measured: a 32-task decode stage spent 52 of
+    // 54 task-seconds blocked on it); anything the strict parser does
+    // not fully recognize falls through to the JDK readers unchanged
+    // (AIFF/AU/exotic WAV behavior identical — WavSpec pins agreement)
+    parseWavPcm16Strict(content) orElse (
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(content))
@@ -522,7 +614,7 @@ object Multimodal {
         }
         Some((fmt.getSampleRate.toInt, fmt.getChannels.toInt, out))
       }
-    } catch { case _: Exception => None }
+    } catch { case _: Exception => None })
 
   /** REAL audio decode: `AudioSystem.getAudioInputStream` over the
     * content (WAV/AIFF/AU — the JDK's built-in readers), then exact
@@ -907,6 +999,7 @@ object Multimodal {
     val spark = index.fps.sparkSession
     import spark.implicits._
     index.fps.select("doc_id", "win_idx", "subfp")
+      .repartition(col("doc_id")) // size-adaptive index files (AQE coalesce)
       .write.mode("overwrite").parquet(s"$path/fingerprints")
     Seq((index.window, index.bands)).toDF("window", "bands")
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -1010,8 +1103,15 @@ object Multimodal {
   def audioDedup(media: DataFrame, minSupport: Int = 2,
                  maxBucket: Int = 1000, window: Int = 64,
                  bands: Int = 8): DataFrame = {
+    // one hash exchange of the NARROW fingerprint rows before the pin:
+    // the decode map runs at input parallelism, while the pinned table
+    // the composition's branches all read gets the bytes-proportional
+    // AQE partitioning (a map-side pin would freeze the decode's
+    // partition count into every downstream stage). Media bytes still
+    // never ride a shuffle — fingerprints are the lightweight proxy.
     val fp = audioSubfingerprints(media, window, bands)
       .select(col("doc_id"), col("win_idx"), col("subfp"))
+      .repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     mediaDedupOn(fp, "win_idx", "subfp", minSupport, maxBucket)
   }
@@ -1062,6 +1162,7 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"),
         when(col("luma").isNotNull,
           graft.functions.MediaExpressions.ahash64(col("luma"))).as("fhash"))
+      .repartition(col("doc_id")) // adaptive pin layout, see audioDedup
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     mediaDedupOn(fp, "frame_idx", "fhash", minSupport, maxBucket)
   }
@@ -1103,6 +1204,7 @@ object Multimodal {
     val spark = index.fps.sparkSession
     import spark.implicits._
     index.fps.select("doc_id", "frame_idx", "fhash")
+      .repartition(col("doc_id")) // size-adaptive index files (AQE coalesce)
       .write.mode("overwrite").parquet(s"$path/fingerprints")
     Seq((index.gridW, index.gridH)).toDF("grid_w", "grid_h")
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -1179,7 +1281,8 @@ object Multimodal {
                            fmt: String = "png"): DataFrame = {
     require(fmt == "png" || fmt == "bmp", s"lossless fixture formats only: $fmt")
     val spark = docs.sparkSession
-    val rdd = docs.select("doc_id", "text").rdd.mapPartitions { it =>
+    val rdd = graft.operators.Par.fanOut(
+      docs.select("doc_id", "text")).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getAs[Long]("doc_id")
         if (fixtureIsImage(id)) {
@@ -1352,6 +1455,7 @@ object Multimodal {
   def imageDedup(media: DataFrame, maxDist: Int = 3,
                  maxBucket: Int = 1000): DataFrame = {
     val ft = imageFeatures(media)
+      .repartition(col("doc_id")) // adaptive pin layout, see audioDedup
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val universe = ft.select("doc_id").distinct()
     val dec = ft.filter(col("asig").isNotNull)
@@ -1411,6 +1515,7 @@ object Multimodal {
     val spark = index.sigs.sparkSession
     import spark.implicits._
     index.sigs.select("doc_id", "kind", "sig")
+      .repartition(col("doc_id")) // size-adaptive index files (AQE coalesce)
       .write.mode("overwrite").parquet(s"$path/fingerprints")
     Seq((index.gridW, index.gridH)).toDF("grid_w", "grid_h")
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -1486,7 +1591,8 @@ object Multimodal {
       require(batch.schema.fields.exists(_.name == f.name),
         s"saved column '${f.name}' absent from append batch")
     }
-    batch.write.mode("append").parquet(s"$path/fingerprints")
+    batch.repartition(col("doc_id")) // size-adaptive part files
+      .write.mode("append").parquet(s"$path/fingerprints")
   }
 
   /** Frame count law of the video fixture: 2 + (id mod 4) frames. */
@@ -1511,7 +1617,8 @@ object Multimodal {
   def fabricateFrameStream(docs: DataFrame, idOffset: Long = 0L,
                            frameShift: Int = 0): DataFrame = {
     val spark = docs.sparkSession
-    val rdd = docs.select("doc_id", "text").rdd.mapPartitions { it =>
+    val rdd = graft.operators.Par.fanOut(
+      docs.select("doc_id", "text")).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getAs[Long]("doc_id")
         if (fixtureIsImage(id)) {

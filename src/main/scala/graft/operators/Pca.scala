@@ -43,8 +43,11 @@ object Pca {
   def topComponent(df: DataFrame, vecCol: String, dim: Int,
                    iters: Int = 30): DataFrame = {
     val spark = df.sparkSession
-    val q = df.select(transform(col(vecCol),
-      x => round(x.cast("double") * 1000000).cast("long")).as("q"))
+    // the pair explode amplifies every row 2080× into the aggregation —
+    // fan a under-partitioned input out to the core count first
+    // (identity on any adequately partitioned table; Par.fanOut)
+    val q = Par.fanOut(df.select(transform(col(vecCol),
+      x => round(x.cast("double") * 1000000).cast("long")).as("q")))
     // row-local upper-triangle pair products; the explode feeds a
     // map-side-combined sum, so the shuffle is 2080 rows per task
     // decimal(38,0) accumulation (the dimStats sum_sq discipline): a
