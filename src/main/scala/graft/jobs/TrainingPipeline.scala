@@ -206,7 +206,13 @@ object TrainingPipeline {
     val sc = spark.sparkContext
     def pin(df: DataFrame): (DataFrame, () => Unit) = {
       val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
+      // AQE-sized pin (hash exchange on doc_id, no explicit count): an
+      // explicit defaultParallelism pin was measured WORSE across all
+      // four pipeline lanes (pipeline_full 23.2 -> 35.1 s) — the
+      // re-inflated per-stage floors cost more than the lost
+      // compute-parallelism of the chunk/tokenize tail on this corpus,
+      // and at scale the bytes-proportional layout parallelizes anyway.
+      val out = df.repartition(col("doc_id")).localCheckpoint()
       val added = sc.getPersistentRDDs.keySet -- before
       (out, () => added.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
