@@ -140,8 +140,19 @@ object Dedup {
         shingles.join(broadcast(hot), Seq("sh"), "left_anti")
       }
     val sizes = kept.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    val a = kept.select(col(id).as("doc_a"), col("sh").as("sh_a"))
-    val b = kept.select(col(id).as("doc_b"), col("sh").as("sh_b"))
+    // EXPLICIT partition count on the self-join key (r14): the join's
+    // input bytes are small but its output EXPLODES (pairs per shared
+    // shingle), and AQE's bytes-based coalescing — which only sees the
+    // input — would run the expansion plus the pair count on 1-2
+    // partitions (measured: 2 tasks × 1.2 s of serialized hash-join
+    // compute). An explicit count is exempt from AQE coalescing; the
+    // configured shuffle parallelism is exactly the cluster-sized
+    // value at scale. The downstream pair aggregation re-sizes from
+    // the REAL post-explosion bytes, so only this exchange is pinned.
+    val par = kept.sparkSession.sessionState.conf.numShufflePartitions
+    val keyed = kept.repartition(par, col("sh"))
+    val a = keyed.select(col(id).as("doc_a"), col("sh").as("sh_a"))
+    val b = keyed.select(col(id).as("doc_b"), col("sh").as("sh_b"))
     val inter = a.join(b, col("sh_a") === col("sh_b") && col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     val jac = col("n_inter").cast("double") /
